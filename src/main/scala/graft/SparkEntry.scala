@@ -1,13 +1,71 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.{Events, Oracle, Relational, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
+  * and §3.1 (entry points). 40 query ids; 38 with DuckDB oracles
+  * (q_approx_distinct and q_dedup_minhash are not SQL-expressible and
+  * are covered by unit/property tests instead). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q_agg_pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans
+    "q_scan_project"   -> Relational.q_scan_project _,
+    // §2.2 filters
+    "q_filter_range"   -> Relational.q_filter_range _,
+    "q_case_band"      -> Relational.q_case_band _,
+    // §2.3 joins
+    "q_join_broadcast" -> Relational.q_join_broadcast _,
+    "q_join_shuffle"   -> Relational.q_join_shuffle _,
+    "q_join_multiway"  -> Relational.q_join_multiway _,
+    "q_join_outer"     -> Relational.q_join_outer _,
+    "q_semi_join"      -> Relational.q_semi_join _,
+    "q_anti_join"      -> Relational.q_anti_join _,
+    "q_join_theta"     -> Relational.q_join_theta _,
+    // §2.4 aggregations
+    "q_agg_pricing"    -> Relational.q_agg_pricing _,
+    "q_agg_having"     -> Relational.q_agg_having _,
+    "q_distinct_count" -> Relational.q_distinct_count _,
+    "q_approx_distinct" -> Relational.q_approx_distinct _,
+    "q_rollup"         -> Relational.q_rollup _,
+    // §2.5 sorts / top-k
+    "q_topk_global"    -> Relational.q_topk_global _,
+    "q_sort_multicol"  -> Relational.q_sort_multicol _,
+    // §2.6 windows
+    "q_window_rank"    -> Relational.q_window_rank _,
+    "q_window_running" -> Relational.q_window_running _,
+    "q_window_lag"     -> Relational.q_window_lag _,
+    "q_window_range"   -> Relational.q_window_range _,
+    // §2.7 set ops
+    "q_union"          -> Relational.q_union _,
+    "q_intersect"      -> Relational.q_intersect _,
+    "q_except"         -> Relational.q_except _,
+    // §2.8 scalar functions
+    "q_string_funcs"   -> Relational.q_string_funcs _,
+    "q_date_funcs"     -> Relational.q_date_funcs _,
+    "q_math_funcs"     -> Relational.q_math_funcs _,
+    "q_json_extract"   -> Relational.q_json_extract _,
+    "q_array_funcs"    -> Relational.q_array_funcs _,
+    // §2.9 text / LLM-pipeline
+    "q_wordcount"      -> TextOps.q_wordcount _,
+    "q_text_stats"     -> TextOps.q_text_stats _,
+    "q_tfidf"          -> TextOps.q_tfidf _,
+    "q_dedup_exact"    -> TextOps.q_dedup_exact _,
+    "q_dedup_minhash"  -> TextOps.q_dedup_minhash _,
+    "q_sim_search"     -> TextOps.q_sim_search _,
+    "q_knn_centroid"   -> TextOps.q_knn_centroid _,
+    // §2.10 event windows (batch forms)
+    "q_tumbling_window" -> Events.q_tumbling_window _,
+    "q_sliding_window"  -> Events.q_sliding_window _,
+    "q_session_window"  -> Events.q_session_window _,
+    "q_late_data"       -> Events.q_late_data _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracle.sql
 }

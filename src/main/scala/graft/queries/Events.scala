@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators in oracle-checkable batch form, SURVEY.md
+  * §2.10. Structured Streaming twins of the window aggregations live in
+  * graft.streaming.Twins (exercised by StreamingTwinSpec — a streaming
+  * sink can't be hash-compared by the Verify harness).
+  *
+  * Time base: `ts` reads as epoch-nanos long (see [[graft.Tables]]);
+  * all bucketing derives from epoch-µs via integer `div`, the exact
+  * common denominator with DuckDB's `epoch_us(ts)` (rule T).
+  */
+object Events {
+
+  private val US_PER_HOUR = 3600000000L
+  private val US_PER_15MIN = 900000000L
+  private val US_SESSION_GAP = 1800000000L // 30 min
+  private val US_LATE = 300000000L         // 5 min
+
+  /** Tumbling 1-hour window aggregation (bucket = µs div 1h). */
+  def q_tumbling_window(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr(s"(ts div 1000) div $US_PER_HOUR").as("hour_bucket"),
+              col("event_type"), col("value"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour_bucket", "event_type")
+
+  /** Sliding 1h/15min window: each event maps to the 4 slide-aligned
+    * windows containing it (explode of 4 offsets — the batch equivalent
+    * of streaming `window(ts, "1 hour", "15 minutes")`). win_start is
+    * the window's start in epoch-µs. */
+  def q_sliding_window(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr(s"(ts div 1000) div $US_PER_15MIN").as("slot"), col("event_type"))
+      .select(col("slot"), col("event_type"),
+              explode(sequence(lit(0), lit(3))).as("k"))
+      .select(((col("slot") - col("k")) * US_PER_15MIN).as("win_start"), col("event_type"))
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("win_start", "event_type")
+
+  /** Session windows with a 30-min inactivity gap, per user: session
+    * count + mean session length in seconds. Classic lag-gap → running
+    * flag-sum session id (the batch form of
+    * `session_window(ts, "30 minutes")`). */
+  def q_session_window(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), Tables.tsUs.as("us"))
+      .select(col("user_id"), col("us"),
+              when(col("us") - lag("us", 1).over(wOrd) > US_SESSION_GAP, 1)
+                .when(lag("us", 1).over(wOrd).isNull, 1)
+                .otherwise(0).as("new_s"),
+              col("event_id"))
+      .select(col("user_id"), col("us"),
+              sum("new_s").over(wRun).as("session_id"))
+    flagged
+      .groupBy("user_id", "session_id")
+      .agg(((max("us") - min("us")) / lit(1000000.0)).as("len_sec"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+           round(avg("len_sec"), 2).as("avg_len_sec"))
+      .orderBy("user_id")
+  }
+
+  /** Late/out-of-order accounting: an event is "late" when its ts is
+    * > 5 min older than the running max ts over all earlier arrivals
+    * (arrival order = event_id). The batch analogue of rows a 5-min
+    * watermark would drop.
+    *
+    * The running max is a single global ordered window — inherently
+    * sequential semantics. At 100 TB this becomes a two-pass
+    * per-range-partition max + prefix-broadcast; the per-event
+    * comparison itself stays embarrassingly parallel. */
+  def q_late_data(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), Tables.tsUs.as("us"))
+      .select(col("event_type"),
+              when(max("us").over(w) - col("us") > US_LATE, 1).otherwise(0).as("late"))
+      .groupBy("event_type")
+      .agg(sum("late").as("n_late"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+}

@@ -1,0 +1,290 @@
+package graft.queries
+
+/** DuckDB oracle SQL — one string per oracle-checkable query id,
+  * SURVEY.md §2. Each statement is the exact semantic twin of its
+  * Spark implementation, written to the cross-engine parity rules of
+  * SURVEY.md §7.4:
+  *   O: identical ORDER BY on a unique key;
+  *   F: ROUND every float aggregate identically; vector math in DOUBLE
+  *      (never DuckDB's float32 list_dot_product);
+  *   T: event time via epoch_us(ts) == Spark `ts div 1000`;
+  *   I: CAST(SUM(int) AS BIGINT) — DuckDB sums integers to HUGEINT;
+  *      CAST year/quarter/length/row_number to INT to match Spark;
+  *   N: identical output aliases;
+  *   S: string_split(text, ' ') == Spark split on this corpus.
+  * Table names are bare (driver resolves them to the sfDir parquet).
+  */
+object Oracle {
+  val sql: Map[String, String] = Map(
+
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_filter_range" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 30""".stripMargin,
+
+    "q_case_band" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_join_shuffle" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_multiway" ->
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT p_brand, COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       ROUND(AVG(l_quantity), 2) AS avg_qty,
+        |       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders, ROUND(MAX(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5 ORDER BY o_custkey""".stripMargin,
+
+    "q_distinct_count" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(CAST(year(o_orderdate) AS INT), -1) AS o_year,
+        |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price,
+        |       CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+        |ORDER BY gid, o_year, o_orderpriority""".stripMargin,
+
+    "q_topk_global" ->
+      """SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q_sort_multicol" ->
+      """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-06-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+        |ORDER BY l_returnflag ASC, l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 200""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        |       COALESCE(epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id), -1) AS gap_us
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT user_id, event_id,
+        |       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_10min
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey, substring(c_name, 10, 9) AS id_suffix,
+        |       CAST(length(c_name) AS INT) AS name_len,
+        |       lower(c_mktsegment) || '#' || substring(c_name, 10, 9) AS tag,
+        |       upper(c_mktsegment) AS seg_upper
+        |FROM customer WHERE c_name LIKE 'Customer#00000009%' ORDER BY c_custkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+        |       COUNT(*) AS n_orders,
+        |       MIN(CAST(o_orderdate AS DATE)) AS min_date,
+        |       MAX(CAST(o_orderdate AS DATE)) AS max_date,
+        |       CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+        |                      MAX(CAST(o_orderdate AS DATE))) AS INT) AS span_days
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT p_brand, ROUND(AVG(SQRT(p_retailprice)), 4) AS avg_sqrt,
+        |       ROUND(AVG(LN(p_retailprice)), 4) AS avg_ln,
+        |       CAST(SUM(p_size % 7) AS BIGINT) AS sum_mod,
+        |       ROUND(POWER(CAST(MAX(p_size) AS DOUBLE), 2.0), 1) AS max_pow_sz
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events, ROUND(AVG(k), 3) AS avg_k, MAX(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |       array_to_string((list_sort(list_distinct(string_split(text, ' '))))[1:3], ',') AS first3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_wordcount" ->
+      """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY n DESC, word""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
+        |       COUNT(DISTINCT source) AS n_sources,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT lang, term, COUNT(*) AS tot_tf FROM tok GROUP BY lang, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |scored AS (SELECT tf.lang, tf.term,
+        |                  ROUND(CAST(tf.tot_tf AS DOUBLE) *
+        |                        LN((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df.df),
+        |                        4) AS score
+        |           FROM tf JOIN df ON tf.term = df.term),
+        |ranked AS (SELECT lang, term, score,
+        |                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |                                          ORDER BY score DESC, term) AS INT) AS rn
+        |           FROM scored)
+        |SELECT lang, term, score, rn FROM ranked WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH fps AS (SELECT lang, doc_id,
+        |                    array_to_string(list_sort(string_split(text, ' ')), ' ') AS fp
+        |             FROM documents),
+        |g AS (SELECT lang, fp, MIN(doc_id) AS keeper FROM fps GROUP BY lang, fp)
+        |SELECT lang, COUNT(*) AS n_unique, CAST(SUM(keeper) AS BIGINT) AS sum_keeper_ids
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sim_search" ->
+      """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+        |ex AS (SELECT e.vec_id, e.label,
+        |              CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) *
+        |              CAST(probe.p[CAST(t.i AS INT)] AS DOUBLE) AS prod
+        |       FROM embeddings e, probe, range(1, 65) t(i) WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, ROUND(SUM(prod), 3) AS score FROM ex
+        |GROUP BY vec_id, label ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_knn_centroid" ->
+      """WITH ex AS (SELECT label, CAST(t.i AS INT) AS pos,
+        |                   CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+        |            FROM embeddings, range(1, 65) t(i)),
+        |c AS (SELECT label, pos, AVG(v) AS ctr, COUNT(*) AS n FROM ex GROUP BY label, pos)
+        |SELECT label, MAX(n) AS n_vecs, ROUND(SQRT(SUM(ctr * ctr)), 3) AS centroid_norm
+        |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+        |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q_sliding_window" ->
+      """SELECT (epoch_us(ts) // 900000000 - t.k) * 900000000 AS win_start, event_type,
+        |       COUNT(*) AS n
+        |FROM events, range(0, 4) t(k)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, us, event_id,
+        |             CASE WHEN LAG(us, 1) OVER w IS NULL THEN 1
+        |                  WHEN us - LAG(us, 1) OVER w > 1800000000 THEN 1
+        |                  ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM f),
+        |s AS (SELECT user_id, session_id, (MAX(us) - MIN(us)) / 1000000.0 AS len_sec
+        |      FROM g GROUP BY user_id, session_id)
+        |SELECT user_id, COUNT(*) AS n_sessions, ROUND(AVG(len_sec), 2) AS avg_len_sec
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_late_data" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT event_type, us,
+        |             MAX(us) OVER (ORDER BY event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |      FROM e)
+        |SELECT event_type,
+        |       CAST(SUM(CASE WHEN prev_max - us > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       COUNT(*) AS n
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

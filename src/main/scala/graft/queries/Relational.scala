@@ -1,0 +1,334 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory, SURVEY.md §2.1–§2.8.
+  *
+  * Every query: (a) reads only via [[graft.Tables]], (b) ends with an
+  * ORDER BY on a unique key (parity rule O), (c) rounds float
+  * aggregates on both the Spark and oracle side (rule F), and
+  * (d) aliases every output column identically to its oracle SQL
+  * (rule N). Scale posture: no collect(), broadcast hints only on
+  * dimension tables, aggregations rely on Catalyst's partial+final
+  * split, sorts that feed a LIMIT compile to TakeOrderedAndProject.
+  */
+object Relational {
+
+  // ---- §2.1 scans ---------------------------------------------------
+
+  /** Columnar scan + projection + limit. Column pruning reaches the
+    * parquet reader (ReadSchema shows only the 3 columns). */
+  def q_scan_project(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  // ---- §2.2 filters -------------------------------------------------
+
+  /** TPC-H Q6 shape: conjunctive range predicates, all pushed to the
+    * parquet scan (PushedFilters), single global aggregate. */
+  def q_filter_range(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp_ntz") &&
+              col("l_discount").between(0.02, 0.06) &&
+              col("l_quantity") < 30)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** CASE/WHEN banding + conditional aggregation. */
+  def q_case_band(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(when(col("o_totalprice") > 100000, 1).otherwise(0)).as("n_big"))
+      .orderBy("o_orderpriority")
+
+  // ---- §2.3 joins ---------------------------------------------------
+
+  /** Map-side join reconstruction: explicit broadcast of the dimension
+    * chain (region/nation always tiny; customer is a dimension at this
+    * query's grain and AQE would broadcast it anyway at bench scale). */
+  def q_join_broadcast(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("r_name")
+
+  /** Large-large equi-join: MERGE hint pins sort-merge so the plan is
+    * the one that survives a 100× scale-up (no accidental broadcast of
+    * a fact table at test scale). */
+  def q_join_shuffle(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("o_orderstatus")
+
+  /** TPC-H Q5 shape: 6-way star join, dims broadcast, facts joined
+    * smallest-first; same-nation customer/supplier residual. */
+  def q_join_multiway(s: SparkSession, d: String): DataFrame = {
+    val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val o96 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp_ntz"))
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .join(o96, col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Left outer join + null-safe count (order-less customers kept). */
+  def q_join_outer(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Left semi (EXISTS): customers having ≥1 'F' order. */
+  def q_semi_join(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left anti (NOT EXISTS): customers with no URGENT order. (Plain
+    * "zero orders" would be empty at correctness scale — a trivially
+    * matching result that exercises nothing.) */
+  def q_anti_join(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Equi-join with non-equi residual (theta): quantity > size. */
+  def q_join_theta(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d),
+            col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+
+  // ---- §2.4 aggregations --------------------------------------------
+
+  /** TPC-H Q1 shape — the flagship. Partial+final hash aggregation
+    * (the MapReduce combiner, for free). */
+  def q_agg_pricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+           round(sum("l_extendedprice"), 2).as("sum_base_price"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+           round(avg("l_quantity"), 2).as("avg_qty"),
+           round(avg("l_extendedprice"), 2).as("avg_price"),
+           count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Post-aggregation filter (HAVING). */
+  def q_agg_having(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           round(max("o_totalprice"), 2).as("max_price"))
+      .filter(col("n_orders") > 5)
+      .orderBy("o_custkey")
+
+  /** Exact distinct (Expand + two-phase aggregate). */
+  def q_distinct_count(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_cust"))
+      .orderBy("o_orderpriority")
+
+  /** HLL++ approximate distinct — sketch values are engine-specific, so
+    * no oracle; unit-tested against exact ±5% (SURVEY §2.4). */
+  def q_approx_distinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .orderBy("event_type")
+
+  /** Hierarchical grouping sets (ROLLUP) with a grouping_id bitmask.
+    * Grouping-null keys are COALESCEd to sentinels so cross-engine
+    * null-ordering differences can't bite (rule O/N). */
+  def q_rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("total_price"),
+           grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("o_year"), lit(-1)).as("o_year"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+              col("n_orders"), col("total_price"), col("gid"))
+      .orderBy("gid", "o_year", "o_orderpriority")
+
+  // ---- §2.5 sorts / top-k -------------------------------------------
+
+  /** Global top-k by aggregate → TakeOrderedAndProject (the in-mapper
+    * heap, distributed). Rank on the ROUNDED revenue with a unique
+    * tiebreak so both engines order identically (rule F/O). */
+  def q_topk_global(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(10)
+
+  /** Multi-column mixed-direction sort (range-partitioned at scale). */
+  def q_sort_multicol(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp_ntz") &&
+              col("l_shipdate") <  lit("1996-07-01").cast("timestamp_ntz"))
+      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .orderBy(col("l_returnflag").asc, col("l_extendedprice").desc,
+               col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(200)
+
+  // ---- §2.6 window functions ----------------------------------------
+
+  /** Secondary-sort reconstruction: top-3 orders per customer. */
+  def q_window_rank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Cumulative frame: running sum of totalprice per customer. */
+  def q_window_running(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(sum("o_totalprice").over(w), 2).as("run_sum"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Analytic offset: µs gap between consecutive events per user
+    * (epoch-µs per rule T; -1 sentinel for each user's first event). */
+  def q_window_lag(s: SparkSession, d: String): DataFrame = {
+    val us = Tables.tsUs
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), us.as("us"))
+      .select(col("user_id"), col("event_id"),
+              coalesce(col("us") - lag("us", 1).over(w), lit(-1L)).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** RANGE frame over time: same-user events in the preceding 10 min. */
+  def q_window_range(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-600000000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), Tables.tsUs.as("us"))
+      .select(col("user_id"), col("event_id"),
+              count(lit(1)).over(w).as("n_10min"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---- §2.7 set operations ------------------------------------------
+
+  private def buildingCust(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+  private def urgentCust(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+
+  /** UNION (distinct union of the two key sets). */
+  def q_union(s: SparkSession, d: String): DataFrame =
+    buildingCust(s, d).union(urgentCust(s, d)).distinct().orderBy("c_custkey")
+
+  /** INTERSECT. */
+  def q_intersect(s: SparkSession, d: String): DataFrame =
+    buildingCust(s, d).intersect(urgentCust(s, d)).orderBy("c_custkey")
+
+  /** EXCEPT. */
+  def q_except(s: SparkSession, d: String): DataFrame =
+    buildingCust(s, d).except(urgentCust(s, d)).orderBy("c_custkey")
+
+  // ---- §2.8 scalar functions ----------------------------------------
+
+  /** upper/lower/substring/concat/length/LIKE over customer names. */
+  def q_string_funcs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_name").like("Customer#00000009%"))
+      .select(col("c_custkey"),
+              substring(col("c_name"), 10, 9).as("id_suffix"),
+              length(col("c_name")).as("name_len"),
+              concat(lower(col("c_mktsegment")), lit("#"),
+                     substring(col("c_name"), 10, 9)).as("tag"),
+              upper(col("c_mktsegment")).as("seg_upper"))
+      .orderBy("c_custkey")
+
+  /** year/quarter/date arithmetic; timestamps emitted as DATE (rule T). */
+  def q_date_funcs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("o_year"),
+              quarter(col("o_orderdate")).as("o_quarter"),
+              col("o_orderdate").cast("date").as("o_date"))
+      .groupBy("o_year", "o_quarter")
+      .agg(count(lit(1)).as("n_orders"),
+           min("o_date").as("min_date"),
+           max("o_date").as("max_date"),
+           datediff(max("o_date"), min("o_date")).as("span_days"))
+      .orderBy("o_year", "o_quarter")
+
+  /** sqrt/ln/pow/mod/round over part pricing. */
+  def q_math_funcs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy("p_brand")
+      .agg(round(avg(sqrt(col("p_retailprice"))), 4).as("avg_sqrt"),
+           round(avg(log(col("p_retailprice"))), 4).as("avg_ln"),
+           sum(col("p_size") % 7).as("sum_mod"),
+           round(pow(max(col("p_size")).cast("double"), 2.0), 1).as("max_pow_sz"))
+      .orderBy("p_brand")
+
+  /** JSON path extraction from the events.props string column. */
+  def q_json_extract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(avg("k"), 3).as("avg_k"),
+           max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Array build/size/distinct/sort/contains/slice/join over tokens. */
+  def q_array_funcs(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              size(toks).as("n_tokens"),
+              size(array_distinct(toks)).as("n_distinct"),
+              array_contains(toks, "spark").as("has_spark"),
+              array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",").as("first3"))
+      .orderBy("doc_id")
+  }
+}

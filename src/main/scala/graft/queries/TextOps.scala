@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.{MinHash, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text / LLM-data-pipeline operators, SURVEY.md §2.9.
+  *
+  * All token work uses `split(text, ' ')` — the corpus is strictly
+  * single-space separated (FIXTURES.md), which keeps Spark's regex
+  * split and DuckDB's literal string_split equivalent (rule S).
+  */
+object TextOps {
+
+  /** The canonical MapReduce program: per word, total occurrences and
+    * number of containing docs. explode+groupBy = map+shuffle+reduce
+    * with partial aggregation as the combiner. */
+  def q_wordcount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n").desc, col("word").asc)
+
+  /** Per-language corpus statistics. */
+  def q_text_stats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("n_chars"), 2).as("avg_chars"),
+           countDistinct("source").as("n_sources"),
+           sum(size(split(col("text"), " "))).as("total_tokens"))
+      .orderBy("lang")
+
+  /** TF-IDF: top-5 terms per language by summed tf·idf.
+    * idf = ln(N/df) is constant per term, so the per-(lang,term) score
+    * is exactly (Σ tf) · idf — an integer times one double — which
+    * sidesteps float-summation order entirely (rule F). Ranking is on
+    * the ROUNDED score with a term tiebreak so both engines rank
+    * identically. */
+  def q_tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), col("lang"),
+                          explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tot_tf"))
+    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs")) // 1-row scalar, broadcast
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("term"),
+              round(col("tot_tf").cast("double") * log(col("n_docs") / col("df")), 4).as("score"))
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("term").asc)
+    scored.select(col("lang"), col("term"), col("score"),
+                  row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
+  /** Exact dedup by content fingerprint (sorted-token-multiset join):
+    * keeper = min(doc_id) per (lang, fingerprint); per-lang survivor
+    * count + keeper-id checksum. Pure hash groupBy — scale-safe. */
+  def q_dedup_exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+              array_join(array_sort(split(col("text"), " ")), " ").as("fp"))
+      .groupBy("lang", "fp")
+      .agg(min("doc_id").as("keeper"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_unique"), sum("keeper").as("sum_keeper_ids"))
+      .orderBy("lang")
+
+  /** Near-duplicate candidate pairs via MinHash + LSH banding.
+    * Pipeline: tokens → per-doc 64-perm MinHash signature (the
+    * [[graft.MinHash]] Aggregator — partials merge element-wise, so
+    * this is one shuffle) → 16 band keys per doc → self-join ON band
+    * key only (never all-pairs) → distinct pairs → estimated Jaccard =
+    * matching signature fraction, kept at ≥ 0.9.
+    *
+    * Scale posture: the only joins are band-bucket equi-joins; bucket
+    * sizes stay small because a band key is 4 chained hashes. At 100 TB
+    * you'd additionally salt giant buckets; the shape stays the same.
+    * No oracle (not SQL-expressible) — property-tested vs exact
+    * Jaccard in MinHashSpec. */
+  def q_dedup_minhash(s: SparkSession, d: String): DataFrame = {
+    val sigCol = udaf(MinHash.agg).apply(col("token")).as("sig")
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("doc_id")
+      .agg(sigCol)
+    // 16 band keys: band b = positions [4b, 4b+4) of the signature.
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(MinHash.NumBands - 1)),
+          b => slice(col("sig"), b * MinHash.RowsPerBand + 1, lit(MinHash.RowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band"), col("band_key"),
+                          col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"),
+                          col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+              round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+                      (x, y) => when(x === y, 1.0).otherwise(0.0)),
+                    lit(0.0), (acc, v) => acc + v) / MinHash.NumPerms, 3).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.9)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Vector similarity top-k: cosine of every embedding vs the probe
+    * (vec_id=0). Embeddings are unit-normalized (FIXTURES.md) so cosine
+    * ≡ dot product. The probe is a 1-row broadcast — the scan stays a
+    * single linear pass, the scale-correct brute-force baseline.
+    * Both operands are cast float→double BEFORE multiplying so the
+    * arithmetic is widen-then-multiply on both engines (rule F). */
+  def q_sim_search(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("probe"))
+    val dot = aggregate(
+      zip_with(col("embedding").cast("array<double>"), col("probe"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"), round(dot, 3).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Per-class centroid: posexplode to (label, dim, value), average per
+    * cell, then fold dims back to the centroid's L2 norm. Two shuffles,
+    * both on small keys — shuffle-bounded at any scale. */
+  def q_knn_centroid(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      .groupBy("label", "pos")
+      .agg(avg("v").as("ctr"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"),
+           round(sqrt(sum(col("ctr") * col("ctr"))), 3).as("centroid_norm"))
+      .orderBy("label")
+}
