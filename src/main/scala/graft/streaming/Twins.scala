@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twins of the §2.10 batch event-window queries
+  * (SURVEY.md §2.10). These are demonstrated in StreamingTwinSpec only:
+  * a streaming sink can't be hash-compared by the Verify harness, so
+  * the batch forms in [[graft.queries.Events]] are the declared
+  * contract and these prove the same logic runs as
+  * `readStream → watermark → window → sink`.
+  *
+  * Event time: `ts` is epoch-nanos (long); `timestamp_micros(ts div
+  * 1000)` rebuilds a proper event-time column for watermarking —
+  * exactly the µs granularity the batch forms bucket on.
+  */
+object Twins {
+
+  private def src(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.events(spark, sfDir).schema // also sets nanosAsLong
+    // The path must be a GLOB: for a plain path FileStreamSource pins
+    // option basePath to the path itself, which for a single .parquet
+    // file fails "Option 'basePath' must be a directory".
+    spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet*")
+      .select(expr("timestamp_micros(ts div 1000)").as("etime"),
+              col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** Twin of q_tumbling_window: 1h tumbling window + 1h watermark.
+    * Output is mapped back to the batch query's (hour_bucket,
+    * event_type, n, sum_value) shape for direct comparison. */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    src(spark, sfDir)
+      .withWatermark("etime", "1 hour")
+      .groupBy(window(col("etime"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  /** Twin of q_sliding_window: 1h window sliding every 15 min. */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame =
+    src(spark, sfDir)
+      .withWatermark("etime", "1 hour")
+      .groupBy(window(col("etime"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+              col("event_type"), col("n"))
+
+  /** Twin of q_session_window: built-in session_window with a 30-min
+    * gap — one row per (user, session). A single stateful aggregation
+    * (chaining a second agg over it is restricted in streaming); the
+    * test rolls sessions up to per-user counts after the sink. The
+    * custom-state alternative is flatMapGroupsWithState;
+    * session_window is the declarative form. */
+  def session(spark: SparkSession, sfDir: String): DataFrame =
+    src(spark, sfDir)
+      .withWatermark("etime", "2 hours")
+      .groupBy(session_window(col("etime"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("sess_start"),
+              col("n_events"))
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.queries.Events
+import org.apache.spark.sql.functions._
+
+/** §2.10 batch event-window tests: micro-fixture session semantics and
+  * the sliding≡tumbling property at slide=width (SURVEY §5.3). */
+class EventsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("session micro-fixture: 10-min gaps merge, >30-min gap splits") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ev").toString
+    val t0 = 1704067200L * 1000000000L // 2024-01-01 epoch-ns
+    val min = 60L * 1000000000L
+    // user 1: t0, t0+10min (same session), t0+50min (gap 40min -> new);
+    // user 2: single event
+    Seq(
+      (1L, t0, 1L, "view", 1.0, "{}"),
+      (2L, t0 + 10 * min, 1L, "view", 1.0, "{}"),
+      (3L, t0 + 50 * min, 1L, "view", 1.0, "{}"),
+      (4L, t0, 2L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.q_session_window(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // user 1: 2 sessions, lengths 600s and 0s -> avg 300s
+    assert(got(1L) == ((2L, 300.0)))
+    // user 2: 1 session of length 0
+    assert(got(2L) == ((1L, 0.0)))
+  }
+
+  test("tumbling buckets partition events: counts sum to table size") {
+    val out = Events.q_tumbling_window(spark, sf)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(out == Tables.events(spark, sf).count())
+  }
+
+  test("sliding window: every event lands in exactly 4 windows") {
+    val total = Events.q_sliding_window(spark, sf)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(total == 4 * Tables.events(spark, sf).count())
+  }
+
+  test("sliding at slide=width degenerates to tumbling (property)") {
+    // reconstruct tumbling 15-min counts two ways on the real table
+    val us = Tables.tsUs
+    val slot = Tables.events(spark, sf)
+      .select((expr("(ts div 1000) div 900000000") * 900000000L).as("win_start"),
+              col("event_type"))
+      .groupBy("win_start", "event_type").agg(count(lit(1)).as("n"))
+    // sliding-form with k=0 only (slide == width == 15 min)
+    val slide = Tables.events(spark, sf)
+      .select(expr("(ts div 1000) div 900000000").as("slot"), col("event_type"))
+      .select((col("slot") * 900000000L).as("win_start"), col("event_type"))
+      .groupBy("win_start", "event_type").agg(count(lit(1)).as("n"))
+    assert(slot.except(slide).count() == 0 && slide.except(slot).count() == 0)
+  }
+
+  test("late data: ordering arrival stream by ts leaves nothing late") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("late").toString
+    val t0 = 1704067200L * 1000000000L
+    // event_ids ordered by ts => running max == own ts => never late
+    Seq.tabulate(50)(i => (i.toLong, t0 + i * 60L * 1000000000L, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val late = Events.q_late_data(spark, dir)
+      .agg(sum("n_late")).collect().head.getLong(0)
+    assert(late == 0L)
+  }
+
+  test("late data: one 10-min-backdated arrival is counted") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("late2").toString
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    Seq(
+      (1L, t0, 1L, "view", 1.0, "{}"),
+      (2L, t0 + 30 * min, 1L, "view", 1.0, "{}"),
+      (3L, t0 + 20 * min, 1L, "click", 1.0, "{}"), // 10 min behind max -> late
+      (4L, t0 + 31 * min, 1L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val byType = Events.q_late_data(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("click") == 1L && byType("view") == 0L)
+  }
+
+  test("window-sum with unbounded frame equals group-sum (property)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val viaWindow = Tables.events(spark, sf)
+      .select(col("event_type"), sum("value").over(w).as("s"))
+      .distinct().orderBy("event_type")
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+    val viaGroup = Tables.events(spark, sf)
+      .groupBy("event_type").agg(sum("value").as("s")).orderBy("event_type")
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+    assert(viaWindow.toSeq == viaGroup.toSeq)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.queries.TextOps
+import org.apache.spark.sql.functions._
+
+/** MinHash signature + LSH candidate-pair tests (SURVEY §5.3).
+  * The estimator property: P[sig_a(i) == sig_b(i)] = Jaccard(A,B), so
+  * the matching fraction over 64 permutations estimates Jaccard with
+  * σ = sqrt(J(1-J)/64) ≈ 0.06 — assertions use a 4σ ≈ 0.25 bound. */
+class MinHashSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def signature(tokens: Set[String]): IndexedSeq[Long] =
+    (0 until MinHash.NumPerms).map { p =>
+      tokens.map(t => MinHash.hashToken(t, p)).min
+    }
+
+  test("identical token sets have identical signatures (est = 1.0)") {
+    val a = signature(Set("a", "b", "c"))
+    val b = signature(Set("c", "b", "a"))
+    assert(a == b)
+  }
+
+  test("disjoint token sets agree on ~no positions") {
+    val a = signature((1 to 20).map("x" + _).toSet)
+    val b = signature((1 to 20).map("y" + _).toSet)
+    val agree = a.zip(b).count { case (x, y) => x == y }
+    assert(agree <= 3, s"disjoint sets agreed on $agree/64 positions")
+  }
+
+  test("signature agreement estimates exact Jaccard (property, 60 random set pairs)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 60) {
+      val universe = (1 to 40).map("t" + _)
+      val a = universe.filter(_ => rnd.nextDouble() < 0.5).toSet + "t1"
+      val b = universe.filter(_ => rnd.nextDouble() < 0.5).toSet + "t1"
+      val exact = a.intersect(b).size.toDouble / a.union(b).size
+      val est = signature(a).zip(signature(b)).count { case (x, y) => x == y } / 64.0
+      assert(math.abs(est - exact) < 0.25, s"est $est vs exact $exact")
+    }
+  }
+
+  test("Aggregator partial-merge == single-pass (distribution safety)") {
+    val toks = Vector("a", "b", "c", "d", "e", "f")
+    val single = toks.foldLeft(MinHash.agg.zero)(MinHash.agg.reduce)
+    val left = toks.take(3).foldLeft(MinHash.agg.zero)(MinHash.agg.reduce)
+    val right = toks.drop(3).foldLeft(MinHash.agg.zero)(MinHash.agg.reduce)
+    assert(MinHash.agg.merge(left, right).toSeq == single.toSeq)
+  }
+
+  test("q_dedup_minhash finds the exact-dup pair, not the disjoint one") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("mh").toString
+    Seq(
+      (1L, "the quick fox jumps over the lazy dog today", "en"),
+      (2L, "today dog lazy the over jumps fox quick the", "en"), // same token set as 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "de") // disjoint
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = TextOps.q_dedup_minhash(spark, dir).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("LSH band-join candidates vs exact Jaccard >= 0.9 on sf0.001 (recall)") {
+    // every pair the pipeline emits must estimate >= 0.9; spot-check the
+    // estimate against exact Jaccard for the top pairs
+    val out = TextOps.q_dedup_minhash(spark, sf).limit(20).collect()
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    out.foreach { r =>
+      val (a, b, est) = (r.getLong(0), r.getLong(1), r.getAs[Double]("est_jaccard"))
+      val exact = texts(a).intersect(texts(b)).size.toDouble / texts(a).union(texts(b)).size
+      assert(est >= 0.9)
+      assert(math.abs(est - exact) < 0.25, s"pair ($a,$b) est $est exact $exact")
+    }
+  }
+}
