@@ -20,10 +20,14 @@ import scala.util.hashing.MurmurHash3
   */
 object MinHash {
   val NumPerms = 64
-  /** Band count for LSH bucketing: 16 bands × 4 rows. With threshold
-    * t=0.9, P[candidate] = 1-(1-t^4)^16 ≈ 0.9998 — near-certain recall
-    * at the 0.9 cutoff while keeping buckets selective. */
-  val NumBands = 16
+  /** Band count for LSH bucketing: 8 bands × 8 rows. The emitted set is
+    * {pairs with estimated Jaccard ≥ 0.9} = ≤6 of 64 signature positions
+    * differing; 6 mismatches can touch at most 6 of the 8 bands, so every
+    * emitted pair is GUARANTEED to collide in ≥2 bands (pigeonhole) — the
+    * banding choice cannot lose an output pair, it only tunes how many
+    * below-threshold candidates reach the estimate filter. 8×8 is far more
+    * selective than 16×4 (P[collide | J=0.7]: ~38% vs ~87%). */
+  val NumBands = 8
   val RowsPerBand: Int = NumPerms / NumBands
 
   private val seeds: Array[Int] = Array.tabulate(NumPerms)(i => 0x9747b28c + i * 0x61c88647)

@@ -83,31 +83,66 @@ object TextOps {
     * No oracle (not SQL-expressible) — property-tested vs exact
     * Jaccard in MinHashSpec. */
   def q_dedup_minhash(s: SparkSession, d: String): DataFrame = {
-    val sigCol = udaf(MinHash.agg).apply(col("token")).as("sig")
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
-      .groupBy("doc_id")
-      .agg(sigCol)
-    // 16 band keys: band b = positions [4b, 4b+4) of the signature.
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // 1. Collapse identical token SETS: docs sharing a set are est=1.0
+    //    pairs by construction and need no LSH. This also collapses the
+    //    corpus's giant clone-groups (one sf0.1 set has 248 copies)
+    //    before anything quadratic runs.
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+              array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      .withColumn("fp", array_join(col("toks"), " "))
+    val groups = docs.groupBy("fp")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
+    // 2. One 64-perm MinHash signature per DISTINCT set, via the
+    //    MinHash Aggregator (partials merge element-wise-min → the
+    //    combiner path works unchanged at scale).
+    val sigs = groups.select(col("rep"), col("fp"))
+      .join(docs.select(col("doc_id"), col("toks")), col("rep") === col("doc_id"))
+      .select(col("rep"), explode(col("toks")).as("token"))
+      .groupBy("rep")
+      .agg(udaf(MinHash.agg).apply(col("token")).as("sig"))
+    // 3. LSH banding: 16 band keys per signature; candidate pairs join
+    //    on band key only (never all-pairs). Rows stay NARROW — the
+    //    pair-dedup shuffles (rep_a, rep_b) longs, not signatures.
+    // Bucket id = one long hash of (band, 4-row slice): the self-join
+    // shuffles single longs instead of array keys. A hash collision
+    // only adds a false candidate, which the est filter removes.
+    val banded = sigs.select(col("rep"),
         posexplode(transform(sequence(lit(0), lit(MinHash.NumBands - 1)),
           b => slice(col("sig"), b * MinHash.RowsPerBand + 1, lit(MinHash.RowsPerBand)))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"),
-                          col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"),
-                          col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select(col("rep"), xxhash64(col("pos"), col("col")).as("bucket"))
+    val repPairs = banded.select(col("bucket"), col("rep").as("rep_a"))
+      .join(banded.select(col("bucket"), col("rep").as("rep_b")), Seq("bucket"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b")
       .distinct()
-      .select(col("doc_a"), col("doc_b"),
-              round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-                      (x, y) => when(x === y, 1.0).otherwise(0.0)),
-                    lit(0.0), (acc, v) => acc + v) / MinHash.NumPerms, 3).as("est_jaccard"))
+    // 4. Attach signatures only to surviving pairs (broadcast of the
+    //    per-set signature table) and estimate Jaccard = matching
+    //    signature fraction.
+    val est = aggregate(zip_with(col("sig_a"), col("sig_b"),
+                (x, y) => when(x === y, 1.0).otherwise(0.0)),
+              lit(0.0), (acc, v) => acc + v) / MinHash.NumPerms
+    val candRep = repPairs
+      .join(broadcast(sigs.select(col("rep").as("rep_a"), col("sig").as("sig_a"))), "rep_a")
+      .join(broadcast(sigs.select(col("rep").as("rep_b"), col("sig").as("sig_b"))), "rep_b")
+      .select(col("rep_a"), col("rep_b"), round(est, 3).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.9)
-      .orderBy("doc_a", "doc_b")
+    // 5. Expand set-level pairs back to doc-level pairs: cross-group
+    //    pairs inherit the group estimate (identical sets ⇒ identical
+    //    signatures); within-group pairs are exact dups, est 1.0.
+    val members = groups.select(col("rep"), col("members"))
+    val crossDocs = candRep
+      .join(broadcast(members.select(col("rep").as("rep_a"), col("members").as("ms_a"))), "rep_a")
+      .join(broadcast(members.select(col("rep").as("rep_b"), col("members").as("ms_b"))), "rep_b")
+      .select(explode(col("ms_a")).as("da"), col("ms_b"), col("est_jaccard"))
+      .select(col("da"), explode(col("ms_b")).as("db"), col("est_jaccard"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+              greatest(col("da"), col("db")).as("doc_b"), col("est_jaccard"))
+    val intraDocs = docs.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(docs.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("est_jaccard"))
+    crossDocs.union(intraDocs).orderBy("doc_a", "doc_b")
   }
 
   /** Vector similarity top-k: cosine of every embedding vs the probe
