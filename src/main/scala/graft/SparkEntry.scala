@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Events, Oracle, Relational, TextOps}
+import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
   * and §3.1 (entry points). 40 query ids; 38 with DuckDB oracles
@@ -58,6 +58,15 @@ object SparkEntry {
     "q_dedup_minhash"  -> TextOps.q_dedup_minhash _,
     "q_sim_search"     -> TextOps.q_sim_search _,
     "q_knn_centroid"   -> TextOps.q_knn_centroid _,
+    // §2.12 training-data-pipeline extensions
+    "q_dedup_ngram"    -> PipelineOps.q_dedup_ngram _,
+    "q_text_quality"   -> PipelineOps.q_text_quality _,
+    "q_lang_id"        -> PipelineOps.q_lang_id _,
+    "q_token_count"    -> PipelineOps.q_token_count _,
+    "q_dedup_simhash"  -> HashOps.q_dedup_simhash _,
+    "q_doc_fingerprint" -> HashOps.q_doc_fingerprint _,
+    "q_dedup_embed"    -> HashOps.q_dedup_embed _,
+    "q_sim_ivf"        -> HashOps.q_sim_ivf _,
     // §2.10 event windows (batch forms)
     "q_tumbling_window" -> Events.q_tumbling_window _,
     "q_sliding_window"  -> Events.q_sliding_window _,

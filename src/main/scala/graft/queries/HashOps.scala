@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.{SimHash, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Hash-fingerprint pipeline extensions (SURVEY.md §2.12): SimHash
+  * near-dup, winnowing document fingerprints, brute-force + IVF vector
+  * similarity. Hash functions are JVM-side (Murmur/xxhash64), so these
+  * are not DuckDB-expressible: q_dedup_simhash / q_doc_fingerprint /
+  * q_sim_ivf are oracle=no (unit-tested); q_dedup_embed is pure
+  * double arithmetic and keeps a full oracle.
+  */
+object HashOps {
+
+  /** SimHash near-dup pairs at Hamming distance ≤ 3. Pipeline:
+    * (doc, token, tf) → SimHash UDAF → 4×16-bit band buckets →
+    * band-equality self-join (perfect recall at ≤3 by pigeonhole,
+    * see [[graft.SimHash.NumBands]]) → exact Hamming filter. Narrow
+    * rows (two longs) end-to-end; never all-pairs. */
+  def q_dedup_simhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(udaf(SimHash.agg).apply(col("token"), col("tf")).as("sig"))
+    val bandKey = udf((sig: Long, band: Int) => SimHash.bandKey(sig, band))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(SimHash.NumBands - 1))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+              bandKey(col("sig"), col("band")).as("key"))
+    val ham = udf((a: Long, b: Long) => SimHash.hamming(a, b))
+    banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+            Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), ham(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Winnowing document fingerprints (the MOSS scheme): 3-token
+    * shingles → xxhash64 per shingle → keep the minimum hash of every
+    * 4-shingle window → distinct fingerprint set per document. All
+    * higher-order functions over one row — embarrassingly parallel. */
+  def q_doc_fingerprint(s: SparkSession, d: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val shingles = transform(sequence(lit(1), size(t) - 2),
+      i => xxhash64(concat_ws(" ", slice(t, i, lit(3)))))
+    val fps = transform(sequence(lit(1), size(col("hashes")) - 3),
+      i => array_min(slice(col("hashes"), i, lit(4))))
+    Tables.documents(s, d)
+      .filter(size(t) >= 6) // need ≥1 full winnowing window (4 shingles)
+      .select(col("doc_id"), shingles.as("hashes"))
+      .select(col("doc_id"), size(col("hashes")).as("n_shingles"),
+              array_distinct(fps).as("fp"))
+      .select(col("doc_id"), col("n_shingles"),
+              size(col("fp")).as("n_fingerprints"),
+              array_min(col("fp")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact pairwise-cosine "near-dup review queue": the 20 most
+    * similar embedding pairs. Brute force all-pairs — the exact
+    * baseline (the corpus's vectors are i.i.d. random, so no fixed
+    * threshold is non-trivial); [[q_sim_ivf]] is the sub-linear scale
+    * path.
+    *
+    * Execution: one side is hand-broadcast (2,000×64 doubles ≈ 1 MB —
+    * the same collect a BroadcastExchange performs internally) and the
+    * other side streams through a compiled per-partition loop keeping
+    * a local top-k, so the shuffle carries ≤ k rows per vector instead
+    * of 2M rows × two 512-byte arrays. A vector-row i only scores
+    * j > i, and the global top-20 of those pairs is contained in the
+    * union of per-row top-20s. At 100 TB the broadcast side becomes
+    * a blocked loop over broadcast chunks; the shape is unchanged.
+    * Dot products fold in index order — bit-compatible with the
+    * oracle's unnest-ordered SUM; rounding replicates Spark's
+    * ROUND (BigDecimal HALF_UP). */
+  def q_dedup_embed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val all = s.sparkContext.broadcast(e.collect().sortBy(_._1))
+    val topk = e.flatMap { case (ida, va) =>
+      val peers = all.value
+      val best = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), Double](_._1).reverse) // min-heap of 20
+      var p = 0
+      while (p < peers.length) {
+        val (idb, vb) = peers(p)
+        if (idb > ida) {
+          var acc = 0.0; var i = 0
+          while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+          if (best.size < 20) best.enqueue((acc, idb))
+          else if (acc > best.head._1) { best.dequeue(); best.enqueue((acc, idb)) }
+        }
+        p += 1
+      }
+      best.toSeq.map { case (cos, idb) =>
+        (ida, idb,
+         BigDecimal(cos).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toDF("vec_a", "vec_b", "cosine")
+    topk.orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc).limit(20)
+  }
+
+  /** IVF-style approximate nearest neighbor: coarse-quantize vectors
+    * into 10 cells (per-label mean centroids stand in for k-means
+    * training at test scale), rank cells by probe·centroid, search the
+    * best nprobe=3 cells exhaustively. Scan cost drops to ~nprobe/10 of
+    * brute force; recall depends on how clustered the data is (the
+    * test asserts exactness of the within-cell search, not recall —
+    * these embeddings are i.i.d. random). Oracle=no. */
+  def q_sim_ivf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val centroids = e
+      .select(col("label"), posexplode(col("v")))
+      .groupBy("label", "pos").agg(avg("col").as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                     x => x.getField("c")).as("cv"))
+      .select(col("label").as("cell"), col("cv"))
+    val dot = udf((a: Seq[Double], b: Seq[Double]) => {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    })
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    // rank the 10 cells by probe affinity, keep nprobe=3
+    val wCells = Window.orderBy(col("affinity").desc, col("cell").asc)
+    val probeCells = centroids.crossJoin(broadcast(probe))
+      .select(col("cell"), dot(col("cv"), col("pv")).as("affinity"))
+      .select(col("cell"), row_number().over(wCells).as("rk"))
+      .filter(col("rk") <= 3)
+      .select("cell")
+    // assign every vector to its nearest centroid (max dot)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("aff").desc, col("cell").asc)
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("v"), col("cell"),
+              dot(col("v"), col("cv")).as("aff"))
+      .select(col("vec_id"), col("label"), col("v"), col("cell"),
+              row_number().over(wAssign).as("rk"))
+      .filter(col("rk") === 1)
+    // exhaustive search restricted to the probed cells
+    assigned.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"), round(dot(col("v"), col("pv")), 3).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+}

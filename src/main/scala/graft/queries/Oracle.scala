@@ -276,6 +276,73 @@ object Oracle {
         |SELECT user_id, COUNT(*) AS n_sessions, ROUND(AVG(len_sec), 2) AS avg_len_sec
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q_dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |          FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |           FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |scored AS (SELECT doc_a, doc_b,
+        |                  ROUND(common * 1.0 / (sa.n_grams + sb.n_grams - common), 3) AS jaccard
+        |           FROM common JOIN sizes sa ON doc_a = sa.doc_id
+        |                       JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH q AS (SELECT doc_id, n_chars,
+        |                  len(string_split(text, ' ')) AS n,
+        |                  len(list_filter(string_split(text, ' '),
+        |                                  t -> t = 'the' OR t = 'a')) AS stops
+        |           FROM documents)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |       (n_chars - (n - 1)) * 100 // n AS avg_len_centi,
+        |       stops * 1000 // n AS stop_permille,
+        |       LEAST(n, 50) * (n - stops) * 1000 // (50 * n) AS quality_permille
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |counts AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        |profiles AS (SELECT lang AS profile_lang, token FROM (
+        |    SELECT lang, token,
+        |           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+        |    FROM counts) t WHERE rk <= 10),
+        |dtok AS (SELECT DISTINCT doc_id, token FROM tok),
+        |overlap AS (SELECT d.doc_id, p.profile_lang, COUNT(*) AS overlap
+        |            FROM dtok d JOIN profiles p ON d.token = p.token GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, profile_lang AS pred_lang FROM (
+        |    SELECT doc_id, profile_lang,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, profile_lang) AS rk
+        |    FROM overlap) t WHERE rk = 1)
+        |SELECT d.lang, p.pred_lang, COUNT(*) AS n_docs
+        |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT source,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |       CAST(SUM(len(regexp_split_to_array(text, '[^a-z0-9]+'))) AS BIGINT) AS re_tokens,
+        |       CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+        |                                        x -> (length(x) + 1) // 2))) AS BIGINT) AS subword_tokens,
+        |       COUNT(DISTINCT text) AS n_distinct_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |             ROUND((SELECT SUM(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
+        |                    FROM (SELECT unnest(a.embedding) u, unnest(b.embedding) v) x),
+        |                   3) AS cosine
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM p ORDER BY cosine DESC, vec_a, vec_b
+        |LIMIT 20""".stripMargin,
+
     "q_late_data" ->
       """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
         |m AS (SELECT event_type, us,

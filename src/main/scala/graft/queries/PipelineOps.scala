@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-2 training-data-pipeline extensions (SURVEY.md §2.12): the
+  * operators a 100 TB LLM-data pipeline needs beyond the reference's
+  * own surface — n-gram near-dup, quality scoring, language ID, token
+  * counting. All oracle-checkable; the hash-based extensions (SimHash,
+  * winnowing, IVF) live in their own objects with unit-test coverage.
+  */
+object PipelineOps {
+
+  private def toks = split(col("text"), " ")
+
+  /** Word-3-gram Jaccard near-dup pairs at ≥ 0.8, via an INVERTED
+    * INDEX join (docs sharing ≥1 gram), never all-pairs: explode
+    * distinct grams → equi-join on gram → per-pair common count →
+    * Jaccard from |A|, |B|, |A∩B|. The gram join is the classic
+    * scale shape: work is proportional to Σ bucket², bounded by gram
+    * selectivity, not corpus². */
+  def q_dedup_ngram(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+              explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 2),
+                i => concat_ws(" ", slice(col("t"), i, lit(3)))))).as("gram"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val common = grams.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(grams.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document quality scoring: token count, mean token length
+    * (exact from n_chars — the corpus is single-space separated),
+    * stopword ratio, and a composite score. Ratios are emitted as
+    * FLOOR-divided centi/permille INTEGERS (rule F's cents remedy):
+    * float ROUND flapped at an exact .005 boundary between engines;
+    * integer arithmetic cannot. */
+  def q_text_quality(s: SparkSession, d: String): DataFrame = {
+    val nL = size(toks).cast("long")
+    val stopsL = size(filter(toks, t => t === "the" || t === "a")).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              size(toks).as("n_tokens"),
+              floor((col("n_chars") - (nL - 1)) * 100 / nL).cast("long").as("avg_len_centi"),
+              floor(stopsL * 1000 / nL).cast("long").as("stop_permille"),
+              floor(least(nL, lit(50L)) * (nL - stopsL) * 1000 / (lit(50L) * nL))
+                .cast("long").as("quality_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram-profile language ID: build a top-10-token profile per
+    * language from the corpus itself, score every document by profile
+    * overlap, predict argmax (ties → lexicographic lang). Emitted as
+    * the (true lang × predicted lang) confusion matrix. Profiles are
+    * 50 rows — a broadcast — so the per-doc scoring is one map-side
+    * join + small aggregation at any corpus size. */
+  def q_lang_id(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), col("lang"), explode(toks).as("token"))
+    val wTop = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
+    val profiles = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .select(col("lang").as("profile_lang"), col("token"),
+              row_number().over(wTop).as("rk"))
+      .filter(col("rk") <= 10)
+      .select("profile_lang", "token")
+    val docTokens = tok.select("doc_id", "token").distinct()
+    val wPred = Window.partitionBy("doc_id")
+      .orderBy(col("overlap").desc, col("profile_lang").asc)
+    val pred = docTokens.join(broadcast(profiles), "token")
+      .groupBy("doc_id", "profile_lang")
+      .agg(count(lit(1)).as("overlap"))
+      .select(col("doc_id"), col("profile_lang"),
+              row_number().over(wPred).as("rk"))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("profile_lang").as("pred_lang"))
+    docs.select("doc_id", "lang").join(pred, "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Token counting, three ways per source: whitespace split, a
+    * regex tokenizer (`[^a-z0-9]+` — BPE-ish normalization boundary),
+    * and a subword estimate (ceil(len/2) per token — the fixed-rate
+    * proxy a byte-level BPE budget check uses). */
+  def q_token_count(s: SparkSession, d: String): DataFrame = {
+    val retoks = split(col("text"), "[^a-z0-9]+")
+    val subwords = aggregate(toks, lit(0L),
+      (acc, t) => acc + floor((length(t) + 1) / 2.0).cast("long"))
+    Tables.documents(s, d)
+      .select(col("source"), size(toks).as("n_ws"), size(retoks).as("n_re"),
+              subwords.as("n_subword"), col("text"))
+      .groupBy("source")
+      .agg(sum(col("n_ws").cast("long")).as("ws_tokens"),
+           sum(col("n_re").cast("long")).as("re_tokens"),
+           sum("n_subword").as("subword_tokens"),
+           countDistinct(col("text")).as("n_distinct_docs"))
+      .orderBy("source")
+  }
+}

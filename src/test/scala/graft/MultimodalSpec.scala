@@ -1,0 +1,61 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaFeatures, MediaRow}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing tests: schema, partition-batched execution,
+  * frame sampling / resize shapes, determinism (SURVEY §2.12 — the
+  * decode step is an explicit stub; the Spark plumbing is real). */
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("feature extraction runs partition-batched over binary payloads") {
+    val media = Multimodal.mediaFromDocuments(spark, sf).repartition(4)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "histogram", "frames_sampled", "checksum"))
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    rows.foreach { f =>
+      assert(f.histogram.length == 16)
+      assert(f.histogram.sum == f.n_bytes) // every byte lands in a bin
+      assert(f.n_bytes > 0)
+    }
+  }
+
+  test("extraction is deterministic across partitionings") {
+    val m1 = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, sf).repartition(2))
+    val m8 = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, sf).repartition(8))
+    def key(f: MediaFeatures) = (f.media_id, f.n_bytes, f.histogram.toSeq, f.checksum)
+    assert(m1.collect().map(key).sortBy(_._1).toSeq ==
+           m8.collect().map(key).sortBy(_._1).toSeq)
+  }
+
+  test("frame sampling: every stride-th fixed-size frame") {
+    val payload = Array.tabulate[Byte](300)(_.toByte)
+    val frames = Multimodal.sampleFrames(payload, frameSize = 64, stride = 2)
+    // 300 bytes -> frames of 64,64,64,64,44 -> indices 0,2,4 kept
+    assert(frames.length == 3)
+    assert(frames(0).length == 64 && frames(2).length == 44)
+    assert(frames(0)(0) == 0.toByte && frames(1)(0) == 128.toByte)
+  }
+
+  test("resize aggregates histogram cells exactly") {
+    val hist = Array.tabulate[Long](16)(_ + 1L) // 1..16
+    val small = Multimodal.resize(hist, 4)
+    assert(small.toSeq == Seq(1L + 2 + 3 + 4, 5L + 6 + 7 + 8, 9L + 10 + 11 + 12, 13L + 14 + 15 + 16))
+    assert(small.sum == hist.sum)
+  }
+
+  test("payload stays opaque: metadata-only query never deserializes bytes") {
+    // column pruning must drop the payload from the scan when only
+    // metadata is selected — the property that makes opaque-binary
+    // tables cheap to query at 100 TB
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val plan = media.select("media_id", "kind").queryExecution.sparkPlan.toString
+    assert(!plan.contains("payload"), s"payload not pruned:\n$plan")
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.queries.{HashOps, PipelineOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** §2.12 pipeline-extension tests: SimHash, winnowing, IVF, n-gram
+  * Jaccard, quality/token/lang-id on micro-fixtures + sf0.001. */
+class PipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mkDocs(rows: Seq[(Long, String, String)], dir: String): String = {
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("simhash: identical docs at hamming 0; disjoint docs not paired") {
+    val dir = mkDocs(Seq(
+      (1L, "the quick fox jumps over the lazy dog today fine", "en"),
+      (2L, "the quick fox jumps over the lazy dog today fine", "en"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "de")
+    ), java.nio.file.Files.createTempDirectory("sh").toString)
+    val pairs = HashOps.q_dedup_simhash(spark, dir).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("simhash signature: deterministic, near-dup flips few bits (property)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 30).map("w" + _)
+    for (_ <- 1 to 25) {
+      val doc = Seq.fill(40)(vocab(rnd.nextInt(vocab.size)))
+      def sig(tokens: Seq[String]): Long = {
+        val tf = tokens.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        SimHash.agg.finish(tf.foldLeft(SimHash.agg.zero)(SimHash.agg.reduce))
+      }
+      assert(sig(doc) == sig(rnd.shuffle(doc))) // order-independent
+      val mutated = doc.updated(0, "zzz")
+      assert(SimHash.hamming(sig(doc), sig(mutated)) <= 24) // small edit, far below ~32 for random
+    }
+  }
+
+  test("winnowing: identical docs share fingerprints; count <= shingles") {
+    val textA = "the quick fox jumps over the lazy dog today fine and well"
+    val dir = mkDocs(Seq((1L, textA, "en"), (2L, textA, "en"),
+      (3L, "one two three four five six seven eight nine ten", "en")
+    ), java.nio.file.Files.createTempDirectory("wf").toString)
+    val out = HashOps.q_doc_fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) == out(2L)) // same text -> identical fingerprint stats
+    out.values.foreach { case (nSh, nFp, _) => assert(nFp <= nSh && nFp > 0) }
+  }
+
+  test("ngram jaccard: identical docs 1.0; shifted doc scores high not 1") {
+    val dir = mkDocs(Seq(
+      (1L, "a b c d e f g h", "en"),
+      (2L, "a b c d e f g h", "en"),  // identical: J = 1.0
+      (3L, "a b c d e f g x", "en"),  // shares 5 of 6 grams with 1
+      (4L, "p q r s t u v w", "en")   // disjoint
+    ), java.nio.file.Files.createTempDirectory("ng").toString)
+    val got = PipelineOps.q_dedup_ngram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    // (1,3): common 5 grams, union 7 -> 0.714 < 0.8 threshold -> absent
+    assert(!got.contains((1L, 3L)) && !got.contains((1L, 4L)))
+  }
+
+  test("text quality: exact integer arithmetic on a crafted doc") {
+    // "the aa bbb the" -> 4 tokens, 14 chars, 2 stopwords ('the' x2)
+    val dir = mkDocs(Seq((1L, "the aa bbb the", "en")),
+      java.nio.file.Files.createTempDirectory("tq").toString)
+    val r = PipelineOps.q_text_quality(spark, dir).collect().head
+    assert(r.getInt(1) == 4)                 // n_tokens
+    assert(r.getLong(2) == (14 - 3) * 100 / 4) // avg_len_centi = 275
+    assert(r.getLong(3) == 2000 / 4)         // stop_permille = 500
+    assert(r.getLong(4) == 4L * 2 * 1000 / (50 * 4)) // quality = 40
+  }
+
+  test("lang_id: confusion matrix rows sum to per-lang doc counts") {
+    val conf = PipelineOps.q_lang_id(spark, sf).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val docs = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(conf == docs)
+  }
+
+  test("token_count: regex==whitespace on this corpus; subword=sum ceil(len/2)") {
+    val out = PipelineOps.q_token_count(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("ws_tokens") == r.getAs[Long]("re_tokens"))
+    }
+    val expect = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t"))
+      .select((floor((length($"t") + 1) / 2.0)).cast("long").as("sw"))
+      .agg(sum("sw")).collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("subword_tokens")).sum == expect)
+  }
+
+  test("dedup_embed: top-20 sorted desc, all scores match direct dot products") {
+    val out = HashOps.q_dedup_embed(spark, sf).collect()
+    assert(out.length == 20)
+    val scores = out.map(_.getDouble(2)).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val vecs = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    out.foreach { r =>
+      val d = (vecs(r.getLong(0)), vecs(r.getLong(1))).zipped.map(_ * _).sum
+      assert(math.abs(BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+                      - r.getDouble(2)) < 1e-9)
+    }
+  }
+
+  test("sim_ivf: exact within probed cells, scores agree with brute force") {
+    val ivf = HashOps.q_sim_ivf(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ivf.size == 10)
+    val brute = TextOps.q_sim_search(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // any vector IVF returns that brute force also ranked must carry the
+    // exact same score (same probe, same arithmetic)
+    val shared = ivf.keySet.intersect(brute.keySet)
+    shared.foreach(k => assert(ivf(k) == brute(k), s"vec $k: ${ivf(k)} vs ${brute(k)}"))
+  }
+}
