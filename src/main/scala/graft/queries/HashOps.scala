@@ -125,11 +125,7 @@ object HashOps {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                      x => x.getField("c")).as("cv"))
       .select(col("label").as("cell"), col("cv"))
-    val dot = udf((a: Seq[Double], b: Seq[Double]) => {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    })
+    val dot = graft.functions.GraftFunctions.dot _
     val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
     // rank the 10 cells by probe affinity, keep nprobe=3
     val wCells = Window.orderBy(col("affinity").desc, col("cell").asc)

@@ -77,17 +77,18 @@ object PipelineOps {
               row_number().over(wTop).as("rk"))
       .filter(col("rk") <= 10)
       .select("profile_lang", "token")
-    val docTokens = tok.select("doc_id", "token").distinct()
+    // the true lang rides along with the distinct doc-tokens, saving a
+    // third documents scan + join at the end
+    val docTokens = tok.select("doc_id", "lang", "token").distinct()
     val wPred = Window.partitionBy("doc_id")
       .orderBy(col("overlap").desc, col("profile_lang").asc)
-    val pred = docTokens.join(broadcast(profiles), "token")
-      .groupBy("doc_id", "profile_lang")
+    docTokens.join(broadcast(profiles), "token")
+      .groupBy("doc_id", "lang", "profile_lang")
       .agg(count(lit(1)).as("overlap"))
-      .select(col("doc_id"), col("profile_lang"),
+      .select(col("doc_id"), col("lang"), col("profile_lang"),
               row_number().over(wPred).as("rk"))
       .filter(col("rk") === 1)
-      .select(col("doc_id"), col("profile_lang").as("pred_lang"))
-    docs.select("doc_id", "lang").join(pred, "doc_id")
+      .select(col("doc_id"), col("lang"), col("profile_lang").as("pred_lang"))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "pred_lang")

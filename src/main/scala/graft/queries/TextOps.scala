@@ -150,14 +150,16 @@ object TextOps {
     * ≡ dot product. The probe is a 1-row broadcast — the scan stays a
     * single linear pass, the scale-correct brute-force baseline.
     * Both operands are cast float→double BEFORE multiplying so the
-    * arithmetic is widen-then-multiply on both engines (rule F). */
+    * arithmetic is widen-then-multiply on both engines (rule F); the
+    * dot product itself is the native codegen'd
+    * [[graft.functions.DotProduct]] expression (identical fold order
+    * to the higher-order `aggregate(zip_with(...))` form it replaced). */
   def q_sim_search(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val probe = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>").as("probe"))
-    val dot = aggregate(
-      zip_with(col("embedding").cast("array<double>"), col("probe"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.GraftFunctions.dot(
+      col("embedding").cast("array<double>"), col("probe"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("label"), round(dot, 3).as("score"))
