@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+/** MapReduce-paradigm capability analogues from SURVEY §1.1 that are
+  * not declared queries: counters (observe/accumulators),
+  * MultipleOutputs (partitionBy writes + partition pruning), and
+  * manual skew salting. */
+class CapabilitiesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("counters: df.observe collects metrics without extra actions") {
+    val obs = Observation("m")
+    val n = Tables.lineitem(spark, sf)
+      .observe(obs, count(lit(1)).as("rows"), round(sum("l_quantity"), 2).as("qty"))
+      .count()
+    assert(obs.get("rows") == n)
+    assert(obs.get("qty").asInstanceOf[Double] > 0)
+  }
+
+  test("counters: LongAccumulator across tasks") {
+    val acc = spark.sparkContext.longAccumulator("touched")
+    Tables.orders(spark, sf).as[(Long, Long, String, Double, java.time.LocalDateTime, String)]
+      .foreach(_ => acc.add(1))
+    assert(acc.value == 1500L)
+  }
+
+  test("MultipleOutputs analogue: partitionBy write + partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("pw").toString
+    Tables.documents(spark, sf).write.partitionBy("lang").parquet(s"$dir/docs")
+    val dirs = new java.io.File(s"$dir/docs").listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(dirs.sorted.toSeq == Seq("lang=de", "lang=en", "lang=es", "lang=fr", "lang=zh"))
+    val pruned = spark.read.parquet(s"$dir/docs").filter($"lang" === "en")
+    val scan = pruned.queryExecution.sparkPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), s"no partition pruning:\n$scan")
+    assert(pruned.count() ==
+      Tables.documents(spark, sf).filter($"lang" === "en").count())
+  }
+
+  test("salted join equals plain join on a skewed key distribution") {
+    // 10k rows, 90% on one hot key — the shape that stalls one reducer
+    val large = spark.range(10000)
+      .select(when($"id" % 10 === 0, $"id" % 7).otherwise(0L).as("k"), $"id".as("payload"))
+    val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"),
+                    (4L, "d"), (5L, "e"), (6L, "f")).toDF("k2", "name")
+    val plain = large.join(small, $"k" === $"k2")
+    val salted = SkewJoin.saltedJoin(large, small, $"k", $"k2", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("payload", "name").except(plain.select("payload", "name")).count() == 0)
+    assert(plain.select("payload", "name").except(salted.select("payload", "name")).count() == 0)
+  }
+}
