@@ -118,10 +118,10 @@ object TextOps {
       .distinct()
     // 4. Attach signatures only to surviving pairs (broadcast of the
     //    per-set signature table) and estimate Jaccard = matching
-    //    signature fraction.
-    val est = aggregate(zip_with(col("sig_a"), col("sig_b"),
-                (x, y) => when(x === y, 1.0).otherwise(0.0)),
-              lit(0.0), (acc, v) => acc + v) / MinHash.NumPerms
+    //    signature fraction (native codegen'd kernel — an interpreted
+    //    zip_with here costs 64 lambda steps × millions of pairs).
+    val est = graft.functions.ArrayMatchCount
+      .matchCount(col("sig_a"), col("sig_b")).cast("double") / MinHash.NumPerms
     val candRep = repPairs
       .join(broadcast(sigs.select(col("rep").as("rep_a"), col("sig").as("sig_a"))), "rep_a")
       .join(broadcast(sigs.select(col("rep").as("rep_b"), col("sig").as("sig_b"))), "rep_b")

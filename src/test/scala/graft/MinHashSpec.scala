@@ -40,6 +40,21 @@ class MinHashSpec extends SparkSpecBase {
     }
   }
 
+  test("native graft_match_count equals interpreted position-match count") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),  // 3 matches
+      (Seq(1L, 2L), Seq(1L, 2L, 3L)),              // min-length: 2
+      (Seq.empty[Long], Seq(1L))                   // 0
+    ).toDF("a", "b")
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => when(x === y, 1).otherwise(0)),
+                        lit(0), (acc, v) => acc + v)
+    val got = df.select(graft.functions.ArrayMatchCount.matchCount($"a", $"b").as("n"),
+                        hof.as("h")).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(3, 2, 0))
+    assert(got.forall(r => r.getInt(0) == r.getInt(1)))
+  }
+
   test("Aggregator partial-merge == single-pass (distribution safety)") {
     val toks = Vector("a", "b", "c", "d", "e", "f")
     val single = toks.foldLeft(MinHash.agg.zero)(MinHash.agg.reduce)
