@@ -85,25 +85,31 @@ object HashOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
     val all = s.sparkContext.broadcast(e.collect().sortBy(_._1))
+    // The global contract sorts by (ROUNDED cosine DESC, vec_a, vec_b),
+    // so the per-row heap must prune by that same key — pruning by raw
+    // cosine could drop a smaller-id pair that ties after rounding.
+    val pruneOrd = Ordering.by[(Double, Long), (Double, Long)] {
+      case (cos, idb) => (-cos, idb) // best = highest rounded, then lowest id
+    }
     val topk = e.flatMap { case (ida, va) =>
       val peers = all.value
-      val best = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-        Ordering.by[(Double, Long), Double](_._1).reverse) // min-heap of 20
+      val best = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](pruneOrd)
       var p = 0
       while (p < peers.length) {
         val (idb, vb) = peers(p)
         if (idb > ida) {
           var acc = 0.0; var i = 0
           while (i < va.length) { acc += va(i) * vb(i); i += 1 }
-          if (best.size < 20) best.enqueue((acc, idb))
-          else if (acc > best.head._1) { best.dequeue(); best.enqueue((acc, idb)) }
+          val rounded =
+            BigDecimal(acc).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (best.size < 20) best.enqueue((rounded, idb))
+          else if (pruneOrd.lt((rounded, idb), best.head)) {
+            best.dequeue(); best.enqueue((rounded, idb))
+          }
         }
         p += 1
       }
-      best.toSeq.map { case (cos, idb) =>
-        (ida, idb,
-         BigDecimal(cos).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
+      best.toSeq.map { case (cos, idb) => (ida, idb, cos) }
     }.toDF("vec_a", "vec_b", "cosine")
     topk.orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc).limit(20)
   }
