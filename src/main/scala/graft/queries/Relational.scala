@@ -20,11 +20,16 @@ object Relational {
   // ---- §2.1 scans ---------------------------------------------------
 
   /** Columnar scan + projection + limit. Column pruning reaches the
-    * parquet reader (ReadSchema shows only the 3 columns). */
+    * parquet reader (ReadSchema shows only the 3 columns).
+    * ORDER BY covers ALL emitted columns: (l_orderkey, l_linenumber)
+    * alone is NOT unique in this data (143k duplicate pairs at sf0.1),
+    * and a tie under a partial sort key is engine-arbitrary; with the
+    * full projection in the key, any remaining ties are identical
+    * rows — hash-equal no matter which engine picks which. */
   def q_scan_project(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
       .limit(100)
 
   // ---- §2.2 filters -------------------------------------------------
