@@ -32,6 +32,11 @@ object SparkEntry {
     "q_distinct_count" -> Relational.q_distinct_count _,
     "q_approx_distinct" -> Relational.q_approx_distinct _,
     "q_rollup"         -> Relational.q_rollup _,
+    "q_cube"           -> Relational.q_cube _,
+    "q_percentile"     -> Relational.q_percentile _,
+    "q_stats_agg"      -> Relational.q_stats_agg _,
+    "q_pivot"          -> Relational.q_pivot _,
+    "q_window_ntile"   -> Relational.q_window_ntile _,
     // §2.5 sorts / top-k
     "q_topk_global"    -> Relational.q_topk_global _,
     "q_sort_multicol"  -> Relational.q_sort_multicol _,

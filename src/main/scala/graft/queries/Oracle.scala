@@ -104,6 +104,45 @@ object Oracle {
         |FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
         |ORDER BY gid, o_year, o_orderpriority""".stripMargin,
 
+    "q_cube" ->
+      """SELECT COALESCE(CAST(year(o_orderdate) AS INT), -1) AS o_year,
+        |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price,
+        |       CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(year(o_orderdate), o_orderpriority)
+        |ORDER BY gid, o_year, o_orderpriority""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        |       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       ROUND(var_samp(l_discount), 6) AS var_disc,
+        |       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |       ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        |       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+        |       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT c_custkey,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       ROUND(percent_rank() OVER w, 4) AS pct_rank,
+        |       ROUND(cume_dist() OVER w, 4) AS cume
+        |FROM customer WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_topk_global" ->
       """SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey

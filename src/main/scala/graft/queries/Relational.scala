@@ -186,6 +186,59 @@ object Relational {
               col("n_orders"), col("total_price"), col("gid"))
       .orderBy("gid", "o_year", "o_orderpriority")
 
+  /** CUBE over (year, priority): all four grouping sets, gid bitmask,
+    * grouping-nulls coalesced to sentinels (same rules as q_rollup). */
+  def q_cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("total_price"),
+           grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("o_year"), lit(-1)).as("o_year"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+              col("n_orders"), col("total_price"), col("gid"))
+      .orderBy("gid", "o_year", "o_orderpriority")
+
+  /** Exact interpolated percentiles (median + p90) per priority —
+    * Spark `percentile` ≡ DuckDB `quantile_cont`. */
+  def q_percentile(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+           round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))
+      .orderBy("o_orderpriority")
+
+  /** Statistical aggregates: stddev / variance / correlation /
+    * covariance per returnflag (rounded — sums of products differ in
+    * last-ulp across engines' partial-aggregation orders). */
+  def q_stats_agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+           round(var_samp(col("l_discount")), 6).as("var_disc"),
+           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+           round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+
+  /** PIVOT: order counts per (year × priority), priorities as columns.
+    * Explicit value list keeps the output schema static (the only
+    * scale-safe pivot — inferring pivot values is a driver-side
+    * distinct at 100 TB). */
+  def q_pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .groupBy("o_year")
+      .pivot("o_orderpriority",
+             Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("o_year"),
+              coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
+              coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
+              coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
+              coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_notspec"),
+              coalesce(col("5-LOW"), lit(0L)).as("n_low"))
+      .orderBy("o_year")
+
   // ---- §2.5 sorts / top-k -------------------------------------------
 
   /** Global top-k by aggregate → TakeOrderedAndProject (the in-mapper
@@ -254,6 +307,19 @@ object Relational {
       .select(col("user_id"), col("event_id"),
               count(lit(1)).over(w).as("n_10min"))
       .orderBy("user_id", "event_id")
+  }
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist
+    * over customers by account balance (unique (acctbal, custkey)
+    * order key → deterministic everywhere). */
+  def q_window_ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+              ntile(4).over(w).as("quartile"),
+              round(percent_rank().over(w), 4).as("pct_rank"),
+              round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("c_custkey")
   }
 
   // ---- §2.7 set operations ------------------------------------------
