@@ -51,6 +51,7 @@ object SparkEntry {
     "q_except"         -> Relational.q_except _,
     // §2.8 scalar functions
     "q_string_funcs"   -> Relational.q_string_funcs _,
+    "q_regex_funcs"    -> Relational.q_regex_funcs _,
     "q_date_funcs"     -> Relational.q_date_funcs _,
     "q_math_funcs"     -> Relational.q_math_funcs _,
     "q_json_extract"   -> Relational.q_json_extract _,

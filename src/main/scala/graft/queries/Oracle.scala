@@ -206,6 +206,13 @@ object Oracle {
         |       upper(c_mktsegment) AS seg_upper
         |FROM customer WHERE c_name LIKE 'Customer#00000009%' ORDER BY c_custkey""".stripMargin,
 
+    "q_regex_funcs" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |       CAST(SUM(CASE WHEN regexp_matches(c_name, '9[0-9]{2}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_end9,
+        |       CAST(SUM(TRY_CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_ids,
+        |       MIN(regexp_replace(lower(c_mktsegment), '[aeiou]', '_', 'g')) AS vowelless
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_date_funcs" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |       CAST(quarter(o_orderdate) AS INT) AS o_quarter,

@@ -357,6 +357,23 @@ object Relational {
               upper(col("c_mktsegment")).as("seg_upper"))
       .orderBy("c_custkey")
 
+  /** Regex functions: extract / replace / match over customer names.
+    * Patterns stay in the Java∩RE2 common subset (char classes,
+    * quantifiers, anchors, one group) so Spark's java.util.regex and
+    * DuckDB's RE2 agree; DuckDB's regexp_replace needs the 'g' flag to
+    * match Spark's replace-all default. try_cast on BOTH sides: a
+    * no-match extract yields '' and Spark-4 ANSI CAST and DuckDB CAST
+    * both throw on it — try_cast makes both engines null-and-skip. */
+  def q_regex_funcs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+           sum(when(col("c_name").rlike("9[0-9]{2}$"), 1).otherwise(0)).as("n_end9"),
+           sum(regexp_extract(col("c_name"), "Customer#([0-9]+)", 1)
+                 .try_cast("long")).as("sum_ids"),
+           min(regexp_replace(lower(col("c_mktsegment")), "[aeiou]", "_")).as("vowelless"))
+      .orderBy("c_mktsegment")
+
   /** year/quarter/date arithmetic; timestamps emitted as DATE (rule T). */
   def q_date_funcs(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
