@@ -69,6 +69,7 @@ object SparkEntry {
     "q_text_quality"   -> PipelineOps.q_text_quality _,
     "q_lang_id"        -> PipelineOps.q_lang_id _,
     "q_token_count"    -> PipelineOps.q_token_count _,
+    "q_pipeline_e2e"   -> PipelineOps.q_pipeline_e2e _,
     "q_dedup_simhash"  -> HashOps.q_dedup_simhash _,
     "q_doc_fingerprint" -> HashOps.q_doc_fingerprint _,
     "q_dedup_embed"    -> HashOps.q_dedup_embed _,

@@ -370,6 +370,28 @@ object Oracle {
         |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
         |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
 
+    "q_pipeline_e2e" ->
+      """WITH keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id
+        |  FROM (SELECT lang, doc_id,
+        |               array_to_string(list_sort(string_split(text, ' ')), ' ') AS fp
+        |        FROM documents) t
+        |  GROUP BY lang, fp),
+        |gated AS (
+        |  SELECT d.lang, d.n_chars,
+        |         list_sum(list_transform(string_split(d.text, ' '),
+        |                                 x -> (length(x) + 1) // 2)) AS sw,
+        |         LEAST(len(string_split(d.text, ' ')), 50) *
+        |           (len(string_split(d.text, ' ')) -
+        |            len(list_filter(string_split(d.text, ' '), t -> t = 'the' OR t = 'a'))) *
+        |           1000 // (50 * len(string_split(d.text, ' '))) AS q
+        |  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(sw) AS BIGINT) AS budget_subwords
+        |FROM gated WHERE q >= 400
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_token_count" ->
       """SELECT source,
         |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,

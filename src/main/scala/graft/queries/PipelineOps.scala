@@ -101,6 +101,38 @@ object PipelineOps {
       .orderBy("lang", "pred_lang")
   }
 
+  /** End-to-end training-data pipeline composition: exact dedup
+    * (keep min doc_id per (lang, token-multiset)) → quality gate
+    * (quality_permille ≥ 400, i.e. long-enough and not stopword-heavy)
+    * → per-language corpus budget (kept docs, chars, subword tokens).
+    * One declarative DAG: dedup's groupBy, the gate's filter and the
+    * budget aggregation fuse into three stages with no materialization
+    * between steps — the composition argument for building the
+    * pipeline ON a query engine rather than as scripted stages. */
+  def q_pipeline_e2e(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepers = docs
+      .select(col("lang"), col("doc_id"),
+              array_join(array_sort(toks), " ").as("fp"))
+      .groupBy("lang", "fp")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nL = size(toks).cast("long")
+    val stopsL = size(filter(toks, t => t === "the" || t === "a")).cast("long")
+    val subwords = aggregate(toks, lit(0L),
+      (acc, t) => acc + floor((length(t) + 1) / 2.0).cast("long"))
+    docs.join(keepers, "doc_id")
+      .select(col("lang"), col("n_chars"), subwords.as("sw"),
+              floor(least(nL, lit(50L)) * (nL - stopsL) * 1000 / (lit(50L) * nL))
+                .cast("long").as("q"))
+      .filter(col("q") >= 400)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+           sum("n_chars").as("total_chars"),
+           sum("sw").as("budget_subwords"))
+      .orderBy("lang")
+  }
+
   /** Token counting, three ways per source: whitespace split, a
     * regex tokenizer (`[^a-z0-9]+` — BPE-ish normalization boundary),
     * and a subword estimate (ceil(len/2) per token — the fixed-rate
