@@ -78,6 +78,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.getLong(4) == 4L * 2 * 1000 / (50 * 4)) // quality = 40
   }
 
+  test("regex funcs: extract/replace/match on a crafted segment") {
+    val dir = mkDocs(Seq.empty, java.nio.file.Files.createTempDirectory("rx").toString)
+    Seq((7L, "Customer#000000942", "SEG"), (8L, "Customer#000000005", "SEG"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = queries.Relational.q_regex_funcs(spark, dir).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getAs[Long]("n_end9") == 1L)      // only ...942 matches 9\d\d$
+    assert(row.getAs[Long]("sum_ids") == 947L)   // 942 + 5
+    assert(row.getAs[String]("vowelless") == "s_g")
+  }
+
+  test("pipeline_e2e: kept docs never exceed dedup survivors per lang") {
+    val e2e = PipelineOps.q_pipeline_e2e(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val survivors = TextOps.q_dedup_exact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(e2e.nonEmpty)
+    e2e.foreach { case (lang, kept) =>
+      assert(kept <= survivors(lang), s"$lang: kept $kept > survivors ${survivors(lang)}")
+    }
+  }
+
   test("lang_id: confusion matrix rows sum to per-lang doc counts") {
     val conf = PipelineOps.q_lang_id(spark, sf).collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
