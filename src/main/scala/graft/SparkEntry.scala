@@ -74,6 +74,8 @@ object SparkEntry {
     "q_doc_fingerprint" -> HashOps.q_doc_fingerprint _,
     "q_dedup_embed"    -> HashOps.q_dedup_embed _,
     "q_sim_ivf"        -> HashOps.q_sim_ivf _,
+    "q_sim_srp"        -> HashOps.q_sim_srp _,
+    "q_asof_join"      -> Events.q_asof_join _,
     // §2.10 event windows (batch forms)
     "q_tumbling_window" -> Events.q_tumbling_window _,
     "q_sliding_window"  -> Events.q_sliding_window _,

@@ -69,6 +69,26 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** AS-OF join, declarative form: for every 'error' event, the most
+    * recent preceding 'click' of the same user (inclusive on equal
+    * timestamps by (us, event_id) order). The classic "join each fact
+    * to the latest earlier dimension state" — expressed as a running
+    * MAX over the click-only time column inside one partition-ordered
+    * window, so it needs no range join and shuffles each user's events
+    * exactly once. gap_us = -1 when the user has no prior click. */
+  def q_asof_join(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), Tables.tsUs.as("us"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("us"),
+              max(when(col("event_type") === "click", col("us"))).over(w).as("last_click_us"))
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"),
+              coalesce(col("us") - col("last_click_us"), lit(-1L)).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Late/out-of-order accounting: an event is "late" when its ts is
     * > 5 min older than the running max ts over all earlier arrivals
     * (arrival order = event_id). The batch analogue of rows a 5-min

@@ -411,6 +411,16 @@ object Oracle {
         |SELECT vec_a, vec_b, cosine FROM p ORDER BY cosine DESC, vec_a, vec_b
         |LIMIT 20""".stripMargin,
 
+    "q_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, event_id, event_type, us,
+        |             MAX(CASE WHEN event_type = 'click' THEN us END)
+        |               OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        |      FROM e)
+        |SELECT user_id, event_id, COALESCE(us - last_click_us, -1) AS gap_us
+        |FROM m WHERE event_type = 'error' ORDER BY user_id, event_id""".stripMargin,
+
     "q_late_data" ->
       """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
         |m AS (SELECT event_type, us,

@@ -102,6 +102,32 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("sim_srp: candidate scores exact; subset of valid ids; sorted") {
+    val srp = HashOps.q_sim_srp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(srp.nonEmpty && !srp.contains(0L))
+    val brute = HashOps.q_dedup_embed(spark, sf) // independent exact pairs path
+    val bruteTop = TextOps.q_sim_search(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every SRP-returned vector that brute-force also ranked must have
+    // the identical exact score (rerank correctness)
+    srp.keySet.intersect(bruteTop.keySet).foreach { k =>
+      assert(srp(k) == bruteTop(k), s"vec $k: ${srp(k)} vs ${bruteTop(k)}")
+    }
+  }
+
+  test("asof join: gap is non-negative or -1; errors only") {
+    val out = queries.Events.q_asof_join(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val gap = r.getLong(2)
+      assert(gap >= 0 || gap == -1L, s"bad gap $gap")
+    }
+    val nErrors = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "error").count()
+    assert(out.length == nErrors)
+  }
+
   test("lang_id: confusion matrix rows sum to per-lang doc counts") {
     val conf = PipelineOps.q_lang_id(spark, sf).collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
