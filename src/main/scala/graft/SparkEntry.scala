@@ -76,6 +76,8 @@ object SparkEntry {
     "q_sim_ivf"        -> HashOps.q_sim_ivf _,
     "q_sim_srp"        -> HashOps.q_sim_srp _,
     "q_asof_join"      -> Events.q_asof_join _,
+    "q_range_join"     -> Events.q_range_join _,
+    "q_sample_det"     -> PipelineOps.q_sample_det _,
     // §2.10 event windows (batch forms)
     "q_tumbling_window" -> Events.q_tumbling_window _,
     "q_sliding_window"  -> Events.q_sliding_window _,

@@ -89,6 +89,31 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** RANGE join, bucketed form: for every 'purchase', how many
+    * 'click' events (any user) happened within ±10 s. A naive
+    * |Δt| ≤ 10s join is an inequality join (quadratic via nested
+    * loop); bucketing time into 10-s cells and exploding one side to
+    * its 3 adjacent cells turns it into an EQUI-join + cheap residual
+    * — the standard interval-join decomposition that scales linearly
+    * in events per cell. Each (purchase, click) pair meets in exactly
+    * one exploded cell, so no dedup is needed. LEFT join keeps
+    * zero-click purchases. */
+  def q_range_join(s: SparkSession, d: String): DataFrame = {
+    val CELL = 10000000L // 10 s in µs
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), Tables.tsUs.as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("us"), expr(s"us div $CELL").as("bucket"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("us").as("cus"),
+              explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
+      .select((expr(s"cus div $CELL") + col("off")).as("bucket"), col("cus"))
+    purchases.join(clicks, Seq("bucket"), "left")
+      .groupBy("event_id")
+      .agg(coalesce(sum(when(abs(col("us") - col("cus")) <= CELL, 1).otherwise(0)), lit(0L))
+             .as("n_nearby_clicks"))
+      .orderBy("event_id")
+  }
+
   /** Late/out-of-order accounting: an event is "late" when its ts is
     * > 5 min older than the running max ts over all earlier arrivals
     * (arrival order = event_id). The batch analogue of rows a 5-min

@@ -411,6 +411,21 @@ object Oracle {
         |SELECT vec_a, vec_b, cosine FROM p ORDER BY cosine DESC, vec_a, vec_b
         |LIMIT 20""".stripMargin,
 
+    "q_range_join" ->
+      """WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT event_id, us, us // 10000000 AS bucket FROM ev WHERE event_type = 'purchase'),
+        |cb AS (SELECT us // 10000000 + d.o AS bucket, us AS cus
+        |       FROM ev, (VALUES (-1), (0), (1)) d(o) WHERE event_type = 'click')
+        |SELECT p.event_id,
+        |       COALESCE(CAST(SUM(CASE WHEN abs(p.us - cb.cus) <= 10000000 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_nearby_clicks
+        |FROM p LEFT JOIN cb ON p.bucket = cb.bucket
+        |GROUP BY p.event_id ORDER BY event_id""".stripMargin,
+
+    "q_sample_det" ->
+      """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE (doc_id * 2654435761) % 1000 < 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
         |m AS (SELECT user_id, event_id, event_type, us,

@@ -133,6 +133,19 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Deterministic (reproducible) sampling — the data-selection op a
+    * training pipeline needs instead of TABLESAMPLE's nondeterminism:
+    * keep ~10% by multiplicative hashing of the stable id (Knuth
+    * constant), pure integer arithmetic so the same rows are sampled
+    * on every engine, every run, at any parallelism. */
+  def q_sample_det(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(pmod(col("doc_id") * 2654435761L, lit(1000)) < 100)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+
   /** Token counting, three ways per source: whitespace split, a
     * regex tokenizer (`[^a-z0-9]+` — BPE-ish normalization boundary),
     * and a subword estimate (ceil(len/2) per token — the fixed-rate
