@@ -3,9 +3,10 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 40 query ids; 38 with DuckDB oracles
-  * (q_approx_distinct and q_dedup_minhash are not SQL-expressible and
-  * are covered by unit/property tests instead). */
+  * and §3.1 (entry points). 59 query ids; 53 with DuckDB oracles. The
+  * 6 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
+  * q_doc_fingerprint, q_sim_ivf, q_sim_srp) are not SQL-expressible
+  * (sketch/ANN internals) and are covered by unit/property tests. */
 object SparkEntry {
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -336,8 +336,9 @@ object Oracle {
         |scored AS (SELECT doc_a, doc_b,
         |                  ROUND(common * 1.0 / (sa.n_grams + sb.n_grams - common), 3) AS jaccard
         |           FROM common JOIN sizes sa ON doc_a = sa.doc_id
-        |                       JOIN sizes sb ON doc_b = sb.doc_id)
-        |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
+        |                       JOIN sizes sb ON doc_b = sb.doc_id
+        |           WHERE common * 9 >= 4 * (sa.n_grams + sb.n_grams))
+        |SELECT doc_a, doc_b, jaccard FROM scored
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_text_quality" ->
@@ -423,7 +424,7 @@ object Oracle {
 
     "q_sample_det" ->
       """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-        |FROM documents WHERE (doc_id * 2654435761) % 1000 < 100
+        |FROM documents WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_asof_join" ->

@@ -43,10 +43,15 @@ object PipelineOps {
               col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
       .groupBy("doc_a", "doc_b", "na", "nb") // sizes ride along: no re-join
       .agg(count(lit(1)).as("common"))
+    // Final threshold in EXACT integer arithmetic: J = c/(na+nb-c) >= 0.8
+    // <=> 9c >= 4(na+nb). The rounded jaccard is an output column only,
+    // so the size prune above (derived for raw J >= 0.8) stays provably
+    // output-invariant — no [0.7995, 0.8) rounding slack can admit a
+    // pair the prune dropped.
     common
+      .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
       .select(col("doc_a"), col("doc_b"),
               round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -137,10 +142,14 @@ object PipelineOps {
     * training pipeline needs instead of TABLESAMPLE's nondeterminism:
     * keep ~10% by multiplicative hashing of the stable id (Knuth
     * constant), pure integer arithmetic so the same rows are sampled
-    * on every engine, every run, at any parallelism. */
+    * on every engine, every run, at any parallelism. The id is reduced
+    * mod 1e9+7 BEFORE multiplying so the product stays < 2^62 — no
+    * 64-bit overflow at any conceivable id range (raw doc_id *
+    * 2654435761 would overflow past id ~3.47e9: DuckDB errors, ANSI-off
+    * Spark wraps, and the engines would diverge exactly at scale). */
   def q_sample_det(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .filter(pmod(col("doc_id") * 2654435761L, lit(1000)) < 100)
+      .filter(pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L, lit(1000)) < 100)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"),
            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
