@@ -36,8 +36,8 @@ object HashOps {
             Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), ham(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= 3) // before the dedup: the distinct's
+      .distinct()                  // exchange carries only true pairs
       .orderBy("doc_a", "doc_b")
   }
 
@@ -100,11 +100,18 @@ object HashOps {
         if (idb > ida) {
           var acc = 0.0; var i = 0
           while (i < va.length) { acc += va(i) * vb(i); i += 1 }
-          val rounded =
-            BigDecimal(acc).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (best.size < 20) best.enqueue((rounded, idb))
-          else if (pruneOrd.lt((rounded, idb), best.head)) {
-            best.dequeue(); best.enqueue((rounded, idb))
+          // Cheap reject before the exact (BigDecimal HALF_UP) rounding:
+          // rounding moves a value by at most 0.0005, so a raw cosine
+          // more than 0.00051 below the heap floor can never round high
+          // enough to enter. This skips the allocation-heavy exact path
+          // for the vast majority of the n² candidates.
+          if (best.size < 20 || acc >= best.head._1 - 5.1e-4) {
+            val rounded =
+              BigDecimal(acc).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (best.size < 20) best.enqueue((rounded, idb))
+            else if (pruneOrd.lt((rounded, idb), best.head)) {
+              best.dequeue(); best.enqueue((rounded, idb))
+            }
           }
         }
         p += 1

@@ -82,16 +82,20 @@ object PipelineOps {
     * join + small aggregation at any corpus size. */
   def q_lang_id(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val tok = docs.select(col("doc_id"), col("lang"), explode(toks).as("token"))
+    // Tokenize ONCE: per-(doc, token) counts are both the profile input
+    // (sum over docs) and the distinct doc-token set — one explode and
+    // one wide shuffle instead of two of each.
+    val tokC = docs.select(col("doc_id"), col("lang"), explode(toks).as("token"))
+      .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("cnt"))
     val wTop = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
-    val profiles = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val profiles = tokC.groupBy("lang", "token").agg(sum("cnt").as("cnt"))
       .select(col("lang").as("profile_lang"), col("token"),
               row_number().over(wTop).as("rk"))
       .filter(col("rk") <= 10)
       .select("profile_lang", "token")
     // the true lang rides along with the distinct doc-tokens, saving a
     // third documents scan + join at the end
-    val docTokens = tok.select("doc_id", "lang", "token").distinct()
+    val docTokens = tokC.select("doc_id", "lang", "token")
     val wPred = Window.partitionBy("doc_id")
       .orderBy(col("overlap").desc, col("profile_lang").asc)
     docTokens.join(broadcast(profiles), "token")

@@ -43,8 +43,14 @@ object TextOps {
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"), col("lang"),
                           explode(split(col("text"), " ")).as("term"))
-    val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tot_tf"))
-    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // Tokenize ONCE: collapse to per-(doc, term) counts first (partial
+    // agg shrinks this map-side — a doc's tokens are colocated), then
+    // derive both TF and DF from the small intermediate instead of
+    // exploding the corpus twice. (doc_id, term) is unique in tokC, so
+    // DF is a plain count.
+    val tokC = tok.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("cnt"))
+    val tf = tokC.groupBy("lang", "term").agg(sum("cnt").as("tot_tf"))
+    val df = tokC.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs")) // 1-row scalar, broadcast
     val scored = tf.join(broadcast(df), "term")
       .crossJoin(broadcast(n))
