@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 59 query ids; 53 with DuckDB oracles. The
+  * and §3.1 (entry points). 62 query ids; 56 with DuckDB oracles. The
   * 6 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_sim_ivf, q_sim_srp) are not SQL-expressible
   * (sketch/ANN internals) and are covered by unit/property tests. */
@@ -79,6 +79,9 @@ object SparkEntry {
     "q_asof_join"      -> Events.q_asof_join _,
     "q_range_join"     -> Events.q_range_join _,
     "q_sample_det"     -> PipelineOps.q_sample_det _,
+    "q_repetition"     -> PipelineOps.q_repetition _,
+    "q_mixture_sample" -> PipelineOps.q_mixture_sample _,
+    "q_contamination"  -> PipelineOps.q_contamination _,
     // §2.10 event windows (batch forms)
     "q_tumbling_window" -> Events.q_tumbling_window _,
     "q_sliding_window"  -> Events.q_sliding_window _,

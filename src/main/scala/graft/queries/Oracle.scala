@@ -422,6 +422,51 @@ object Oracle {
         |FROM p LEFT JOIN cb ON p.bucket = cb.bucket
         |GROUP BY p.event_id ORDER BY event_id""".stripMargin,
 
+    "q_repetition" ->
+      """WITH g AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |x AS (SELECT doc_id, t,
+        |             list_transform(generate_series(1, CAST(len(t) AS INT) - 1),
+        |                            i -> array_to_string(t[i:i+1], ' ')) AS g2,
+        |             list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                            i -> array_to_string(t[i:i+2], ' ')) AS g3
+        |      FROM g)
+        |SELECT doc_id,
+        |       (len(t) - len(list_distinct(t))) * 1000 // len(t) AS dup_tok_permille,
+        |       (len(g2) - len(list_distinct(g2))) * 1000 // len(g2) AS dup_g2_permille,
+        |       (len(g3) - len(list_distinct(g3))) * 1000 // len(g3) AS dup_g3_permille
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH m AS (SELECT source, n_chars,
+        |                  (TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1) * 50
+        |                    AS keep_permille,
+        |                  ((doc_id % 1000000007) * 2654435761) % 1000 AS h
+        |           FROM documents)
+        |SELECT source, keep_permille,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN h < keep_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN h < keep_permille THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM m GROUP BY source, keep_permille ORDER BY source""".stripMargin,
+
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |          FROM toks),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id < 10),
+        |evsz AS (SELECT eval_id, COUNT(*) AS n_eval FROM ev GROUP BY eval_id),
+        |common AS (SELECT c.doc_id, e.eval_id, COUNT(*) AS common
+        |           FROM grams c JOIN ev e ON c.gram = e.gram
+        |           WHERE c.doc_id >= 10 GROUP BY 1, 2)
+        |SELECT s.eval_id, COUNT(*) AS n_contaminated,
+        |       CAST(MAX(common) AS BIGINT) AS max_overlap
+        |FROM common c JOIN evsz s ON c.eval_id = s.eval_id
+        |WHERE common * 2 >= n_eval
+        |GROUP BY s.eval_id ORDER BY s.eval_id""".stripMargin,
+
     "q_sample_det" ->
       """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < 100

@@ -159,6 +159,79 @@ object PipelineOps {
            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("lang")
 
+  /** Repetition-ratio quality signals (the Gopher-style "fraction of
+    * duplicate n-grams" family): per document, the permille of
+    * duplicate tokens, duplicate word-2-grams and duplicate
+    * word-3-grams. High repetition marks boilerplate/spam for the
+    * quality gate. Pure per-row higher-order functions — single scan,
+    * no shuffle, embarrassingly parallel at any corpus size. Integer
+    * floor-div outputs per parity rule F. */
+  def q_repetition(s: SparkSession, d: String): DataFrame = {
+    val t = toks
+    val g2 = transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", slice(t, i, lit(2))))
+    val g3 = transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", slice(t, i, lit(3))))
+    def dupPermille(arr: org.apache.spark.sql.Column) =
+      floor((size(arr).cast("long") - size(array_distinct(arr))) * 1000 / size(arr))
+        .cast("long")
+    Tables.documents(s, d)
+      .filter(size(t) >= 3)
+      .select(col("doc_id"),
+              dupPermille(t).as("dup_tok_permille"),
+              dupPermille(g2).as("dup_g2_permille"),
+              dupPermille(g3).as("dup_g3_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-mixture sampling: each source gets a deterministic keep
+    * rate (its numeric suffix mod 4, mapped to 50/100/150/200 permille
+    * — the "mixture weights" a training run assigns per data source),
+    * then documents are kept by the same overflow-safe multiplicative
+    * id-hash as [[q_sample_det]]. Emits per-source kept counts and
+    * char budgets. One scan + one tiny agg: the mixture decision is
+    * pure row-local arithmetic at any scale. */
+  def q_mixture_sample(s: SparkSession, d: String): DataFrame = {
+    val sfx = regexp_extract(col("source"), "([0-9]+)$", 1).try_cast("long")
+    val keepP = (pmod(sfx, lit(4L)) + 1) * 50
+    val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L, lit(1000))
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), keepP.as("keep_permille"),
+              when(h < keepP, 1L).otherwise(0L).as("kept"))
+      .groupBy("source", "keep_permille")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("kept").as("n_kept"),
+           sum(when(col("kept") === 1, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  /** Benchmark decontamination: flag corpus documents whose word-3-gram
+    * overlap with any eval-set document (here: doc_id < 10) covers at
+    * least half of that eval document's distinct grams. The classic
+    * scale shape: the eval set is small BY DEFINITION, so its gram
+    * inverted index is a broadcast — the corpus streams through one
+    * map-side join, never a self-join. Emits per-eval-doc counts. */
+  def q_contamination(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+              explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 2),
+                i => concat_ws(" ", slice(col("t"), i, lit(3)))))).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val evalSizes = evalGrams.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+    grams.filter(col("doc_id") >= 10)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(evalSizes), "eval_id")
+      .filter(col("common") * 2 >= col("n_eval"))
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_contaminated"), max("common").as("max_overlap"))
+      .orderBy("eval_id")
+  }
+
   /** Token counting, three ways per source: whitespace split, a
     * regex tokenizer (`[^a-z0-9]+` — BPE-ish normalization boundary),
     * and a subword estimate (ceil(len/2) per token — the fixed-rate

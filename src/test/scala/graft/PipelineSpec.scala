@@ -162,6 +162,50 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("repetition: exact permilles on crafted docs") {
+    val dir = mkDocs(Seq(
+      (1L, "a a b", "en"),     // dup_tok (3-2)*1000/3=333; g2 ["a a","a b"] distinct; g3 1 gram
+      (2L, "a a a a", "en")    // dup_tok 750; g2 3x"a a" -> 666; g3 2x"a a a" -> 500
+    ), java.nio.file.Files.createTempDirectory("rep").toString)
+    val got = PipelineOps.q_repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((333L, 0L, 0L)))
+    assert(got(2L) == ((750L, 666L, 500L)))
+  }
+
+  test("mixture_sample: keep rates follow source suffix; kept recomputable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mix").toString
+    val rows = (0L until 400L).map(i => (i, "w x y", "en", "src" + (i % 8), 5L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineOps.q_mixture_sample(spark, dir).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      val suffix = r.getString(0).stripPrefix("src").toLong
+      assert(r.getLong(1) == (suffix % 4 + 1) * 50) // keep_permille
+      val expected = rows.count { case (id, _, _, s, _) =>
+        s == r.getString(0) && (id % 1000000007L) * 2654435761L % 1000 < (suffix % 4 + 1) * 50
+      }
+      assert(r.getLong(3) == expected, s"${r.getString(0)}: kept ${r.getLong(3)} != $expected")
+      assert(r.getLong(4) == expected * 5L) // kept_chars: 5 chars/doc
+    }
+  }
+
+  test("contamination: half-overlap threshold on crafted eval/corpus docs") {
+    val dir = mkDocs(Seq(
+      (1L, "a b c d e", "en"),   // eval doc: grams {a b c, b c d, c d e}
+      (11L, "a b c d x q r", "en"), // shares 2 of 3 -> 2*2 >= 3 -> contaminated
+      (12L, "p q r s t u v", "en"), // disjoint
+      (13L, "z z a b c z z", "en")  // shares 1 of 3 -> 2 < 3 -> clean
+    ), java.nio.file.Files.createTempDirectory("cont").toString)
+    val got = PipelineOps.q_contamination(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 1L)      // eval_id
+    assert(got.head.getLong(1) == 1L)      // n_contaminated: doc 11 only
+    assert(got.head.getLong(2) == 2L)      // max_overlap
+  }
+
   test("sim_ivf: exact within probed cells, scores agree with brute force") {
     val ivf = HashOps.q_sim_ivf(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
