@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 62 query ids; 56 with DuckDB oracles. The
+  * and §3.1 (entry points). 63 query ids; 57 with DuckDB oracles. The
   * 6 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_sim_ivf, q_sim_srp) are not SQL-expressible
   * (sketch/ANN internals) and are covered by unit/property tests. */
@@ -77,6 +77,7 @@ object SparkEntry {
     "q_sim_ivf"        -> HashOps.q_sim_ivf _,
     "q_sim_srp"        -> HashOps.q_sim_srp _,
     "q_asof_join"      -> Events.q_asof_join _,
+    "q_asof_native"    -> Events.q_asof_native _,
     "q_range_join"     -> Events.q_range_join _,
     "q_sample_det"     -> PipelineOps.q_sample_det _,
     "q_repetition"     -> PipelineOps.q_repetition _,

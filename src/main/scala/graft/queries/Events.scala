@@ -89,6 +89,27 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** The same as-of semantics as [[q_asof_join]], executed by the
+    * custom Catalyst operator [[graft.plans.AsOfJoinExec]] instead of
+    * the window composition: each side is exchanged + sorted
+    * independently (narrow schemas, no unioned row shape) and merged
+    * in one forward pass with O(1) state. Shares q_asof_join's DuckDB
+    * oracle — the custom physical operator is hash-verified against
+    * the same SQL. */
+  def q_asof_native(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), Tables.tsUs.as("us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "event_id", "us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"))
+    graft.plans.AsOfJoin.asof(errors, clicks, "user_id", "us", "c_user", "c_us",
+                              outCol = "last_click_us")
+      .select(col("user_id"), col("event_id"),
+              coalesce(col("us") - col("last_click_us"), lit(-1L)).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** RANGE join, bucketed form: for every 'purchase', how many
     * 'click' events (any user) happened within ±10 s. A naive
     * |Δt| ≤ 10s join is an inequality join (quadratic via nested

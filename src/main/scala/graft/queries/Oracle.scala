@@ -15,6 +15,18 @@ package graft.queries
   * Table names are bare (driver resolves them to the sfDir parquet).
   */
 object Oracle {
+  /** Shared by q_asof_join (window composition) and q_asof_native (the
+    * custom AsOfJoinExec operator): one oracle, two execution paths. */
+  private val asofSql =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT user_id, event_id, event_type, us,
+      |             MAX(CASE WHEN event_type = 'click' THEN us END)
+      |               OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      |      FROM e)
+      |SELECT user_id, event_id, COALESCE(us - last_click_us, -1) AS gap_us
+      |FROM m WHERE event_type = 'error' ORDER BY user_id, event_id""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "q_scan_project" ->
@@ -472,15 +484,10 @@ object Oracle {
         |FROM documents WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q_asof_join" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
-        |m AS (SELECT user_id, event_id, event_type, us,
-        |             MAX(CASE WHEN event_type = 'click' THEN us END)
-        |               OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
-        |      FROM e)
-        |SELECT user_id, event_id, COALESCE(us - last_click_us, -1) AS gap_us
-        |FROM m WHERE event_type = 'error' ORDER BY user_id, event_id""".stripMargin,
+    "q_asof_join" -> asofSql,
+
+    // the custom-operator twin is verified against the IDENTICAL oracle
+    "q_asof_native" -> asofSql,
 
     "q_late_data" ->
       """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),

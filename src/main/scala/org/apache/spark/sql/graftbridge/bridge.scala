@@ -1,16 +1,39 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.SparkStrategy
 
-/** Column ⇄ Expression bridge. Spark 4 marks `ExpressionUtils`
-  * private[sql], so third-party native expressions (graft.functions.*)
-  * reach it through this one-file shim in the sql namespace — the same
+/** Column ⇄ Expression ⇄ LogicalPlan bridge. Spark 4 marks
+  * `ExpressionUtils`, `Dataset.ofRows` and the classic-session
+  * internals private[sql], so third-party native expressions and
+  * custom plan nodes (graft.functions.*, graft.plans.*) reach them
+  * through this one-file shim in the sql namespace — the same
   * technique Delta/Frameless-style extension libraries use. Nothing
   * else of Spark's internals is touched.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The analyzed logical plan behind a DataFrame (for building custom
+    * plan nodes over already-resolved children). */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Wrap a logical plan back into a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently register an extra planner strategy on a session —
+    * the runtime-hook twin of SparkSessionExtensions.injectPlannerStrategy
+    * (which can only run at session construction). */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.plans.{AsOfJoin, AsOfJoinExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Custom Catalyst operator tests (graft.plans.AsOfJoinExec): exact
+  * semantics on crafted fixtures, plan shape (the exec is actually
+  * planned, with one exchange per side), and full-output equality with
+  * the independent window-based composition. */
+class PlansSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def leftDf(rows: (Long, Long)*) =
+    rows.toDF("k", "t")
+  private def rightDf(rows: (Long, Long)*) =
+    rows.toDF("rk", "rt")
+
+  test("asof: latest at-or-before match, equal-ts counts, no-match null") {
+    val l = leftDf((1L, 100L), (1L, 200L), (2L, 50L), (3L, 10L))
+    val r = rightDf((1L, 90L), (1L, 150L), (1L, 201L), (2L, 50L), (9L, 1L))
+    val got = AsOfJoin.asof(l, r, "k", "t", "rk", "rt").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (if (x.isNullAt(2)) -1L else x.getLong(2)))
+      .toMap
+    assert(got((1L, 100L)) == 90L)   // 150/201 are later
+    assert(got((1L, 200L)) == 150L)  // latest <= 200
+    assert(got((2L, 50L)) == 50L)    // equal timestamp matches
+    assert(got((3L, 10L)) == -1L)    // key never present on the right
+  }
+
+  test("asof: per-partition merge state resets between keys") {
+    // key 5's clicks must never leak into key 6 (same hash partition or not)
+    val l = leftDf((5L, 10L), (6L, 10L))
+    val r = rightDf((5L, 5L))
+    val got = AsOfJoin.asof(l, r, "k", "t", "rk", "rt").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+    assert(got(5L) == 5L && got(6L) == -1L)
+  }
+
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      Seq(s) ++ collectPlan(s.plan)
+    case other => Seq(other) ++ other.children.flatMap(collectPlan)
+  }
+
+  test("asof plan shape: AsOfJoinExec planned with one exchange per side") {
+    val l = leftDf((1L to 100L).map(i => (i % 7, i)): _*)
+    val r = rightDf((1L to 100L).map(i => (i % 7, i - 3)): _*)
+    val df = AsOfJoin.asof(l, r, "k", "t", "rk", "rt")
+    df.collect() // materialize so AQE finalizes the plan
+    val nodes = collectPlan(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[AsOfJoinExec]), "AsOfJoinExec not planned")
+    val exchanges = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(exchanges == 2, s"expected 2 exchanges (one per side), got $exchanges")
+  }
+
+  test("asof native == window composition on the full sf0.001 events") {
+    val native = queries.Events.q_asof_native(spark, sf).collect().map(_.toSeq)
+    val window = queries.Events.q_asof_join(spark, sf).collect().map(_.toSeq)
+    assert(native.nonEmpty)
+    assert(native.toSeq == window.toSeq)
+  }
+}
