@@ -61,4 +61,54 @@ object Twins {
       .select(col("user_id"),
               unix_micros(col("session_window.start")).as("sess_start"),
               col("n_events"))
+
+  private def srcWithId(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.events(spark, sfDir).schema
+    spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet*")
+      .select(expr("timestamp_micros(ts div 1000)").as("etime"),
+              col("event_id"), col("user_id"), col("event_type"))
+  }
+
+  /** Stream-stream INTERVAL join — the streaming twin of
+    * q_range_join: purchases joined to clicks within ±10 s of event
+    * time. A streaming join REQUIRES an equality predicate, so this
+    * reuses the batch query's decomposition verbatim: clicks exploded
+    * to their 3 adjacent 10-s cells, equi-join on the cell, residual
+    * |Δt| ≤ 10 s filter (each pair meets in exactly one exploded
+    * cell). Both sides carry a watermark and the join adds event-time
+    * range bounds, so the state store evicts rows once the watermark
+    * passes — the non-negotiable requirement for an unbounded
+    * stream-stream join. Emits one row per qualifying pair. */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val purchases = srcWithId(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("etime").as("p_time"),
+              expr("unix_micros(etime) div 10000000").as("cell"))
+      .withWatermark("p_time", "30 seconds")
+    val clicks = srcWithId(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("etime").as("c_time"),
+              explode(array(lit(-1L), lit(0L), lit(1L)))
+                .as("off"))
+      .select(col("c_id"), col("c_time"),
+              (expr("unix_micros(c_time) div 10000000") + col("off")).as("cell"))
+      .withWatermark("c_time", "30 seconds")
+    purchases.join(clicks,
+      purchases("cell") === clicks("cell") &&
+      col("c_time") >= col("p_time") - expr("INTERVAL 10 SECONDS") &&
+      col("c_time") <= col("p_time") + expr("INTERVAL 10 SECONDS"))
+      .select(col("p_id"), col("c_id"))
+  }
+
+  /** Streaming DEDUP — the streaming face of the §2.9 dedup family:
+    * dropDuplicatesWithinWatermark on the event id keeps exactly the
+    * first arrival of each id while the watermark lets state for old
+    * ids expire (a plain dropDuplicates would hold every id forever —
+    * unbounded state at 100 TB/day). */
+  def dedup(spark: SparkSession, sfDir: String): DataFrame =
+    srcWithId(spark, sfDir)
+      .withWatermark("etime", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
 }

@@ -41,6 +41,35 @@ class StreamingTwinSpec extends SparkSpecBase {
     assert(diff(stream, batch) == 0)
   }
 
+  test("stream-stream interval join pairs == batch q_range_join pair total") {
+    import org.apache.spark.sql.functions._
+    // sf0.001's events are too sparse for any ±10 s pair (total = 0,
+    // which would make the assertion vacuous) — use sf0.01's 31 pairs
+    val sf001 = "/root/testdata/sf0.01"
+    val q = Twins.rangeJoin(spark, sf001).writeStream.format("memory")
+      .queryName("t_rangejoin").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamPairs = spark.table("t_rangejoin").count()
+    val batchPairs = Events.q_range_join(spark, sf001)
+      .agg(sum("n_nearby_clicks")).collect().head.getLong(0)
+    assert(streamPairs == batchPairs && streamPairs > 0)
+  }
+
+  test("dropDuplicatesWithinWatermark collapses a doubled source to one arrival per id") {
+    import org.apache.spark.sql.functions._
+    // double the corpus: two copies of events.parquet behind the glob
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream")
+    for (n <- Seq("events.parquet", "events.parquet2"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+                               dir.resolve(n))
+    val stream = runToTable(Twins.dedup(spark, dir.toString), "t_dedup")
+    // every event_id arrives twice; dedup must reduce to the ORIGINAL counts
+    val want = Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    assert(diff(stream, want) == 0)
+  }
+
   test("flatMapGroupsWithState: custom per-user running count (§2.11 state API)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
