@@ -39,6 +39,31 @@ class CapabilitiesSpec extends SparkSpecBase {
       Tables.documents(spark, sf).filter($"lang" === "en").count())
   }
 
+  test("bucketed tables: co-located sort-merge join plans ZERO exchanges") {
+    // The 100 TB repeated-join story: bucket both fact tables by the
+    // join key at write time and every later equi-join on that key
+    // needs no shuffle AND no sort — the scan itself satisfies the
+    // join's distribution + ordering requirements.
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(spark, sf).write
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity").write
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders").hint("merge"),
+            $"l_orderkey" === $"o_orderkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() ==
+      Tables.lineitem(spark, sf).join(Tables.orders(spark, sf),
+        $"l_orderkey" === $"o_orderkey").count())
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     // 10k rows, 90% on one hot key — the shape that stalls one reducer
     val large = spark.range(10000)
