@@ -1,0 +1,104 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative (ScalaCheck) checks of the algebraic invariants the
+  * distributed operators depend on. These are the properties that make
+  * the 100 TB execution CORRECT, not just fast: combiner-safety of the
+  * sketch aggregators (partial buffers may merge in any grouping /
+  * order across executors), LSH recall guarantees (band bucketing may
+  * not lose an output pair), and the exactness of the n-gram
+  * size-prune inequality. All JVM-side — no Spark jobs — so hundreds
+  * of generated cases run in milliseconds. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val tokenGen: Gen[String] = Gen.oneOf(
+    "the", "a", "scan", "filter", "join", "agg", "window", "row",
+    "batch", "key", "value", "hash", "merge", "sort", "data", "part")
+  private val docGen: Gen[List[String]] = Gen.nonEmptyListOf(tokenGen)
+
+  private def minhashSig(tokens: Seq[String]): Seq[Long] =
+    MinHash.agg.finish(tokens.foldLeft(MinHash.agg.zero)(MinHash.agg.reduce))
+
+  test("minhash: combiner-safe — any split + merge equals one-pass reduce") {
+    check("minhash merge", Prop.forAll(docGen, Gen.chooseNum(0, 100)) { (doc, cut) =>
+      val k = cut % (doc.size + 1)
+      val (l, r) = doc.splitAt(k)
+      val merged = MinHash.agg.merge(
+        l.foldLeft(MinHash.agg.zero)(MinHash.agg.reduce),
+        r.foldLeft(MinHash.agg.zero)(MinHash.agg.reduce))
+      MinHash.agg.finish(merged) == minhashSig(doc)
+    })
+  }
+
+  test("minhash: signature is a set function (order/multiplicity-free)") {
+    check("minhash set", Prop.forAll(docGen) { doc =>
+      minhashSig(doc) == minhashSig(scala.util.Random.shuffle(doc ++ doc))
+    })
+  }
+
+  test("minhash: estimate bounds — equal sets 64/64, disjoint-ish low") {
+    check("minhash estimate", Prop.forAll(docGen, docGen) { (a, b) =>
+      val same = minhashSig(a).zip(minhashSig(b)).count { case (x, y) => x == y }
+      val j = {
+        val (sa, sb) = (a.toSet, b.toSet)
+        sa.intersect(sb).size.toDouble / sa.union(sb).size
+      }
+      // exact-match cases must agree exactly; others stay in range
+      if (j == 1.0) same == MinHash.NumPerms
+      else same >= 0 && same <= MinHash.NumPerms
+    })
+  }
+
+  private def simhashSig(tf: Seq[(String, Long)]): Long =
+    SimHash.agg.finish(tf.foldLeft(SimHash.agg.zero)(SimHash.agg.reduce))
+
+  test("simhash: combiner-safe and tf-linear") {
+    check("simhash merge", Prop.forAll(docGen) { doc =>
+      val tf = doc.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val (l, r) = tf.splitAt(tf.size / 2)
+      val merged = SimHash.agg.merge(
+        l.foldLeft(SimHash.agg.zero)(SimHash.agg.reduce),
+        r.foldLeft(SimHash.agg.zero)(SimHash.agg.reduce))
+      SimHash.agg.finish(merged) == simhashSig(tf)
+    })
+  }
+
+  test("simhash LSH: hamming <= 3 pairs ALWAYS share a band (pigeonhole recall)") {
+    val sigGen = Gen.long
+    val flipsGen = Gen.chooseNum(0, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 63)))
+    check("simhash bands", Prop.forAll(sigGen, flipsGen) { (sig, flips) =>
+      val other = flips.foldLeft(sig)((s, b) => s ^ (1L << b))
+      SimHash.hamming(sig, other) <= 3 ==>
+        (0 until SimHash.NumBands).exists(b =>
+          SimHash.bandKey(sig, b) == SimHash.bandKey(other, b))
+    })
+  }
+
+  test("minhash LSH: est >= 0.9 pairs ALWAYS share >= 2 of 8 bands") {
+    // <= 6 of 64 positions differ -> 6 mismatches cover <= 6 bands
+    val posGen = Gen.listOfN(6, Gen.chooseNum(0, MinHash.NumPerms - 1))
+    check("minhash bands", Prop.forAll(posGen) { mismatches =>
+      val touched = mismatches.map(_ / MinHash.RowsPerBand).toSet
+      MinHash.NumBands - touched.size >= 2
+    })
+  }
+
+  test("ngram size-prune: exact filter 9c>=4(na+nb) implies 5*min>=4*max") {
+    val g = Gen.chooseNum(1, 1000000)
+    check("size prune", Prop.forAll(g, g, g) { (na, nb, craw) =>
+      val c = math.min(craw, math.min(na, nb)) // common <= min size
+      val passes = 9L * c >= 4L * (na + nb)
+      val prune = 5L * math.min(na, nb) >= 4L * math.max(na, nb)
+      passes ==> prune // the join-time prune can never drop an output pair
+    })
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Multi-format source capability (SURVEY §2.1 origin: the reference
+  * paradigm reads text files): the same corpus round-trips through
+  * text, CSV and JSON sources and produces identical query results —
+  * i.e. the engine is source-format-agnostic above the scan. Parquet
+  * stays the declared contract (columnar + statistics at scale); these
+  * prove the ingest edge. */
+class SourcesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+
+  test("text source: wordcount over spark.read.text equals DataFrame path") {
+    val dir = java.nio.file.Files.createTempDirectory("srctext").toString
+    docs.select("text").write.text(s"$dir/corpus")
+    val fromText = spark.read.text(s"$dir/corpus")
+      .select(explode(split($"value", " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val fromTable = docs
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    assert(fromText.except(fromTable).count() == 0 &&
+           fromTable.except(fromText).count() == 0)
+  }
+
+  test("csv + json sources: round-trip preserves rows and schema-on-read works") {
+    val dir = java.nio.file.Files.createTempDirectory("srcfmt").toString
+    docs.write.option("header", "true").csv(s"$dir/csv")
+    docs.write.json(s"$dir/json")
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/csv")
+    val json = spark.read.json(s"$dir/json")
+    assert(csv.count() == docs.count() && json.count() == docs.count())
+    // same per-lang distribution through every format
+    def byLang(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang(csv) == byLang(docs) && byLang(json) == byLang(docs))
+  }
+}
