@@ -95,6 +95,34 @@ class CapabilitiesSpec extends SparkSpecBase {
     }
   }
 
+  test("AQE skew-join split fires on a hot key (runtime alternative to salting)") {
+    // The declarative twin of SkewJoin.saltedJoin: AQE detects the hot
+    // partition at runtime and splits it. Thresholds lowered so the
+    // test-scale hot key (90% of 40k rows on one key) qualifies.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val large = spark.range(40000)
+        .select(when($"id" % 10 === 0, $"id" % 7 + 1).otherwise(0L).as("k"),
+                concat(lit("payload_"), $"id").as("payload"))
+      val right = spark.range(8).select($"id".as("k2"), concat(lit("n"), $"id").as("name"))
+      val joined = large.join(right.hint("merge"), $"k" === $"k2")
+      // collect() (not count()) so THIS dataset's adaptive plan executes
+      assert(joined.collect().length == 40000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     // 10k rows, 90% on one hot key — the shape that stalls one reducer
     val large = spark.range(10000)
