@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The public facade must produce byte-identical results to the
+  * oracle-verified query forms — correctness transfers. */
+class GraftSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("deterministicKeep reproduces q_sample_det's kept set") {
+    val docs = Tables.documents(spark, sf)
+    val viaFacade = docs.filter(Graft.deterministicKeep($"doc_id", 100))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+    assert(rows(viaFacade) == rows(queries.PipelineOps.q_sample_det(spark, sf)))
+  }
+
+  test("repetitionScores reproduces q_repetition's permilles") {
+    val docs = Tables.documents(spark, sf).filter(size(split($"text", " ")) >= 3)
+    val viaFacade = docs.select($"doc_id", Graft.repetitionScores($"text").as("r"))
+      .select($"doc_id", $"r.dup_tok_permille", $"r.dup_g2_permille", $"r.dup_g3_permille")
+      .orderBy("doc_id")
+    assert(rows(viaFacade) == rows(queries.PipelineOps.q_repetition(spark, sf)))
+  }
+
+  test("asofJoin facade matches the window composition") {
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", Tables.tsUs.as("us"))
+    val errors = ev.filter($"event_type" === "error").select("user_id", "event_id", "us")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"us".as("cus"))
+    val got = Graft.asofJoin(errors, clicks, "user_id", "us", "cu", "cus")
+      .select($"user_id", $"event_id",
+              coalesce($"us" - $"asof_time", lit(-1L)).as("gap_us"))
+      .orderBy("user_id", "event_id")
+    assert(rows(got) == rows(queries.Events.q_asof_join(spark, sf)))
+  }
+
+  test("signatures + kernels: facade columns equal the query-side machinery") {
+    val tok = Tables.documents(spark, sf)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val sigs = tok.groupBy("doc_id")
+      .agg(Graft.minhashSignature($"token").as("sig"))
+    val self = sigs.select($"sig".as("a"), $"sig".as("b"), $"doc_id")
+      .select(Graft.matchCount($"a", $"b").as("m"))
+    // a signature always fully matches itself — kernel + UDAF wired
+    assert(self.collect().forall(_.getInt(0) == MinHash.NumPerms))
+    val fp = Tables.documents(spark, sf)
+      .select(Graft.contentFingerprint($"text").as("fp")).distinct().count()
+    val expected = Tables.documents(spark, sf)
+      .select(array_join(array_sort(split($"text", " ")), " ")).distinct().count()
+    assert(fp == expected)
+  }
+}
