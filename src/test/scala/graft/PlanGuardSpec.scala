@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-shape regression guard across the ENTIRE query inventory:
+  * plans every declared query (no execution) and rejects the shapes
+  * that would melt at scale. The allowlist mirrors PLANS.md's scale
+  * audit — a new query that sneaks in a cartesian product or an
+  * unreviewed nested-loop join fails here, not on the cluster. */
+class PlanGuardSpec extends SparkSpecBase {
+
+  // reviewed: single-probe / tiny-build-side nested loops (linear)
+  private val allowedBnlj = Set(
+    "q_sim_search", "q_sim_srp", "q_sim_ivf", "q_tfidf", "q_dedup_embed")
+  // reviewed: inherently global window semantics
+  private val allowedGlobalWindow = Set(
+    "q_late_data", "q_window_ntile", "q_topk_global", "q_sim_ivf")
+
+  test("no query plans a cartesian product") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sf).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
+  test("nested-loop joins only where reviewed (tiny build sides)") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sf).queryExecution.sparkPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin"))
+        assert(allowedBnlj.contains(name), s"unreviewed nested-loop join in $name")
+    }
+  }
+
+  test("unpartitioned windows only where semantics are inherently global") {
+    // A Window node prints `Window [exprs], [partitionSpec], [orderSpec]`
+    // when partitioned and `Window [exprs], [orderSpec]` when global —
+    // i.e. 2 vs 1 occurrences of "], [" on the line.
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sf).queryExecution.sparkPlan.toString
+      val hasGlobal = plan.linesIterator.exists { l =>
+        l.contains("Window [") && "\\], \\[".r.findAllIn(l).size < 2
+      }
+      if (hasGlobal)
+        assert(allowedGlobalWindow.contains(name), s"unreviewed global window in $name")
+    }
+  }
+}
