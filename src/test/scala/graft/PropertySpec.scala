@@ -93,12 +93,18 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("ngram size-prune: exact filter 9c>=4(na+nb) implies 5*min>=4*max") {
-    val g = Gen.chooseNum(1, 1000000)
-    check("size prune", Prop.forAll(g, g, g) { (na, nb, craw) =>
-      val c = math.min(craw, math.min(na, nb)) // common <= min size
+    // Generator targets near-similar sizes so the premise fires often;
+    // the check is a plain boolean (no ==> discards, which exhaust on
+    // uniform generation because 9c >= 4(na+nb) is a rare event there).
+    val g = for {
+      na <- Gen.chooseNum(1, 1000000)
+      nb <- Gen.chooseNum(math.max(1, (na * 0.7).toInt), (na * 1.3).toInt + 1)
+      c  <- Gen.chooseNum(0, math.min(na, nb))
+    } yield (na, nb, c)
+    check("size prune", Prop.forAll(g) { case (na, nb, c) =>
       val passes = 9L * c >= 4L * (na + nb)
       val prune = 5L * math.min(na, nb) >= 4L * math.max(na, nb)
-      passes ==> prune // the join-time prune can never drop an output pair
+      !passes || prune // the join-time prune can never drop an output pair
     })
   }
 }
