@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 63 query ids; 57 with DuckDB oracles. The
+  * and §3.1 (entry points). 65 query ids; 59 with DuckDB oracles. The
   * 6 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_sim_ivf, q_sim_srp) are not SQL-expressible
   * (sketch/ANN internals) and are covered by unit/property tests. */
@@ -34,6 +34,8 @@ object SparkEntry {
     "q_approx_distinct" -> Relational.q_approx_distinct _,
     "q_rollup"         -> Relational.q_rollup _,
     "q_cube"           -> Relational.q_cube _,
+    "q_grouping_sets"  -> Relational.q_grouping_sets _,
+    "q_listagg"        -> Relational.q_listagg _,
     "q_percentile"     -> Relational.q_percentile _,
     "q_stats_agg"      -> Relational.q_stats_agg _,
     "q_pivot"          -> Relational.q_pivot _,

@@ -116,6 +116,22 @@ object Oracle {
         |FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
         |ORDER BY gid, o_year, o_orderpriority""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT COALESCE(CAST(year(o_orderdate) AS INT), -1) AS o_year,
+        |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price,
+        |       CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority), (o_orderpriority), ())
+        |ORDER BY gid, o_year, o_orderpriority""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT r_name,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
     "q_cube" ->
       """SELECT COALESCE(CAST(year(o_orderdate) AS INT), -1) AS o_year,
         |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,

@@ -199,6 +199,43 @@ object Relational {
               col("n_orders"), col("total_price"), col("gid"))
       .orderBy("gid", "o_year", "o_orderpriority")
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE compile to:
+    * a custom set list ((year, priority), (priority), ()) that neither
+    * shorthand expresses (per-priority totals + detail + grand total,
+    * but no per-year totals). Same sentinel/gid/ordering rules as
+    * q_rollup. */
+  def q_grouping_sets(s: SparkSession, d: String): DataFrame = {
+    // project FIRST so the sets and the grouping cols reference the
+    // same attributes — an aliased expression repeated in both lists
+    // resolves as a distinct grouping column (phantom third expr,
+    // wrong gid bitmask)
+    val y = col("o_year"); val p = col("o_orderpriority")
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("o_year"),
+              col("o_orderpriority"), col("o_totalprice"))
+      .groupingSets(Seq(Seq(y, p), Seq(p), Seq()), y, p)
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("total_price"),
+           grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("o_year"), lit(-1)).as("o_year"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+              col("n_orders"), col("total_price"), col("gid"))
+      .orderBy("gid", "o_year", "o_orderpriority")
+  }
+
+  /** Ordered string aggregation (LISTAGG ... WITHIN GROUP — SQL:2016,
+    * new in Spark 4): nations per region as a comma-joined
+    * alphabetical list. The WITHIN GROUP ordering is what makes the
+    * result deterministic cross-engine (DuckDB: string_agg ORDER BY). */
+  def q_listagg(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+           count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+
   /** Exact interpolated percentiles (median + p90) per priority —
     * Spark `percentile` ≡ DuckDB `quantile_cont`. */
   def q_percentile(s: SparkSession, d: String): DataFrame =

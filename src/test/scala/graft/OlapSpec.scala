@@ -15,6 +15,28 @@ class OlapSpec extends SparkSpecBase {
     assert(grand.head.getAs[Long]("n_orders") == Tables.orders(spark, sf).count())
   }
 
+  test("grouping sets emits exactly the three declared sets (no per-year rows)") {
+    val out = Relational.q_grouping_sets(spark, sf).collect()
+    val gids = out.map(_.getAs[Long]("gid")).toSet
+    assert(gids == Set(0L, 2L, 3L)) // detail, per-priority, grand — NO gid=1 (per-year)
+    val grand = out.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_orders") == Tables.orders(spark, sf).count())
+    // per-priority totals must sum to the grand total
+    val perPriority = out.filter(_.getAs[Long]("gid") == 2L).map(_.getAs[Long]("n_orders")).sum
+    assert(perPriority == grand.head.getAs[Long]("n_orders"))
+  }
+
+  test("listagg: alphabetical nation lists, counts match the list lengths") {
+    val out = Relational.q_listagg(spark, sf).collect()
+    assert(out.length == 5) // five regions
+    out.foreach { r =>
+      val parts = r.getAs[String]("nations").split(",").toSeq
+      assert(parts == parts.sorted, s"${r.getString(0)} list not ordered")
+      assert(parts.length.toLong == r.getAs[Long]("n_nations"))
+    }
+  }
+
   test("percentiles are ordered: median <= p90 <= max") {
     val maxes = Tables.orders(spark, sf).groupBy("o_orderpriority")
       .agg(org.apache.spark.sql.functions.max("o_totalprice").as("mx"))
