@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 65 query ids; 59 with DuckDB oracles. The
+  * and §3.1 (entry points). 66 query ids; 60 with DuckDB oracles. The
   * 6 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_sim_ivf, q_sim_srp) are not SQL-expressible
   * (sketch/ANN internals) and are covered by unit/property tests. */
@@ -69,6 +69,7 @@ object SparkEntry {
     "q_knn_centroid"   -> TextOps.q_knn_centroid _,
     // §2.12 training-data-pipeline extensions
     "q_dedup_ngram"    -> PipelineOps.q_dedup_ngram _,
+    "q_dedup_cluster"  -> PipelineOps.q_dedup_cluster _,
     "q_text_quality"   -> PipelineOps.q_text_quality _,
     "q_lang_id"        -> PipelineOps.q_lang_id _,
     "q_token_count"    -> PipelineOps.q_token_count _,

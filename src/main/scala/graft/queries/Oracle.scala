@@ -27,6 +27,26 @@ object Oracle {
       |SELECT user_id, event_id, COALESCE(us - last_click_us, -1) AS gap_us
       |FROM m WHERE event_type = 'error' ORDER BY user_id, event_id""".stripMargin
 
+  /** Shared CTE chain of the word-3-gram Jaccard pair graph — used by
+    * q_dedup_ngram (the pairs) and q_dedup_cluster (connected
+    * components over them). */
+  private val ngramCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3),
+      |grams AS (SELECT DISTINCT doc_id,
+      |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+      |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+      |          FROM toks),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |           FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |scored AS (SELECT doc_a, doc_b,
+      |                  ROUND(common * 1.0 / (sa.n_grams + sb.n_grams - common), 3) AS jaccard
+      |           FROM common JOIN sizes sa ON doc_a = sa.doc_id
+      |                       JOIN sizes sb ON doc_b = sb.doc_id
+      |           WHERE common * 9 >= 4 * (sa.n_grams + sb.n_grams))""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "q_scan_project" ->
@@ -351,23 +371,24 @@ object Oracle {
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_dedup_ngram" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |              WHERE len(string_split(text, ' ')) >= 3),
-        |grams AS (SELECT DISTINCT doc_id,
-        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
-        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
-        |          FROM toks),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
-        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        |           FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2),
-        |scored AS (SELECT doc_a, doc_b,
-        |                  ROUND(common * 1.0 / (sa.n_grams + sb.n_grams - common), 3) AS jaccard
-        |           FROM common JOIN sizes sa ON doc_a = sa.doc_id
-        |                       JOIN sizes sb ON doc_b = sb.doc_id
-        |           WHERE common * 9 >= 4 * (sa.n_grams + sb.n_grams))
+      s"""WITH $ngramCtes
         |SELECT doc_a, doc_b, jaccard FROM scored
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // connected components over the same pair graph (min-label ==
+    // component minimum), via DuckDB's recursive CTE
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM scored
+        |          UNION ALL SELECT doc_b, doc_a FROM scored),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+        |),
+        |cc AS (SELECT node, MIN(lab) AS cluster_rep FROM reach GROUP BY node)
+        |SELECT cluster_rep, COUNT(*) AS size, CAST(SUM(node) AS BIGINT) AS member_id_sum
+        |FROM cc GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
 
     "q_text_quality" ->
       """WITH q AS (SELECT doc_id, n_chars,

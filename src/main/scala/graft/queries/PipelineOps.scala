@@ -232,6 +232,44 @@ object PipelineOps {
       .orderBy("eval_id")
   }
 
+  /** Near-dup CLUSTERING — the pipeline stage after pairwise dedup:
+    * connected components over the [[q_dedup_ngram]] pair graph via
+    * iterative min-label propagation (the GraphX-free Pregel shape:
+    * each round every node takes the min label among itself and its
+    * neighbors; converges to the component-minimum in O(diameter)
+    * rounds — near-dup clusters are near-cliques, so 2-3 rounds).
+    * Emits (cluster_rep = min doc_id, size, member-id checksum).
+    *
+    * Scale notes: the driver loop only reads a convergence COUNT per
+    * round (no data collected); per-round lineage is truncated with
+    * localCheckpoint so plan depth stays O(1) — at real scale one
+    * would use reliable checkpointing or the large-star/small-star
+    * variant, same shape. */
+  def q_dedup_cluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = q_dedup_ngram(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // materialize the expensive pair join ONCE
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      rounds += 1
+      val prop = edges.join(labels, edges("doc_b") === labels("node"))
+        .select(edges("doc_a").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+    }
+    labels.groupBy("label").agg(count(lit(1)).as("size"), sum("node").as("member_id_sum"))
+      .select(col("label").as("cluster_rep"), col("size"), col("member_id_sum"))
+      .orderBy("cluster_rep")
+  }
+
   /** Token counting, three ways per source: whitespace split, a
     * regex tokenizer (`[^a-z0-9]+` — BPE-ish normalization boundary),
     * and a subword estimate (ceil(len/2) per token — the fixed-rate

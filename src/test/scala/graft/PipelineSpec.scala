@@ -192,6 +192,19 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_cluster: groups collapse to min-id reps; singletons excluded") {
+    val text1 = "a b c d e f g h"
+    val text2 = "p q r s t u v w"
+    val dir = mkDocs(Seq(
+      (1L, text1, "en"), (2L, text1, "en"), (3L, text1, "en"), // clique of 3
+      (7L, text2, "en"), (8L, text2, "en"),                    // pair
+      (9L, "x y z x y z x y", "en")                            // no dup partner
+    ), java.nio.file.Files.createTempDirectory("cc").toString)
+    val got = PipelineOps.q_dedup_cluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 6L)), 7L -> ((2L, 15L))))
+  }
+
   test("contamination: half-overlap threshold on crafted eval/corpus docs") {
     val dir = mkDocs(Seq(
       (1L, "a b c d e", "en"),   // eval doc: grams {a b c, b c d, c d e}
