@@ -123,6 +123,39 @@ class CapabilitiesSpec extends SparkSpecBase {
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("secondary sort: repartitionAndSortWithinPartitions orders values within keys") {
+    // The MapReduce composite-key secondary sort (SURVEY §1.1): group
+    // by key AND see each key's values in time order in ONE pass,
+    // without a per-group sort buffer. Composite (key, time) sort key,
+    // partitioner on key only — every key's rows arrive contiguously
+    // and time-ordered inside its partition.
+    import org.apache.spark.HashPartitioner
+    val events = Tables.events(spark, sf)
+      .select($"user_id", Tables.tsUs.as("us")).as[(Long, Long)].rdd
+      .map { case (u, t) => ((u, t), ()) }
+    val parted = events.repartitionAndSortWithinPartitions(
+      new HashPartitioner(4) {
+        override def getPartition(key: Any): Int =
+          super.getPartition(key.asInstanceOf[(Long, Long)]._1)
+      })
+    val violations = parted.mapPartitions { it =>
+      var bad = 0; val seenDone = scala.collection.mutable.Set[Long]()
+      var prev: Option[(Long, Long)] = None
+      it.foreach { case ((u, t), _) =>
+        prev match {
+          case Some((pu, pt)) =>
+            if (u == pu) { if (t < pt) bad += 1 }          // time ordered in key
+            else { seenDone += pu; if (seenDone(u)) bad += 1 } // keys contiguous
+          case None =>
+        }
+        prev = Some((u, t))
+      }
+      Iterator(bad)
+    }.sum()
+    assert(violations == 0.0)
+    assert(parted.count() == Tables.events(spark, sf).count())
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     // 10k rows, 90% on one hot key — the shape that stalls one reducer
     val large = spark.range(10000)
