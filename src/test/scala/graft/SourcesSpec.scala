@@ -26,18 +26,26 @@ class SourcesSpec extends SparkSpecBase {
            fromTable.except(fromText).count() == 0)
   }
 
-  test("csv + json sources: round-trip preserves rows and schema-on-read works") {
+  test("csv + json + orc sources: round-trip preserves rows and schema-on-read works") {
     val dir = java.nio.file.Files.createTempDirectory("srcfmt").toString
     docs.write.option("header", "true").csv(s"$dir/csv")
     docs.write.json(s"$dir/json")
+    docs.write.orc(s"$dir/orc")
     val csv = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(s"$dir/csv")
     val json = spark.read.json(s"$dir/json")
-    assert(csv.count() == docs.count() && json.count() == docs.count())
+    val orc = spark.read.orc(s"$dir/orc")
+    assert(csv.count() == docs.count() && json.count() == docs.count() &&
+           orc.count() == docs.count())
     // same per-lang distribution through every format
     def byLang(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("lang").agg(count(lit(1)).as("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byLang(csv) == byLang(docs) && byLang(json) == byLang(docs))
+    assert(byLang(csv) == byLang(docs) && byLang(json) == byLang(docs) &&
+           byLang(orc) == byLang(docs))
+    // ORC is columnar like parquet: filters push into the scan
+    val scan = orc.filter($"lang" === "en").queryExecution.sparkPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)"),
+           s"no ORC pushdown:\n$scan")
   }
 }
