@@ -46,7 +46,10 @@ object Graft {
 
   /** Gopher-style repetition-quality signals for a whitespace-token
     * text column: (duplicate-token, duplicate-2-gram, duplicate-3-gram)
-    * permilles as a struct. Pure per-row computation. */
+    * permilles as a struct. Pure per-row computation. A document with
+    * fewer than n tokens has no n-gram, so its field is NULL (the
+    * `when` guard also prevents `sequence(1, 0)` from producing the
+    * descending [1,0] and faulting `slice` on short docs). */
   def repetitionScores(text: Column): Column = {
     val t = split(text, " ")
     def grams(n: Int) = transform(sequence(lit(1), size(t) - (n - 1)),
@@ -54,9 +57,10 @@ object Graft {
     def dupPermille(arr: Column) =
       floor((size(arr).cast("long") - size(array_distinct(arr))) * 1000 / size(arr))
         .cast("long")
-    struct(dupPermille(t).as("dup_tok_permille"),
-           dupPermille(grams(2)).as("dup_g2_permille"),
-           dupPermille(grams(3)).as("dup_g3_permille"))
+    def guarded(n: Int) = when(size(t) >= n, dupPermille(grams(n)))
+    struct(guarded(1).as("dup_tok_permille"),
+           guarded(2).as("dup_g2_permille"),
+           guarded(3).as("dup_g3_permille"))
   }
 
   /** MinHash signature of a token column, as an aggregation over the

@@ -140,17 +140,37 @@ object Events {
     * (arrival order = event_id). The batch analogue of rows a 5-min
     * watermark would drop.
     *
-    * The running max is a single global ordered window — inherently
-    * sequential semantics. At 100 TB this becomes a two-pass
-    * per-range-partition max + prefix-broadcast; the per-event
-    * comparison itself stays embarrassingly parallel. */
+    * The running max has globally-ordered semantics but is executed as
+    * the DISTRIBUTED two-pass prefix-max: approx-quantile boundaries of
+    * event_id split arrival order into B range buckets (any monotone
+    * split is exact — ties share a bucket); pass 1 takes each bucket's
+    * max(us) and a triangular broadcast join over the ≤B-row table
+    * derives every bucket's EXCLUSIVE prefix max; pass 2 computes the
+    * within-bucket running max under a PARTITIONED window and combines
+    * via greatest(local, prefix) — null-skipping, so the very first
+    * rows (empty prefix) stay "not late" exactly like the empty window
+    * frame. No single-partition WindowExec; at 100 TB only B grows. */
   def q_late_data(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, d)
+    val buckets = 32
+    val ev = Tables.events(s, d)
       .select(col("event_type"), col("event_id"), Tables.tsUs.as("us"))
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = ev.agg(
+      percentile_approx(col("event_id"), typedlit(qs), lit(10000)).as("bounds"))
+    val bucketed = ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("event_id"), col("us"),
+              size(filter(col("bounds"), b => col("event_id") > b)).as("bucket"))
+    val bmax = bucketed.groupBy("bucket").agg(max("us").as("bmax"))
+    val prefix = bmax.as("a")
+      .join(broadcast(bmax.as("b")), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(max(col("b.bmax")).as("prefix_max")) // null for the first bucket
+    val wLocal = Window.partitionBy("bucket").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(prefix), "bucket")
       .select(col("event_type"),
-              when(max("us").over(w) - col("us") > US_LATE, 1).otherwise(0).as("late"))
+              when(greatest(max("us").over(wLocal), col("prefix_max")) - col("us") > US_LATE, 1)
+                .otherwise(0).as("late"))
       .groupBy("event_type")
       .agg(sum("late").as("n_late"), count(lit(1)).as("n"))
       .orderBy("event_type")

@@ -25,17 +25,18 @@ object HashOps {
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .groupBy("doc_id")
       .agg(udaf(SimHash.agg).apply(col("token"), col("tf")).as("sig"))
-    val bandKey = udf((sig: Long, band: Int) => SimHash.bandKey(sig, band))
+    // Band key and Hamming distance as pure built-ins (codegen-fused,
+    // null-propagating): band b = bits [16b, 16b+16) of the signature;
+    // Hamming = popcount of the XOR. Mirrors SimHash.bandKey/hamming.
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(SimHash.NumBands - 1))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
-              bandKey(col("sig"), col("band")).as("key"))
-    val ham = udf((a: Long, b: Long) => SimHash.hamming(a, b))
+              expr(s"shiftrightunsigned(sig, band * ${SimHash.BandBits}) & 65535").as("key"))
     banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b")),
             Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), ham(col("sig_a"), col("sig_b")).as("hamming"))
+      .select(col("doc_a"), col("doc_b"), expr("bit_count(sig_a ^ sig_b)").as("hamming"))
       .filter(col("hamming") <= 3) // before the dedup: the distinct's
       .distinct()                  // exchange carries only true pairs
       .orderBy("doc_a", "doc_b")
@@ -68,57 +69,37 @@ object HashOps {
     * threshold is non-trivial); [[q_sim_ivf]] is the sub-linear scale
     * path.
     *
-    * Execution: one side is hand-broadcast (2,000×64 doubles ≈ 1 MB —
-    * the same collect a BroadcastExchange performs internally) and the
-    * other side streams through a compiled per-partition loop keeping
-    * a local top-k, so the shuffle carries ≤ k rows per vector instead
-    * of 2M rows × two 512-byte arrays. A vector-row i only scores
-    * j > i, and the global top-20 of those pairs is contained in the
-    * union of per-row top-20s. At 100 TB the broadcast side becomes
-    * a blocked loop over broadcast chunks; the shape is unchanged.
-    * Dot products fold in index order — bit-compatible with the
-    * oracle's unnest-ordered SUM; rounding replicates Spark's
-    * ROUND (BigDecimal HALF_UP). */
+    * Execution — the blocked broadcast loop, fully planner-managed (no
+    * driver-side collect anywhere): the peer side is split into CHUNKS
+    * disjoint blocks by id-hash; each block is broadcast BY THE PLANNER
+    * (BroadcastNestedLoopJoin under the usual broadcast memory
+    * accounting) and joined against the streaming side with the
+    * `vec_b > vec_a` triangle condition, so every unordered pair is
+    * scored in exactly ONE block. Per block the global contract order
+    * (rounded cosine DESC, vec_a, vec_b) feeds a TakeOrderedAndProject
+    * top-20 — a per-partition heap + 20-row driver merge, never a full
+    * shuffle — and the global top-20 is contained in the union of the
+    * per-block top-20s. At 100 TB CHUNKS grows with the corpus so each
+    * broadcast stays bounded; the per-pass cost is one linear scan of
+    * the stream side. Dot products fold in index order (native
+    * [[graft.functions.DotProduct]] kernel) — bit-compatible with the
+    * oracle's unnest-ordered SUM; `round` is Spark's HALF_UP. */
   def q_dedup_embed(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+    val dot = graft.functions.GraftFunctions.dot _
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-    val all = s.sparkContext.broadcast(e.collect().sortBy(_._1))
-    // The global contract sorts by (ROUNDED cosine DESC, vec_a, vec_b),
-    // so the per-row heap must prune by that same key — pruning by raw
-    // cosine could drop a smaller-id pair that ties after rounding.
-    val pruneOrd = Ordering.by[(Double, Long), (Double, Long)] {
-      case (cos, idb) => (-cos, idb) // best = highest rounded, then lowest id
-    }
-    val topk = e.flatMap { case (ida, va) =>
-      val peers = all.value
-      val best = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](pruneOrd)
-      var p = 0
-      while (p < peers.length) {
-        val (idb, vb) = peers(p)
-        if (idb > ida) {
-          var acc = 0.0; var i = 0
-          while (i < va.length) { acc += va(i) * vb(i); i += 1 }
-          // Cheap reject before the exact (BigDecimal HALF_UP) rounding:
-          // rounding moves a value by at most 0.0005, so a raw cosine
-          // more than 0.00051 below the heap floor can never round high
-          // enough to enter. This skips the allocation-heavy exact path
-          // for the vast majority of the n² candidates.
-          if (best.size < 20 || acc >= best.head._1 - 5.1e-4) {
-            val rounded =
-              BigDecimal(acc).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (best.size < 20) best.enqueue((rounded, idb))
-            else if (pruneOrd.lt((rounded, idb), best.head)) {
-              best.dequeue(); best.enqueue((rounded, idb))
-            }
-          }
-        }
-        p += 1
-      }
-      best.toSeq.map { case (cos, idb) => (ida, idb, cos) }
-    }.toDF("vec_a", "vec_b", "cosine")
-    topk.orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc).limit(20)
+    val chunks = 4
+    (0 until chunks).map { c =>
+      val peers = e.filter(pmod(col("vec_id"), lit(chunks)) === c)
+        .select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      e.join(broadcast(peers), col("vec_b") > col("vec_id"))
+        .select(col("vec_id").as("vec_a"), col("vec_b"),
+                round(dot(col("v"), col("vb")), 3).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
+        .limit(20)
+    }.reduce(_ union _)
+      .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(20)
   }
 
   /** Deterministic ±1 random hyperplanes for SRP hashing: plane p,

@@ -348,14 +348,56 @@ object Relational {
 
   /** Distribution window functions: ntile / percent_rank / cume_dist
     * over customers by account balance (unique (acctbal, custkey)
-    * order key → deterministic everywhere). */
+    * order key → deterministic everywhere).
+    *
+    * Executed as the DISTRIBUTED two-pass global rank, not a
+    * single-partition `Window.orderBy`: (1) approx-quantile boundaries
+    * of c_acctbal split the key space into B order-consistent range
+    * buckets (any monotone split is correct — balance only affects
+    * speed, and equal balances always share a bucket so the global
+    * (acctbal DESC, custkey) order is the bucket concatenation);
+    * (2) per-bucket row_number under a PARTITIONED window + exclusive
+    * prefix counts from a triangular broadcast join over the ≤B-row
+    * counts table give the exact global rank; (3) ntile/percent_rank/
+    * cume_dist are pure arithmetic in (rank, n). No single-partition
+    * WindowExec anywhere — every per-row stage is parallel, and at
+    * 100 TB only B grows. */
   def q_window_ntile(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    Tables.customer(s, d)
+    val buckets = 16
+    val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = cust.agg(
+      percentile_approx(col("c_acctbal"), typedlit(qs), lit(10000)).as("bounds"),
+      count(lit(1)).as("n_total"))
+    // bucket 0 = highest balances … B-1 = lowest (count of bounds below)
+    val bucketed = cust.crossJoin(broadcast(bounds))
+      .select(col("c_custkey"), col("c_acctbal"), col("n_total"),
+              (lit(buckets - 1) -
+               size(filter(col("bounds"), b => col("c_acctbal") > b))).as("bucket"))
+    val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    val wLocal = Window.partitionBy("bucket")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val n = col("n_total")
+    val rk = col("rk")
+    // ntile(4): q = n div 4, the first n%4 tiles take q+1 rows
+    val tileQ = expr("n_total div 4")
+    val rem = n % 4
+    val bigSpan = (tileQ + lit(1)) * rem
+    val quartile = when(rk <= bigSpan, ceil(rk / (tileQ + 1)))
+      .otherwise(rem + ceil((rk - bigSpan) / tileQ))
+    bucketed
+      .join(broadcast(offsets), "bucket")
+      .select(col("c_custkey"), n,
+              (col("off") + row_number().over(wLocal)).as("rk"))
       .select(col("c_custkey"),
-              ntile(4).over(w).as("quartile"),
-              round(percent_rank().over(w), 4).as("pct_rank"),
-              round(cume_dist().over(w), 4).as("cume"))
+              quartile.cast("int").as("quartile"),
+              round(when(n === 1, lit(0.0))
+                      .otherwise((rk - 1).cast("double") / (n - 1)), 4).as("pct_rank"),
+              round(rk.cast("double") / n, 4).as("cume"))
       .orderBy("c_custkey")
   }
 

@@ -24,6 +24,21 @@ class GraftSpec extends SparkSpecBase {
     assert(rows(viaFacade) == rows(queries.PipelineOps.q_repetition(spark, sf)))
   }
 
+  test("repetitionScores on short docs yields NULL fields, not a fault") {
+    val docs = Seq((1L, "one"), (2L, "two words"), (3L, "now three words"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id", Graft.repetitionScores($"text").as("r"))
+      .select($"doc_id", $"r.dup_tok_permille".as("t"), $"r.dup_g2_permille".as("g2"),
+              $"r.dup_g3_permille".as("g3"))
+      .orderBy("doc_id")
+      .collect()
+    // 1 token: grams defined only for n=1; 2 tokens: up to 2-grams; "" splits
+    // to [""] (1 token). No row faults with "array indices start at 1".
+    assert(got.map(r => (r.getLong(0), r.isNullAt(2), r.isNullAt(3))).toSeq ==
+      Seq((1L, true, true), (2L, false, true), (3L, false, false), (4L, true, true)))
+    assert(got.forall(!_.isNullAt(1)))
+  }
+
   test("asofJoin facade matches the window composition") {
     val ev = Tables.events(spark, sf)
       .select($"user_id", $"event_id", $"event_type", Tables.tsUs.as("us"))

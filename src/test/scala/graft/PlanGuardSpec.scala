@@ -7,12 +7,16 @@ package graft
   * unreviewed nested-loop join fails here, not on the cluster. */
 class PlanGuardSpec extends SparkSpecBase {
 
-  // reviewed: single-probe / tiny-build-side nested loops (linear)
+  // reviewed: single-probe / tiny-build-side nested loops (linear) —
+  // q_window_ntile / q_late_data broadcast a 1-row quantile-bounds
+  // aggregate; q_dedup_embed broadcasts bounded id-hash chunks.
   private val allowedBnlj = Set(
-    "q_sim_search", "q_sim_srp", "q_sim_ivf", "q_tfidf", "q_dedup_embed")
-  // reviewed: inherently global window semantics
-  private val allowedGlobalWindow = Set(
-    "q_late_data", "q_window_ntile", "q_topk_global", "q_sim_ivf")
+    "q_sim_search", "q_sim_srp", "q_sim_ivf", "q_tfidf", "q_dedup_embed",
+    "q_window_ntile", "q_late_data")
+  // reviewed: inherently global window semantics over tiny inputs
+  // (q_window_ntile and q_late_data are two-pass distributed now and
+  // no longer get the exemption)
+  private val allowedGlobalWindow = Set("q_topk_global", "q_sim_ivf")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
