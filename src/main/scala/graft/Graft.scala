@@ -76,4 +76,11 @@ object Graft {
     * multiset of a whitespace-token text column. */
   def contentFingerprint(text: Column): Column =
     array_join(array_sort(split(text, " ")), " ")
+
+  /** Connected components of an undirected edge list (first two
+    * columns = long endpoint ids) → (node, label = component-min id).
+    * Large-star/small-star: O(log n) rounds at any graph diameter;
+    * fails loudly if the round cap is hit. */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    operators.ConnectedComponents.alternatingStar(edges)
 }

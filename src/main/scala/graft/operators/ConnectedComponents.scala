@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering
+  * stage after pairwise near-dup detection (SURVEY.md §2.12).
+  *
+  * Two interchangeable algorithms, both pure DataFrame ops whose driver
+  * loop reads only per-round convergence METADATA (a count/checksum
+  * row), never data:
+  *
+  *  - [[minLabelPropagation]]: each round every node takes the min
+  *    label among itself and its neighbors. O(diameter) rounds — ideal
+  *    for near-clique dedup clusters (2-3 rounds), degenerate on long
+  *    chains.
+  *  - [[alternatingStar]]: the large-star/small-star algorithm
+  *    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+  *    large-star hooks every node's larger neighbors onto its minimum,
+  *    small-star hooks the smaller ones; alternating rounds converge to
+  *    a forest of stars centered at each component's minimum id in
+  *    O(log n) rounds REGARDLESS of diameter — the 100 TB-safe default.
+  *
+  * Both fail loudly (require) instead of silently returning unconverged
+  * labels when the round cap is hit. Per-round lineage is truncated
+  * with localCheckpoint so plan depth stays O(1); at real cluster scale
+  * swap for reliable `checkpoint` on a DFS — identical shape.
+  *
+  * Input: a DataFrame whose first two columns are the (long) endpoint
+  * ids of an undirected edge. Output: (node, label) with label = the
+  * minimum node id of the component. Nodes are those appearing in ≥1
+  * edge; callers union isolated nodes if their universe is larger.
+  */
+object ConnectedComponents {
+
+  /** (node, label) via min-label propagation; O(diameter) rounds. */
+  def minLabelPropagation(edges: DataFrame, maxRounds: Int = 20): DataFrame =
+    minLabelWithRounds(edges, maxRounds)._1
+
+  private[graft] def minLabelWithRounds(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    val e0 = normalize(edges)
+    val dir = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    var labels = dir.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val prop = dir.join(labels, dir("b") === labels("node"))
+        .select(dir("a").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+    }
+    require(converged,
+      s"connected components (min-label) did not converge in $maxRounds rounds — " +
+        "component diameter exceeds the cap; raise maxRounds or use alternatingStar")
+    (labels, rounds)
+  }
+
+  /** (node, label) via alternating large-star/small-star; O(log n)
+    * rounds on any graph shape. */
+  def alternatingStar(edges: DataFrame, maxRounds: Int = 50): DataFrame =
+    alternatingStarWithRounds(edges, maxRounds)._1
+
+  private[graft] def alternatingStarWithRounds(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    val e0 = normalize(edges)
+    val nodes = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct()
+
+    // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val m = nbrs.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a").as("u"), least(col("a"), col("mn")).as("m"))
+      nbrs.join(m, nbrs("a") === m("u"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // small-star(u): over smaller neighbors N(u) (edges oriented
+    // high→low): m = min(N(u)); emit (v, m) for v ∈ N(u) ∪ {u} \ {m}
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      val m = or.groupBy("u").agg(min("v").as("m"))
+      or.join(m, "u").select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // convergence metadata: one (count, xor-checksum) row per round
+    // (XOR, not SUM: order-free, merge-safe and can never overflow)
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var e = e0.localCheckpoint()
+    var last = sig(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = sig(e)
+      converged = cur == last
+      last = cur
+    }
+    require(converged,
+      s"connected components (large/small-star) did not converge in $maxRounds rounds")
+    // stars: every edge is (child, root=component min); roots map to self
+    val labels = nodes.join(e.select(col("a").as("node"), col("b").as("label")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    (labels, rounds)
+  }
+
+  /** First two columns → (a, b) longs, self-loops dropped. */
+  private def normalize(edges: DataFrame): DataFrame = {
+    val Seq(ca, cb) = edges.columns.take(2).toSeq
+    edges.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+  }
+}

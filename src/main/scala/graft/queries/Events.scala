@@ -144,7 +144,7 @@ object Events {
     * the DISTRIBUTED two-pass prefix-max: approx-quantile boundaries of
     * event_id split arrival order into B range buckets (any monotone
     * split is exact — ties share a bucket); pass 1 takes each bucket's
-    * max(us) and a triangular broadcast join over the ≤B-row table
+    * max(us) and an array-HOF prefix fold over the ≤B-row table
     * derives every bucket's EXCLUSIVE prefix max; pass 2 computes the
     * within-bucket running max under a PARTITIONED window and combines
     * via greatest(local, prefix) — null-skipping, so the very first
@@ -156,15 +156,22 @@ object Events {
       .select(col("event_type"), col("event_id"), Tables.tsUs.as("us"))
     val qs = (1 until buckets).map(_.toDouble / buckets)
     val bounds = ev.agg(
-      percentile_approx(col("event_id"), typedlit(qs), lit(10000)).as("bounds"))
+      percentile_approx(col("event_id"), typedlit(qs), lit(1000)).as("bounds"))
     val bucketed = ev.crossJoin(broadcast(bounds))
       .select(col("event_type"), col("event_id"), col("us"),
               size(filter(col("bounds"), b => col("event_id") > b)).as("bucket"))
     val bmax = bucketed.groupBy("bucket").agg(max("us").as("bmax"))
-    val prefix = bmax.as("a")
-      .join(broadcast(bmax.as("b")), col("b.bucket") < col("a.bucket"), "left")
-      .groupBy(col("a.bucket").as("bucket"))
-      .agg(max(col("b.bmax")).as("prefix_max")) // null for the first bucket
+    // exclusive prefix max over the ≤B-row table: fold it into ONE row
+    // and prefix-max with array HOFs (O(B²) on B≈32 — trivial); null
+    // start value keeps the first bucket's prefix NULL, like the empty
+    // window frame it replaces. No window, no extra join.
+    val prefix = bmax
+      .agg(array_sort(collect_list(struct(col("bucket"), col("bmax")))).as("arr"))
+      .select(explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("bucket").as("bucket"),
+               aggregate(slice(col("arr"), lit(1), i), lit(null).cast("long"),
+                         (a, y) => greatest(a, y.getField("bmax"))).as("prefix_max")))).as("s"))
+      .select(col("s.bucket").as("bucket"), col("s.prefix_max").as("prefix_max"))
     val wLocal = Window.partitionBy("bucket").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(broadcast(prefix), "bucket")

@@ -71,32 +71,29 @@ object HashOps {
     *
     * Execution — the blocked broadcast loop, fully planner-managed (no
     * driver-side collect anywhere): the peer side is split into CHUNKS
-    * disjoint blocks by id-hash; each block is broadcast BY THE PLANNER
-    * (BroadcastNestedLoopJoin under the usual broadcast memory
-    * accounting) and joined against the streaming side with the
-    * `vec_b > vec_a` triangle condition, so every unordered pair is
-    * scored in exactly ONE block. Per block the global contract order
-    * (rounded cosine DESC, vec_a, vec_b) feeds a TakeOrderedAndProject
-    * top-20 — a per-partition heap + 20-row driver merge, never a full
-    * shuffle — and the global top-20 is contained in the union of the
-    * per-block top-20s. At 100 TB CHUNKS grows with the corpus so each
-    * broadcast stays bounded; the per-pass cost is one linear scan of
-    * the stream side. Dot products fold in index order (native
-    * [[graft.functions.DotProduct]] kernel) — bit-compatible with the
-    * oracle's unnest-ordered SUM; `round` is Spark's HALF_UP. */
+    * disjoint blocks by id-hash; each block reaches the custom
+    * [[graft.plans.DotTopKJoinExec]] operator as a planner-built
+    * broadcast (`BroadcastDistribution` → BroadcastExchange under
+    * Spark's managed memory accounting), and the exec's tight
+    * primitive-array loop emits ≤ 20 rows per partition — the
+    * quadratic pair set is never materialized as rows. The
+    * `vec_b > vec_a` triangle check scores every unordered pair in
+    * exactly ONE block, so the global top-20 is contained in the union
+    * of per-block top-20s and a final TakeOrdered(20) finishes. At
+    * 100 TB CHUNKS grows with the corpus so each broadcast stays
+    * bounded; per-pass cost is one linear scan of the stream side.
+    * Dot products fold in index order — bit-compatible with the
+    * oracle's unnest-ordered SUM; rounding replicates Spark's ROUND
+    * (BigDecimal HALF_UP), with the exec's proven cheap-reject bound
+    * skipping the exact rounding for non-candidates. */
   def q_dedup_embed(s: SparkSession, d: String): DataFrame = {
-    val dot = graft.functions.GraftFunctions.dot _
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val chunks = 4
+    val chunks = 2
     (0 until chunks).map { c =>
       val peers = e.filter(pmod(col("vec_id"), lit(chunks)) === c)
-        .select(col("vec_id").as("vec_b"), col("v").as("vb"))
-      e.join(broadcast(peers), col("vec_b") > col("vec_id"))
-        .select(col("vec_id").as("vec_a"), col("vec_b"),
-                round(dot(col("v"), col("vb")), 3).as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
-        .limit(20)
+        .select(col("vec_id").as("pid"), col("v").as("pv"))
+      graft.plans.DotTopK.topk(e, peers, "vec_id", "v", "pid", "pv", 20)
     }.reduce(_ union _)
       .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(20)

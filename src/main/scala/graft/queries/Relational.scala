@@ -357,7 +357,7 @@ object Relational {
     * speed, and equal balances always share a bucket so the global
     * (acctbal DESC, custkey) order is the bucket concatenation);
     * (2) per-bucket row_number under a PARTITIONED window + exclusive
-    * prefix counts from a triangular broadcast join over the ≤B-row
+    * prefix counts from an array-HOF prefix fold over the ≤B-row
     * counts table give the exact global rank; (3) ntile/percent_rank/
     * cume_dist are pure arithmetic in (rank, n). No single-partition
     * WindowExec anywhere — every per-row stage is parallel, and at
@@ -367,7 +367,7 @@ object Relational {
     val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
     val qs = (1 until buckets).map(_.toDouble / buckets)
     val bounds = cust.agg(
-      percentile_approx(col("c_acctbal"), typedlit(qs), lit(10000)).as("bounds"),
+      percentile_approx(col("c_acctbal"), typedlit(qs), lit(1000)).as("bounds"),
       count(lit(1)).as("n_total"))
     // bucket 0 = highest balances … B-1 = lowest (count of bounds below)
     val bucketed = cust.crossJoin(broadcast(bounds))
@@ -375,10 +375,16 @@ object Relational {
               (lit(buckets - 1) -
                size(filter(col("bounds"), b => col("c_acctbal") > b))).as("bucket"))
     val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-    val offsets = counts.as("a")
-      .join(broadcast(counts.as("b")), col("b.bucket") < col("a.bucket"), "left")
-      .groupBy(col("a.bucket").as("bucket"))
-      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    // exclusive prefix counts over the ≤B-row table: fold it into ONE
+    // row and prefix-sum with array HOFs (O(B²) on B≈16 — trivial);
+    // no window, no extra join, nothing single-partition but B rows
+    val offsets = counts
+      .agg(array_sort(collect_list(struct(col("bucket"), col("cnt")))).as("arr"))
+      .select(explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("bucket").as("bucket"),
+               aggregate(slice(col("arr"), lit(1), i), lit(0L),
+                         (a, y) => a + y.getField("cnt")).as("off")))).as("s"))
+      .select(col("s.bucket").as("bucket"), col("s.off").as("off"))
     val wLocal = Window.partitionBy("bucket")
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
     val n = col("n_total")

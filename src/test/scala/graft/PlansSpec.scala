@@ -63,4 +63,42 @@ class PlansSpec extends SparkSpecBase {
     assert(native.nonEmpty)
     assert(native.toSeq == window.toSeq)
   }
+
+  test("dot-topk: equals the declarative broadcast-join form, exact ties") {
+    import graft.plans.DotTopK
+    val dot = graft.functions.GraftFunctions.dot _
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val peers = e.select(col("vec_id").as("pid"), col("v").as("pv"))
+    val viaExec = DotTopK.topk(e, peers, "vec_id", "v", "pid", "pv", 20)
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b")).limit(20)
+    val declarative = e.join(broadcast(peers), col("pid") > col("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("pid").as("vec_b"),
+              round(dot(col("v"), col("pv")), 3).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b")).limit(20)
+    assert(rows(viaExec) == rows(declarative))
+  }
+
+  test("dot-topk plan shape: exec planned over a planner-built broadcast") {
+    import graft.plans.{DotTopK, DotTopKJoinExec}
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val peers = e.select(col("vec_id").as("pid"), col("v").as("pv"))
+    val df = DotTopK.topk(e, peers, "vec_id", "v", "pid", "pv", 5)
+    df.collect()
+    val nodes = collectPlan(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[DotTopKJoinExec]), "DotTopKJoinExec not planned")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "peer side must arrive via a planner-built BroadcastExchange")
+  }
+
+  test("dot-topk: per-partition output is bounded by k") {
+    import graft.plans.DotTopK
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(4)
+    val peers = e.select(col("vec_id").as("pid"), col("v").as("pv"))
+    val raw = DotTopK.topk(e, peers, "vec_id", "v", "pid", "pv", 3)
+    assert(raw.count() <= 3L * raw.rdd.getNumPartitions)
+  }
 }
