@@ -12,16 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Graft {
 
-  /** Left as-of join: append to `left` the greatest `rightTime` value
-    * of the same-keyed `right` row at or before `leftTime` (NULL if
-    * none). Executed by the custom [[graft.plans.AsOfJoinExec]]
-    * operator — one exchange + sort per side, single-pass merge.
-    * Key/time columns must be LongType (ids / epoch-µs). */
+  /** Left as-of join: append to `left` the nearest same-keyed
+    * `rightTime` at-or-before (`direction = "backward"`, default) or
+    * at-or-after (`"forward"`) `leftTime` — NULL if none, or if the
+    * nearest match is further than `tolerance` (LongType times only).
+    * Key/time columns may be ANY orderable atomic type. Executed by
+    * the custom [[graft.plans.AsOfJoinExec]] operator — one exchange +
+    * sort per side, single-pass O(1)-state merge. */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, leftTime: String,
                rightKey: String, rightTime: String,
-               outCol: String = "asof_time"): DataFrame =
-    plans.AsOfJoin.asof(left, right, leftKey, leftTime, rightKey, rightTime, outCol)
+               outCol: String = "asof_time",
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame =
+    plans.AsOfJoin.asof(left, right, leftKey, leftTime, rightKey, rightTime,
+                        outCol, direction, tolerance)
 
   /** Skew-safe equi-join of a large skewed side against a small side
     * by replicating the small side across `salts` shards. */

@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.LongType
@@ -14,10 +15,24 @@ import org.apache.spark.sql.types.LongType
   * path: a logical node, a planner strategy, and a physical exec with
   * declared distribution + ordering requirements.
   *
-  * Semantics: for every left row, append the greatest right `time`
-  * with the same key that is <= the left row's time (NULL if none) —
-  * "join each fact to the latest earlier state". Equal timestamps
-  * count as "earlier" (<=); rows with a NULL key or time never match.
+  * Semantics, per left row with key k and time t:
+  *  - direction = backward (default): append the greatest right `time`
+  *    of the same key with rTime <= t (NULL if none) — "join each fact
+  *    to the latest earlier state". Equal times count as earlier; ANY
+  *    same-time right row matches regardless of arrival order (a RANGE
+  *    frame over time, not a ROWS frame — callers who need a
+  *    same-time tiebreak should pre-filter the right side).
+  *  - direction = forward: the smallest right `time` with rTime >= t.
+  *  - tolerance (optional, LongType time only): a match further than
+  *    `tolerance` from t yields NULL instead — pandas merge_asof
+  *    semantics: the nearest match is bounded, not replaced by an
+  *    older one.
+  * Rows with a NULL key or time never match.
+  *
+  * Keys and times may be ANY orderable atomic type (string keys,
+  * timestamps, decimals …) — comparisons run through Catalyst's
+  * interpreted orderings; only `tolerance` is restricted to LongType
+  * times, where subtraction is well-defined.
   *
   * Why a custom operator instead of the window-function composition
   * (queries.Events.q_asof_join): the window form must interleave BOTH
@@ -27,20 +42,16 @@ import org.apache.spark.sql.types.LongType
   * `ClusteredDistribution(key)` per child and per-child `(key, time)`
   * ordering, so Catalyst's EnsureRequirements plans ONE exchange +
   * sort per side (exactly what a sort-merge join gets), and the merge
-  * itself is a single forward pass holding ONE long of state — no
-  * window buffer, no unioned row-shape padding. At 100 TB the win is
-  * the smaller shuffle payload (each side keeps its own narrow schema)
+  * itself is a single forward pass holding O(1) state — no window
+  * buffer, no unioned row-shape padding. At 100 TB the win is the
+  * smaller shuffle payload (each side keeps its own narrow schema)
   * and the O(1) state per key instead of a window frame.
-  *
-  * Keys and times are LongType by contract (ids + epoch-µs — the data
-  * model's [SURVEY §1.3] timestamp convention); the API rejects other
-  * types up front. Generalizing to arbitrary orderable types only
-  * changes the two comparisons in the merge loop.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
+    forward: Boolean, tolerance: Option[Long],
     asofOut: AttributeReference) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ asofOut
   // asofOut is minted BY this node, not read from a child
@@ -52,8 +63,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, lt, rk, rt, out) =>
-      AsOfJoinExec(lk, lt, rk, rt, out, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, fwd, tol, out) =>
+      AsOfJoinExec(lk, lt, rk, rt, fwd, tol, out, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -61,6 +72,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
+    forward: Boolean, tolerance: Option[Long],
     asofOut: Attribute,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
@@ -87,36 +99,58 @@ case class AsOfJoinExec(
     val lti = left.output.indexWhere(_.exprId == leftTime.exprId)
     val rki = right.output.indexWhere(_.exprId == rightKey.exprId)
     val rti = right.output.indexWhere(_.exprId == rightTime.exprId)
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val fwd = forward
+    val tol = tolerance
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
+        val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+        val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
         val proj = UnsafeProjection.create(output, output)
         val joined = new JoinedRow
         val matchRow = new GenericInternalRow(1)
-        // one long of merge state: the last consumed right (key, time)
-        var haveLast = false; var lastKey = 0L; var lastTime = 0L
+        // O(1) merge state: the last consumed right (key, time)
+        var haveLast = false; var lastKey: Any = null; var lastTime: Any = null
         // right-side lookahead
-        var haveR = false; var rKey = 0L; var rTime = 0L
+        var haveR = false; var rKey: Any = null; var rTime: Any = null
         def pullRight(): Unit = {
           haveR = false
           while (!haveR && rIter.hasNext) {
             val r = rIter.next()
             if (!r.isNullAt(rki) && !r.isNullAt(rti)) {
-              rKey = r.getLong(rki); rTime = r.getLong(rti); haveR = true
+              rKey = r.get(rki, keyType); rTime = r.get(rti, timeType); haveR = true
             }
           }
+        }
+        def withinTol(a: Any, b: Any): Boolean = tol match {
+          case None => true
+          case Some(t) => math.abs(a.asInstanceOf[Long] - b.asInstanceOf[Long]) <= t
         }
         pullRight()
         lIter.map { l =>
           if (l.isNullAt(lki) || l.isNullAt(lti)) {
             matchRow.setNullAt(0)
           } else {
-            val k = l.getLong(lki); val t = l.getLong(lti)
-            while (haveR && (rKey < k || (rKey == k && rTime <= t))) {
-              lastKey = rKey; lastTime = rTime; haveLast = true
-              pullRight()
+            val k = l.get(lki, keyType); val t = l.get(lti, timeType)
+            if (fwd) {
+              // drop rights strictly before t (same key) or before k
+              while (haveR && (keyOrd.compare(rKey, k) < 0 ||
+                     (keyOrd.compare(rKey, k) == 0 && timeOrd.compare(rTime, t) < 0)))
+                pullRight()
+              if (haveR && keyOrd.compare(rKey, k) == 0 && withinTol(rTime, t))
+                matchRow.update(0, rTime)
+              else matchRow.setNullAt(0)
+            } else {
+              while (haveR && (keyOrd.compare(rKey, k) < 0 ||
+                     (keyOrd.compare(rKey, k) == 0 && timeOrd.compare(rTime, t) <= 0))) {
+                lastKey = rKey; lastTime = rTime; haveLast = true
+                pullRight()
+              }
+              if (haveLast && keyOrd.compare(lastKey, k) == 0 && withinTol(t, lastTime))
+                matchRow.update(0, lastTime)
+              else matchRow.setNullAt(0)
             }
-            if (haveLast && lastKey == k) matchRow.update(0, lastTime)
-            else matchRow.setNullAt(0)
           }
           proj(joined(l, matchRow))
         }
@@ -129,13 +163,19 @@ case class AsOfJoinExec(
 }
 
 object AsOfJoin {
-  /** Left as-of join: `left`'s rows plus column `outCol` = the
-    * greatest `rightTimeCol` of the same-keyed right row at or before
-    * `leftTimeCol` (NULL if none). Key/time columns must be LongType. */
+  /** Left as-of join: `left`'s rows plus column `outCol` = the nearest
+    * same-keyed right `rightTimeCol` at-or-before (backward, default)
+    * or at-or-after (forward) `leftTimeCol`, NULL if none (or if the
+    * nearest match exceeds `tolerance`, LongType times only). Key and
+    * time columns may be any orderable atomic type. */
   def asof(leftDf: DataFrame, rightDf: DataFrame,
            leftKeyCol: String, leftTimeCol: String,
            rightKeyCol: String, rightTimeCol: String,
-           outCol: String = "asof_time"): DataFrame = {
+           outCol: String = "asof_time",
+           direction: String = "backward",
+           tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val spark = leftDf.sparkSession
     Bridge.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = Bridge.analyzed(leftDf)
@@ -143,13 +183,22 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String, side: String): Attribute = {
       val a = p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"$side column '$n' not found in ${p.output.map(_.name)}"))
-      require(a.dataType == LongType, s"$side column '$n' must be LongType, got ${a.dataType}")
+      require(RowOrdering.isOrderable(a.dataType),
+        s"$side column '$n' has unorderable type ${a.dataType}")
       a
     }
-    val node = AsOfJoinNode(lPlan, rPlan,
-      attr(lPlan, leftKeyCol, "left"), attr(lPlan, leftTimeCol, "left"),
-      attr(rPlan, rightKeyCol, "right"), attr(rPlan, rightTimeCol, "right"),
-      AttributeReference(outCol, LongType, nullable = true)())
+    val lk = attr(lPlan, leftKeyCol, "left"); val lt = attr(lPlan, leftTimeCol, "left")
+    val rk = attr(rPlan, rightKeyCol, "right"); val rt = attr(rPlan, rightTimeCol, "right")
+    require(lk.dataType == rk.dataType,
+      s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"time types differ: ${lt.dataType} vs ${rt.dataType}")
+    require(tolerance.isEmpty || lt.dataType == LongType,
+      s"tolerance requires LongType times, got ${lt.dataType}")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
+    val node = AsOfJoinNode(lPlan, rPlan, lk, lt, rk, rt,
+      direction == "forward", tolerance,
+      AttributeReference(outCol, lt.dataType, nullable = true)())
     Bridge.ofRows(spark, node)
   }
 }

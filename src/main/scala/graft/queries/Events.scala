@@ -89,13 +89,17 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
-  /** The same as-of semantics as [[q_asof_join]], executed by the
-    * custom Catalyst operator [[graft.plans.AsOfJoinExec]] instead of
-    * the window composition: each side is exchanged + sorted
-    * independently (narrow schemas, no unioned row shape) and merged
-    * in one forward pass with O(1) state. Shares q_asof_join's DuckDB
-    * oracle — the custom physical operator is hash-verified against
-    * the same SQL. */
+  /** The as-of join executed by the custom Catalyst operator
+    * [[graft.plans.AsOfJoinExec]] instead of the window composition:
+    * each side is exchanged + sorted independently (narrow schemas, no
+    * unioned row shape) and merged in one forward pass with O(1)
+    * state. Tie semantics: the operator is a RANGE-frame as-of — ANY
+    * click with us <= t matches, regardless of event_id arrival order
+    * — so its oracle uses a RANGE window frame ordered by us alone
+    * ([[q_asof_join]]'s ROWS frame over (us, event_id) would exclude a
+    * same-microsecond click with a higher event_id; the two coincide
+    * only while the data has no same-(user, us) click/error
+    * collision). */
   def q_asof_native(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"), Tables.tsUs.as("us"))

@@ -15,8 +15,12 @@ package graft.queries
   * Table names are bare (driver resolves them to the sfDir parquet).
   */
 object Oracle {
-  /** Shared by q_asof_join (window composition) and q_asof_native (the
-    * custom AsOfJoinExec operator): one oracle, two execution paths. */
+  /** q_asof_join's oracle: ROWS frame over (us, event_id) — the exact
+    * twin of the window composition. q_asof_native gets its own RANGE
+    * variant below: the custom operator matches ANY same-us click, so
+    * a ROWS frame would diverge on a same-(user, us) click/error
+    * collision (none in this data, but the oracle must encode the
+    * operator's semantics, not the data's current gaps). */
   private val asofSql =
     """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
       |m AS (SELECT user_id, event_id, event_type, us,
@@ -523,8 +527,17 @@ object Oracle {
 
     "q_asof_join" -> asofSql,
 
-    // the custom-operator twin is verified against the IDENTICAL oracle
-    "q_asof_native" -> asofSql,
+    // RANGE frame ordered by us alone — "any click at us' <= us",
+    // exactly the operator's comparison (see scaladoc above)
+    "q_asof_native" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, event_id, event_type, us,
+        |             MAX(CASE WHEN event_type = 'click' THEN us END)
+        |               OVER (PARTITION BY user_id ORDER BY us
+        |                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        |      FROM e)
+        |SELECT user_id, event_id, COALESCE(us - last_click_us, -1) AS gap_us
+        |FROM m WHERE event_type = 'error' ORDER BY user_id, event_id""".stripMargin,
 
     "q_late_data" ->
       """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),

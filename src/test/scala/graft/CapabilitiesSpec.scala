@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
 class CapabilitiesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("multi-file tables: q_agg_pricing parity on a 32-file lineitem") {
+    // proves the "nothing assumes single-file" claim (Tables.scala):
+    // the same query over the same rows split across 32 parquet part
+    // files must produce identical output
+    val dir = java.nio.file.Files.createTempDirectory("graft_multifile").toString
+    Tables.lineitem(spark, sf).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val nFiles = new java.io.File(s"$dir/lineitem.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 1, s"expected a multi-file table, got $nFiles file(s)")
+    assert(rows(queries.Relational.q_agg_pricing(spark, dir)) ==
+           rows(queries.Relational.q_agg_pricing(spark, sf)))
+  }
+
   test("counters: df.observe collects metrics without extra actions") {
     val obs = Observation("m")
     val n = Tables.lineitem(spark, sf)

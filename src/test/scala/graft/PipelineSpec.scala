@@ -219,7 +219,7 @@ class PipelineSpec extends SparkSpecBase {
     assert(got.head.getLong(2) == 2L)      // max_overlap
   }
 
-  test("sim_ivf: exact within probed cells, scores agree with brute force") {
+  test("sim_ivf: exact within probed cells, recall floor vs brute force") {
     val ivf = HashOps.q_sim_ivf(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(ivf.size == 10)
@@ -229,5 +229,10 @@ class PipelineSpec extends SparkSpecBase {
     // exact same score (same probe, same arithmetic)
     val shared = ivf.keySet.intersect(brute.keySet)
     shared.foreach(k => assert(ivf(k) == brute(k), s"vec $k: ${ivf(k)} vs ${brute(k)}"))
+    // the Lloyd-trained quantizer (cell ids are opaque hashes, never
+    // the label) must recover a meaningful share of the true top-10 at
+    // nprobe=3 — observed 5/10 on this data; floor set with margin for
+    // float-order assignment flips
+    assert(shared.size >= 3, s"IVF recall ${shared.size}/10 below floor 3/10")
   }
 }

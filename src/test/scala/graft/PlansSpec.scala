@@ -57,6 +57,52 @@ class PlansSpec extends SparkSpecBase {
     assert(exchanges == 2, s"expected 2 exchanges (one per side), got $exchanges")
   }
 
+  test("asof: string keys via the interpreted ordering path") {
+    val l = Seq(("alpha", 100L), ("alpha", 200L), ("beta", 50L), ("gamma", 10L))
+      .toDF("k", "t")
+    val r = Seq(("alpha", 90L), ("alpha", 150L), ("beta", 50L), ("delta", 1L))
+      .toDF("rk", "rt")
+    val got = AsOfJoin.asof(l, r, "k", "t", "rk", "rt").collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> (if (x.isNullAt(2)) -1L else x.getLong(2)))
+      .toMap
+    assert(got(("alpha", 100L)) == 90L)
+    assert(got(("alpha", 200L)) == 150L)
+    assert(got(("beta", 50L)) == 50L)
+    assert(got(("gamma", 10L)) == -1L)
+  }
+
+  test("asof: tolerance nulls too-distant matches instead of backing off") {
+    val l = leftDf((1L, 100L), (1L, 200L), (1L, 300L))
+    val r = rightDf((1L, 95L), (1L, 150L))
+    val got = AsOfJoin.asof(l, r, "k", "t", "rk", "rt", tolerance = Some(10L))
+      .collect()
+      .map(x => x.getLong(1) -> (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+    assert(got(100L) == 95L)  // within 10
+    assert(got(200L) == -1L)  // nearest earlier (150) is 50 away: NULL, not 95
+    assert(got(300L) == -1L)
+  }
+
+  test("asof: forward direction takes the earliest at-or-after match") {
+    val l = leftDf((1L, 100L), (1L, 150L), (2L, 10L))
+    val r = rightDf((1L, 100L), (1L, 120L), (1L, 140L))
+    val got = AsOfJoin.asof(l, r, "k", "t", "rk", "rt", direction = "forward")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (if (x.isNullAt(2)) -1L else x.getLong(2)))
+      .toMap
+    assert(got((1L, 100L)) == 100L) // equal time matches forward too
+    assert(got((1L, 150L)) == -1L)  // nothing at-or-after
+    assert(got((2L, 10L)) == -1L)
+  }
+
+  test("asof: RANGE tie semantics — any same-time right row matches") {
+    // right rows (k=1, t=100) arrive 'after' the left row in any
+    // arrival-order sense; the operator still matches at equal time
+    val l = leftDf((1L, 100L))
+    val r = rightDf((1L, 100L), (1L, 100L))
+    val got = AsOfJoin.asof(l, r, "k", "t", "rk", "rt").collect()
+    assert(got.head.getLong(2) == 100L)
+  }
+
   test("asof native == window composition on the full sf0.001 events") {
     val native = queries.Events.q_asof_native(spark, sf).collect().map(_.toSeq)
     val window = queries.Events.q_asof_join(spark, sf).collect().map(_.toSeq)
