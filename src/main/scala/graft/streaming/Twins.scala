@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming twins of the §2.10 batch event-window queries
   * (SURVEY.md §2.10). These are demonstrated in StreamingTwinSpec only:
@@ -100,6 +101,28 @@ object Twins {
       .select(col("p_id"), col("c_id"))
   }
 
+  /** Streaming AS-OF join — the streaming twin of q_asof_join /
+    * AsOfJoinExec, via Spark 4's `transformWithState`: ONE long of
+    * per-user state (the latest click time — exactly the O(1) merge
+    * state of the batch operator) keyed by user. Each batch's rows for
+    * a user are folded in (us, event_id) order, so within a batch the
+    * semantics equal q_asof_join's ROWS frame; across batches the
+    * state carries forward, which is exact as long as batches respect
+    * per-key event-time order (true for AvailableNow file replay; a
+    * production out-of-order stream would add a watermark-buffered
+    * reorder in front, like the interval-join twin's bounds). */
+  def asof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = Tables.events(spark, sfDir).schema
+    spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet*")
+      .select(col("user_id"), col("event_id"),
+              expr("ts div 1000").as("us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new AsOfStateProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id", "gap_us")
+  }
+
   /** Streaming DEDUP — the streaming face of the §2.9 dedup family:
     * dropDuplicatesWithinWatermark on the event id keeps exactly the
     * first arrival of each id while the watermark lets state for old
@@ -111,4 +134,27 @@ object Twins {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
+}
+
+/** Top-level (shipped to tasks; must not capture a test/suite class):
+  * per-user as-of state = the greatest click time seen, folded in
+  * (us, event_id) order within each batch. In: (user, event_id, us,
+  * event_type); out: (user, event_id, gap_us) for error events, gap
+  * -1 when the user has no prior click. */
+private[graft] class AsOfStateProcessor
+  extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, Long)] {
+  @transient private var lastClick: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastClick = getHandle.getValueState[Long]("lastClick", Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long, String)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var last = if (lastClick.exists()) lastClick.get() else -1L
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eid, us, typ) =>
+      if (typ == "click") last = math.max(last, us)
+      else if (typ == "error") out += ((user, eid, if (last >= 0) us - last else -1L))
+    }
+    if (last >= 0) lastClick.update(last)
+    out.result().iterator
+  }
 }

@@ -20,6 +20,21 @@ class StreamingTwinSpec extends SparkSpecBase {
   private def diff(a: DataFrame, b: DataFrame): Long =
     a.except(b).count() + b.except(a).count()
 
+  test("streaming as-of twin matches batch q_asof_join exactly") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Twins.asof(spark, sf).writeStream.format("memory")
+        .queryName("t_asof").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val stream = spark.table("t_asof")
+      val batch = Events.q_asof_join(spark, sf)
+      assert(stream.count() > 0)
+      assert(diff(stream, batch.orderBy()) == 0)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming tumbling twin matches batch q_tumbling_window") {
     val stream = runToTable(Twins.tumbling(spark, sf), "t_tumbling")
     val batch = Events.q_tumbling_window(spark, sf)
