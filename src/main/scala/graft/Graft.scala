@@ -88,4 +88,90 @@ object Graft {
     * fails loudly if the round cap is hit. */
   def connectedComponents(edges: DataFrame): DataFrame =
     operators.ConnectedComponents.alternatingStar(edges)
+
+  /** Word-n-gram Jaccard near-dup pairs over ANY (id, text) DataFrame:
+    * (doc_a, doc_b, jaccard rounded 3) for exact Jaccard ≥
+    * thresholdPermille/1000, doc_a < doc_b, unordered. Inverted-index
+    * gram equi-join — never all-pairs — with the output-invariant
+    * integer size prune (J ≤ min/max ⇒ prune 1000·min < p·max at the
+    * join) and the exact integer threshold c·(1000+p) ≥ p·(na+nb).
+    * Work ∝ Σ gram-bucket², bounded by gram selectivity. Docs shorter
+    * than n tokens have no n-gram and never pair. */
+  def nearDupPairsNgram(docs: DataFrame, id: Column, text: Column,
+                        thresholdPermille: Int = 800, n: Int = 3): DataFrame = {
+    require(thresholdPermille > 0 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val p = thresholdPermille
+    val t = split(text, " ")
+    val grams = docs
+      .select(id.cast("long").as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+              explode(array_distinct(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+                i => concat_ws(" ", slice(col("t"), i, lit(n)))))).as("gram"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val sized = grams.join(broadcast(sizes), "doc_id")
+    sized
+      .select(col("gram"), col("doc_id").as("doc_a"), col("n_grams").as("na"))
+      .join(sized.select(col("gram"), col("doc_id").as("doc_b"), col("n_grams").as("nb")),
+            "gram")
+      .filter(col("doc_a") < col("doc_b") &&
+              col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") * (1000 + p) >= (col("na") + col("nb")) * p)
+      .select(col("doc_a"), col("doc_b"),
+              round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
+  }
+
+  /** Benchmark decontamination over ANY corpus/eval pair: corpus docs
+    * whose distinct word-n-gram overlap with an eval doc covers ≥
+    * coveragePermille/1000 of that eval doc's grams. Returns
+    * (doc_id, eval_id, common, n_eval), unordered. The eval side is
+    * small by definition, so its gram index is BROADCAST and the
+    * corpus streams through one map-side join — the scale-correct
+    * asymmetry. */
+  def decontaminate(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                    eval: DataFrame, evalId: Column, evalText: Column,
+                    n: Int = 3, coveragePermille: Int = 500): DataFrame = {
+    require(coveragePermille > 0 && coveragePermille <= 1000,
+      s"coveragePermille must be in (0, 1000], got $coveragePermille")
+    def grams(df: DataFrame, id: Column, text: Column, idName: String): DataFrame = {
+      val t = split(text, " ")
+      df.select(id.cast("long").as(idName), t.as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col(idName),
+                explode(array_distinct(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+                  i => concat_ws(" ", slice(col("t"), i, lit(n)))))).as("gram"))
+    }
+    val evalGrams = grams(eval, evalId, evalText, "eval_id")
+    val evalSizes = evalGrams.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+    grams(corpus, corpusId, corpusText, "doc_id")
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(evalSizes), "eval_id")
+      .filter(col("common") * 1000 >= col("n_eval") * coveragePermille)
+      .select(col("doc_id"), col("eval_id"), col("common"), col("n_eval"))
+  }
+
+  /** Exact global top-k most-similar vector pairs of ANY (id, vec)
+    * DataFrame by (HALF_UP-3 rounded dot DESC, id_a, id_b) — executed
+    * by the custom [[graft.plans.DotTopKJoinExec]] over `chunks`
+    * bounded id-hash blocks of the planner-broadcast peer side; the
+    * quadratic pair set is never materialized as rows. Ids LongType,
+    * vectors array<double>. */
+  def topkCosinePairs(vecs: DataFrame, id: Column, vec: Column,
+                      k: Int, chunks: Int = 2): DataFrame = {
+    require(k > 0 && chunks > 0, s"k and chunks must be positive")
+    val e = vecs.select(id.cast("long").as("vec_id"), vec.as("v"))
+    (0 until chunks).map { c =>
+      val peers = e.filter(pmod(col("vec_id"), lit(chunks)) === c)
+        .select(col("vec_id").as("pid"), col("v").as("pv"))
+      plans.DotTopK.topk(e, peers, "vec_id", "v", "pid", "pv", k)
+    }.reduce(_ union _)
+      .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(k)
+  }
 }

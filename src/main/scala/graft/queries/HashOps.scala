@@ -86,18 +86,9 @@ object HashOps {
     * oracle's unnest-ordered SUM; rounding replicates Spark's ROUND
     * (BigDecimal HALF_UP), with the exec's proven cheap-reject bound
     * skipping the exact rounding for non-candidates. */
-  def q_dedup_embed(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val chunks = 2
-    (0 until chunks).map { c =>
-      val peers = e.filter(pmod(col("vec_id"), lit(chunks)) === c)
-        .select(col("vec_id").as("pid"), col("v").as("pv"))
-      graft.plans.DotTopK.topk(e, peers, "vec_id", "v", "pid", "pv", 20)
-    }.reduce(_ union _)
-      .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
-      .limit(20)
-  }
+  def q_dedup_embed(s: SparkSession, d: String): DataFrame =
+    graft.Graft.topkCosinePairs(Tables.embeddings(s, d),
+      col("vec_id"), col("embedding").cast("array<double>"), k = 20, chunks = 2)
 
   /** Deterministic ±1 random hyperplanes for SRP hashing: plane p,
     * dim i weight from a seeded Murmur bit. */

@@ -27,50 +27,24 @@ object PipelineOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def ngramPairGraph(s: SparkSession, d: String): DataFrame =
-    pairGraphCache.getOrElseUpdate((s, d), {
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"),
-                explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 2),
-                  i => concat_ws(" ", slice(col("t"), i, lit(3)))))).as("gram"))
-      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      // Size filter (similarity-join literature): J = c/(na+nb-c) ≥ 0.8
-      // with c ≤ min(na,nb) forces min/max ≥ 0.8, so pruning dissimilar-
-      // sized pairs AT THE JOIN is provably output-invariant and drops
-      // ~75% of candidate pair-rows before the pair aggregation. The
-      // ratio test is exact integer arithmetic (5·min ≥ 4·max).
-      val sized = grams.join(broadcast(sizes), "doc_id")
-      val common = sized
-        .select(col("gram"), col("doc_id").as("doc_a"), col("n_grams").as("na"))
-        .join(sized.select(col("gram"), col("doc_id").as("doc_b"), col("n_grams").as("nb")),
-              "gram")
-        .filter(col("doc_a") < col("doc_b") &&
-                col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
-        .groupBy("doc_a", "doc_b", "na", "nb") // sizes ride along: no re-join
-        .agg(count(lit(1)).as("common"))
-      // Final threshold in EXACT integer arithmetic: J = c/(na+nb-c) >= 0.8
-      // <=> 9c >= 4(na+nb). The rounded jaccard is an output column only,
-      // so the size prune above (derived for raw J >= 0.8) stays provably
-      // output-invariant — no [0.7995, 0.8) rounding slack can admit a
-      // pair the prune dropped.
-      common
-        .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
-        .localCheckpoint()
-    })
+    pairGraphCache.getOrElseUpdate((s, d),
+      graft.Graft.nearDupPairsNgram(Tables.documents(s, d),
+          col("doc_id"), col("text"), thresholdPermille = 800, n = 3)
+        .localCheckpoint())
 
   /** Word-3-gram Jaccard near-dup pairs at ≥ 0.8, via an INVERTED
     * INDEX join (docs sharing ≥1 gram), never all-pairs: explode
     * distinct grams → equi-join on gram → per-pair common count →
-    * Jaccard from |A|, |B|, |A∩B|. The gram join is the classic
-    * scale shape: work is proportional to Σ bucket², bounded by gram
-    * selectivity, not corpus². Pair graph shared with
-    * [[q_dedup_cluster]] via [[ngramPairGraph]]. */
+    * Jaccard from |A|, |B|, |A∩B|, with the provably output-invariant
+    * integer size prune and exact integer threshold (see
+    * [[graft.Graft.nearDupPairsNgram]] — this query IS the facade
+    * applied to the documents table, so the oracle verifies the
+    * public API). The gram join is the classic scale shape: work is
+    * proportional to Σ bucket², bounded by gram selectivity, not
+    * corpus². Pair graph shared with [[q_dedup_cluster]] via
+    * [[ngramPairGraph]]. */
   def q_dedup_ngram(s: SparkSession, d: String): DataFrame =
-    ngramPairGraph(s, d)
-      .select(col("doc_a"), col("doc_b"),
-              round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    ngramPairGraph(s, d).orderBy("doc_a", "doc_b")
 
   /** Per-document quality scoring: token count, mean token length
     * (exact from n_chars — the corpus is single-space separated),
@@ -224,26 +198,19 @@ object PipelineOps {
 
   /** Benchmark decontamination: flag corpus documents whose word-3-gram
     * overlap with any eval-set document (here: doc_id < 10) covers at
-    * least half of that eval document's distinct grams. The classic
-    * scale shape: the eval set is small BY DEFINITION, so its gram
-    * inverted index is a broadcast — the corpus streams through one
-    * map-side join, never a self-join. Emits per-eval-doc counts. */
+    * least half of that eval document's distinct grams. This query IS
+    * [[graft.Graft.decontaminate]] applied to the documents table
+    * (corpus = doc_id ≥ 10, eval = doc_id < 10, coverage 500‰), so the
+    * oracle verifies the public API: the eval side is small BY
+    * DEFINITION, its gram inverted index broadcasts, and the corpus
+    * streams through one map-side join — never a self-join. Emits
+    * per-eval-doc counts. */
   def q_contamination(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-              explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 2),
-                i => concat_ws(" ", slice(col("t"), i, lit(3)))))).as("gram"))
-    val evalGrams = grams.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("eval_id"), col("gram"))
-    val evalSizes = evalGrams.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
-    grams.filter(col("doc_id") >= 10)
-      .join(broadcast(evalGrams), "gram")
-      .groupBy("doc_id", "eval_id")
-      .agg(count(lit(1)).as("common"))
-      .join(broadcast(evalSizes), "eval_id")
-      .filter(col("common") * 2 >= col("n_eval"))
+    val docs = Tables.documents(s, d)
+    graft.Graft.decontaminate(
+        docs.filter(col("doc_id") >= 10), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 10), col("doc_id"), col("text"),
+        n = 3, coveragePermille = 500)
       .groupBy("eval_id")
       .agg(count(lit(1)).as("n_contaminated"), max("common").as("max_overlap"))
       .orderBy("eval_id")

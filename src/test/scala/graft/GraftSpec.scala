@@ -39,6 +39,43 @@ class GraftSpec extends SparkSpecBase {
     assert(got.forall(!_.isNullAt(1)))
   }
 
+  test("nearDupPairsNgram: exact jaccard at a non-default threshold and n") {
+    // 2-grams: doc1 {a b, b c, c d}, doc2 {a b, b c, c x} → J = 2/4 = 0.5;
+    // doc3 shares nothing
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "p q r s"))
+      .toDF("id", "txt")
+    val got = Graft.nearDupPairsNgram(docs, $"id", $"txt",
+        thresholdPermille = 500, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.5)))
+    // raising the threshold above 500 drops the pair
+    assert(Graft.nearDupPairsNgram(docs, $"id", $"txt", 501, 2).count() == 0)
+  }
+
+  test("decontaminate: coverage threshold against a tiny eval set") {
+    // eval doc 100 has grams {a b c, b c d} (n_eval=2); corpus doc 1
+    // shares both (coverage 1000‰), doc 2 shares one (500‰), doc 3 none
+    val corpus = Seq((1L, "a b c d"), (2L, "x a b c"), (3L, "p q r s"))
+      .toDF("id", "txt")
+    val eval = Seq((100L, "a b c d")).toDF("eid", "etxt")
+    val at500 = Graft.decontaminate(corpus, $"id", $"txt", eval, $"eid", $"etxt",
+        n = 3, coveragePermille = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(at500 == Set((1L, 2L, 2L), (2L, 1L, 2L)))
+    val at1000 = Graft.decontaminate(corpus, $"id", $"txt", eval, $"eid", $"etxt",
+        n = 3, coveragePermille = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(at1000 == Set(1L))
+  }
+
+  test("topkCosinePairs: chunk count never changes the result") {
+    val e = Tables.embeddings(spark, sf)
+    def run(chunks: Int) = rows(Graft.topkCosinePairs(
+      e, $"vec_id", $"embedding".cast("array<double>"), k = 15, chunks = chunks))
+    assert(run(1) == run(3))
+    assert(run(1).size == 15)
+  }
+
   test("asofJoin facade matches the window composition") {
     val ev = Tables.events(spark, sf)
       .select($"user_id", $"event_id", $"event_type", Tables.tsUs.as("us"))
