@@ -125,6 +125,64 @@ object Graft {
               round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
   }
 
+  /** MinHash/LSH near-dup pairs over ANY (id, text) DataFrame:
+    * (doc_a, doc_b, est_jaccard rounded 3) for estimated Jaccard ≥
+    * estPermille/1000 (matching-signature fraction of
+    * [[MinHash.NumPerms]] permutations), doc_a < doc_b, unordered.
+    * Scale shape (the one the oracle-verified q_dedup_minhash runs):
+    * identical token SETS collapse to one representative before
+    * anything quadratic; one signature per distinct set (element-wise-
+    * min merging Aggregator — combiner-safe); LSH band-bucket
+    * candidate join on hashed band keys, never all-pairs; signatures
+    * re-attached to surviving pairs only; set-level pairs expand back
+    * to doc-level pairs (within-group pairs are exact dups, est 1.0).
+    * The estimate filter is exact integer arithmetic:
+    * matches·1000 ≥ p·NumPerms. */
+  def nearDupPairsMinhash(docs: DataFrame, id: Column, text: Column,
+                          estPermille: Int = 900): DataFrame = {
+    require(estPermille > 0 && estPermille <= 1000,
+      s"estPermille must be in (0, 1000], got $estPermille")
+    val base = docs.select(id.cast("long").as("doc_id"),
+        array_sort(array_distinct(split(text, " "))).as("toks"))
+      .withColumn("fp", array_join(col("toks"), " "))
+    val groups = base.groupBy("fp")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
+    val sigs = groups.select(col("rep"), col("fp"))
+      .join(base.select(col("doc_id"), col("toks")), col("rep") === col("doc_id"))
+      .select(col("rep"), explode(col("toks")).as("token"))
+      .groupBy("rep")
+      .agg(udaf(MinHash.agg).apply(col("token")).as("sig"))
+    val banded = sigs.select(col("rep"),
+        posexplode(transform(sequence(lit(0), lit(MinHash.NumBands - 1)),
+          b => slice(col("sig"), b * MinHash.RowsPerBand + 1, lit(MinHash.RowsPerBand)))))
+      .select(col("rep"), xxhash64(col("pos"), col("col")).as("bucket"))
+    val repPairs = banded.select(col("bucket"), col("rep").as("rep_a"))
+      .join(banded.select(col("bucket"), col("rep").as("rep_b")), Seq("bucket"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b")
+      .distinct()
+    val matches = functions.ArrayMatchCount.matchCount(col("sig_a"), col("sig_b"))
+    val candRep = repPairs
+      .join(broadcast(sigs.select(col("rep").as("rep_a"), col("sig").as("sig_a"))), "rep_a")
+      .join(broadcast(sigs.select(col("rep").as("rep_b"), col("sig").as("sig_b"))), "rep_b")
+      .filter(matches * 1000 >= lit(estPermille * MinHash.NumPerms))
+      .select(col("rep_a"), col("rep_b"),
+              round(matches.cast("double") / MinHash.NumPerms, 3).as("est_jaccard"))
+    val members = groups.select(col("rep"), col("members"))
+    val crossDocs = candRep
+      .join(broadcast(members.select(col("rep").as("rep_a"), col("members").as("ms_a"))), "rep_a")
+      .join(broadcast(members.select(col("rep").as("rep_b"), col("members").as("ms_b"))), "rep_b")
+      .select(explode(col("ms_a")).as("da"), col("ms_b"), col("est_jaccard"))
+      .select(col("da"), explode(col("ms_b")).as("db"), col("est_jaccard"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+              greatest(col("da"), col("db")).as("doc_b"), col("est_jaccard"))
+    val intraDocs = base.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(base.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("est_jaccard"))
+    crossDocs.union(intraDocs)
+  }
+
   /** Benchmark decontamination over ANY corpus/eval pair: corpus docs
     * whose distinct word-n-gram overlap with an eval doc covers ≥
     * coveragePermille/1000 of that eval doc's grams. Returns
@@ -154,6 +212,37 @@ object Graft {
       .join(broadcast(evalSizes), "eval_id")
       .filter(col("common") * 1000 >= col("n_eval") * coveragePermille)
       .select(col("doc_id"), col("eval_id"), col("common"), col("n_eval"))
+  }
+
+  /** SimHash near-dup pairs over ANY (id, text) DataFrame:
+    * (doc_a, doc_b, hamming) for Hamming distance ≤ maxHamming between
+    * tf-weighted 64-bit SimHash fingerprints, doc_a < doc_b,
+    * unordered. Candidates come from [[SimHash.NumBands]] 16-bit band
+    * buckets, which have PERFECT recall only for maxHamming ≤
+    * NumBands-1 (pigeonhole) — larger radii are rejected rather than
+    * silently losing pairs. Band key and Hamming are pure built-ins
+    * (codegen-fused); rows stay two longs wide end-to-end. */
+  def nearDupPairsSimhash(docs: DataFrame, id: Column, text: Column,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= SimHash.NumBands - 1,
+      s"band LSH guarantees recall only for maxHamming <= ${SimHash.NumBands - 1}, " +
+        s"got $maxHamming")
+    val sigs = docs
+      .select(id.cast("long").as("doc_id"), explode(split(text, " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(udaf(SimHash.agg).apply(col("token"), col("tf")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(SimHash.NumBands - 1))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+              expr(s"shiftrightunsigned(sig, band * ${SimHash.BandBits}) & 65535").as("key"))
+    banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+            Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact global top-k most-similar vector pairs of ANY (id, vec)

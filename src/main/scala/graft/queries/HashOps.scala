@@ -19,28 +19,13 @@ object HashOps {
     * band-equality self-join (perfect recall at ≤3 by pigeonhole,
     * see [[graft.SimHash.NumBands]]) → exact Hamming filter. Narrow
     * rows (two longs) end-to-end; never all-pairs. */
-  def q_dedup_simhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .groupBy("doc_id")
-      .agg(udaf(SimHash.agg).apply(col("token"), col("tf")).as("sig"))
-    // Band key and Hamming distance as pure built-ins (codegen-fused,
-    // null-propagating): band b = bits [16b, 16b+16) of the signature;
-    // Hamming = popcount of the XOR. Mirrors SimHash.bandKey/hamming.
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(SimHash.NumBands - 1))).as("band"))
-      .select(col("doc_id"), col("sig"), col("band"),
-              expr(s"shiftrightunsigned(sig, band * ${SimHash.BandBits}) & 65535").as("key"))
-    banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-            Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), expr("bit_count(sig_a ^ sig_b)").as("hamming"))
-      .filter(col("hamming") <= 3) // before the dedup: the distinct's
-      .distinct()                  // exchange carries only true pairs
+  def q_dedup_simhash(s: SparkSession, d: String): DataFrame =
+    // The query IS graft.Graft.nearDupPairsSimhash applied to the
+    // documents table at Hamming ≤ 3 (pigeonhole-perfect recall for
+    // the 4×16-bit banding); built-in band key / bit_count Hamming.
+    graft.Graft.nearDupPairsSimhash(Tables.documents(s, d),
+        col("doc_id"), col("text"), maxHamming = 3)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Winnowing document fingerprints (the MOSS scheme): 3-token
     * shingles → xxhash64 per shingle → keep the minimum hash of every

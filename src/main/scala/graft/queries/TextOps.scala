@@ -88,68 +88,17 @@ object TextOps {
     * you'd additionally salt giant buckets; the shape stays the same.
     * No oracle (not SQL-expressible) — property-tested vs exact
     * Jaccard in MinHashSpec. */
-  def q_dedup_minhash(s: SparkSession, d: String): DataFrame = {
-    // 1. Collapse identical token SETS: docs sharing a set are est=1.0
-    //    pairs by construction and need no LSH. This also collapses the
-    //    corpus's giant clone-groups (one sf0.1 set has 248 copies)
-    //    before anything quadratic runs.
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"),
-              array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      .withColumn("fp", array_join(col("toks"), " "))
-    val groups = docs.groupBy("fp")
-      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
-    // 2. One 64-perm MinHash signature per DISTINCT set, via the
-    //    MinHash Aggregator (partials merge element-wise-min → the
-    //    combiner path works unchanged at scale).
-    val sigs = groups.select(col("rep"), col("fp"))
-      .join(docs.select(col("doc_id"), col("toks")), col("rep") === col("doc_id"))
-      .select(col("rep"), explode(col("toks")).as("token"))
-      .groupBy("rep")
-      .agg(udaf(MinHash.agg).apply(col("token")).as("sig"))
-    // 3. LSH banding: 16 band keys per signature; candidate pairs join
-    //    on band key only (never all-pairs). Rows stay NARROW — the
-    //    pair-dedup shuffles (rep_a, rep_b) longs, not signatures.
-    // Bucket id = one long hash of (band, 4-row slice): the self-join
-    // shuffles single longs instead of array keys. A hash collision
-    // only adds a false candidate, which the est filter removes.
-    val banded = sigs.select(col("rep"),
-        posexplode(transform(sequence(lit(0), lit(MinHash.NumBands - 1)),
-          b => slice(col("sig"), b * MinHash.RowsPerBand + 1, lit(MinHash.RowsPerBand)))))
-      .select(col("rep"), xxhash64(col("pos"), col("col")).as("bucket"))
-    val repPairs = banded.select(col("bucket"), col("rep").as("rep_a"))
-      .join(banded.select(col("bucket"), col("rep").as("rep_b")), Seq("bucket"))
-      .filter(col("rep_a") < col("rep_b"))
-      .select("rep_a", "rep_b")
-      .distinct()
-    // 4. Attach signatures only to surviving pairs (broadcast of the
-    //    per-set signature table) and estimate Jaccard = matching
-    //    signature fraction (native codegen'd kernel — an interpreted
-    //    zip_with here costs 64 lambda steps × millions of pairs).
-    val est = graft.functions.ArrayMatchCount
-      .matchCount(col("sig_a"), col("sig_b")).cast("double") / MinHash.NumPerms
-    val candRep = repPairs
-      .join(broadcast(sigs.select(col("rep").as("rep_a"), col("sig").as("sig_a"))), "rep_a")
-      .join(broadcast(sigs.select(col("rep").as("rep_b"), col("sig").as("sig_b"))), "rep_b")
-      .select(col("rep_a"), col("rep_b"), round(est, 3).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.9)
-    // 5. Expand set-level pairs back to doc-level pairs: cross-group
-    //    pairs inherit the group estimate (identical sets ⇒ identical
-    //    signatures); within-group pairs are exact dups, est 1.0.
-    val members = groups.select(col("rep"), col("members"))
-    val crossDocs = candRep
-      .join(broadcast(members.select(col("rep").as("rep_a"), col("members").as("ms_a"))), "rep_a")
-      .join(broadcast(members.select(col("rep").as("rep_b"), col("members").as("ms_b"))), "rep_b")
-      .select(explode(col("ms_a")).as("da"), col("ms_b"), col("est_jaccard"))
-      .select(col("da"), explode(col("ms_b")).as("db"), col("est_jaccard"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-              greatest(col("da"), col("db")).as("doc_b"), col("est_jaccard"))
-    val intraDocs = docs.select(col("fp"), col("doc_id").as("doc_a"))
-      .join(docs.select(col("fp"), col("doc_id").as("doc_b")), "fp")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(1.0).as("est_jaccard"))
-    crossDocs.union(intraDocs).orderBy("doc_a", "doc_b")
-  }
+  def q_dedup_minhash(s: SparkSession, d: String): DataFrame =
+    // The query IS graft.Graft.nearDupPairsMinhash applied to the
+    // documents table at est ≥ 0.9 — set-collapse before anything
+    // quadratic, one signature per distinct set (combiner-safe
+    // Aggregator), hashed band-bucket candidate join (never
+    // all-pairs), signatures re-attached to survivors only, set-level
+    // pairs expanded back to doc level. Property-tested vs exact
+    // Jaccard in MinHashSpec; generality tested in GraftSpec.
+    graft.Graft.nearDupPairsMinhash(Tables.documents(s, d),
+        col("doc_id"), col("text"), estPermille = 900)
+      .orderBy("doc_a", "doc_b")
 
   /** Vector similarity top-k: cosine of every embedding vs the probe
     * (vec_id=0). Embeddings are unit-normalized (FIXTURES.md) so cosine

@@ -68,6 +68,28 @@ class GraftSpec extends SparkSpecBase {
     assert(at1000 == Set(1L))
   }
 
+  test("nearDupPairsMinhash: identical sets always pair at est 1.0") {
+    // doc2 is a token-permutation+duplication of doc1 (same SET);
+    // doc3 is disjoint — must never appear at a high threshold
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "h g f e d c b a a"),
+                   (3L, "p q r s t u v w")).toDF("id", "txt")
+    val got = Graft.nearDupPairsMinhash(docs, $"id", $"txt", estPermille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)))
+  }
+
+  test("nearDupPairsSimhash: radius 0 keeps only identical fingerprints") {
+    val docs = Seq((1L, "a a b c"), (2L, "a a b c"), (3L, "x y z w"))
+      .toDF("id", "txt")
+    val got = Graft.nearDupPairsSimhash(docs, $"id", $"txt", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0)))
+    // radii beyond the banding's pigeonhole guarantee are rejected
+    intercept[IllegalArgumentException] {
+      Graft.nearDupPairsSimhash(docs, $"id", $"txt", maxHamming = 10)
+    }
+  }
+
   test("topkCosinePairs: chunk count never changes the result") {
     val e = Tables.embeddings(spark, sf)
     def run(chunks: Int) = rows(Graft.topkCosinePairs(
