@@ -49,6 +49,38 @@ object Graft {
   def deterministicKeep(id: Column, keepPermille: Int): Column =
     pmod(pmod(id, lit(1000000007L)) * 2654435761L, lit(1000)) < keepPermille
 
+  /** Quality-scoring signals for a whitespace-token text column with a
+    * known char count: (n_tokens, avg_len_centi, stop_permille,
+    * quality_permille) as a struct — the q_text_quality signals in
+    * generic form. Integer floor-div outputs (engine-portable: float
+    * rounding flaps at exact .005 boundaries, integers cannot).
+    * `stopwords` defaults to the corpus gate's {the, a}. */
+  def qualitySignals(text: Column, nChars: Column,
+                     stopwords: Seq[String] = Seq("the", "a")): Column = {
+    val t = split(text, " ")
+    val nL = size(t).cast("long")
+    val stopsL = size(filter(t, tok => stopwords.map(tok === _).reduce(_ || _)))
+      .cast("long")
+    struct(size(t).as("n_tokens"),
+           floor((nChars - (nL - 1)) * 100 / nL).cast("long").as("avg_len_centi"),
+           floor(stopsL * 1000 / nL).cast("long").as("stop_permille"),
+           floor(least(nL, lit(50L)) * (nL - stopsL) * 1000 / (lit(50L) * nL))
+             .cast("long").as("quality_permille"))
+  }
+
+  /** Token counts for a text column, three ways: whitespace tokens, a
+    * BPE-ish `[^a-z0-9]+` regex tokenization, and a subword estimate
+    * (ceil(len/2) per token — the fixed-rate byte-level budget proxy).
+    * The q_token_count signals in generic per-row form. */
+  def tokenCounts(text: Column): Column = {
+    val t = split(text, " ")
+    struct(size(t).as("n_ws"),
+           size(split(text, "[^a-z0-9]+")).as("n_re"),
+           aggregate(t, lit(0L),
+             (acc, tok) => acc + floor((length(tok) + 1) / 2.0).cast("long"))
+             .as("n_subword"))
+  }
+
   /** Gopher-style repetition-quality signals for a whitespace-token
     * text column: (duplicate-token, duplicate-2-gram, duplicate-3-gram)
     * permilles as a struct. Pure per-row computation. A document with

@@ -24,6 +24,27 @@ class GraftSpec extends SparkSpecBase {
     assert(rows(viaFacade) == rows(queries.PipelineOps.q_repetition(spark, sf)))
   }
 
+  test("qualitySignals reproduces q_text_quality's integer signals") {
+    val viaFacade = Tables.documents(spark, sf)
+      .select($"doc_id", Graft.qualitySignals($"text", $"n_chars").as("q"))
+      .select($"doc_id", $"q.n_tokens", $"q.avg_len_centi",
+              $"q.stop_permille", $"q.quality_permille")
+      .orderBy("doc_id")
+    assert(rows(viaFacade) == rows(queries.PipelineOps.q_text_quality(spark, sf)))
+  }
+
+  test("tokenCounts reproduces q_token_count's per-source sums") {
+    val viaFacade = Tables.documents(spark, sf)
+      .select($"source", $"text", Graft.tokenCounts($"text").as("t"))
+      .groupBy("source")
+      .agg(sum($"t.n_ws".cast("long")).as("ws_tokens"),
+           sum($"t.n_re".cast("long")).as("re_tokens"),
+           sum($"t.n_subword").as("subword_tokens"),
+           countDistinct($"text").as("n_distinct_docs"))
+      .orderBy("source")
+    assert(rows(viaFacade) == rows(queries.PipelineOps.q_token_count(spark, sf)))
+  }
+
   test("repetitionScores on short docs yields NULL fields, not a fault") {
     val docs = Seq((1L, "one"), (2L, "two words"), (3L, "now three words"), (4L, ""))
       .toDF("doc_id", "text")
