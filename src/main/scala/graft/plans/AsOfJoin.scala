@@ -103,57 +103,104 @@ case class AsOfJoinExec(
     val timeType = leftTime.dataType
     val fwd = forward
     val tol = tolerance
-    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
-      (lIter, rIter) =>
-        val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
-        val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
-        val proj = UnsafeProjection.create(output, output)
-        val joined = new JoinedRow
-        val matchRow = new GenericInternalRow(1)
-        // O(1) merge state: the last consumed right (key, time)
-        var haveLast = false; var lastKey: Any = null; var lastTime: Any = null
-        // right-side lookahead
-        var haveR = false; var rKey: Any = null; var rTime: Any = null
-        def pullRight(): Unit = {
-          haveR = false
-          while (!haveR && rIter.hasNext) {
-            val r = rIter.next()
-            if (!r.isNullAt(rki) && !r.isNullAt(rti)) {
-              rKey = r.get(rki, keyType); rTime = r.get(rti, timeType); haveR = true
-            }
-          }
-        }
-        def withinTol(a: Any, b: Any): Boolean = tol match {
-          case None => true
-          case Some(t) => math.abs(a.asInstanceOf[Long] - b.asInstanceOf[Long]) <= t
-        }
-        pullRight()
-        lIter.map { l =>
-          if (l.isNullAt(lki) || l.isNullAt(lti)) {
-            matchRow.setNullAt(0)
-          } else {
-            val k = l.get(lki, keyType); val t = l.get(lti, timeType)
-            if (fwd) {
-              // drop rights strictly before t (same key) or before k
-              while (haveR && (keyOrd.compare(rKey, k) < 0 ||
-                     (keyOrd.compare(rKey, k) == 0 && timeOrd.compare(rTime, t) < 0)))
-                pullRight()
-              if (haveR && keyOrd.compare(rKey, k) == 0 && withinTol(rTime, t))
-                matchRow.update(0, rTime)
-              else matchRow.setNullAt(0)
-            } else {
-              while (haveR && (keyOrd.compare(rKey, k) < 0 ||
-                     (keyOrd.compare(rKey, k) == 0 && timeOrd.compare(rTime, t) <= 0))) {
-                lastKey = rKey; lastTime = rTime; haveLast = true
-                pullRight()
+    // Specialized primitive merge for the dominant case (long ids +
+    // epoch-µs times): no per-row boxing, no interpreted-ordering
+    // dispatch — the constant that matters over 10^12 rows. The
+    // generic path below handles every other orderable type.
+    if (keyType == LongType && timeType == LongType) {
+      left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+        (lIter, rIter) =>
+          val proj = UnsafeProjection.create(output, output)
+          val joined = new JoinedRow
+          val matchRow = new GenericInternalRow(1)
+          val tolV = tol.getOrElse(Long.MaxValue)
+          var haveLast = false; var lastKey = 0L; var lastTime = 0L
+          var haveR = false; var rKey = 0L; var rTime = 0L
+          def pullRight(): Unit = {
+            haveR = false
+            while (!haveR && rIter.hasNext) {
+              val r = rIter.next()
+              if (!r.isNullAt(rki) && !r.isNullAt(rti)) {
+                rKey = r.getLong(rki); rTime = r.getLong(rti); haveR = true
               }
-              if (haveLast && keyOrd.compare(lastKey, k) == 0 && withinTol(t, lastTime))
-                matchRow.update(0, lastTime)
-              else matchRow.setNullAt(0)
             }
           }
-          proj(joined(l, matchRow))
-        }
+          pullRight()
+          lIter.map { l =>
+            if (l.isNullAt(lki) || l.isNullAt(lti)) {
+              matchRow.setNullAt(0)
+            } else {
+              val k = l.getLong(lki); val t = l.getLong(lti)
+              if (fwd) {
+                while (haveR && (rKey < k || (rKey == k && rTime < t))) pullRight()
+                if (haveR && rKey == k && rTime - t <= tolV) matchRow.update(0, rTime)
+                else matchRow.setNullAt(0)
+              } else {
+                while (haveR && (rKey < k || (rKey == k && rTime <= t))) {
+                  lastKey = rKey; lastTime = rTime; haveLast = true
+                  pullRight()
+                }
+                if (haveLast && lastKey == k && t - lastTime <= tolV)
+                  matchRow.update(0, lastTime)
+                else matchRow.setNullAt(0)
+              }
+            }
+            proj(joined(l, matchRow))
+          }
+      }
+    } else {
+      left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+        (lIter, rIter) =>
+          val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+          val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+          val proj = UnsafeProjection.create(output, output)
+          val joined = new JoinedRow
+          val matchRow = new GenericInternalRow(1)
+          // O(1) merge state: the last consumed right (key, time)
+          var haveLast = false; var lastKey: Any = null; var lastTime: Any = null
+          // right-side lookahead
+          var haveR = false; var rKey: Any = null; var rTime: Any = null
+          def pullRight(): Unit = {
+            haveR = false
+            while (!haveR && rIter.hasNext) {
+              val r = rIter.next()
+              if (!r.isNullAt(rki) && !r.isNullAt(rti)) {
+                rKey = r.get(rki, keyType); rTime = r.get(rti, timeType); haveR = true
+              }
+            }
+          }
+          def withinTol(a: Any, b: Any): Boolean = tol match {
+            case None => true
+            case Some(t) => math.abs(a.asInstanceOf[Long] - b.asInstanceOf[Long]) <= t
+          }
+          pullRight()
+          lIter.map { l =>
+            if (l.isNullAt(lki) || l.isNullAt(lti)) {
+              matchRow.setNullAt(0)
+            } else {
+              val k = l.get(lki, keyType); val t = l.get(lti, timeType)
+              if (fwd) {
+                // drop rights strictly before t (same key) or before k
+                while (haveR && (keyOrd.compare(rKey, k) < 0 ||
+                       (keyOrd.compare(rKey, k) == 0 && timeOrd.compare(rTime, t) < 0)))
+                  pullRight()
+                if (haveR && keyOrd.compare(rKey, k) == 0 && withinTol(rTime, t))
+                  matchRow.update(0, rTime)
+                else matchRow.setNullAt(0)
+              } else {
+                while (haveR && (keyOrd.compare(rKey, k) < 0 ||
+                       (keyOrd.compare(rKey, k) == 0 && timeOrd.compare(rTime, t) <= 0))) {
+                  lastKey = rKey; lastTime = rTime; haveLast = true
+                  pullRight()
+                }
+                if (haveLast && keyOrd.compare(lastKey, k) == 0 && withinTol(t, lastTime))
+                  matchRow.update(0, lastTime)
+                else matchRow.setNullAt(0)
+              }
+            }
+            proj(joined(l, matchRow))
+          }
+      }
     }
   }
 
