@@ -103,6 +103,35 @@ class PlansSpec extends SparkSpecBase {
     assert(got.head.getLong(2) == 100L)
   }
 
+  test("asof == brute-force reference on random data (both directions, tolerance)") {
+    // in-Scala oracle: nearest same-key right time at-or-before /
+    // at-or-after, nulled when beyond tolerance
+    def reference(ls: Seq[(Long, Long)], rs: Seq[(Long, Long)],
+                  fwd: Boolean, tol: Option[Long]): Map[(Long, Long), Long] =
+      ls.map { case (k, t) =>
+        val cand = rs.filter(r => r._1 == k && (if (fwd) r._2 >= t else r._2 <= t))
+          .map(_._2)
+        val nearest = if (cand.isEmpty) None
+          else Some(if (fwd) cand.min else cand.max)
+        val ok = nearest.filter(m => tol.forall(x => math.abs(m - t) <= x))
+        (k, t) -> ok.getOrElse(-1L)
+      }.toMap
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4; fwd <- Seq(false, true); tol <- Seq(None, Some(5L))) {
+      // distinct left (k, t) pairs so the result is a well-defined map
+      val ls = rnd.shuffle((0L until 40L).map(i => (i % 5, rnd.nextInt(30).toLong))
+        .distinct.toSeq)
+      val rs = Seq.fill(30)((rnd.nextInt(6).toLong, rnd.nextInt(30).toLong))
+      val got = AsOfJoin.asof(leftDf(ls: _*), rightDf(rs: _*), "k", "t", "rk", "rt",
+          direction = if (fwd) "forward" else "backward", tolerance = tol)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)) ->
+          (if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+      assert(got == reference(ls, rs, fwd, tol),
+        s"trial=$trial fwd=$fwd tol=$tol")
+    }
+  }
+
   test("asof native == window composition on the full sf0.001 events") {
     val native = queries.Events.q_asof_native(spark, sf).collect().map(_.toSeq)
     val window = queries.Events.q_asof_join(spark, sf).collect().map(_.toSeq)
