@@ -47,7 +47,45 @@ object Graft {
     * overflow-safe multiplicative hash — the id is reduced mod 1e9+7
     * before the Knuth multiply so the product stays under 2^62). */
   def deterministicKeep(id: Column, keepPermille: Int): Column =
+    deterministicKeep(id, lit(keepPermille))
+
+  /** Column-valued keep rate — per-row mixture weights (q_mixture_
+    * sample's shape: each source/stratum carries its own permille). */
+  def deterministicKeep(id: Column, keepPermille: Column): Column =
     pmod(pmod(id, lit(1000000007L)) * 2654435761L, lit(1000)) < keepPermille
+
+  /** Self-trained n-gram-profile language ID over ANY labeled
+    * (id, text, lang) DataFrame: builds a top-`topK`-token profile per
+    * language from the corpus itself, scores every document by profile
+    * overlap, predicts argmax (ties → lexicographic language).
+    * Returns (doc_id, lang, pred_lang) — the true label rides along so
+    * callers build confusion matrices without re-joining the corpus.
+    * Profiles are ≤ topK·|languages| rows — a broadcast — so scoring
+    * is one map-side join at any corpus size; the corpus is tokenized
+    * exactly ONCE for both profile building and scoring. */
+  def languageId(docs: DataFrame, id: Column, text: Column, lang: Column,
+                 topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokC = docs.select(id.cast("long").as("doc_id"), lang.as("lang"),
+        explode(split(text, " ")).as("token"))
+      .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("cnt"))
+    val wTop = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
+    val profiles = tokC.groupBy("lang", "token").agg(sum("cnt").as("cnt"))
+      .select(col("lang").as("profile_lang"), col("token"),
+              row_number().over(wTop).as("rk"))
+      .filter(col("rk") <= topK)
+      .select("profile_lang", "token")
+    val wPred = Window.partitionBy("doc_id")
+      .orderBy(col("overlap").desc, col("profile_lang").asc)
+    tokC.select("doc_id", "lang", "token")
+      .join(broadcast(profiles), "token")
+      .groupBy("doc_id", "lang", "profile_lang")
+      .agg(count(lit(1)).as("overlap"))
+      .select(col("doc_id"), col("lang"), col("profile_lang"),
+              row_number().over(wPred).as("rk"))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("profile_lang").as("pred_lang"))
+  }
 
   /** Quality-scoring signals for a whitespace-token text column with a
     * known char count: (n_tokens, avg_len_centi, stop_permille,

@@ -67,39 +67,18 @@ object PipelineOps {
 
   /** N-gram-profile language ID: build a top-10-token profile per
     * language from the corpus itself, score every document by profile
-    * overlap, predict argmax (ties → lexicographic lang). Emitted as
-    * the (true lang × predicted lang) confusion matrix. Profiles are
-    * 50 rows — a broadcast — so the per-doc scoring is one map-side
-    * join + small aggregation at any corpus size. */
-  def q_lang_id(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    // Tokenize ONCE: per-(doc, token) counts are both the profile input
-    // (sum over docs) and the distinct doc-token set — one explode and
-    // one wide shuffle instead of two of each.
-    val tokC = docs.select(col("doc_id"), col("lang"), explode(toks).as("token"))
-      .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("cnt"))
-    val wTop = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
-    val profiles = tokC.groupBy("lang", "token").agg(sum("cnt").as("cnt"))
-      .select(col("lang").as("profile_lang"), col("token"),
-              row_number().over(wTop).as("rk"))
-      .filter(col("rk") <= 10)
-      .select("profile_lang", "token")
-    // the true lang rides along with the distinct doc-tokens, saving a
-    // third documents scan + join at the end
-    val docTokens = tokC.select("doc_id", "lang", "token")
-    val wPred = Window.partitionBy("doc_id")
-      .orderBy(col("overlap").desc, col("profile_lang").asc)
-    docTokens.join(broadcast(profiles), "token")
-      .groupBy("doc_id", "lang", "profile_lang")
-      .agg(count(lit(1)).as("overlap"))
-      .select(col("doc_id"), col("lang"), col("profile_lang"),
-              row_number().over(wPred).as("rk"))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("lang"), col("profile_lang").as("pred_lang"))
+    * overlap, predict argmax (ties → lexicographic lang). This query
+    * IS [[graft.Graft.languageId]] applied to the documents table
+    * (one tokenize serves profile building AND scoring; the ≤50-row
+    * profile broadcasts so scoring is map-side at any corpus size),
+    * aggregated to the (true lang × predicted lang) confusion
+    * matrix — so the oracle verifies the public API. */
+  def q_lang_id(s: SparkSession, d: String): DataFrame =
+    graft.Graft.languageId(Tables.documents(s, d),
+        col("doc_id"), col("text"), col("lang"), topK = 10)
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "pred_lang")
-  }
 
   /** End-to-end training-data pipeline composition: exact dedup
     * (keep min doc_id per (lang, token-multiset)) → quality gate
@@ -185,10 +164,10 @@ object PipelineOps {
   def q_mixture_sample(s: SparkSession, d: String): DataFrame = {
     val sfx = regexp_extract(col("source"), "([0-9]+)$", 1).try_cast("long")
     val keepP = (pmod(sfx, lit(4L)) + 1) * 50
-    val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L, lit(1000))
     Tables.documents(s, d)
       .select(col("source"), col("n_chars"), keepP.as("keep_permille"),
-              when(h < keepP, 1L).otherwise(0L).as("kept"))
+              when(graft.Graft.deterministicKeep(col("doc_id"), keepP), 1L)
+                .otherwise(0L).as("kept"))
       .groupBy("source", "keep_permille")
       .agg(count(lit(1)).as("n_docs"),
            sum("kept").as("n_kept"),

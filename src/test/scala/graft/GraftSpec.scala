@@ -24,6 +24,24 @@ class GraftSpec extends SparkSpecBase {
     assert(rows(viaFacade) == rows(queries.PipelineOps.q_repetition(spark, sf)))
   }
 
+  test("languageId: perfectly separable vocabularies classify exactly") {
+    val docs = Seq(
+      (1L, "aa bb cc aa", "xx"), (2L, "bb aa cc cc", "xx"),
+      (3L, "dd ee ff dd", "yy"), (4L, "ee ff dd ee", "yy"),
+      (5L, "aa aa bb cc", "xx")).toDF("id", "txt", "lg")
+    val got = Graft.languageId(docs, $"id", $"txt", $"lg")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got.size == 5)
+    got.foreach { case (id, (lang, pred)) => assert(lang == pred, s"doc $id") }
+  }
+
+  test("deterministicKeep: column-valued rate equals the literal overload") {
+    val ids = Tables.documents(spark, sf).select($"doc_id")
+    val viaInt = ids.filter(Graft.deterministicKeep($"doc_id", 100))
+    val viaCol = ids.filter(Graft.deterministicKeep($"doc_id", lit(100)))
+    assert(rows(viaInt.orderBy("doc_id")) == rows(viaCol.orderBy("doc_id")))
+  }
+
   test("qualitySignals reproduces q_text_quality's integer signals") {
     val viaFacade = Tables.documents(spark, sf)
       .select($"doc_id", Graft.qualitySignals($"text", $"n_chars").as("q"))
