@@ -75,16 +75,19 @@ object Graft {
               row_number().over(wTop).as("rk"))
       .filter(col("rk") <= topK)
       .select("profile_lang", "token")
-    val wPred = Window.partitionBy("doc_id")
-      .orderBy(col("overlap").desc, col("profile_lang").asc)
+    // argmax as a map-side-combinable aggregate, not a window:
+    // min_by over (-overlap, profile_lang) = max overlap, ties to the
+    // lexicographically smallest language — identical semantics to a
+    // (overlap DESC, profile_lang ASC) row_number()=1, without the
+    // per-doc shuffle + sort
     tokC.select("doc_id", "lang", "token")
       .join(broadcast(profiles), "token")
       .groupBy("doc_id", "lang", "profile_lang")
       .agg(count(lit(1)).as("overlap"))
-      .select(col("doc_id"), col("lang"), col("profile_lang"),
-              row_number().over(wPred).as("rk"))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("lang"), col("profile_lang").as("pred_lang"))
+      .groupBy("doc_id", "lang")
+      .agg(min_by(col("profile_lang"),
+                  struct(negate(col("overlap")), col("profile_lang"))).as("pred_lang"))
+      .select("doc_id", "lang", "pred_lang")
   }
 
   /** Quality-scoring signals for a whitespace-token text column with a

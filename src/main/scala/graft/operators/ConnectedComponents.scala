@@ -92,7 +92,12 @@ object ConnectedComponents {
         .filter(col("a") =!= col("b")).distinct()
     }
     // convergence metadata: one (count, xor-checksum) row per round
-    // (XOR, not SUM: order-free, merge-safe and can never overflow)
+    // (XOR, not SUM: order-free, merge-safe and can never overflow).
+    // A false convergence needs an xxhash64 multiset collision at
+    // EQUAL edge counts in consecutive rounds (~2^-64); the
+    // alternative — a full except() diff per round — costs two extra
+    // shuffles per round for protection against a probability far
+    // below hardware error rates.
     def sig(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))

@@ -137,17 +137,17 @@ object HashOps {
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                        x => x.getField("c")).as("cv"))
-    def assign(cents: DataFrame): DataFrame = {
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("aff").desc, col("cell").asc)
+    // argmax-dot assignment as a map-side-combinable aggregate, not a
+    // window: min_by over (-aff, cell) = max affinity, ties to the
+    // smallest cell id — no k×-blown shuffle + sort at scale
+    def assign(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("label"), col("v"), col("cell"),
                 dot(col("v"), col("cv")).as("aff"))
-        .select(col("vec_id"), col("label"), col("v"), col("cell"),
-                row_number().over(wAssign).as("rk"))
-        .filter(col("rk") === 1)
+        .groupBy("vec_id")
+        .agg(first("label").as("label"), first("v").as("v"),
+             min_by(col("cell"), struct(negate(col("aff")), col("cell"))).as("cell"))
         .select("vec_id", "label", "v", "cell")
-    }
     // seed cells = label means under an opaque hashed id, then Lloyd
     var centroids = recompute(e.select(xxhash64(col("label")).as("cell"), col("v")))
       .localCheckpoint()

@@ -26,11 +26,15 @@ object PipelineOps {
   private val pairGraphCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def ngramPairGraph(s: SparkSession, d: String): DataFrame =
+  private def ngramPairGraph(s: SparkSession, d: String): DataFrame = {
+    // bound the cache: entries for stopped sessions would otherwise
+    // pin their checkpointed blocks for the life of the JVM
+    if (pairGraphCache.size > 8) pairGraphCache.clear()
     pairGraphCache.getOrElseUpdate((s, d),
       graft.Graft.nearDupPairsNgram(Tables.documents(s, d),
           col("doc_id"), col("text"), thresholdPermille = 800, n = 3)
         .localCheckpoint())
+  }
 
   /** Word-3-gram Jaccard near-dup pairs at ≥ 0.8, via an INVERTED
     * INDEX join (docs sharing ≥1 gram), never all-pairs: explode
