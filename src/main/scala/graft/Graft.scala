@@ -141,6 +141,55 @@ object Graft {
            guarded(3).as("dup_g3_permille"))
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme) for ANY
+    * (id, text) DataFrame: `shingle`-token shingles → xxhash64 per
+    * shingle → minimum hash of every `window`-shingle window →
+    * distinct fingerprint set. Returns (doc_id, n_shingles,
+    * n_fingerprints, min_fp); docs too short for one full window are
+    * dropped. Pure per-row higher-order functions — embarrassingly
+    * parallel at any corpus size. */
+  def winnowingFingerprints(docs: DataFrame, id: Column, text: Column,
+                            shingle: Int = 3, window: Int = 4): DataFrame = {
+    require(shingle >= 1 && window >= 1, "shingle and window must be >= 1")
+    val t = split(text, " ")
+    val shingles = transform(sequence(lit(1), size(t) - (shingle - 1)),
+      i => xxhash64(concat_ws(" ", slice(t, i, lit(shingle)))))
+    val fps = transform(sequence(lit(1), size(col("hashes")) - (window - 1)),
+      i => array_min(slice(col("hashes"), i, lit(window))))
+    docs
+      .filter(size(t) >= shingle + window - 1) // ≥ 1 full winnowing window
+      .select(id.cast("long").as("doc_id"), shingles.as("hashes"))
+      .select(col("doc_id"), size(col("hashes")).as("n_shingles"),
+              array_distinct(fps).as("fp"))
+      .select(col("doc_id"), col("n_shingles"),
+              size(col("fp")).as("n_fingerprints"),
+              array_min(col("fp")).as("min_fp"))
+  }
+
+  /** Top-k terms per group by summed TF·IDF over ANY (group, text)
+    * DataFrame: idf = ln(N/df) is constant per term, so the score is
+    * exactly (Σ tf)·idf — an integer times one double, sidestepping
+    * float-summation order. Returns (group, term, score, rn) with
+    * ranking on the ROUNDED score + term tiebreak. One tokenize feeds
+    * both TF and DF; the DF table and doc count broadcast. */
+  def tfidfTopTerms(docs: DataFrame, id: Column, group: Column, text: Column,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokC = docs.select(id.as("doc_id"), group.as("grp"),
+        explode(split(text, " ")).as("term"))
+      .groupBy("doc_id", "grp", "term").agg(count(lit(1)).as("cnt"))
+    val tf = tokC.groupBy("grp", "term").agg(sum("cnt").as("tot_tf"))
+    val df = tokC.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col("grp"), col("term"),
+              round(col("tot_tf").cast("double") * log(col("n_docs") / col("df")), 4).as("score"))
+      .select(col("grp"), col("term"), col("score"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
+
   /** MinHash signature of a token column, as an aggregation over the
     * rows of one group (`groupBy(docId).agg(minhashSignature(col))`).
     * Partial buffers merge element-wise-min — combiner-safe. */

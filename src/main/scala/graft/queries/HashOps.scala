@@ -29,24 +29,14 @@ object HashOps {
 
   /** Winnowing document fingerprints (the MOSS scheme): 3-token
     * shingles → xxhash64 per shingle → keep the minimum hash of every
-    * 4-shingle window → distinct fingerprint set per document. All
-    * higher-order functions over one row — embarrassingly parallel. */
-  def q_doc_fingerprint(s: SparkSession, d: String): DataFrame = {
-    val t = split(col("text"), " ")
-    val shingles = transform(sequence(lit(1), size(t) - 2),
-      i => xxhash64(concat_ws(" ", slice(t, i, lit(3)))))
-    val fps = transform(sequence(lit(1), size(col("hashes")) - 3),
-      i => array_min(slice(col("hashes"), i, lit(4))))
-    Tables.documents(s, d)
-      .filter(size(t) >= 6) // need ≥1 full winnowing window (4 shingles)
-      .select(col("doc_id"), shingles.as("hashes"))
-      .select(col("doc_id"), size(col("hashes")).as("n_shingles"),
-              array_distinct(fps).as("fp"))
-      .select(col("doc_id"), col("n_shingles"),
-              size(col("fp")).as("n_fingerprints"),
-              array_min(col("fp")).as("min_fp"))
+    * 4-shingle window → distinct fingerprint set per document. The
+    * query IS [[graft.Graft.winnowingFingerprints]] applied to the
+    * documents table — all higher-order functions over one row,
+    * embarrassingly parallel. */
+  def q_doc_fingerprint(s: SparkSession, d: String): DataFrame =
+    graft.Graft.winnowingFingerprints(Tables.documents(s, d),
+        col("doc_id"), col("text"), shingle = 3, window = 4)
       .orderBy("doc_id")
-  }
 
   /** Exact pairwise-cosine "near-dup review queue": the 20 most
     * similar embedding pairs. Brute force all-pairs — the exact

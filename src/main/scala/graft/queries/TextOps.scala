@@ -39,29 +39,17 @@ object TextOps {
     * sidesteps float-summation order entirely (rule F). Ranking is on
     * the ROUNDED score with a term tiebreak so both engines rank
     * identically. */
-  def q_tfidf(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val tok = docs.select(col("doc_id"), col("lang"),
-                          explode(split(col("text"), " ")).as("term"))
-    // Tokenize ONCE: collapse to per-(doc, term) counts first (partial
-    // agg shrinks this map-side — a doc's tokens are colocated), then
-    // derive both TF and DF from the small intermediate instead of
-    // exploding the corpus twice. (doc_id, term) is unique in tokC, so
-    // DF is a plain count.
-    val tokC = tok.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("cnt"))
-    val tf = tokC.groupBy("lang", "term").agg(sum("cnt").as("tot_tf"))
-    val df = tokC.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).cast("double").as("n_docs")) // 1-row scalar, broadcast
-    val scored = tf.join(broadcast(df), "term")
-      .crossJoin(broadcast(n))
-      .select(col("lang"), col("term"),
-              round(col("tot_tf").cast("double") * log(col("n_docs") / col("df")), 4).as("score"))
-    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("term").asc)
-    scored.select(col("lang"), col("term"), col("score"),
-                  row_number().over(w).as("rn"))
-      .filter(col("rn") <= 5)
+  def q_tfidf(s: SparkSession, d: String): DataFrame =
+    // The query IS graft.Graft.tfidfTopTerms applied to the documents
+    // table, grouped by language: one tokenize feeds TF and DF
+    // (partial agg shrinks it map-side), DF + doc count broadcast,
+    // score = (Σ tf)·idf — an integer times one double, so float
+    // summation order never matters; ranking on the ROUNDED score
+    // with a term tiebreak keeps both engines' rankings identical.
+    graft.Graft.tfidfTopTerms(Tables.documents(s, d),
+        col("doc_id"), col("lang"), col("text"), k = 5)
+      .withColumnRenamed("grp", "lang")
       .orderBy("lang", "rn")
-  }
 
   /** Exact dedup by content fingerprint (sorted-token-multiset join):
     * keeper = min(doc_id) per (lang, fingerprint); per-lang survivor

@@ -24,6 +24,42 @@ class GraftSpec extends SparkSpecBase {
     assert(rows(viaFacade) == rows(queries.PipelineOps.q_repetition(spark, sf)))
   }
 
+  test("winnowingFingerprints: window=1 keeps every distinct shingle hash") {
+    // with window 1, each fingerprint window is a single shingle, so
+    // n_fingerprints = number of DISTINCT shingles
+    val docs = Seq((1L, "a b c d e"), (2L, "a a a a")).toDF("id", "txt")
+    val got = Graft.winnowingFingerprints(docs, $"id", $"txt", shingle = 2, window = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) == (4, 4)) // 4 distinct 2-shingles
+    assert(got(2L) == (3, 1)) // "a a" three times -> 1 distinct
+  }
+
+  test("tfidfTopTerms: a group-exclusive term outranks shared terms") {
+    val docs = Seq((1L, "g1", "rare common common"), (2L, "g2", "common common other"))
+      .toDF("id", "grp", "txt")
+    val top = Graft.tfidfTopTerms(docs, $"id", $"grp", $"txt", k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // 'common' appears in both docs (idf = 0) — the exclusive terms win
+    assert(top == Map("g1" -> "rare", "g2" -> "other"))
+  }
+
+  test("text facades tolerate NULL text rows (dropped or null-struct, no fault)") {
+    val docs = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]), (3L, "a b c x"))
+      .toDF("id", "txt")
+    val pairs = Graft.nearDupPairsNgram(docs, $"id", $"txt", 500, 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
+    // SimHash: identical texts pair at Hamming 0 (a one-token swap in a
+    // 4-token doc legitimately exceeds radius 3); the null row must
+    // simply drop out without faulting
+    val simDocs = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]), (3L, "a b c d"))
+      .toDF("id", "txt")
+    assert(Graft.nearDupPairsSimhash(simDocs, $"id", $"txt", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
+    val q = docs.select($"id", Graft.qualitySignals($"txt", length($"txt")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!q(1L) && !q(3L)) // null text -> row survives, struct fields null
+  }
+
   test("languageId: perfectly separable vocabularies classify exactly") {
     val docs = Seq(
       (1L, "aa bb cc aa", "xx"), (2L, "bb aa cc cc", "xx"),
