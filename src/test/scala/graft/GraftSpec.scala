@@ -60,6 +60,17 @@ class GraftSpec extends SparkSpecBase {
     assert(!q(1L) && !q(3L)) // null text -> row survives, struct fields null
   }
 
+  test("facades on empty inputs return empty, never fault") {
+    val noDocs = Seq.empty[(Long, String)].toDF("id", "txt")
+    assert(Graft.nearDupPairsNgram(noDocs, $"id", $"txt").count() == 0)
+    assert(Graft.nearDupPairsMinhash(noDocs, $"id", $"txt").count() == 0)
+    assert(Graft.nearDupPairsSimhash(noDocs, $"id", $"txt").count() == 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Graft.connectedComponents(noEdges).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "v")
+    assert(Graft.topkCosinePairs(noVecs, $"id", $"v", 5).count() == 0)
+  }
+
   test("languageId: perfectly separable vocabularies classify exactly") {
     val docs = Seq(
       (1L, "aa bb cc aa", "xx"), (2L, "bb aa cc cc", "xx"),
