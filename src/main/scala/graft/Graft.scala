@@ -141,6 +141,32 @@ object Graft {
            guarded(3).as("dup_g3_permille"))
   }
 
+  /** Interval join of ANY two event tables: every (left, right) pair
+    * with |leftTime − rightTime| ≤ radius (long times, e.g. epoch-µs).
+    * The inequality join is decomposed into an EQUI-join on
+    * radius-sized time cells (the right side exploded to its 3
+    * adjacent cells — each qualifying pair meets in exactly ONE cell,
+    * so no dedup) plus the exact residual filter: linear in events per
+    * cell, never a nested loop. Cell ids use integer `div` — epoch-µs
+    * exceeds double's exact range, so float division would corrupt
+    * bucketing (SURVEY §7.4 rule T). Output = left columns followed by
+    * right columns (callers provide collision-free names). */
+  def intervalJoin(left: DataFrame, leftTime: Column,
+                   right: DataFrame, rightTime: Column,
+                   radius: Long): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    val outCols = left.columns.map(col) ++ right.columns.map(col)
+    val l = left.withColumn("__lt", leftTime.cast("long"))
+      .withColumn("__bucket", expr(s"__lt div $radius"))
+    val r = right.withColumn("__rt", rightTime.cast("long"))
+      .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__bucket", expr(s"__rt div $radius") + col("__off"))
+      .drop("__off")
+    l.join(r, "__bucket")
+      .filter(abs(col("__lt") - col("__rt")) <= radius)
+      .select(outCols: _*)
+  }
+
   /** Winnowing document fingerprints (the MOSS scheme) for ANY
     * (id, text) DataFrame: `shingle`-token shingles → xxhash64 per
     * shingle → minimum hash of every `window`-shingle window →

@@ -60,6 +60,27 @@ class GraftSpec extends SparkSpecBase {
     assert(!q(1L) && !q(3L)) // null text -> row survives, struct fields null
   }
 
+  test("intervalJoin equals the brute-force inequality join") {
+    val rnd = new scala.util.Random(7)
+    val l = (1L to 40L).map(i => (i, rnd.nextInt(1000).toLong)).toDF("lid", "lt")
+    val r = (1L to 40L).map(i => (i, rnd.nextInt(1000).toLong)).toDF("rid", "rt")
+    val got = Graft.intervalJoin(l, $"lt", r, $"rt", radius = 50L)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val brute = l.crossJoin(r).filter(abs($"lt" - $"rt") <= 50L)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
+  test("connectedComponents is idempotent on its own star output") {
+    val edges = Seq((5L, 2L), (2L, 9L), (4L, 9L), (7L, 6L)).toDF("u", "v")
+    val labels = Graft.connectedComponents(edges)
+    val asEdges = labels.filter($"node" =!= $"label")
+      .select($"node".as("u"), $"label".as("v"))
+    val again = Graft.connectedComponents(asEdges)
+    assert(rows(labels.filter($"node" =!= $"label").orderBy("node")) ==
+           rows(again.filter($"node" =!= $"label").orderBy("node")))
+  }
+
   test("facades on empty inputs return empty, never fault") {
     val noDocs = Seq.empty[(Long, String)].toDF("id", "txt")
     assert(Graft.nearDupPairsNgram(noDocs, $"id", $"txt").count() == 0)
