@@ -141,6 +141,29 @@ object Graft {
            guarded(3).as("dup_g3_permille"))
   }
 
+  /** Inactivity-gap sessionization for ANY keyed event DataFrame:
+    * appends `sessionCol` = 1-based session index per key, where a new
+    * session starts when time − previous time > gap (long times, e.g.
+    * epoch-µs). The classic lag-gap flag → running flag-sum — one
+    * exchange + sort per key partition, reused by both window passes.
+    * Pass `tiebreak` columns to pin the within-timestamp order when
+    * times can collide (determinism rule O). */
+  def sessionize(events: DataFrame, key: Column, time: Column, gap: Long,
+                 tiebreak: Seq[Column] = Nil,
+                 sessionCol: String = "session_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gap > 0, s"gap must be positive, got $gap")
+    val t = time.cast("long")
+    val wOrd = Window.partitionBy(key).orderBy((t +: tiebreak).map(_.asc): _*)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newFlag = when(t - lag(t, 1).over(wOrd) > gap, 1)
+      .when(lag(t, 1).over(wOrd).isNull, 1)
+      .otherwise(0)
+    events.withColumn("__new_s", newFlag)
+      .withColumn(sessionCol, sum("__new_s").over(wRun))
+      .drop("__new_s")
+  }
+
   /** Interval join of ANY two event tables: every (left, right) pair
     * with |leftTime − rightTime| ≤ radius (long times, e.g. epoch-µs).
     * The inequality join is decomposed into an EQUI-join on

@@ -45,29 +45,21 @@ object Events {
       .orderBy("win_start", "event_type")
 
   /** Session windows with a 30-min inactivity gap, per user: session
-    * count + mean session length in seconds. Classic lag-gap → running
-    * flag-sum session id (the batch form of
-    * `session_window(ts, "30 minutes")`). */
-  def q_session_window(s: SparkSession, d: String): DataFrame = {
-    val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val flagged = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), Tables.tsUs.as("us"))
-      .select(col("user_id"), col("us"),
-              when(col("us") - lag("us", 1).over(wOrd) > US_SESSION_GAP, 1)
-                .when(lag("us", 1).over(wOrd).isNull, 1)
-                .otherwise(0).as("new_s"),
-              col("event_id"))
-      .select(col("user_id"), col("us"),
-              sum("new_s").over(wRun).as("session_id"))
-    flagged
+    * count + mean session length in seconds. The sessionization IS
+    * [[graft.Graft.sessionize]] applied to the events table (classic
+    * lag-gap → running flag-sum, (us, event_id) tiebreak — the batch
+    * form of `session_window(ts, "30 minutes")`), so the oracle
+    * verifies the public API. */
+  def q_session_window(s: SparkSession, d: String): DataFrame =
+    graft.Graft.sessionize(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), Tables.tsUs.as("us")),
+        col("user_id"), col("us"), US_SESSION_GAP, Seq(col("event_id")))
       .groupBy("user_id", "session_id")
       .agg(((max("us") - min("us")) / lit(1000000.0)).as("len_sec"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
            round(avg("len_sec"), 2).as("avg_len_sec"))
       .orderBy("user_id")
-  }
 
   /** AS-OF join, declarative form: for every 'error' event, the most
     * recent preceding 'click' of the same user (inclusive on equal

@@ -60,6 +60,16 @@ class GraftSpec extends SparkSpecBase {
     assert(!q(1L) && !q(3L)) // null text -> row survives, struct fields null
   }
 
+  test("sessionize: gap boundaries are exclusive; sessions restart per key") {
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 201L), (1L, 301L), (2L, 0L))
+      .toDF("k", "t")
+    // gap=100: 0→100 stays (diff 100 not > gap), 100→201 breaks (101)
+    val got = Graft.sessionize(ev, $"k", $"t", gap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 0L) -> 1L, (1L, 100L) -> 1L, (1L, 201L) -> 2L,
+                      (1L, 301L) -> 2L, (2L, 0L) -> 1L))
+  }
+
   test("intervalJoin equals the brute-force inequality join") {
     val rnd = new scala.util.Random(7)
     val l = (1L to 40L).map(i => (i, rnd.nextInt(1000).toLong)).toDF("lid", "lt")
