@@ -20,6 +20,31 @@ class StreamingTwinSpec extends SparkSpecBase {
   private def diff(a: DataFrame, b: DataFrame): Long =
     a.except(b).count() + b.except(a).count()
 
+  test("per-row pipeline facades run unchanged under readStream") {
+    import org.apache.spark.sql.functions._
+    // qualitySignals / tokenCounts / repetitionScores are pure per-row
+    // expressions, so the same Column works in a streaming plan; the
+    // quality gate must keep exactly the rows the batch form keeps
+    val schema = Tables.documents(spark, sf).schema
+    val gated = spark.readStream.schema(schema)
+      .parquet(s"$sf/documents.parquet*")
+      .select(col("doc_id"), Graft.qualitySignals(col("text"), col("n_chars")).as("q"),
+              Graft.tokenCounts(col("text")).as("t"))
+      .filter(col("q.quality_permille") >= 400)
+      .select(col("doc_id"), col("t.n_subword"))
+    val q = gated.writeStream.format("memory").queryName("t_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("t_gate")
+    val batch = Tables.documents(spark, sf)
+      .select(col("doc_id"), Graft.qualitySignals(col("text"), col("n_chars")).as("q"),
+              Graft.tokenCounts(col("text")).as("t"))
+      .filter(col("q.quality_permille") >= 400)
+      .select(col("doc_id"), col("t.n_subword"))
+    assert(stream.count() > 0)
+    assert(diff(stream, batch) == 0)
+  }
+
   test("streaming as-of twin matches batch q_asof_join exactly") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
