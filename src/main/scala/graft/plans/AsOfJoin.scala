@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.LongType
 
@@ -79,6 +80,10 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] = left.output :+ asofOut
   override def producedAttributes: AttributeSet = AttributeSet(asofOut)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   /** Both children clustered by key — EnsureRequirements inserts one
     * co-partitioned exchange per side, same as a shuffle join. */
   override def requiredChildDistribution: Seq[Distribution] =
@@ -103,6 +108,8 @@ case class AsOfJoinExec(
     val timeType = leftTime.dataType
     val fwd = forward
     val tol = tolerance
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     // Specialized primitive merge for the dominant case (long ids +
     // epoch-µs times): no per-row boxing, no interpreted-ordering
     // dispatch — the constant that matters over 10^12 rows. The
@@ -133,18 +140,20 @@ case class AsOfJoinExec(
               val k = l.getLong(lki); val t = l.getLong(lti)
               if (fwd) {
                 while (haveR && (rKey < k || (rKey == k && rTime < t))) pullRight()
-                if (haveR && rKey == k && rTime - t <= tolV) matchRow.update(0, rTime)
-                else matchRow.setNullAt(0)
+                if (haveR && rKey == k && rTime - t <= tolV) {
+                  numMatched += 1; matchRow.update(0, rTime)
+                } else matchRow.setNullAt(0)
               } else {
                 while (haveR && (rKey < k || (rKey == k && rTime <= t))) {
                   lastKey = rKey; lastTime = rTime; haveLast = true
                   pullRight()
                 }
-                if (haveLast && lastKey == k && t - lastTime <= tolV)
-                  matchRow.update(0, lastTime)
-                else matchRow.setNullAt(0)
+                if (haveLast && lastKey == k && t - lastTime <= tolV) {
+                  numMatched += 1; matchRow.update(0, lastTime)
+                } else matchRow.setNullAt(0)
               }
             }
+            numOutputRows += 1
             proj(joined(l, matchRow))
           }
       }
@@ -184,20 +193,21 @@ case class AsOfJoinExec(
                 while (haveR && (keyOrd.compare(rKey, k) < 0 ||
                        (keyOrd.compare(rKey, k) == 0 && timeOrd.compare(rTime, t) < 0)))
                   pullRight()
-                if (haveR && keyOrd.compare(rKey, k) == 0 && withinTol(rTime, t))
-                  matchRow.update(0, rTime)
-                else matchRow.setNullAt(0)
+                if (haveR && keyOrd.compare(rKey, k) == 0 && withinTol(rTime, t)) {
+                  numMatched += 1; matchRow.update(0, rTime)
+                } else matchRow.setNullAt(0)
               } else {
                 while (haveR && (keyOrd.compare(rKey, k) < 0 ||
                        (keyOrd.compare(rKey, k) == 0 && timeOrd.compare(rTime, t) <= 0))) {
                   lastKey = rKey; lastTime = rTime; haveLast = true
                   pullRight()
                 }
-                if (haveLast && keyOrd.compare(lastKey, k) == 0 && withinTol(t, lastTime))
-                  matchRow.update(0, lastTime)
-                else matchRow.setNullAt(0)
+                if (haveLast && keyOrd.compare(lastKey, k) == 0 && withinTol(t, lastTime)) {
+                  numMatched += 1; matchRow.update(0, lastTime)
+                } else matchRow.setNullAt(0)
               }
             }
+            numOutputRows += 1
             proj(joined(l, matchRow))
           }
       }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
@@ -68,6 +69,10 @@ case class DotTopKJoinExec(
   override def output: Seq[Attribute] = Seq(outA, outB, outScore)
   override def producedAttributes: AttributeSet = AttributeSet(output)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numPairsScored" -> SQLMetrics.createMetric(sparkContext, "number of pairs scored"))
+
   /** Left streams in place; right arrives as a planner-built broadcast
     * (BroadcastExchange — managed memory accounting, size-capped). */
   override def requiredChildDistribution: Seq[Distribution] =
@@ -81,6 +86,8 @@ case class DotTopKJoinExec(
     val rid = right.output.indexWhere(_.exprId == rightId.exprId)
     val rvec = right.output.indexWhere(_.exprId == rightVec.exprId)
     val kk = k
+    val numOutputRows = longMetric("numOutputRows")
+    val numPairsScored = longMetric("numPairsScored")
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { iter =>
       val peerRows = bcast.value
@@ -110,6 +117,7 @@ case class DotTopKJoinExec(
           while (p < m) {
             val idb = ids(p)
             if (idb > ida) {
+              numPairsScored += 1
               val vb = vecs(p)
               var acc = 0.0; var i = 0
               while (i < va.length) { acc += va(i) * vb(i); i += 1 }
@@ -134,6 +142,7 @@ case class DotTopKJoinExec(
       // copy(): the projection reuses one UnsafeRow buffer, and the
       // TakeOrdered above buffers rows — ≤ k copies per partition.
       best.dequeueAll.iterator.map { t: (Double, Long, Long) =>
+        numOutputRows += 1
         row.update(0, t._2); row.update(1, t._3); row.update(2, t._1)
         proj(row).copy()
       }
@@ -154,6 +163,7 @@ object DotTopK {
   def topk(leftDf: DataFrame, rightDf: DataFrame,
            leftIdCol: String, leftVecCol: String,
            rightIdCol: String, rightVecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val spark = leftDf.sparkSession
     Bridge.addStrategy(spark, DotTopKJoinStrategy)
     val lPlan = Bridge.analyzed(leftDf)

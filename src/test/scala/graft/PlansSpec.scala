@@ -167,6 +167,29 @@ class PlansSpec extends SparkSpecBase {
       "peer side must arrive via a planner-built BroadcastExchange")
   }
 
+  test("custom execs report SQL metrics (pairs scored / matches)") {
+    import graft.plans.{DotTopK, DotTopKJoinExec}
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val peers = e.select(col("vec_id").as("pid"), col("v").as("pv"))
+    val df = DotTopK.topk(e, peers, "vec_id", "v", "pid", "pv", 5)
+    df.collect()
+    val topk = collectPlan(df.queryExecution.executedPlan)
+      .collectFirst { case x: DotTopKJoinExec => x }.get
+    val n = Tables.embeddings(spark, sf).count()
+    assert(topk.metrics("numPairsScored").value == n * (n - 1) / 2)
+    assert(topk.metrics("numOutputRows").value >= 5)
+
+    val l = leftDf((1L, 100L), (2L, 50L))
+    val r = rightDf((1L, 90L))
+    val adf = AsOfJoin.asof(l, r, "k", "t", "rk", "rt")
+    adf.collect()
+    val asof = collectPlan(adf.queryExecution.executedPlan)
+      .collectFirst { case x: AsOfJoinExec => x }.get
+    assert(asof.metrics("numOutputRows").value == 2)
+    assert(asof.metrics("numMatched").value == 1)
+  }
+
   test("dot-topk: per-partition output is bounded by k") {
     import graft.plans.DotTopK
     val e = Tables.embeddings(spark, sf)
