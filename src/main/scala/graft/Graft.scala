@@ -28,6 +28,18 @@ object Graft {
     plans.AsOfJoin.asof(left, right, leftKey, leftTime, rightKey, rightTime,
                         outCol, direction, tolerance)
 
+  /** Composite-key as-of join: like [[asofJoin]] but keyed on one OR
+    * MORE columns per side ((user, device), (symbol, venue) …) — key
+    * columns pair up positionally and may mix orderable types. */
+  def asofJoinMulti(left: DataFrame, right: DataFrame,
+                    leftKeys: Seq[String], leftTime: String,
+                    rightKeys: Seq[String], rightTime: String,
+                    outCol: String = "asof_time",
+                    direction: String = "backward",
+                    tolerance: Option[Long] = None): DataFrame =
+    plans.AsOfJoin.asofMulti(left, right, leftKeys, leftTime, rightKeys, rightTime,
+                             outCol, direction, tolerance)
+
   /** Skew-safe equi-join of a large skewed side against a small side
     * by replicating the small side across `salts` shards. */
   def saltedJoin(large: DataFrame, small: DataFrame,

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.LongType
   * path: a logical node, a planner strategy, and a physical exec with
   * declared distribution + ordering requirements.
   *
-  * Semantics, per left row with key k and time t:
+  * Semantics, per left row with key tuple k and time t:
   *  - direction = backward (default): append the greatest right `time`
   *    of the same key with rTime <= t (NULL if none) — "join each fact
   *    to the latest earlier state". Equal times count as earlier; ANY
@@ -28,19 +28,21 @@ import org.apache.spark.sql.types.LongType
   *    `tolerance` from t yields NULL instead — pandas merge_asof
   *    semantics: the nearest match is bounded, not replaced by an
   *    older one.
-  * Rows with a NULL key or time never match.
+  * Rows with a NULL time or ANY NULL key component never match.
   *
-  * Keys and times may be ANY orderable atomic type (string keys,
-  * timestamps, decimals …) — comparisons run through Catalyst's
-  * interpreted orderings; only `tolerance` is restricted to LongType
-  * times, where subtraction is well-defined.
+  * Keys are COMPOSITE (one or more columns — real event data keys on
+  * (user, device) or (symbol, venue)) and, like the time, may be ANY
+  * orderable atomic type (string keys, timestamps, decimals …) —
+  * comparisons run through Catalyst's interpreted orderings; only
+  * `tolerance` is restricted to LongType times, where subtraction is
+  * well-defined.
   *
   * Why a custom operator instead of the window-function composition
   * (queries.Events.q_asof_join): the window form must interleave BOTH
   * sides into one partition-ordered stream, so the whole union is
   * shuffled AND sorted together and the right side's columns ride
   * through the window state. This exec declares
-  * `ClusteredDistribution(key)` per child and per-child `(key, time)`
+  * `ClusteredDistribution(keys)` per child and per-child (keys…, time)
   * ordering, so Catalyst's EnsureRequirements plans ONE exchange +
   * sort per side (exactly what a sort-merge join gets), and the merge
   * itself is a single forward pass holding O(1) state — no window
@@ -50,8 +52,8 @@ import org.apache.spark.sql.types.LongType
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, leftTime: Attribute,
-    rightKey: Attribute, rightTime: Attribute,
+    leftKeys: Seq[Attribute], leftTime: Attribute,
+    rightKeys: Seq[Attribute], rightTime: Attribute,
     forward: Boolean, tolerance: Option[Long],
     asofOut: AttributeReference) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ asofOut
@@ -71,8 +73,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 }
 
 case class AsOfJoinExec(
-    leftKey: Attribute, leftTime: Attribute,
-    rightKey: Attribute, rightTime: Attribute,
+    leftKeys: Seq[Attribute], leftTime: Attribute,
+    rightKeys: Seq[Attribute], rightTime: Attribute,
     forward: Boolean, tolerance: Option[Long],
     asofOut: Attribute,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
@@ -84,37 +86,40 @@ case class AsOfJoinExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
 
-  /** Both children clustered by key — EnsureRequirements inserts one
-    * co-partitioned exchange per side, same as a shuffle join. */
+  /** Both children clustered by the key tuple — EnsureRequirements
+    * inserts one co-partitioned exchange per side, same as a shuffle
+    * join. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  /** (key, time) ascending per child — the merge is then a single
+  /** (keys…, time) ascending per child — the merge is then a single
     * forward pass. */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+        rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val lki = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lki = leftKeys.map(a => left.output.indexWhere(_.exprId == a.exprId)).toArray
     val lti = left.output.indexWhere(_.exprId == leftTime.exprId)
-    val rki = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rki = rightKeys.map(a => right.output.indexWhere(_.exprId == a.exprId)).toArray
     val rti = right.output.indexWhere(_.exprId == rightTime.exprId)
-    val keyType = leftKey.dataType
+    val keyTypes = leftKeys.map(_.dataType).toArray
     val timeType = leftTime.dataType
     val fwd = forward
     val tol = tolerance
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
-    // Specialized primitive merge for the dominant case (long ids +
+    // Specialized primitive merge for the dominant case (one long id +
     // epoch-µs times): no per-row boxing, no interpreted-ordering
     // dispatch — the constant that matters over 10^12 rows. The
-    // generic path below handles every other orderable type.
-    if (keyType == LongType && timeType == LongType) {
+    // generic path below handles every other key arity and orderable
+    // type.
+    if (keyTypes.length == 1 && keyTypes(0) == LongType && timeType == LongType) {
+      val lk0 = lki(0); val rk0 = rki(0)
       left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
         (lIter, rIter) =>
           val proj = UnsafeProjection.create(output, output)
@@ -127,17 +132,17 @@ case class AsOfJoinExec(
             haveR = false
             while (!haveR && rIter.hasNext) {
               val r = rIter.next()
-              if (!r.isNullAt(rki) && !r.isNullAt(rti)) {
-                rKey = r.getLong(rki); rTime = r.getLong(rti); haveR = true
+              if (!r.isNullAt(rk0) && !r.isNullAt(rti)) {
+                rKey = r.getLong(rk0); rTime = r.getLong(rti); haveR = true
               }
             }
           }
           pullRight()
           lIter.map { l =>
-            if (l.isNullAt(lki) || l.isNullAt(lti)) {
+            if (l.isNullAt(lk0) || l.isNullAt(lti)) {
               matchRow.setNullAt(0)
             } else {
-              val k = l.getLong(lki); val t = l.getLong(lti)
+              val k = l.getLong(lk0); val t = l.getLong(lti)
               if (fwd) {
                 while (haveR && (rKey < k || (rKey == k && rTime < t))) pullRight()
                 if (haveR && rKey == k && rTime - t <= tolV) {
@@ -158,23 +163,52 @@ case class AsOfJoinExec(
           }
       }
     } else {
+      val nk = keyTypes.length
       left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
         (lIter, rIter) =>
-          val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+          val keyOrds = keyTypes.map(TypeUtils.getInterpretedOrdering)
           val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
           val proj = UnsafeProjection.create(output, output)
           val joined = new JoinedRow
           val matchRow = new GenericInternalRow(1)
-          // O(1) merge state: the last consumed right (key, time)
-          var haveLast = false; var lastKey: Any = null; var lastTime: Any = null
+          def anyKeyNull(r: InternalRow, idx: Array[Int]): Boolean = {
+            var i = 0; var n = false
+            while (i < nk && !n) { n = r.isNullAt(idx(i)); i += 1 }
+            n
+          }
+          // Lexicographic key-tuple compare through the per-column
+          // interpreted orderings.
+          def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+            var i = 0; var c = 0
+            while (i < nk && c == 0) { c = keyOrds(i).compare(a(i), b(i)); i += 1 }
+            c
+          }
+          // O(1) merge state: the last consumed right (keys, time).
+          // Values retained across pullRight() calls MUST be copied:
+          // for buffer-backed types (strings, structs, arrays) get()
+          // returns a VIEW into the child row's buffer, and the sorted
+          // right child's spill reader reuses that buffer on loadNext —
+          // a retained view would be silently overwritten once the
+          // sort spills. InternalRow.copyValue clones buffer-backed
+          // values and passes primitives through.
+          var haveLast = false
+          var lastKey: Array[Any] = null; var lastTime: Any = null
           // right-side lookahead
-          var haveR = false; var rKey: Any = null; var rTime: Any = null
+          var haveR = false
+          var rKey: Array[Any] = null; var rTime: Any = null
           def pullRight(): Unit = {
             haveR = false
             while (!haveR && rIter.hasNext) {
               val r = rIter.next()
-              if (!r.isNullAt(rki) && !r.isNullAt(rti)) {
-                rKey = r.get(rki, keyType); rTime = r.get(rti, timeType); haveR = true
+              if (!anyKeyNull(r, rki) && !r.isNullAt(rti)) {
+                val ks = new Array[Any](nk)
+                var i = 0
+                while (i < nk) {
+                  ks(i) = InternalRow.copyValue(r.get(rki(i), keyTypes(i))); i += 1
+                }
+                rKey = ks
+                rTime = InternalRow.copyValue(r.get(rti, timeType))
+                haveR = true
               }
             }
           }
@@ -184,25 +218,30 @@ case class AsOfJoinExec(
           }
           pullRight()
           lIter.map { l =>
-            if (l.isNullAt(lki) || l.isNullAt(lti)) {
+            if (anyKeyNull(l, lki) || l.isNullAt(lti)) {
               matchRow.setNullAt(0)
             } else {
-              val k = l.get(lki, keyType); val t = l.get(lti, timeType)
+              // left values are only compared within this row's turn,
+              // never retained — no copy needed
+              val k = new Array[Any](nk)
+              var i = 0
+              while (i < nk) { k(i) = l.get(lki(i), keyTypes(i)); i += 1 }
+              val t = l.get(lti, timeType)
               if (fwd) {
                 // drop rights strictly before t (same key) or before k
-                while (haveR && (keyOrd.compare(rKey, k) < 0 ||
-                       (keyOrd.compare(rKey, k) == 0 && timeOrd.compare(rTime, t) < 0)))
+                while (haveR && (cmpKeys(rKey, k) < 0 ||
+                       (cmpKeys(rKey, k) == 0 && timeOrd.compare(rTime, t) < 0)))
                   pullRight()
-                if (haveR && keyOrd.compare(rKey, k) == 0 && withinTol(rTime, t)) {
+                if (haveR && cmpKeys(rKey, k) == 0 && withinTol(rTime, t)) {
                   numMatched += 1; matchRow.update(0, rTime)
                 } else matchRow.setNullAt(0)
               } else {
-                while (haveR && (keyOrd.compare(rKey, k) < 0 ||
-                       (keyOrd.compare(rKey, k) == 0 && timeOrd.compare(rTime, t) <= 0))) {
+                while (haveR && (cmpKeys(rKey, k) < 0 ||
+                       (cmpKeys(rKey, k) == 0 && timeOrd.compare(rTime, t) <= 0))) {
                   lastKey = rKey; lastTime = rTime; haveLast = true
                   pullRight()
                 }
-                if (haveLast && keyOrd.compare(lastKey, k) == 0 && withinTol(t, lastTime)) {
+                if (haveLast && cmpKeys(lastKey, k) == 0 && withinTol(t, lastTime)) {
                   numMatched += 1; matchRow.update(0, lastTime)
                 } else matchRow.setNullAt(0)
               }
@@ -230,9 +269,24 @@ object AsOfJoin {
            rightKeyCol: String, rightTimeCol: String,
            outCol: String = "asof_time",
            direction: String = "backward",
-           tolerance: Option[Long] = None): DataFrame = {
+           tolerance: Option[Long] = None): DataFrame =
+    asofMulti(leftDf, rightDf, Seq(leftKeyCol), leftTimeCol,
+              Seq(rightKeyCol), rightTimeCol, outCol, direction, tolerance)
+
+  /** Composite-key as-of join: like [[asof]] but keyed on one OR MORE
+    * columns per side ((user, device), (symbol, venue) …) — key
+    * columns pair up positionally and may mix types. */
+  def asofMulti(leftDf: DataFrame, rightDf: DataFrame,
+                leftKeyCols: Seq[String], leftTimeCol: String,
+                rightKeyCols: Seq[String], rightTimeCol: String,
+                outCol: String = "asof_time",
+                direction: String = "backward",
+                tolerance: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got '$direction'")
+    require(leftKeyCols.nonEmpty, "at least one key column is required")
+    require(leftKeyCols.length == rightKeyCols.length,
+      s"key column counts differ: ${leftKeyCols.length} vs ${rightKeyCols.length}")
     val spark = leftDf.sparkSession
     Bridge.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = Bridge.analyzed(leftDf)
@@ -244,16 +298,20 @@ object AsOfJoin {
         s"$side column '$n' has unorderable type ${a.dataType}")
       a
     }
-    val lk = attr(lPlan, leftKeyCol, "left"); val lt = attr(lPlan, leftTimeCol, "left")
-    val rk = attr(rPlan, rightKeyCol, "right"); val rt = attr(rPlan, rightTimeCol, "right")
-    require(lk.dataType == rk.dataType,
-      s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    val lks = leftKeyCols.map(attr(lPlan, _, "left"))
+    val rks = rightKeyCols.map(attr(rPlan, _, "right"))
+    val lt = attr(lPlan, leftTimeCol, "left")
+    val rt = attr(rPlan, rightTimeCol, "right")
+    lks.zip(rks).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"key types differ for (${lk.name}, ${rk.name}): ${lk.dataType} vs ${rk.dataType}")
+    }
     require(lt.dataType == rt.dataType,
       s"time types differ: ${lt.dataType} vs ${rt.dataType}")
     require(tolerance.isEmpty || lt.dataType == LongType,
       s"tolerance requires LongType times, got ${lt.dataType}")
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
-    val node = AsOfJoinNode(lPlan, rPlan, lk, lt, rk, rt,
+    val node = AsOfJoinNode(lPlan, rPlan, lks, lt, rks, rt,
       direction == "forward", tolerance,
       AttributeReference(outCol, lt.dataType, nullable = true)())
     Bridge.ofRows(spark, node)

@@ -6,6 +6,33 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
+/** Test-only leaf exec simulating a spill reader: every emitted row's
+  * string column is a UTF8String VIEW over one shared byte buffer,
+  * overwritten on each next() — any downstream operator that retains
+  * such a value without copying reads corrupted data. Top-level (not
+  * nested in the suite) so the task closure stays serializable. */
+case class ReusedBufferScanExec(
+    output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    data: Seq[(String, Long)])
+  extends org.apache.spark.sql.execution.LeafExecNode {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+  override protected def doExecute(): org.apache.spark.rdd.RDD[InternalRow] = {
+    val local = data
+    sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val buf = new Array[Byte](64)
+      local.iterator.map { case (k, t) =>
+        val bytes = k.getBytes("UTF-8")
+        java.util.Arrays.fill(buf, 0.toByte)
+        System.arraycopy(bytes, 0, buf, 0, bytes.length)
+        new GenericInternalRow(
+          Array[Any](UTF8String.fromBytes(buf, 0, bytes.length), t))
+      }
+    }
+  }
+}
+
 /** Custom Catalyst operator tests (graft.plans.AsOfJoinExec): exact
   * semantics on crafted fixtures, plan shape (the exec is actually
   * planned, with one exchange per side), and full-output equality with
@@ -130,6 +157,74 @@ class PlansSpec extends SparkSpecBase {
       assert(got == reference(ls, rs, fwd, tol),
         s"trial=$trial fwd=$fwd tol=$tol")
     }
+  }
+
+  test("asof generic path copies buffer-backed right-side values (spill-reader reuse)") {
+    // Simulates the sorted right child's spill reader, which reuses
+    // one read buffer across loadNext() calls: every row's UTF8String
+    // key is a view over the SAME byte array, overwritten on each
+    // next(). Retaining such a view across pullRight() (instead of
+    // copying) silently corrupts the merge state — row ("aaa", 50)
+    // must still match the consumed ("aaa", 10) after the buffer has
+    // been rewritten to "bbb".
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val lk = AttributeReference("k", StringType)()
+    val lt = AttributeReference("t", LongType)()
+    val rk = AttributeReference("rk", StringType)()
+    val rt = AttributeReference("rt", LongType)()
+    val out = AttributeReference("asof_time", LongType)()
+    val leftLeaf = ReusedBufferScanExec(Seq(lk, lt), Seq(("aaa", 50L)))
+    val rightLeaf = ReusedBufferScanExec(Seq(rk, rt), Seq(("aaa", 10L), ("bbb", 99L)))
+    val exec = AsOfJoinExec(Seq(lk), lt, Seq(rk), rt,
+      forward = false, tolerance = None, out, leftLeaf, rightLeaf)
+    val got = exec.execute().collect()
+    assert(got.length == 1)
+    assert(!got.head.isNullAt(2) && got.head.getLong(2) == 10L,
+      "retained right-side key view was clobbered by buffer reuse")
+  }
+
+  test("asof composite keys: (string, long) tuple keys vs brute force") {
+    // (symbol, venue)-style two-column key, mixing types; brute-force
+    // in-Scala oracle over random data, both directions
+    def reference(ls: Seq[(String, Long, Long)], rs: Seq[(String, Long, Long)],
+                  fwd: Boolean): Map[(String, Long, Long), Long] =
+      ls.map { case (k1, k2, t) =>
+        val cand = rs.filter(r => r._1 == k1 && r._2 == k2 &&
+          (if (fwd) r._3 >= t else r._3 <= t)).map(_._3)
+        (k1, k2, t) -> (if (cand.isEmpty) -1L else if (fwd) cand.min else cand.max)
+      }.toMap
+    val rnd = new scala.util.Random(7)
+    val syms = Seq("aa", "bb", "cc")
+    for (fwd <- Seq(false, true)) {
+      val ls = (1 to 60).map(_ =>
+        (syms(rnd.nextInt(3)), rnd.nextInt(2).toLong, rnd.nextInt(40).toLong)).distinct
+      val rs = (1 to 50).map(_ =>
+        (syms(rnd.nextInt(3)), rnd.nextInt(2).toLong, rnd.nextInt(40).toLong))
+      val l = ls.toDF("sym", "venue", "t")
+      val r = rs.toDF("rsym", "rvenue", "rt")
+      val got = Graft.asofJoinMulti(l, r, Seq("sym", "venue"), "t",
+          Seq("rsym", "rvenue"), "rt",
+          direction = if (fwd) "forward" else "backward")
+        .collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2)) ->
+          (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      assert(got == reference(ls, rs, fwd), s"fwd=$fwd")
+    }
+  }
+
+  test("asof composite keys: single-key result equals two-key result with constant key") {
+    val l = leftDf((1L, 100L), (1L, 200L), (2L, 50L))
+    val r = rightDf((1L, 90L), (2L, 60L))
+    val single = AsOfJoin.asof(l, r, "k", "t", "rk", "rt").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (if (x.isNullAt(2)) -1L else x.getLong(2)))
+      .toMap
+    val two = AsOfJoin.asofMulti(
+        l.withColumn("c", lit("x")), r.withColumn("rc", lit("x")),
+        Seq("c", "k"), "t", Seq("rc", "rk"), "rt").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (if (x.isNullAt(3)) -1L else x.getLong(3)))
+      .toMap
+    assert(single == two)
   }
 
   test("asof native == window composition on the full sf0.001 events") {
