@@ -70,8 +70,12 @@ object Graft {
     * (id, text, lang) DataFrame: builds a top-`topK`-token profile per
     * language from the corpus itself, scores every document by profile
     * overlap, predicts argmax (ties → lexicographic language).
-    * Returns (doc_id, lang, pred_lang) — the true label rides along so
-    * callers build confusion matrices without re-joining the corpus.
+    * Returns (doc_id, lang, pred_lang) for EVERY input document — a
+    * document sharing no token with any language profile keeps its row
+    * with a NULL pred_lang (an "undetermined" sentinel callers can
+    * count), so downstream confusion matrices never silently
+    * undercount. The true label rides along so callers build those
+    * matrices without re-joining the corpus.
     * Profiles are ≤ topK·|languages| rows — a broadcast — so scoring
     * is one map-side join at any corpus size; the corpus is tokenized
     * exactly ONCE for both profile building and scoring. */
@@ -91,11 +95,14 @@ object Graft {
     // min_by over (-overlap, profile_lang) = max overlap, ties to the
     // lexicographically smallest language — identical semantics to a
     // (overlap DESC, profile_lang ASC) row_number()=1, without the
-    // per-doc shuffle + sort
+    // per-doc shuffle + sort. The profile join is LEFT so zero-overlap
+    // docs survive to the output (their min_by sees only NULLs →
+    // pred_lang NULL); the overlap count ignores the NULL token rows
+    // via count(profile_lang).
     tokC.select("doc_id", "lang", "token")
-      .join(broadcast(profiles), "token")
+      .join(broadcast(profiles), Seq("token"), "left")
       .groupBy("doc_id", "lang", "profile_lang")
-      .agg(count(lit(1)).as("overlap"))
+      .agg(count(col("profile_lang")).as("overlap"))
       .groupBy("doc_id", "lang")
       .agg(min_by(col("profile_lang"),
                   struct(negate(col("overlap")), col("profile_lang"))).as("pred_lang"))

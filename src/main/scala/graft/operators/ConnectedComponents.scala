@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   * Input: a DataFrame whose first two columns are the (long) endpoint
   * ids of an undirected edge. Output: (node, label) with label = the
   * minimum node id of the component. Nodes are those appearing in ≥1
-  * edge; callers union isolated nodes if their universe is larger.
+  * edge INCLUDING self-loops — a node whose only edge is (n, n) is its
+  * own single-node component; callers union isolated nodes if their
+  * universe is larger.
   */
 object ConnectedComponents {
 
@@ -38,9 +40,12 @@ object ConnectedComponents {
     minLabelWithRounds(edges, maxRounds)._1
 
   private[graft] def minLabelWithRounds(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
-    val e0 = normalize(edges)
+    val cast = castLong(edges)
+    val e0 = dropSelfLoops(cast)
     val dir = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-    var labels = dir.select(col("a").as("node")).distinct()
+    // the label universe comes from the PRE-filter edge set, so a node
+    // appearing only in self-loop edges still gets (node, node)
+    var labels = nodeUniverse(cast)
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
     var converged = false
@@ -68,9 +73,11 @@ object ConnectedComponents {
     alternatingStarWithRounds(edges, maxRounds)._1
 
   private[graft] def alternatingStarWithRounds(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
-    val e0 = normalize(edges)
-    val nodes = e0.select(col("a").as("node"))
-      .union(e0.select(col("b").as("node"))).distinct()
+    val cast = castLong(edges)
+    val e0 = dropSelfLoops(cast)
+    // node universe from the PRE-filter edge set: self-loop-only nodes
+    // are their own components (labeled via the final left join)
+    val nodes = nodeUniverse(cast)
 
     // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
     def largeStar(e: DataFrame): DataFrame = {
@@ -122,10 +129,19 @@ object ConnectedComponents {
     (labels, rounds)
   }
 
-  /** First two columns → (a, b) longs, self-loops dropped. */
-  private def normalize(edges: DataFrame): DataFrame = {
+  /** First two columns → (a, b) longs. */
+  private def castLong(edges: DataFrame): DataFrame = {
     val Seq(ca, cb) = edges.columns.take(2).toSeq
     edges.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
   }
+
+  /** Self-loops carry no connectivity — both algorithms iterate on the
+    * loop-free edge set (but the NODE universe is computed before this
+    * filter). */
+  private def dropSelfLoops(e: DataFrame): DataFrame =
+    e.filter(col("a") =!= col("b"))
+
+  /** Distinct endpoints of the (unfiltered) edge set. */
+  private def nodeUniverse(e: DataFrame): DataFrame =
+    e.select(col("a").as("node")).union(e.select(col("b").as("node"))).distinct()
 }

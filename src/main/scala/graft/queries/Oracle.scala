@@ -421,7 +421,7 @@ object Oracle {
         |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, profile_lang) AS rk
         |    FROM overlap) t WHERE rk = 1)
         |SELECT d.lang, p.pred_lang, COUNT(*) AS n_docs
-        |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
         |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
 
     "q_pipeline_e2e" ->

@@ -27,9 +27,16 @@ object PipelineOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def ngramPairGraph(s: SparkSession, d: String): DataFrame = {
-    // bound the cache: entries for stopped sessions would otherwise
-    // pin their checkpointed blocks for the life of the JVM
-    if (pairGraphCache.size > 8) pairGraphCache.clear()
+    // evict entries keyed by STOPPED sessions on each access — they
+    // would otherwise pin their checkpointed blocks and session
+    // objects for the life of the JVM; a blanket size-triggered clear
+    // would also drop the LIVE session's entries
+    pairGraphCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(pairGraphCache.remove)
+    // backstop bound for a single runaway session over many sfDirs:
+    // drop other-directory entries, never the one being requested
+    if (pairGraphCache.size > 8)
+      pairGraphCache.keys.filter(_ != ((s, d))).foreach(pairGraphCache.remove)
     pairGraphCache.getOrElseUpdate((s, d),
       graft.Graft.nearDupPairsNgram(Tables.documents(s, d),
           col("doc_id"), col("text"), thresholdPermille = 800, n = 3)
@@ -82,7 +89,9 @@ object PipelineOps {
         col("doc_id"), col("text"), col("lang"), topK = 10)
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy("lang", "pred_lang")
+      // nulls_last matches DuckDB's ASC default — a zero-overlap NULL
+      // pred_lang row (facade keeps such docs) must sort identically
+      .orderBy(col("lang"), col("pred_lang").asc_nulls_last)
 
   /** End-to-end training-data pipeline composition: exact dedup
     * (keep min doc_id per (lang, token-multiset)) → quality gate

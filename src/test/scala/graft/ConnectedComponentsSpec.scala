@@ -56,6 +56,22 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("self-loop-only nodes are their own single-node components") {
+    // node 7 appears ONLY in the self-loop (7,7); node 3 has a
+    // self-loop AND a real edge — both must appear in the output,
+    // 7 labeled by itself, 3 by its component min
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 3L), (7L, 7L)).toDF("u", "v")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L)
+    assert(labelsOf(ConnectedComponents.alternatingStar(edges)) == expected)
+    assert(labelsOf(ConnectedComponents.minLabelPropagation(edges)) == expected)
+    // degenerate graph: nothing BUT self-loops still yields the full
+    // node universe
+    val only = Seq((5L, 5L), (9L, 9L)).toDF("u", "v")
+    val exp2 = Map(5L -> 5L, 9L -> 9L)
+    assert(labelsOf(ConnectedComponents.alternatingStar(only)) == exp2)
+    assert(labelsOf(ConnectedComponents.minLabelPropagation(only)) == exp2)
+  }
+
   test("star needs only O(log n) rounds on a 64-node chain (diameter 63)") {
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("u", "v")
     val (labels, rounds) = ConnectedComponents.alternatingStarWithRounds(chain, 50)

@@ -113,6 +113,22 @@ class GraftSpec extends SparkSpecBase {
     got.foreach { case (id, (lang, pred)) => assert(lang == pred, s"doc $id") }
   }
 
+  test("languageId: zero-overlap docs keep their row with NULL pred_lang") {
+    // doc 9's tokens appear in no language profile (topK=1 keeps only
+    // each language's most frequent token) — it must still be emitted,
+    // with a NULL prediction, so confusion matrices never undercount
+    val docs = Seq(
+      (1L, "aa aa aa bb", "xx"), (2L, "aa aa cc", "xx"),
+      (3L, "dd dd dd ee", "yy"),
+      (9L, "zz qq ww", "yy")).toDF("id", "txt", "lg")
+    val got = Graft.languageId(docs, $"id", $"txt", $"lg", topK = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(got.size == 4, s"every doc must survive, got $got")
+    assert(got(1L) == "xx" && got(2L) == "xx" && got(3L) == "yy")
+    assert(got(9L) == null, s"zero-overlap doc must predict NULL, got ${got(9L)}")
+  }
+
   test("deterministicKeep: column-valued rate equals the literal overload") {
     val ids = Tables.documents(spark, sf).select($"doc_id")
     val viaInt = ids.filter(Graft.deterministicKeep($"doc_id", 100))
