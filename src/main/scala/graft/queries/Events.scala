@@ -107,27 +107,26 @@ object Events {
   }
 
   /** RANGE join, bucketed form: for every 'purchase', how many
-    * 'click' events (any user) happened within ±10 s. A naive
-    * |Δt| ≤ 10s join is an inequality join (quadratic via nested
-    * loop); bucketing time into 10-s cells and exploding one side to
-    * its 3 adjacent cells turns it into an EQUI-join + cheap residual
-    * — the standard interval-join decomposition that scales linearly
-    * in events per cell. Each (purchase, click) pair meets in exactly
-    * one exploded cell, so no dedup is needed. LEFT join keeps
-    * zero-click purchases. */
+    * 'click' events (any user) happened within ±10 s. The inequality
+    * join IS [[graft.Graft.intervalJoin]] applied to the events table
+    * (the standard cell decomposition: 10-s time cells, one side
+    * exploded to its 3 adjacent cells, EQUI-join + exact residual —
+    * linear in events per cell, never a nested loop), so the oracle
+    * verifies the public API; the final left join restores
+    * zero-click purchases at count 0. */
   def q_range_join(s: SparkSession, d: String): DataFrame = {
     val CELL = 10000000L // 10 s in µs
     val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), Tables.tsUs.as("us"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("us"), expr(s"us div $CELL").as("bucket"))
+      .select(col("event_id"), col("us"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("us").as("cus"),
-              explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
-      .select((expr(s"cus div $CELL") + col("off")).as("bucket"), col("cus"))
-    purchases.join(clicks, Seq("bucket"), "left")
+      .select(col("us").as("cus"))
+    val counts = graft.Graft.intervalJoin(purchases, col("us"), clicks, col("cus"), CELL)
       .groupBy("event_id")
-      .agg(coalesce(sum(when(abs(col("us") - col("cus")) <= CELL, 1).otherwise(0)), lit(0L))
-             .as("n_nearby_clicks"))
+      .agg(count(lit(1)).as("n_clicks"))
+    purchases.select("event_id").join(counts, Seq("event_id"), "left")
+      .select(col("event_id"),
+              coalesce(col("n_clicks"), lit(0L)).as("n_nearby_clicks"))
       .orderBy("event_id")
   }
 
