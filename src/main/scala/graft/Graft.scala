@@ -437,20 +437,230 @@ object Graft {
 
   /** Exact global top-k most-similar vector pairs of ANY (id, vec)
     * DataFrame by (HALF_UP-3 rounded dot DESC, id_a, id_b) — executed
-    * by the custom [[graft.plans.DotTopKJoinExec]] over `chunks`
-    * bounded id-hash blocks of the planner-broadcast peer side; the
-    * quadratic pair set is never materialized as rows. Ids LongType,
-    * vectors array<double>. */
+    * by the custom [[graft.plans.DotTopKJoinExec]] over bounded
+    * id-hash blocks of the planner-broadcast peer side; the quadratic
+    * pair set is never materialized as rows. Ids LongType, vectors
+    * array<double>.
+    *
+    * The block count is AUTO-SIZED from the data (`chunks` <= 0, the
+    * default): one metadata-scale count derives
+    * ceil(n_rows · (8 + 8·dims) / targetBroadcastBytes), so each
+    * BroadcastExchange stays bounded at ANY corpus size with no
+    * caller-tuned constant — the knob that silently stopped scaling
+    * when it was a hard-coded 2. Output is chunk-count-invariant
+    * (every unordered pair is scored in exactly one block), so an
+    * explicit `chunks` override changes only the execution shape. */
   def topkCosinePairs(vecs: DataFrame, id: Column, vec: Column,
-                      k: Int, chunks: Int = 2): DataFrame = {
-    require(k > 0 && chunks > 0, s"k and chunks must be positive")
+                      k: Int, chunks: Int = 0,
+                      targetBroadcastBytes: Long = 8L << 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(targetBroadcastBytes > 0,
+      s"targetBroadcastBytes must be positive, got $targetBroadcastBytes")
     val e = vecs.select(id.cast("long").as("vec_id"), vec.as("v"))
-    (0 until chunks).map { c =>
-      val peers = e.filter(pmod(col("vec_id"), lit(chunks)) === c)
+    val nChunks =
+      if (chunks > 0) chunks
+      else {
+        // one cheap driver action over METADATA (a count + max dims),
+        // the same pattern as the CC convergence checksum — never data
+        val r = e.agg(count(lit(1)), max(size(col("v")))).head()
+        val n = r.getLong(0)
+        val dims = if (r.isNullAt(1)) 0L else r.getInt(1).toLong
+        val bytes = n * (8L + 8L * dims)
+        math.max(1L, (bytes + targetBroadcastBytes - 1) / targetBroadcastBytes)
+          .min(Int.MaxValue.toLong).toInt
+      }
+    (0 until nChunks).map { c =>
+      val peers = e.filter(pmod(col("vec_id"), lit(nChunks)) === c)
         .select(col("vec_id").as("pid"), col("v").as("pv"))
       plans.DotTopK.topk(e, peers, "vec_id", "v", "pid", "pv", k)
     }.reduce(_ union _)
       .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // Approximate nearest neighbor — the sub-linear siblings of the
+  // exact kernels above, generic over caller DataFrames.
+  // ------------------------------------------------------------------
+
+  /** Deterministic ±1 hyperplane weight for SRP plane p, dim i —
+    * seeded Murmur bit, so signatures are engine- and run-stable. */
+  private def srpPlane(p: Int, dims: Int, seed: Int): Seq[Double] =
+    (0 until dims).map { i =>
+      if ((scala.util.hashing.MurmurHash3.productHash((p, i), seed) & 1) == 1) 1.0 else -1.0
+    }
+
+  /** Default SRP seed = Scala's product-hash seed (keeps signatures
+    * identical to the pre-facade q_sim_srp query). */
+  val SrpDefaultSeed: Int = scala.util.hashing.MurmurHash3.productSeed
+
+  /** Shared SRP machinery: sign-bit signatures for both sides + the
+    * Hamming-radius candidate filter. Output = vecs' columns plus
+    * (__v, __pv, __hamming) working columns. */
+  private def srpJoined(vecs: DataFrame, vec: Column,
+                        probe: DataFrame, probeVec: Column,
+                        bits: Int, radius: Int, seed: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    require(radius >= 0 && radius <= bits, s"radius must be in [0, $bits], got $radius")
+    // dims from one metadata-scale driver action (max vector length)
+    val dimsRow = vecs.agg(max(size(vec))).head()
+    val dims = if (dimsRow.isNullAt(0)) 0 else dimsRow.getInt(0)
+    val planes = (0 until bits).map(p => srpPlane(p, dims, seed))
+    def sigOf(v: Column): Column =
+      (0 until bits).map { p =>
+        when(functions.GraftFunctions.dot(v, typedlit(planes(p))) > 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val pv = probe.select(probeVec.as("__pv"))
+      .select(col("__pv"), sigOf(col("__pv")).as("__psig"))
+    vecs.withColumn("__v", vec).withColumn("__sig", sigOf(col("__v")))
+      .crossJoin(broadcast(pv))
+      .withColumn("__hamming", expr("bit_count(__sig ^ __psig)"))
+      .filter(col("__hamming") <= radius)
+  }
+
+  /** SRP-LSH candidate set over ANY (… , vec) DataFrame: the rows
+    * whose `bits`-bit sign-random-projection signature is within
+    * Hamming `radius` of the (single-row) `probe`'s — the recall/cost
+    * knob of SRP search, exposed for callers who rerank themselves.
+    * Returns vecs' columns + `hamming`. At scale the signature is the
+    * bucket key (group-by-signature + multi-probe); here the filter
+    * form keeps the single scan explicit. */
+  def srpCandidates(vecs: DataFrame, vec: Column,
+                    probe: DataFrame, probeVec: Column,
+                    bits: Int = 16, radius: Int = 5,
+                    seed: Int = SrpDefaultSeed): DataFrame =
+    srpJoined(vecs, vec, probe, probeVec, bits, radius, seed)
+      .select(vecs.columns.map(col) :+ col("__hamming").as("hamming"): _*)
+
+  /** SRP-LSH approximate nearest neighbor over ANY (id, …, vec)
+    * DataFrame: Hamming-radius candidates (see [[srpCandidates]]) +
+    * exact cosine rerank of candidates only, top `topk` by
+    * (HALF_UP-3 rounded score DESC, id ASC). Returns vecs' columns +
+    * `score`; candidate scores are EXACT (same native dot kernel as
+    * brute force), so any returned row carries its true score. */
+  def srpSearch(vecs: DataFrame, id: Column, vec: Column,
+                probe: DataFrame, probeVec: Column,
+                topk: Int = 10, bits: Int = 16, radius: Int = 5,
+                seed: Int = SrpDefaultSeed): DataFrame = {
+    require(topk > 0, s"topk must be positive, got $topk")
+    srpJoined(vecs, vec, probe, probeVec, bits, radius, seed)
+      .select(vecs.columns.map(col) :+
+        round(functions.GraftFunctions.dot(col("__v"), col("__pv")), 3).as("score"): _*)
+      .orderBy(col("score").desc, id.asc)
+      .limit(topk)
+  }
+
+  /** The centroid set folded into ONE row as an array<struct<cell,cv>>
+    * scalar — the broadcast shape nearest-centroid assignment wants:
+    * one row ships to every task and assignment becomes pure per-row
+    * arithmetic (no shuffle, no per-vector aggregate). */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(collect_list(struct(col("cell"), col("cv"))).as("__cents"))
+
+  /** Row-local nearest-centroid id for vector `v` against the
+    * `__cents` scalar: array_min over (−dot, cell) structs = max
+    * affinity, ties to the smallest cell id — the same tie rule as a
+    * min_by aggregate, with zero shuffle. NULL on an empty centroid
+    * set or NULL vector. */
+  private def bestCell(v: Column): Column =
+    array_min(transform(col("__cents"),
+      c => struct(negate(functions.GraftFunctions.dot(v, c.getField("cv"))).as("na"),
+                  c.getField("cell").as("cell")))).getField("cell")
+
+  /** Trains an IVF coarse quantizer over ANY (id, vec) DataFrame —
+    * TRAINING DECOUPLED FROM QUERYING: the returned (cell, cv)
+    * centroid DataFrame is a reusable model for any number of
+    * [[ivfSearch]] calls (persist or localCheckpoint it to train
+    * once). Initialization is Forgy on an opaque id hash (the k
+    * vectors with the smallest xxhash64(id) — deterministic,
+    * label-free); each of the `iters` Lloyd iterations is then ONE
+    * map-side-combinable shuffle: assignment is row-local argmax-dot
+    * against the broadcast centroid-array scalar ([[bestCell]] — no
+    * per-vector aggregate), recomputation a single
+    * `groupBy(cell).agg(`[[VecSum]]`)` element-wise mean.
+    * `sampleFraction` < 1 trains on a DETERMINISTIC id-hash sample —
+    * the at-100 TB posture, where centroid quality needs only a
+    * sample but assignment stays a single map-side pass over
+    * everything. Cells that lose all members are dropped (k may
+    * shrink). */
+  def ivfTrain(vecs: DataFrame, id: Column, vec: Column, k: Int,
+               iters: Int = 3, sampleFraction: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val base = vecs.select(xxhash64(id).as("__h"), vec.as("__v"))
+      .filter(col("__v").isNotNull)
+    val train = if (sampleFraction < 1.0)
+      base.filter(pmod(col("__h"), lit(1000000L)) <
+        math.round(sampleFraction * 1000000).toLong)
+    else base
+    var centroids = train.orderBy("__h").limit(k)
+      .select(col("__h").as("cell"), col("__v").as("cv"))
+      .localCheckpoint()
+    for (i <- 1 to iters) {
+      centroids = train.crossJoin(broadcast(centroidArray(centroids)))
+        .select(bestCell(col("__v")).as("cell"), col("__v"))
+        .groupBy("cell")
+        .agg(udaf(VecSum.agg).apply(col("__v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cell"), transform(col("sv"), x => x / col("n")).as("cv"))
+      // truncate lineage every few rounds and at the end; in between,
+      // iterations chain lazily — each broadcast subplan is built
+      // exactly once (executeBroadcast caches per plan), so skipping
+      // the intermediate materialization saves a job per round without
+      // recomputation
+      if (i % 4 == 0 || i == iters) centroids = centroids.localCheckpoint()
+    }
+    centroids
+  }
+
+  /** Nearest-trained-centroid cell id for EVERY row of `vecs` — the
+    * assignment half of IVF as a standalone op: row-local argmax-dot
+    * against the broadcast centroid-array scalar, a pure map with zero
+    * shuffle at any corpus size. Appends `cellCol` (NULL on a NULL
+    * vector or an empty model). This is also the partition-key
+    * producer for cell-clustered layouts: `ivfAssign(...).write
+    * .partitionBy(cellCol)` materializes the inverted file itself. */
+  def ivfAssign(centroids: DataFrame, vecs: DataFrame, vec: Column,
+                cellCol: String = "cell"): DataFrame =
+    vecs.withColumn("__v", vec)
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn(cellCol, bestCell(col("__v")))
+      .drop("__v", "__cents")
+
+  /** IVF approximate nearest neighbor: assign every vector to its
+    * nearest trained centroid (row-local argmax against the broadcast
+    * centroid-array scalar — a pure map, no shuffle), rank cells by
+    * probe affinity, search the best `nprobe` cells exhaustively —
+    * scan cost ~nprobe/k of brute force, and with nprobe >= |cells|
+    * the result IS the brute-force top-k. `centroids` comes from
+    * [[ivfTrain]] (train once, search many). Returns vecs' columns +
+    * `score` by (HALF_UP-3 rounded score DESC, id ASC); `probe` is
+    * single-row. */
+  def ivfSearch(centroids: DataFrame, vecs: DataFrame, id: Column, vec: Column,
+                probe: DataFrame, probeVec: Column,
+                nprobe: Int = 3, topk: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    require(topk > 0, s"topk must be positive, got $topk")
+    val cols = vecs.columns
+    val assigned = vecs.withColumn("__v", vec)
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("__cell", bestCell(col("__v")))
+    val pv = probe.select(probeVec.as("__pv"))
+    // rank the <= k cells by probe affinity (tiny global window)
+    val wCells = Window.orderBy(col("__affinity").desc, col("cell").asc)
+    val probed = centroids.crossJoin(broadcast(pv))
+      .select(col("cell"), functions.GraftFunctions.dot(col("cv"), col("__pv")).as("__affinity"))
+      .select(col("cell").as("__cell"), row_number().over(wCells).as("__rk"))
+      .filter(col("__rk") <= nprobe)
+      .select("__cell")
+    assigned.join(broadcast(probed), "__cell")
+      .crossJoin(broadcast(pv))
+      .select(cols.map(col) :+
+        round(functions.GraftFunctions.dot(col("__v"), col("__pv")), 3).as("score"): _*)
+      .orderBy(col("score").desc, id.asc)
+      .limit(topk)
   }
 }

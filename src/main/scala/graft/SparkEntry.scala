@@ -3,17 +3,22 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 66 query ids; 60 with DuckDB oracles. The
-  * 6 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
-  * q_doc_fingerprint, q_sim_ivf, q_sim_srp) are not SQL-expressible
-  * (sketch/ANN internals) and are covered by unit/property tests. */
+  * and §3.1 (entry points). 67 query ids; 60 with DuckDB oracles. The
+  * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
+  * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
+  * SQL-expressible (sketch/ANN internals) and are covered by
+  * unit/property tests. */
 object SparkEntry {
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q_agg_pricing(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2. A ListMap,
+    * so Bench runs queries in DECLARATION order — model-build surfaces
+    * (q_ivf_build) precede their consumers (q_sim_ivf) and the bench
+    * line prices build and search separately. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     // §2.1 scans
     "q_scan_project"   -> Relational.q_scan_project _,
     // §2.2 filters
@@ -77,6 +82,7 @@ object SparkEntry {
     "q_dedup_simhash"  -> HashOps.q_dedup_simhash _,
     "q_doc_fingerprint" -> HashOps.q_doc_fingerprint _,
     "q_dedup_embed"    -> HashOps.q_dedup_embed _,
+    "q_ivf_build"      -> HashOps.q_ivf_build _,
     "q_sim_ivf"        -> HashOps.q_sim_ivf _,
     "q_sim_srp"        -> HashOps.q_sim_srp _,
     "q_asof_join"      -> Events.q_asof_join _,

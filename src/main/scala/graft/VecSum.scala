@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Element-wise sum of equal-length double vectors as a typed
+  * Aggregator (SURVEY.md §2.11's UDAF surface) — the centroid-
+  * recompute kernel of [[Graft.ivfTrain]]: `groupBy(cell).agg(vecsum)`
+  * replaces the posexplode → per-(cell, dim) mean → re-collect chain
+  * with ONE map-side-combinable aggregation, so a Lloyd iteration is a
+  * single shuffle of ≤ |cells| · dims doubles instead of a dims×
+  * row-blowup. Partial buffers merge element-wise-add — the
+  * combiner/partial-aggregation path works unchanged at 100 TB.
+  *
+  * Vectors must share one dimensionality (the first vector seen sizes
+  * the buffer; shorter inputs fold only their prefix). The mean is
+  * `transform(sum, x -> x / n)` at the call site, keeping division out
+  * of the merge path.
+  */
+object VecSum {
+  val agg: Aggregator[Seq[Double], Array[Double], Seq[Double]] =
+    new Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+      def zero: Array[Double] = Array.emptyDoubleArray
+      def reduce(buf: Array[Double], v: Seq[Double]): Array[Double] =
+        if (v == null) buf
+        else if (buf.length == 0) v.toArray
+        else {
+          val n = math.min(buf.length, v.length)
+          var i = 0
+          while (i < n) { buf(i) += v(i); i += 1 }
+          buf
+        }
+      def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+        if (a.length == 0) b
+        else if (b.length == 0) a
+        else {
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n) { a(i) += b(i); i += 1 }
+          a
+        }
+      def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
+      def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+      def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+    }
+}

@@ -231,6 +231,91 @@ class GraftSpec extends SparkSpecBase {
     assert(run(1).size == 15)
   }
 
+  test("topkCosinePairs: auto-sized chunking matches explicit, splits 3+ ways under a small budget") {
+    val e = Tables.embeddings(spark, sf)
+    val v = $"embedding".cast("array<double>")
+    val explicit = rows(Graft.topkCosinePairs(e, $"vec_id", v, k = 15, chunks = 1))
+    // default budget: one block suffices at this scale
+    assert(rows(Graft.topkCosinePairs(e, $"vec_id", v, k = 15)) == explicit)
+    // a deliberately tiny broadcast budget must force >= 3 blocks
+    // (n · (8 + 8·dims) / target) — visible as one DotTopKJoinExec per
+    // block in the plan — with the output still invariant
+    val tiny = Graft.topkCosinePairs(e, $"vec_id", v, k = 15,
+      targetBroadcastBytes = 30000L)
+    assert(rows(tiny) == explicit)
+    val nExecs = tiny.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("DotTopKJoin"))
+    assert(nExecs >= 3, s"expected >= 3 chunked execs under a 30 kB budget, got $nExecs")
+  }
+
+  test("srpSearch: radius = bits disables the LSH filter and equals brute force") {
+    val dot = graft.functions.GraftFunctions.dot _
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val others = e.filter($"vec_id" =!= 0)
+    val probe = e.filter($"vec_id" === 0)
+    // non-default bits/seed; radius = bits admits every candidate, so
+    // the exact rerank must reproduce the brute-force top-k
+    val got = rows(Graft.srpSearch(others, $"vec_id", $"v", probe, $"v",
+      topk = 7, bits = 8, radius = 8, seed = 12345)
+      .select("vec_id", "label", "score"))
+    val brute = rows(others.crossJoin(broadcast(probe.select($"v".as("pv"))))
+      .select($"vec_id", $"label", round(dot($"v", $"pv"), 3).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc).limit(7))
+    assert(got == brute)
+  }
+
+  test("srpCandidates: hamming bounded by radius; radius = bits keeps every row") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probe = e.filter($"vec_id" === 0)
+    val n = e.count()
+    val all = Graft.srpCandidates(e, $"v", probe, $"v", bits = 16, radius = 16)
+    assert(all.count() == n)
+    val some = Graft.srpCandidates(e, $"v", probe, $"v", bits = 16, radius = 4)
+      .collect()
+    assert(some.forall(_.getInt(2) <= 4))
+    assert(some.length < n, "radius 4 of 16 bits must actually filter")
+  }
+
+  test("ivfTrain: deterministic, <= k cells, sample-trained model reusable") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val m1 = Graft.ivfTrain(e, $"vec_id", $"v", k = 6, iters = 2, sampleFraction = 0.4)
+    val m2 = Graft.ivfTrain(e, $"vec_id", $"v", k = 6, iters = 2, sampleFraction = 0.4)
+    assert(m1.count() <= 6 && m1.count() > 0)
+    assert(rows(m1.orderBy("cell")) == rows(m2.orderBy("cell")),
+      "id-hash sampling and Forgy init must be run-deterministic")
+    // each centroid has the data's dimensionality
+    assert(m1.select(size($"cv")).collect().forall(_.getInt(0) == 64))
+  }
+
+  test("ivfSearch: nprobe >= |cells| is exactly brute force") {
+    val dot = graft.functions.GraftFunctions.dot _
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val others = e.filter($"vec_id" =!= 0)
+    val probe = e.filter($"vec_id" === 0)
+    val model = Graft.ivfTrain(e, $"vec_id", $"v", k = 5, iters = 1, sampleFraction = 0.5)
+    val got = rows(Graft.ivfSearch(model, others, $"vec_id", $"v", probe, $"v",
+      nprobe = 1000, topk = 10).select("vec_id", "label", "score"))
+    val brute = rows(others.crossJoin(broadcast(probe.select($"v".as("pv"))))
+      .select($"vec_id", $"label", round(dot($"v", $"pv"), 3).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc).limit(10))
+    assert(got == brute)
+  }
+
+  test("ANN facades on empty inputs return empty, never fault") {
+    val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "v")
+    val probe = Tables.embeddings(spark, sf)
+      .filter($"vec_id" === 0).select($"embedding".cast("array<double>").as("v"))
+    assert(Graft.srpSearch(noVecs, $"id", $"v", probe, $"v").count() == 0)
+    assert(Graft.srpCandidates(noVecs, $"v", probe, $"v").count() == 0)
+    val emptyModel = Graft.ivfTrain(noVecs, $"id", $"v", k = 4)
+    assert(emptyModel.count() == 0)
+    assert(Graft.ivfSearch(emptyModel, noVecs, $"id", $"v", probe, $"v").count() == 0)
+  }
+
   test("asofJoin facade matches the window composition") {
     val ev = Tables.events(spark, sf)
       .select($"user_id", $"event_id", $"event_type", Tables.tsUs.as("us"))

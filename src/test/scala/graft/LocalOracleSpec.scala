@@ -6,7 +6,7 @@ import scala.sys.process._
 /** The real bar (SURVEY §5.2): pre-flight EVERY declared query against
   * DuckDB on sf0.001, exactly as the driver will on sf0.01. Rule E:
   * Verify.dump swallows per-query throws, so this spec first asserts
-  * that all 66 queries produced output, then that all 60 oracle pairs
+  * that every declared query produced output, then that every oracle pair
   * hash-match (via tools/preflight.py — duckdb is available to the dev
   * environment; the shipped engine itself is pure Scala/Spark). The 6
   * oracle-less ids (q_approx_distinct, q_dedup_minhash,
@@ -14,7 +14,7 @@ import scala.sys.process._
   * rows-only checks here plus dedicated unit/property suites. */
 class LocalOracleSpec extends SparkSpecBase {
 
-  test("all 66 queries run and all 60 oracle pairs match DuckDB on sf0.001") {
+  test("all declared queries run and all oracle pairs match DuckDB on sf0.001") {
     val out = Files.createTempDirectory("oracle_preflight").toString
     Verify.dump(spark, sf, out)
     val produced = new java.io.File(out).listFiles().map(_.getName).toSet

@@ -219,6 +219,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(got.head.getLong(2) == 2L)      // max_overlap
   }
 
+  test("ivf_build: full occupancy, deterministic, shares the model with sim_ivf") {
+    val n = Tables.embeddings(spark, sf).count()
+    val build = HashOps.q_ivf_build(spark, sf).collect()
+    // every vector lands in exactly one cell of the trained quantizer
+    assert(build.map(_.getLong(1)).sum == n)
+    assert(build.length <= 10 && build.length > 0)
+    // deterministic: id-hash sampling + Forgy init + Lloyd have no
+    // run-dependent state (second call also exercises the model cache)
+    val again = HashOps.q_ivf_build(spark, sf).collect()
+    assert(build.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("sim_ivf: exact within probed cells, recall floor vs brute force") {
     val ivf = HashOps.q_sim_ivf(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap

@@ -9,10 +9,10 @@ class PlanGuardSpec extends SparkSpecBase {
 
   // reviewed: single-probe / tiny-build-side nested loops (linear) —
   // q_window_ntile / q_late_data broadcast a 1-row quantile-bounds
-  // aggregate (q_dedup_embed now plans the custom DotTopKJoinExec,
-  // not a BNLJ).
+  // aggregate, q_ivf_build / q_sim_ivf the 1-row centroid-array scalar
+  // (q_dedup_embed now plans the custom DotTopKJoinExec, not a BNLJ).
   private val allowedBnlj = Set(
-    "q_sim_search", "q_sim_srp", "q_sim_ivf", "q_tfidf",
+    "q_sim_search", "q_sim_srp", "q_sim_ivf", "q_ivf_build", "q_tfidf",
     "q_window_ntile", "q_late_data")
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
