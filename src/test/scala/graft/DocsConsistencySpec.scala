@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the documentation against count drift (round-4 verdict #7):
+  * every place README.md / SURVEY.md states a query or oracle count,
+  * the stated number must equal the live `SparkEntry` map sizes — the
+  * docs can only be wrong loudly, never silently. Test/suite counts
+  * are deliberately NOT stated in the docs (only sbt knows them). */
+class DocsConsistencySpec extends AnyFunSuite {
+
+  private def read(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+
+  private val nQueries = SparkEntry.queries.size
+  private val nOracles = SparkEntry.oracleSql.size
+  private val nNoOracle = nQueries - nOracles
+
+  test("oracleSql keys are a subset of queries, with the declared split") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(nNoOracle == (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).size)
+  }
+
+  test("README.md states the live query/oracle counts") {
+    val readme = read("README.md")
+    assert(readme.contains(s"$nQueries queries"),
+      s"README must state '$nQueries queries' (the live SparkEntry.queries.size)")
+    assert(readme.contains(s"$nOracles carry a DuckDB-equivalent SQL twin"),
+      s"README must state '$nOracles carry a DuckDB-equivalent SQL twin'")
+    assert(readme.contains(s"the other $nNoOracle use JVM hashing"),
+      s"README must state 'the other $nNoOracle use JVM hashing'")
+  }
+
+  test("SURVEY.md §2 inventory totals match the live maps") {
+    val survey = read("SURVEY.md")
+    assert(survey.contains(s"**$nQueries declared query"),
+      s"SURVEY §2 totals must state '$nQueries declared query ids'")
+    assert(survey.contains(s"$nOracles oracle = yes, $nNoOracle oracle = no"),
+      s"SURVEY §2 totals must state '$nOracles oracle = yes, $nNoOracle oracle = no'")
+  }
+
+  test("SparkEntry scaladoc states the live counts") {
+    val entry = read("src/main/scala/graft/SparkEntry.scala")
+    assert(entry.contains(s"$nQueries query ids"),
+      s"SparkEntry scaladoc must state '$nQueries query ids'")
+    assert(entry.contains(s"$nOracles with DuckDB oracles"),
+      s"SparkEntry scaladoc must state '$nOracles with DuckDB oracles'")
+  }
+}
