@@ -170,6 +170,45 @@ class CapabilitiesSpec extends SparkSpecBase {
     assert(parted.count() == Tables.events(spark, sf).count())
   }
 
+  test("memory-pressure degradation: dedup output unchanged under forced spill paths") {
+    // The closest local proxy for cluster-scale memory pressure
+    // (spark.memory.fraction is static per-JVM, so the runtime-settable
+    // spill knobs stand in): force the ObjectHashAggregate that builds
+    // MinHash signatures to fall back to SORT-BASED aggregation after 2
+    // groups, cap the sort-merge-join and window buffers at 16 rows
+    // before they spill, and run with 200 shuffle partitions (the
+    // cluster default this suite otherwise overrides). The operators
+    // must DEGRADE — same rows, slower path — never OOM or diverge.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold",
+      "spark.sql.windowExec.buffer.spill.threshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    // the ngram query proper caches its pair graph per (session, dir),
+    // which would make the stressed rerun vacuous — call the uncached
+    // facade directly
+    def ngram() = rows(Graft.nearDupPairsNgram(Tables.documents(spark, sf),
+      $"doc_id", $"text").orderBy("doc_a", "doc_b"))
+    val baseline = rows(queries.TextOps.q_dedup_minhash(spark, sf))
+    val baselineNgram = ngram()
+    try {
+      conf.set("spark.sql.shuffle.partitions", "200")
+      conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+      conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "16")
+      conf.set("spark.sql.windowExec.buffer.spill.threshold", "16")
+      assert(rows(queries.TextOps.q_dedup_minhash(spark, sf)) == baseline,
+        "minhash dedup diverged under forced sort-fallback/spill")
+      assert(ngram() == baselineNgram,
+        "ngram dedup diverged under forced spill thresholds")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    }
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     // 10k rows, 90% on one hot key — the shape that stalls one reducer
     val large = spark.range(10000)
