@@ -629,6 +629,57 @@ object Graft {
       .withColumn(cellCol, bestCell(col("__v")))
       .drop("__v", "__cents")
 
+  /** The `nprobe` highest-affinity cells for vector `v` against the
+    * `__cents` scalar, as an array — row-local (sort the ≤ |cells|
+    * (−dot, cell) structs, slice, project the cell ids): the per-probe
+    * cell ranking of a BATCH kNN join needs no window and no
+    * shuffle. */
+  private def bestCells(v: Column, nprobe: Int): Column =
+    transform(
+      slice(array_sort(transform(col("__cents"),
+        c => struct(negate(functions.GraftFunctions.dot(v, c.getField("cv"))).as("na"),
+                    c.getField("cell").as("cell")))), 1, nprobe),
+      s => s.getField("cell"))
+
+  /** Batch IVF kNN JOIN — for EVERY probe row, its `topk` nearest
+    * corpus vectors: the production shape of similarity search in a
+    * training pipeline ("for each document, its k nearest"), where the
+    * single-probe [[ivfSearch]] is the interactive case. Execution is
+    * the INVERTED-FILE EQUI-JOIN: corpus vectors get their cell by the
+    * row-local broadcast-array argmax (zero shuffle), each probe
+    * row-locally ranks cells and explodes to its `nprobe` best
+    * ([[bestCells]] — no window), and candidates meet in ONE shuffle
+    * equi-join on cell — work ∝ Σ probes×cell sizes, never
+    * probes×corpus. Per-probe top-k is a cell-bounded partitioned
+    * window. Returns `probe_id` + vecs' columns + `score` by
+    * (HALF_UP-3 rounded score DESC, id ASC) per probe; with nprobe >=
+    * |cells| each probe's result IS its brute-force top-k. Probes
+    * drawn from the corpus itself match themselves — filter on
+    * probe_id/id downstream if unwanted. */
+  def ivfSearchAll(centroids: DataFrame, vecs: DataFrame, id: Column, vec: Column,
+                   probes: DataFrame, probeId: Column, probeVec: Column,
+                   nprobe: Int = 3, topk: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    require(topk > 0, s"topk must be positive, got $topk")
+    val cols = vecs.columns
+    val assigned = vecs.withColumn("__v", vec)
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("__cell", bestCell(col("__v")))
+      .drop("__cents")
+    val probed = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .select(col("probe_id"), col("__pv"),
+              explode(bestCells(col("__pv"), nprobe)).as("__cell"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, id.asc)
+    assigned.join(probed, "__cell")
+      .select(col("probe_id") +: cols.map(col) :+
+        round(functions.GraftFunctions.dot(col("__v"), col("__pv")), 3).as("score"): _*)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topk)
+      .drop("__rk")
+  }
+
   /** IVF approximate nearest neighbor: assign every vector to its
     * nearest trained centroid (row-local argmax against the broadcast
     * centroid-array scalar — a pure map, no shuffle), rank cells by

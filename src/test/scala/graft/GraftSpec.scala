@@ -305,6 +305,46 @@ class GraftSpec extends SparkSpecBase {
     assert(got == brute)
   }
 
+  test("ivfSearchAll: batch kNN join equals per-probe brute force at exhaustive nprobe") {
+    val dot = graft.functions.GraftFunctions.dot _
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("pid"), $"v".as("pv"))
+    val model = Graft.ivfTrain(e, $"vec_id", $"v", k = 6, iters = 2)
+    val got = rows(Graft.ivfSearchAll(model, e, $"vec_id", $"v",
+        probes, $"pid", $"pv", nprobe = 1000, topk = 5)
+      .select("probe_id", "vec_id", "score")
+      .orderBy("probe_id", "score", "vec_id"))
+    // brute force: every (probe, vector) pair, top-5 per probe
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy($"score".desc, $"vec_id".asc)
+    val brute = rows(e.crossJoin(broadcast(probes))
+      .select($"pid".as("probe_id"), $"vec_id",
+              round(dot($"v", $"pv"), 3).as("score"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select("probe_id", "vec_id", "score")
+      .orderBy("probe_id", "score", "vec_id"))
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("ivfSearchAll: restricted nprobe returns <= topk rows per probe, scores exact") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = e.filter($"vec_id" < 5).select($"vec_id".as("pid"), $"v".as("pv"))
+    val model = Graft.ivfTrain(e, $"vec_id", $"v", k = 8, iters = 2)
+    val res = Graft.ivfSearchAll(model, e, $"vec_id", $"v",
+      probes, $"pid", $"pv", nprobe = 2, topk = 4)
+      .select("probe_id", "vec_id", "score").collect()
+    val perProbe = res.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perProbe.values.forall(_ <= 4))
+    assert(perProbe.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // a probe drawn from the corpus always finds itself in its own
+    // cell at score ~1.0 (unit vectors)
+    res.filter(r => r.getLong(0) == r.getLong(1))
+      .foreach(r => assert(r.getDouble(2) > 0.99))
+  }
+
   test("ANN facades on empty inputs return empty, never fault") {
     val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "v")
     val probe = Tables.embeddings(spark, sf)
