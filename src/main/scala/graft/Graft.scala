@@ -494,23 +494,29 @@ object Graft {
     * identical to the pre-facade q_sim_srp query). */
   val SrpDefaultSeed: Int = scala.util.hashing.MurmurHash3.productSeed
 
+  /** Signature builder: derives the corpus dimensionality (one
+    * metadata-scale driver action), materializes the seeded planes,
+    * and returns the vector → packed-sign-bits column function. */
+  private def srpSigOf(vecs: DataFrame, vec: Column,
+                       bits: Int, seed: Int): Column => Column = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    val dimsRow = vecs.agg(max(size(vec))).head()
+    val dims = if (dimsRow.isNullAt(0)) 0 else dimsRow.getInt(0)
+    val planes = (0 until bits).map(p => srpPlane(p, dims, seed))
+    v => (0 until bits).map { p =>
+      when(functions.GraftFunctions.dot(v, typedlit(planes(p))) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Shared SRP machinery: sign-bit signatures for both sides + the
     * Hamming-radius candidate filter. Output = vecs' columns plus
     * (__v, __pv, __hamming) working columns. */
   private def srpJoined(vecs: DataFrame, vec: Column,
                         probe: DataFrame, probeVec: Column,
                         bits: Int, radius: Int, seed: Int): DataFrame = {
-    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     require(radius >= 0 && radius <= bits, s"radius must be in [0, $bits], got $radius")
-    // dims from one metadata-scale driver action (max vector length)
-    val dimsRow = vecs.agg(max(size(vec))).head()
-    val dims = if (dimsRow.isNullAt(0)) 0 else dimsRow.getInt(0)
-    val planes = (0 until bits).map(p => srpPlane(p, dims, seed))
-    def sigOf(v: Column): Column =
-      (0 until bits).map { p =>
-        when(functions.GraftFunctions.dot(v, typedlit(planes(p))) > 0, lit(1L << p))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
+    val sigOf = srpSigOf(vecs, vec, bits, seed)
     val pv = probe.select(probeVec.as("__pv"))
       .select(col("__pv"), sigOf(col("__pv")).as("__psig"))
     vecs.withColumn("__v", vec).withColumn("__sig", sigOf(col("__v")))
@@ -567,6 +573,63 @@ object Graft {
     array_min(transform(col("__cents"),
       c => struct(negate(functions.GraftFunctions.dot(v, c.getField("cv"))).as("na"),
                   c.getField("cell").as("cell")))).getField("cell")
+
+  /** Batch SRP kNN JOIN — for EVERY probe row, its `topk` nearest
+    * corpus vectors among those within SRP-signature Hamming `radius`:
+    * the banded sibling of [[ivfSearchAll]]. Candidate generation is
+    * BAND-BUCKETED, never probes×corpus: the `bits` signature bits are
+    * partitioned into radius+1 bands, so any pair within Hamming
+    * `radius` leaves ≥ 1 band untouched (pigeonhole — PERFECT recall
+    * vs the cross-join filter, proven in GraftSpec) and candidates
+    * meet in ONE equi-join on (band, key). Surviving pairs are
+    * Hamming-filtered exactly, deduped, reranked with the exact dot
+    * kernel, and cut to `topk` per probe by (HALF_UP-3 rounded score
+    * DESC, id ASC). Requires radius < bits (radius = bits means
+    * "everything is a candidate" — use a plain cross join / brute
+    * force instead of an LSH at that point). Returns `probe_id` +
+    * vecs' columns + `hamming` + `score`. */
+  def srpSearchAll(vecs: DataFrame, id: Column, vec: Column,
+                   probes: DataFrame, probeId: Column, probeVec: Column,
+                   topk: Int = 10, bits: Int = 16, radius: Int = 5,
+                   seed: Int = SrpDefaultSeed): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topk > 0, s"topk must be positive, got $topk")
+    require(radius >= 0 && radius < bits,
+      s"banded search requires radius in [0, bits), got radius=$radius bits=$bits")
+    val sigOf = srpSigOf(vecs, vec, bits, seed)
+    // partition the bits into radius+1 contiguous bands of near-equal
+    // width — any Hamming <= radius pair matches in >= 1 band
+    val bands = radius + 1
+    val base = bits / bands; val rem = bits % bands
+    val widths = Array.tabulate(bands)(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def bandKeys(sig: String): Column = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+             expr(s"shiftrightunsigned($sig, ${offsets(b)}) & ${(1L << widths(b)) - 1}")
+               .as("key"))
+    }: _*)
+    val idName = vecs.select(id).columns.head
+    val corpus = vecs.withColumn("__v", vec).withColumn("__sig", sigOf(col("__v")))
+      .select(col("*"), explode(bandKeys("__sig")).as("__bk"))
+      .select(col("*"), col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+      .drop("__bk")
+    val probed = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
+      .withColumn("__psig", sigOf(col("__pv")))
+      .select(col("*"), explode(bandKeys("__psig")).as("__bk"))
+      .select(col("probe_id"), col("__pv"), col("__psig"),
+              col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+    val cols = vecs.columns
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, id.asc)
+    corpus.join(probed, Seq("__band", "__key"))
+      .dropDuplicates("probe_id", idName)    // a pair can collide in >1 band
+      .withColumn("hamming", expr("bit_count(__sig ^ __psig)"))
+      .filter(col("hamming") <= radius)
+      .select(col("probe_id") +: cols.map(col) :+ col("hamming") :+
+        round(functions.GraftFunctions.dot(col("__v"), col("__pv")), 3).as("score"): _*)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topk)
+      .drop("__rk")
+  }
 
   /** Trains an IVF coarse quantizer over ANY (id, vec) DataFrame —
     * TRAINING DECOUPLED FROM QUERYING: the returned (cell, cv)

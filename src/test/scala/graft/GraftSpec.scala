@@ -345,6 +345,27 @@ class GraftSpec extends SparkSpecBase {
       .foreach(r => assert(r.getDouble(2) > 0.99))
   }
 
+  test("srpSearchAll: banded batch search equals the cross-join single-probe form") {
+    // pigeonhole recall proof in practice: the (radius+1)-band bucket
+    // join must reproduce srpSearch's cross-join+filter result for
+    // every probe — no candidate within Hamming radius may be lost
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val probes = e.filter($"vec_id" < 3).select($"vec_id".as("pid"), $"v".as("pv"))
+    val all = Graft.srpSearchAll(e, $"vec_id", $"v", probes, $"pid", $"pv",
+        topk = 8, bits = 16, radius = 5)
+      .select("probe_id", "vec_id", "score").collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    for (p <- 0L until 3L) {
+      val single = Graft.srpSearch(e, $"vec_id", $"v",
+          probes.filter($"pid" === p), $"pv", topk = 8, bits = 16, radius = 5)
+        .select("vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(all.getOrElse(p, Seq.empty) == single, s"probe $p diverged")
+    }
+  }
+
   test("ANN facades on empty inputs return empty, never fault") {
     val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "v")
     val probe = Tables.embeddings(spark, sf)
