@@ -279,6 +279,37 @@ object Graft {
   def connectedComponents(edges: DataFrame): DataFrame =
     operators.ConnectedComponents.alternatingStar(edges)
 
+  /** Near-dup cluster labels for ANY (id, text) DataFrame — the
+    * composed dedup pipeline as ONE call: n-gram Jaccard pair graph
+    * ([[nearDupPairsNgram]], inverted-index bucketed) → connected
+    * components over the pairs ([[connectedComponents]], O(log n)
+    * star rounds) → (doc_id, cluster_rep = component-min id).
+    * Documents in no near-dup pair are their own singleton cluster, so
+    * EVERY input id appears exactly once. */
+  def nearDupClusters(docs: DataFrame, id: Column, text: Column,
+                      thresholdPermille: Int = 800, n: Int = 3): DataFrame = {
+    val ids = docs.select(id.cast("long").as("doc_id"))
+    val pairs = nearDupPairsNgram(docs, id, text, thresholdPermille, n)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label"))
+    ids.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+  }
+
+  /** Near-dup removal for ANY (id, text) DataFrame — keep exactly one
+    * representative (the minimum id) per near-dup cluster: the rows of
+    * `docs` whose id equals its [[nearDupClusters]] cluster_rep, with
+    * the caller's columns untouched. The training-data "drop near
+    * duplicates" stage as one composable call. */
+  def dropNearDups(docs: DataFrame, id: Column, text: Column,
+                   thresholdPermille: Int = 800, n: Int = 3): DataFrame = {
+    val keep = nearDupClusters(docs, id, text, thresholdPermille, n)
+      .filter(col("doc_id") === col("cluster_rep"))
+      .select(col("doc_id").as("__keep_id"))
+    docs.join(keep, id.cast("long") === col("__keep_id"), "left_semi")
+  }
+
   /** Word-n-gram Jaccard near-dup pairs over ANY (id, text) DataFrame:
     * (doc_a, doc_b, jaccard rounded 3) for exact Jaccard ≥
     * thresholdPermille/1000, doc_a < doc_b, unordered. Inverted-index

@@ -248,6 +248,28 @@ class GraftSpec extends SparkSpecBase {
     assert(nExecs >= 3, s"expected >= 3 chunked execs under a 30 kB budget, got $nExecs")
   }
 
+  test("nearDupClusters/dropNearDups: composed dedup pipeline is total and consistent") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val clusters = Graft.nearDupClusters(docs, $"doc_id", $"text")
+    // total: every doc appears exactly once, rep <= member (min-id reps)
+    assert(clusters.count() == n)
+    assert(clusters.select(countDistinct($"doc_id")).head().getLong(0) == n)
+    assert(clusters.filter($"cluster_rep" > $"doc_id").count() == 0)
+    // non-singleton clusters must agree with the declared q_dedup_cluster
+    val nonSingleton = clusters.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("size"), sum("doc_id").as("member_id_sum"))
+      .filter($"size" > 1)
+    assert(rows(nonSingleton.orderBy("cluster_rep")) ==
+           rows(queries.PipelineOps.q_dedup_cluster(spark, sf)
+             .filter($"size" > 1).orderBy("cluster_rep")))
+    // dropNearDups keeps exactly the representative set, schema intact
+    val kept = Graft.dropNearDups(docs, $"doc_id", $"text")
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+    assert(rows(kept.select($"doc_id").orderBy("doc_id")) ==
+           rows(clusters.select($"cluster_rep").distinct().orderBy("cluster_rep")))
+  }
+
   test("srpSearch: radius = bits disables the LSH filter and equals brute force") {
     val dot = graft.functions.GraftFunctions.dot _
     val e = Tables.embeddings(spark, sf)

@@ -213,6 +213,21 @@ class PlansSpec extends SparkSpecBase {
     }
   }
 
+  test("asof composite keys: NULL in any key component never matches") {
+    val l = Seq((Some("a"), Some(1L), 100L), (None, Some(1L), 100L),
+                (Some("a"), None, 100L))
+      .toDF("sym", "venue", "t")
+    val r = Seq((Some("a"), Some(1L), 90L), (None, Some(1L), 80L))
+      .toDF("rsym", "rvenue", "rt")
+    val got = AsOfJoin.asofMulti(l, r, Seq("sym", "venue"), "t",
+        Seq("rsym", "rvenue"), "rt").collect()
+      .map(x => (Option(x.getString(0)), if (x.isNullAt(1)) None else Some(x.getLong(1))) ->
+        (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(got((Some("a"), Some(1L))) == 90L)  // full key matches
+    assert(got((None, Some(1L))) == -1L)       // NULL left key: no match
+    assert(got((Some("a"), None)) == -1L)      // NULL in second component: no match
+  }
+
   test("asof composite keys: single-key result equals two-key result with constant key") {
     val l = leftDf((1L, 100L), (1L, 200L), (2L, 50L))
     val r = rightDf((1L, 90L), (2L, 60L))

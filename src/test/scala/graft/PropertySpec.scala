@@ -60,6 +60,26 @@ class PropertySpec extends AnyFunSuite {
   private def simhashSig(tf: Seq[(String, Long)]): Long =
     SimHash.agg.finish(tf.foldLeft(SimHash.agg.zero)(SimHash.agg.reduce))
 
+  test("vecsum: combiner-safe — any split + merge equals one-pass reduce") {
+    val vecGen: Gen[List[Seq[Double]]] = for {
+      d <- Gen.chooseNum(1, 8)
+      n <- Gen.chooseNum(1, 12)
+      vs <- Gen.listOfN(n, Gen.listOfN(d, Gen.chooseNum(-5.0, 5.0)))
+    } yield vs.map(_.toSeq)
+    check("vecsum merge", Prop.forAll(vecGen, Gen.chooseNum(0, 100)) { (vs, cut) =>
+      val k = cut % (vs.size + 1)
+      val (l, r) = vs.splitAt(k)
+      def fold(xs: Seq[Seq[Double]]) = xs.foldLeft(VecSum.agg.zero)(VecSum.agg.reduce)
+      val merged = VecSum.agg.finish(VecSum.agg.merge(fold(l), fold(r)))
+      val onePass = VecSum.agg.finish(fold(vs))
+      // element-wise double sums: equal split points reorder additions,
+      // so compare within a float tolerance (the engine never promises
+      // bit-equality across groupings for float sums — rule F)
+      merged.size == onePass.size &&
+        merged.zip(onePass).forall { case (a, b) => math.abs(a - b) < 1e-9 }
+    })
+  }
+
   test("simhash: combiner-safe and tf-linear") {
     check("simhash merge", Prop.forAll(docGen) { doc =>
       val tf = doc.groupBy(identity).view.mapValues(_.size.toLong).toSeq
