@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, EmptyBlock, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.LongType
@@ -77,10 +78,26 @@ case class AsOfJoinExec(
     rightKeys: Seq[Attribute], rightTime: Attribute,
     forward: Boolean, tolerance: Option[Long],
     asofOut: Attribute,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output :+ asofOut
   override def producedAttributes: AttributeSet = AttributeSet(asofOut)
+
+  private def isPrimitivePath: Boolean =
+    leftKeys.length == 1 && leftKeys.head.dataType == LongType &&
+      leftTime.dataType == LongType
+
+  /** Whole-stage codegen for the dominant long-key/long-time path —
+    * the SortMergeJoin pattern: both sorted children enter as row
+    * iterators (codegen boundaries), the O(1)-state merge itself is
+    * generated Java fused with the PARENT stages, so rows flow to the
+    * consumer without per-operator materialization. The generic
+    * orderable-type path stays on the interpreted doExecute. */
+  override def supportCodegen: Boolean = isPrimitivePath
+
+  /** As in SortMergeJoinExec: the sink must copy appended rows (the
+    * default for 2-child nodes is unsupported). */
+  override def needCopyResult: Boolean = true
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -101,6 +118,101 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    // plan-time constants baked into the generated source
+    val lki = left.output.indexWhere(_.exprId == leftKeys.head.exprId)
+    val lti = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rki = right.output.indexWhere(_.exprId == rightKeys.head.exprId)
+    val rti = right.output.indexWhere(_.exprId == rightTime.exprId)
+    val tolV = tolerance.getOrElse(Long.MaxValue)
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    val rKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRKey")
+    val rTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRTime")
+    val haveR = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHaveR")
+    val lastKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofLastKey")
+    val lastTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofLastTime")
+    val haveLast = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHaveLast")
+    val initialized = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofInit")
+    val leftRow = ctx.addMutableState("InternalRow", "asofLeftRow", forceInline = true)
+
+    val pullRight = ctx.addNewFunction("asofPullRight",
+      s"""
+         |private void asofPullRight() {
+         |  $haveR = false;
+         |  while (!$haveR && $rightInput.hasNext()) {
+         |    InternalRow r = (InternalRow) $rightInput.next();
+         |    if (!r.isNullAt($rki) && !r.isNullAt($rti)) {
+         |      $rKey = r.getLong($rki); $rTime = r.getLong($rti); $haveR = true;
+         |    }
+         |  }
+         |}
+       """.stripMargin)
+
+    // left output columns read from the current left row
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val leftVarDecls = leftVars.map(_.code.toString).mkString("\n")
+    val leftVarsClean = leftVars.map(_.copy(code = EmptyBlock))
+
+    val matchIsNull = ctx.freshName("asofMatchIsNull")
+    val matchVal = ctx.freshName("asofMatchVal")
+    val matchVar = ExprCode(EmptyBlock,
+      JavaCode.isNullVariable(matchIsNull),
+      JavaCode.variable(matchVal, LongType))
+
+    val k = ctx.freshName("asofK")
+    val t = ctx.freshName("asofT")
+    val mergeStep =
+      if (forward) {
+        s"""
+           |while ($haveR && ($rKey < $k || ($rKey == $k && $rTime < $t))) $pullRight();
+           |if ($haveR && $rKey == $k && $rTime - $t <= ${tolV}L) {
+           |  $numMatched.add(1); $matchIsNull = false; $matchVal = $rTime;
+           |}
+         """.stripMargin
+      } else {
+        s"""
+           |while ($haveR && ($rKey < $k || ($rKey == $k && $rTime <= $t))) {
+           |  $lastKey = $rKey; $lastTime = $rTime; $haveLast = true;
+           |  $pullRight();
+           |}
+           |if ($haveLast && $lastKey == $k && $t - $lastTime <= ${tolV}L) {
+           |  $numMatched.add(1); $matchIsNull = false; $matchVal = $lastTime;
+           |}
+         """.stripMargin
+      }
+
+    s"""
+       |if (!$initialized) { $initialized = true; $pullRight(); }
+       |while ($leftInput.hasNext()) {
+       |  $leftRow = (InternalRow) $leftInput.next();
+       |  boolean $matchIsNull = true;
+       |  long $matchVal = -1L;
+       |  if (!$leftRow.isNullAt($lki) && !$leftRow.isNullAt($lti)) {
+       |    long $k = $leftRow.getLong($lki);
+       |    long $t = $leftRow.getLong($lti);
+       |    $mergeStep
+       |  }
+       |  $numOutputRows.add(1);
+       |  $leftVarDecls
+       |  ${consume(ctx, leftVarsClean :+ matchVar)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lki = leftKeys.map(a => left.output.indexWhere(_.exprId == a.exprId)).toArray

@@ -159,6 +159,38 @@ class PlansSpec extends SparkSpecBase {
     }
   }
 
+  test("asof long/long path fuses into whole-stage codegen; generic path stays interpreted") {
+    // fallback=false makes a Janino compile failure THROW instead of
+    // silently reverting to doExecute — so this test proves the
+    // generated merge actually compiles and runs
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val l = leftDf((1L, 100L), (1L, 200L), (2L, 50L))
+      val r = rightDf((1L, 90L), (2L, 60L))
+      val df = AsOfJoin.asof(l, r, "k", "t", "rk", "rt")
+      val got = df.collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> (if (x.isNullAt(2)) -1L else x.getLong(2)))
+        .toMap
+      assert(got == Map((1L, 100L) -> 90L, (1L, 200L) -> 90L, (2L, 50L) -> -1L))
+      val fused = "\\*\\(\\d+\\) AsOfJoin".r
+        .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
+      assert(fused, "long/long AsOfJoinExec must fuse into WholeStageCodegen:\n" +
+        df.queryExecution.executedPlan.toString)
+      // string keys: the interpreted generic path, never starred
+      val ls = Seq(("a", 100L)).toDF("k", "t")
+      val rs = Seq(("a", 90L)).toDF("rk", "rt")
+      val df2 = AsOfJoin.asof(ls, rs, "k", "t", "rk", "rt")
+      assert(df2.collect().head.getLong(2) == 90L)
+      val fused2 = "\\*\\(\\d+\\) AsOfJoin".r
+        .findFirstIn(df2.queryExecution.executedPlan.toString).isDefined
+      assert(!fused2, "generic-type AsOfJoinExec must stay on the interpreted path")
+    } finally {
+      saved.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("asof generic path copies buffer-backed right-side values (spill-reader reuse)") {
     // Simulates the sorted right child's spill reader, which reuses
     // one read buffer across loadNext() calls: every row's UTF8String
