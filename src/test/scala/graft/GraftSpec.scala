@@ -388,6 +388,62 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("batch kNN joins: candidates meet in a real equi-join, never a cartesian") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = e.filter($"vec_id" < 3).select($"vec_id".as("pid"), $"v".as("pv"))
+    val model = Graft.ivfTrain(e, $"vec_id", $"v", k = 4, iters = 1)
+    val ivfPlan = planString(Graft.ivfSearchAll(model, e, $"vec_id", $"v",
+      probes, $"pid", $"pv", nprobe = 2, topk = 3))
+    val srpPlan = planString(Graft.srpSearchAll(e, $"vec_id", $"v",
+      probes, $"pid", $"pv", topk = 3, bits = 16, radius = 5))
+    for ((name, plan) <- Seq("ivfSearchAll" -> ivfPlan, "srpSearchAll" -> srpPlan)) {
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+      // the only nested loops are the 1-row centroid-array / plane
+      // scalars; the candidate join itself must be a hash/merge join
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"$name candidate join is not an equi-join:\n$plan")
+    }
+  }
+
+  test("ivfAssign + partitionBy write materializes the inverted file with pruning") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val model = Graft.ivfTrain(e, $"vec_id", $"v", k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_file").toString
+    Graft.ivfAssign(model, e, $"v", "cell").select("vec_id", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val cells = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cells.length > 1 && cells.length <= 4,
+      s"expected one directory per cell, got ${cells.map(_.getName).toSeq}")
+    // reading one cell prunes the others (the on-disk inverted file)
+    val someCell = cells.head.getName.stripPrefix("cell=").toLong
+    val read = spark.read.parquet(dir).filter($"cell" === someCell)
+    val planStr = read.queryExecution.executedPlan.toString
+    assert(read.count() > 0)
+    assert(!planStr.contains("PushedFilters: [IsNotNull(cell)"),
+      "cell must be a partition column, not a data filter")
+  }
+
+  test("ANN facades reject invalid parameters loudly") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = e.filter($"vec_id" === 0).select($"vec_id".as("pid"), $"v".as("pv"))
+    intercept[IllegalArgumentException] {   // banded search needs radius < bits
+      Graft.srpSearchAll(e, $"vec_id", $"v", probes, $"pid", $"pv",
+        bits = 8, radius = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.ivfTrain(e, $"vec_id", $"v", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.ivfTrain(e, $"vec_id", $"v", k = 4, sampleFraction = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.srpSearch(e, $"vec_id", $"v", probes, $"pv", bits = 65)
+    }
+  }
+
   test("ANN facades on empty inputs return empty, never fault") {
     val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "v")
     val probe = Tables.embeddings(spark, sf)
