@@ -39,6 +39,15 @@ class DocsConsistencySpec extends AnyFunSuite {
       s"SURVEY §2 totals must state '$nOracles oracle = yes, $nNoOracle oracle = no'")
   }
 
+  test("docs state no literal test counts — they drift; sbt owns them") {
+    val pat = "\\b\\d+ tests\\b".r
+    Seq("README.md", "SURVEY.md").foreach { f =>
+      assert(pat.findFirstIn(read(f)).isEmpty,
+        s"$f states a literal test count (forbidden — it drifts): " +
+          pat.findFirstIn(read(f)).get)
+    }
+  }
+
   test("SparkEntry scaladoc states the live counts") {
     val entry = read("src/main/scala/graft/SparkEntry.scala")
     assert(entry.contains(s"$nQueries query ids"),
