@@ -42,9 +42,9 @@ class DocsConsistencySpec extends AnyFunSuite {
   test("docs state no literal test counts — they drift; sbt owns them") {
     val pat = "\\b\\d+ tests\\b".r
     Seq("README.md", "SURVEY.md").foreach { f =>
-      assert(pat.findFirstIn(read(f)).isEmpty,
-        s"$f states a literal test count (forbidden — it drifts): " +
-          pat.findFirstIn(read(f)).get)
+      val hit = pat.findFirstIn(read(f))
+      assert(hit.isEmpty,
+        s"$f states a literal test count (forbidden — it drifts): ${hit.getOrElse("")}")
     }
   }
 
