@@ -45,6 +45,31 @@ class StreamingTwinSpec extends SparkSpecBase {
     assert(diff(stream, batch) == 0)
   }
 
+  test("ivfAssign routes a vector stream against an offline-trained model") {
+    import org.apache.spark.sql.functions._
+    // train offline (batch), assign online: the row-local broadcast-
+    // array argmax is stateless, so the SAME facade call routes a
+    // vector stream to cells — online vector routing / inverted-file
+    // ingestion. Stream-static cross join against the 1-row centroid
+    // scalar is a broadcast nested loop, legal in append mode.
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val model = Graft.ivfTrain(e, col("vec_id"), col("v"), k = 4, iters = 1)
+      .localCheckpoint()
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val src = spark.readStream.schema(raw).parquet(s"$sf/embeddings.parquet*")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val routed = Graft.ivfAssign(model, src, col("v"), "cell")
+      .select("vec_id", "cell")
+    val q = routed.writeStream.format("memory").queryName("t_route")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("t_route")
+    val batch = Graft.ivfAssign(model, e, col("v"), "cell").select("vec_id", "cell")
+    assert(stream.count() > 0)
+    assert(diff(stream, batch) == 0)
+  }
+
   test("streaming as-of twin matches batch q_asof_join exactly") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
