@@ -5,11 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hash-fingerprint pipeline extensions (SURVEY.md §2.12): SimHash
-  * near-dup, winnowing document fingerprints, brute-force + IVF vector
-  * similarity. Hash functions are JVM-side (Murmur/xxhash64), so these
-  * are not DuckDB-expressible: q_dedup_simhash / q_doc_fingerprint /
-  * q_sim_ivf are oracle=no (unit-tested); q_dedup_embed is pure
-  * double arithmetic and keeps a full oracle.
+  * near-dup, winnowing document fingerprints, brute-force + IVF + SRP
+  * vector similarity. Hash functions are JVM-side (Murmur/xxhash64),
+  * so these are not DuckDB-expressible: q_dedup_simhash /
+  * q_doc_fingerprint / q_ivf_build / q_sim_ivf / q_sim_srp are
+  * oracle=no (unit-tested); q_dedup_embed is pure double arithmetic
+  * and keeps a full oracle.
   */
 object HashOps {
 
