@@ -77,8 +77,15 @@ object Graft {
     * undercount. The true label rides along so callers build those
     * matrices without re-joining the corpus.
     * Profiles are ≤ topK·|languages| rows — a broadcast — so scoring
-    * is one map-side join at any corpus size; the corpus is tokenized
-    * exactly ONCE for both profile building and scoring. */
+    * is one map-side join at any corpus size. ONE tokenize+count
+    * definition feeds both profile building and scoring, but the two
+    * consumers are separate plan subtrees (the profile self-join
+    * re-ids attributes, so neither ReuseExchange nor AQE stage reuse
+    * dedups them — verified at runtime) and the engine executes the
+    * tokenize per consumer. At 100 TB, materialize the (doc, lang,
+    * token, cnt) table once upstream and feed it to both stages —
+    * the same "write the shared intermediate" shape as the cached
+    * near-dup pair graph. */
   def languageId(docs: DataFrame, id: Column, text: Column, lang: Column,
                  topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -80,7 +80,8 @@ object PipelineOps {
     * language from the corpus itself, score every document by profile
     * overlap, predict argmax (ties → lexicographic lang). This query
     * IS [[graft.Graft.languageId]] applied to the documents table
-    * (one tokenize serves profile building AND scoring; the ≤50-row
+    * (one tokenize DEFINITION serves profile building AND scoring —
+    * executed per consumer, see the facade scaladoc; the ≤50-row
     * profile broadcasts so scoring is map-side at any corpus size),
     * aggregated to the (true lang × predicted lang) confusion
     * matrix — so the oracle verifies the public API. */
