@@ -245,8 +245,11 @@ object Graft {
     * DataFrame: idf = ln(N/df) is constant per term, so the score is
     * exactly (Σ tf)·idf — an integer times one double, sidestepping
     * float-summation order. Returns (group, term, score, rn) with
-    * ranking on the ROUNDED score + term tiebreak. One tokenize feeds
-    * both TF and DF; the DF table and doc count broadcast. */
+    * ranking on the ROUNDED score + term tiebreak. One tokenize
+    * DEFINITION feeds both TF and DF, but (as with [[languageId]]) the
+    * consumers are separate subtrees executed per use — at 100 TB,
+    * materialize the per-doc term counts once upstream. The DF table
+    * and doc count broadcast. */
   def tfidfTopTerms(docs: DataFrame, id: Column, group: Column, text: Column,
                     k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
