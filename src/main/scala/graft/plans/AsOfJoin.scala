@@ -84,15 +84,15 @@ case class AsOfJoinExec(
   override def producedAttributes: AttributeSet = AttributeSet(asofOut)
 
   private def isPrimitivePath: Boolean =
-    leftKeys.length == 1 && leftKeys.head.dataType == LongType &&
-      leftTime.dataType == LongType
+    leftKeys.forall(_.dataType == LongType) && leftTime.dataType == LongType
 
-  /** Whole-stage codegen for the dominant long-key/long-time path —
-    * the SortMergeJoin pattern: both sorted children enter as row
-    * iterators (codegen boundaries), the O(1)-state merge itself is
-    * generated Java fused with the PARENT stages, so rows flow to the
-    * consumer without per-operator materialization. The generic
-    * orderable-type path stays on the interpreted doExecute. */
+  /** Whole-stage codegen for the dominant all-long-keys/long-time
+    * path (any key arity) — the SortMergeJoin pattern: both sorted
+    * children enter as row iterators (codegen boundaries), the
+    * O(1)-state merge itself is generated Java fused with the PARENT
+    * stages, so rows flow to the consumer without per-operator
+    * materialization. The generic orderable-type path stays on the
+    * interpreted doExecute. */
   override def supportCodegen: Boolean = isPrimitivePath
 
   /** As in SortMergeJoinExec: the sink must copy appended rows (the
@@ -124,9 +124,10 @@ case class AsOfJoinExec(
 
   protected override def doProduce(ctx: CodegenContext): String = {
     // plan-time constants baked into the generated source
-    val lki = left.output.indexWhere(_.exprId == leftKeys.head.exprId)
+    val nk = leftKeys.length
+    val lki = leftKeys.map(a => left.output.indexWhere(_.exprId == a.exprId))
     val lti = left.output.indexWhere(_.exprId == leftTime.exprId)
-    val rki = right.output.indexWhere(_.exprId == rightKeys.head.exprId)
+    val rki = rightKeys.map(a => right.output.indexWhere(_.exprId == a.exprId))
     val rti = right.output.indexWhere(_.exprId == rightTime.exprId)
     val tolV = tolerance.getOrElse(Long.MaxValue)
     val numOutputRows = metricTerm(ctx, "numOutputRows")
@@ -136,23 +137,25 @@ case class AsOfJoinExec(
       v => s"$v = inputs[0];", forceInline = true)
     val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
       v => s"$v = inputs[1];", forceInline = true)
-    val rKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRKey")
+    val rKey = (0 until nk).map(i => ctx.addMutableState(CodeGenerator.JAVA_LONG, s"asofRKey$i"))
     val rTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRTime")
     val haveR = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHaveR")
-    val lastKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofLastKey")
+    val lastKey = (0 until nk).map(i => ctx.addMutableState(CodeGenerator.JAVA_LONG, s"asofLastKey$i"))
     val lastTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofLastTime")
     val haveLast = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHaveLast")
     val initialized = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofInit")
     val leftRow = ctx.addMutableState("InternalRow", "asofLeftRow", forceInline = true)
 
+    val rKeyNullChecks = rki.map(i => s"!r.isNullAt($i)").mkString(" && ")
+    val rKeyReads = rKey.zip(rki).map { case (v, i) => s"$v = r.getLong($i);" }.mkString(" ")
     val pullRight = ctx.addNewFunction("asofPullRight",
       s"""
          |private void asofPullRight() {
          |  $haveR = false;
          |  while (!$haveR && $rightInput.hasNext()) {
          |    InternalRow r = (InternalRow) $rightInput.next();
-         |    if (!r.isNullAt($rki) && !r.isNullAt($rti)) {
-         |      $rKey = r.getLong($rki); $rTime = r.getLong($rti); $haveR = true;
+         |    if ($rKeyNullChecks && !r.isNullAt($rti)) {
+         |      $rKeyReads $rTime = r.getLong($rti); $haveR = true;
          |    }
          |  }
          |}
@@ -173,27 +176,52 @@ case class AsOfJoinExec(
       JavaCode.isNullVariable(matchIsNull),
       JavaCode.variable(matchVal, LongType))
 
-    val k = ctx.freshName("asofK")
+    val ks = (0 until nk).map(i => ctx.freshName(s"asofK$i"))
     val t = ctx.freshName("asofT")
+    // lexicographic (keys…) compare of the tracked right/last key
+    // tuple against the current left tuple, unrolled per component
+    def cmpInto(cVar: String, keyVars: Seq[String]): String = {
+      val chain = keyVars.zip(ks).map { case (x, kv) =>
+        s"if ($x != $kv) { $cVar = ($x < $kv) ? -1 : 1; }"
+      }.mkString(" else ")
+      s"int $cVar = 0; $chain"
+    }
+    def eqExpr(keyVars: Seq[String]): String =
+      keyVars.zip(ks).map { case (x, kv) => s"$x == $kv" }.mkString(" && ")
+
+    val c = ctx.freshName("asofCmp")
     val mergeStep =
       if (forward) {
         s"""
-           |while ($haveR && ($rKey < $k || ($rKey == $k && $rTime < $t))) $pullRight();
-           |if ($haveR && $rKey == $k && $rTime - $t <= ${tolV}L) {
+           |while ($haveR) {
+           |  ${cmpInto(c, rKey)}
+           |  if (!($c < 0 || ($c == 0 && $rTime < $t))) break;
+           |  $pullRight();
+           |}
+           |if ($haveR && ${eqExpr(rKey)} && $rTime - $t <= ${tolV}L) {
            |  $numMatched.add(1); $matchIsNull = false; $matchVal = $rTime;
            |}
          """.stripMargin
       } else {
+        val saveLast = lastKey.zip(rKey).map { case (l, r) => s"$l = $r;" }.mkString(" ")
         s"""
-           |while ($haveR && ($rKey < $k || ($rKey == $k && $rTime <= $t))) {
-           |  $lastKey = $rKey; $lastTime = $rTime; $haveLast = true;
+           |while ($haveR) {
+           |  ${cmpInto(c, rKey)}
+           |  if (!($c < 0 || ($c == 0 && $rTime <= $t))) break;
+           |  $saveLast $lastTime = $rTime; $haveLast = true;
            |  $pullRight();
            |}
-           |if ($haveLast && $lastKey == $k && $t - $lastTime <= ${tolV}L) {
+           |if ($haveLast && ${eqExpr(lastKey)} && $t - $lastTime <= ${tolV}L) {
            |  $numMatched.add(1); $matchIsNull = false; $matchVal = $lastTime;
            |}
          """.stripMargin
       }
+
+    val leftNullChecks =
+      (lki.map(i => s"!$leftRow.isNullAt($i)") :+ s"!$leftRow.isNullAt($lti)")
+        .mkString(" && ")
+    val leftKeyReads = ks.zip(lki).map { case (kv, i) =>
+      s"long $kv = $leftRow.getLong($i);" }.mkString("\n")
 
     s"""
        |if (!$initialized) { $initialized = true; $pullRight(); }
@@ -201,8 +229,8 @@ case class AsOfJoinExec(
        |  $leftRow = (InternalRow) $leftInput.next();
        |  boolean $matchIsNull = true;
        |  long $matchVal = -1L;
-       |  if (!$leftRow.isNullAt($lki) && !$leftRow.isNullAt($lti)) {
-       |    long $k = $leftRow.getLong($lki);
+       |  if ($leftNullChecks) {
+       |    $leftKeyReads
        |    long $t = $leftRow.getLong($lti);
        |    $mergeStep
        |  }

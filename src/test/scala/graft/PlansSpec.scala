@@ -245,6 +245,34 @@ class PlansSpec extends SparkSpecBase {
     }
   }
 
+  test("asof composite all-long keys fuse into codegen and match brute force") {
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val rnd = new scala.util.Random(11)
+      val ls = (1 to 50).map(_ =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(2).toLong, rnd.nextInt(30).toLong)).distinct
+      val rs = (1 to 40).map(_ =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(2).toLong, rnd.nextInt(30).toLong))
+      val df = AsOfJoin.asofMulti(ls.toDF("k1", "k2", "t"), rs.toDF("r1", "r2", "rt"),
+        Seq("k1", "k2"), "t", Seq("r1", "r2"), "rt")
+      val got = df.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
+          (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      val want = ls.map { case (k1, k2, t) =>
+        val cand = rs.filter(r => r._1 == k1 && r._2 == k2 && r._3 <= t).map(_._3)
+        (k1, k2, t) -> (if (cand.isEmpty) -1L else cand.max)
+      }.toMap
+      assert(got == want)
+      val fused = "\\*\\(\\d+\\) AsOfJoin".r
+        .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
+      assert(fused, "all-long composite keys must fuse into WholeStageCodegen")
+    } finally {
+      saved.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("asof composite keys: NULL in any key component never matches") {
     val l = Seq((Some("a"), Some(1L), 100L), (None, Some(1L), 100L),
                 (Some("a"), None, 100L))
