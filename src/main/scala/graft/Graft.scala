@@ -818,4 +818,136 @@ object Graft {
       .orderBy(col("score").desc, id.asc)
       .limit(topk)
   }
+
+  /** Batch EXACT kNN join — for every probe row, its `topk` highest-
+    * dot-product corpus vectors: the brute-force ground truth the
+    * approximate [[srpSearchAll]]/[[ivfSearchAll]] paths are measured
+    * against. The probe side broadcasts (it is small by definition —
+    * a query batch, not a corpus), the corpus streams through ONE
+    * linear scan, and the per-probe cut is the bounded [[TopK]]
+    * partial aggregate: each map task keeps at most k entries per
+    * probe, so the shuffle moves ≤ k·|probes| rows per task — never
+    * the |corpus|·|probes| score matrix a window-rank plan would
+    * sort. Both operands are cast float→double BEFORE multiplying
+    * (rule F). Returns (probe_id, id, score DOUBLE, rk INT), rk
+    * 1-based by (score DESC, id ASC). */
+  def knnJoinExact(corpus: DataFrame, id: Column, vec: Column,
+                   probes: DataFrame, probeId: Column, probeVec: Column,
+                   topk: Int = 10): DataFrame = {
+    require(topk >= 1, s"topk must be >= 1, got $topk")
+    val p = probes.select(probeId.cast("long").as("probe_id"),
+                          probeVec.cast("array<double>").as("__pv"))
+    val topAgg = udaf(TopK.agg(topk))
+    corpus.select(id.cast("long").as("__cid"), vec.cast("array<double>").as("__cv"))
+      .crossJoin(broadcast(p))
+      .select(col("probe_id"), col("__cid"),
+              functions.GraftFunctions.dot(col("__cv"), col("__pv")).as("__score"))
+      .filter(col("__score").isNotNull)  // NULL similarity cannot rank
+      .groupBy("probe_id")
+      .agg(topAgg(col("__cid"), col("__score")).as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("probe_id"), col("__e.id").as("id"),
+              col("__e.score").as("score"),
+              (col("__pos") + 1).cast("int").as("rk"))
+  }
+
+  /** Concat-then-chunk sequence packing — the pretraining step that
+    * lays a corpus end-to-end in a deterministic order (ascending id)
+    * and cuts the token stream into fixed-`budget` context windows:
+    * returns, per document, the first and last window it lands in
+    * (documents straddle boundaries, as GPT-style packing allows).
+    * The exclusive token prefix sum is computed DISTRIBUTED, never as
+    * a single-partition window: approx-quantile bounds on the id
+    * split the keyspace into `buckets` order-consistent ranges,
+    * per-bucket windows run PARTITIONED, and the ≤`buckets`-row
+    * bucket-total table folds to exclusive offsets with array HOFs —
+    * at 100 TB only `buckets` grows. Returns (doc_id, n_tokens,
+    * start_chunk, end_chunk, n_chunks), all LONG; a zero-token
+    * document occupies the single window at its offset. */
+  def packChunks(docs: DataFrame, id: Column, nTokens: Column,
+                 budget: Long, buckets: Int = 16): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(id.cast("long").as("doc_id"),
+                           nTokens.cast("long").as("n_tokens"))
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds =
+      if (qs.isEmpty) base.agg(typedlit(Seq.empty[Long]).as("__bounds"))
+      else base.agg(percentile_approx(col("doc_id"), typedlit(qs), lit(1000))
+                      .as("__bounds"))
+    // bucket = count of bounds strictly below the id: monotone in id,
+    // so the global order is the bucket concatenation (ties share a
+    // bucket; balance only affects speed, never the prefix)
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_tokens"),
+              size(filter(col("__bounds"), b => col("doc_id") > b)).as("__bucket"))
+    val totals = bucketed.groupBy("__bucket").agg(sum("n_tokens").as("__tot"))
+    // exclusive prefix offsets over the <= buckets-row totals table,
+    // via the array-HOF fold (O(buckets²) on ~16 — trivial)
+    val offsets = totals
+      .agg(array_sort(collect_list(struct(col("__bucket"), col("__tot")))).as("__arr"))
+      .select(explode(transform(col("__arr"), (x, i) =>
+        struct(x.getField("__bucket").as("__bucket"),
+               aggregate(slice(col("__arr"), lit(1), i), lit(0L),
+                         (a, y) => a + y.getField("__tot")).as("__off")))).as("s"))
+      .select(col("s.__bucket").as("__bucket"), col("s.__off").as("__off"))
+    val w = Window.partitionBy("__bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = expr(s"__prefix div ${budget}L")
+    val end = greatest(start, expr(s"(__prefix + n_tokens - 1) div ${budget}L"))
+    bucketed.join(broadcast(offsets), "__bucket")
+      .select(col("doc_id"), col("n_tokens"),
+              (col("__off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+                .as("__prefix"))
+      .select(col("doc_id"), col("n_tokens"),
+              start.as("start_chunk"), end.as("end_chunk"),
+              (end - start + 1).as("n_chunks"))
+  }
+
+  /** Per-document mean negative log-likelihood under the corpus's own
+    * unigram model — the CCNet-style perplexity proxy a quality gate
+    * ranks documents by (boilerplate scores low, rare-token noise
+    * scores high). The model is the corpus itself: p(t) = count(t) /
+    * total. Scoring is ZERO-shuffle per document: the (token → count)
+    * table folds into a ONE-row map scalar + total that broadcasts,
+    * and each document folds its own token array against it with a
+    * row-local HOF — no explode-and-regroup of the corpus. The scalar
+    * holds for natural-language vocabularies (Zipf-bounded); for an
+    * unbounded vocab swap the scalar for a broadcast equi-join on
+    * token — semantics identical. Unseen tokens (possible only when
+    * scoring docs OUTSIDE the model corpus) floor at count 1. Returns
+    * (doc_id, n_tokens LONG, mean_nll DOUBLE — natural log). */
+  def unigramLogProb(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = docs.select(id.cast("long").as("doc_id"),
+                           split(text, " ").as("__toks"))
+    val model = base.select(explode(col("__toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .agg(map_from_entries(collect_list(struct(col("token"), col("cnt"))))
+             .as("__m"),
+           sum("cnt").cast("double").as("__total"))
+    base.crossJoin(broadcast(model))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+              (aggregate(col("__toks"), lit(0.0d),
+                 (acc, t) => acc - log(coalesce(element_at(col("__m"), t), lit(1L))
+                                         .cast("double") / col("__total")))
+               / size(col("__toks"))).as("mean_nll"))
+  }
+
+  /** Deterministic epoch-shuffle key: a seeded bijective scramble of
+    * the id residues — ORDER BY (epochShuffleKey(id, seed), id) is the
+    * reproducible global shuffle a training run needs per epoch (same
+    * permutation on every engine, every run, at any parallelism;
+    * change the seed, change the epoch order). Pure overflow-safe
+    * integer arithmetic, same multiplicative-hash family as
+    * [[deterministicKeep]]: the id is reduced mod P = 1e9+7 BEFORE the
+    * Knuth multiply so the product stays < 2^62, and K mod P ≠ 0 with
+    * P prime makes the map a bijection on [0, P) — distinct residues
+    * never collide. */
+  def epochShuffleKey(id: Column, seed: Long): Column = {
+    require(seed >= 0 && seed < 1000000007L,
+      s"seed must be in [0, 1e9+7), got $seed")
+    pmod(pmod(pmod(id.cast("long"), lit(1000000007L)) + seed, lit(1000000007L))
+           * 2654435761L, lit(1000000007L))
+  }
 }

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 67 query ids; 60 with DuckDB oracles. The
+  * and §3.1 (entry points). 72 query ids; 65 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -71,6 +71,7 @@ object SparkEntry {
     "q_dedup_exact"    -> TextOps.q_dedup_exact _,
     "q_dedup_minhash"  -> TextOps.q_dedup_minhash _,
     "q_sim_search"     -> TextOps.q_sim_search _,
+    "q_knn_join"       -> TextOps.q_knn_join _,
     "q_knn_centroid"   -> TextOps.q_knn_centroid _,
     // §2.12 training-data-pipeline extensions
     "q_dedup_ngram"    -> PipelineOps.q_dedup_ngram _,
@@ -89,6 +90,10 @@ object SparkEntry {
     "q_asof_native"    -> Events.q_asof_native _,
     "q_range_join"     -> Events.q_range_join _,
     "q_sample_det"     -> PipelineOps.q_sample_det _,
+    "q_shuffle_det"    -> PipelineOps.q_shuffle_det _,
+    "q_pack_chunks"    -> PipelineOps.q_pack_chunks _,
+    "q_unigram_ppl"    -> PipelineOps.q_unigram_ppl _,
+    "q_dedup_drop"     -> PipelineOps.q_dedup_drop _,
     "q_repetition"     -> PipelineOps.q_repetition _,
     "q_mixture_sample" -> PipelineOps.q_mixture_sample _,
     "q_contamination"  -> PipelineOps.q_contamination _,

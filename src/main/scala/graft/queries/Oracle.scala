@@ -548,6 +548,78 @@ object Oracle {
         |SELECT event_type,
         |       CAST(SUM(CASE WHEN prev_max - us > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
         |       COUNT(*) AS n
-        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exclusive token prefix sum in doc_id order → fixed-budget
+    // context windows; CAST the windowed SUM back to BIGINT (rule I)
+    "q_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |p AS (SELECT doc_id, n,
+        |             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |                  AS BIGINT) AS prefix
+        |      FROM t)
+        |SELECT doc_id, n AS n_tokens,
+        |       prefix // 2048 AS start_chunk,
+        |       GREATEST(prefix // 2048, (prefix + n - 1) // 2048) AS end_chunk,
+        |       GREATEST(prefix // 2048, (prefix + n - 1) // 2048)
+        |         - prefix // 2048 + 1 AS n_chunks
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // corpus-as-its-own-unigram-model scoring; LN == Spark log (natural)
+    "q_unigram_ppl" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM cnt),
+        |sc AS (SELECT t.doc_id, COUNT(*) AS n,
+        |              SUM(-LN(CAST(c.c AS DOUBLE) / tot.total)) AS s
+        |       FROM tok t JOIN cnt c ON t.token = c.token CROSS JOIN tot
+        |       GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, ROUND(s / n, 3) AS mean_nll
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // the same overflow-safe multiplicative hash as q_sample_det,
+    // seeded: reduce mod P BEFORE the Knuth multiply (product < 2^62)
+    "q_shuffle_det" ->
+      """SELECT doc_id,
+        |       ((((doc_id % 1000000007) + 20260812) % 1000000007)
+        |        * 2654435761) % 1000000007 AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin,
+
+    // near-dup removal: the recursive-CTE components of the same pair
+    // graph give min-label reps; keep = NOT a non-rep member
+    "q_dedup_drop" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM scored
+        |          UNION ALL SELECT doc_b, doc_a FROM scored),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+        |),
+        |cc AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node),
+        |dropped AS (SELECT node FROM cc WHERE node <> rep)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids,
+        |       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // batch exact kNN: q_sim_search's widen-then-multiply DOUBLE dot,
+    // generalized to 5 probes with a per-probe rank
+    "q_knn_join" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, embedding AS p FROM embeddings
+        |                WHERE vec_id < 5),
+        |ex AS (SELECT pr.probe_id, e.vec_id,
+        |              CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) *
+        |              CAST(pr.p[CAST(t.i AS INT)] AS DOUBLE) AS prod
+        |       FROM embeddings e, probes pr, range(1, 65) t(i) WHERE e.vec_id >= 5),
+        |sc AS (SELECT probe_id, vec_id, SUM(prod) AS score FROM ex GROUP BY 1, 2),
+        |ranked AS (SELECT probe_id, vec_id, score,
+        |                  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |                                          ORDER BY score DESC, vec_id) AS INT) AS rk
+        |           FROM sc)
+        |SELECT probe_id, vec_id, ROUND(score, 3) AS score, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
   )
 }

@@ -227,6 +227,69 @@ object PipelineOps {
       .orderBy("cluster_rep")
   }
 
+  /** Concat-then-chunk sequence packing over the documents table:
+    * [[graft.Graft.packChunks]] (distributed two-pass prefix sum —
+    * range-bucketed, never a single-partition window) at a
+    * 2048-token context budget, so the oracle verifies the public
+    * API. Per document: its token count and the first/last/how-many
+    * fixed-budget context windows it occupies when the corpus is laid
+    * end-to-end in ascending doc_id order. */
+  def q_pack_chunks(s: SparkSession, d: String): DataFrame =
+    graft.Graft.packChunks(Tables.documents(s, d), col("doc_id"),
+        size(toks), budget = 2048L)
+      .orderBy("doc_id")
+
+  /** Unigram-LM quality scoring: per-document mean negative
+    * log-likelihood under the corpus's own unigram model — the
+    * CCNet-style perplexity proxy. This query IS
+    * [[graft.Graft.unigramLogProb]] applied to the documents table
+    * (one-row broadcast model scalar, row-local HOF scoring — zero
+    * shuffle per doc), so the oracle verifies the public API. */
+  def q_unigram_ppl(s: SparkSession, d: String): DataFrame =
+    graft.Graft.unigramLogProb(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens"),
+              round(col("mean_nll"), 3).as("mean_nll"))
+      .orderBy("doc_id")
+
+  /** Deterministic epoch shuffle: the reproducible global permutation
+    * a training run draws per epoch — ORDER BY
+    * ([[graft.Graft.epochShuffleKey]](doc_id, seed), doc_id), here
+    * cut to the first 100 docs of the epoch. The sort-limit plans as
+    * TakeOrderedAndProject (per-partition top-100 + driver merge of
+    * ≤100-row partials — no global sort materializes), and the key is
+    * bijective on id residues, so the order is total and
+    * engine-independent. */
+  def q_shuffle_det(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              graft.Graft.epochShuffleKey(col("doc_id"), 20260812L).as("shuffle_key"))
+      .orderBy("shuffle_key", "doc_id")
+      .limit(100)
+
+  /** End-to-end near-dup REMOVAL — the stage [[q_dedup_cluster]]'s
+    * labeling exists for: drop every clustered document except its
+    * min-id representative, keep everything unclustered, and account
+    * for what survives per language. Same semantics as
+    * [[graft.Graft.dropNearDups]] (facade-equivalence in GraftSpec)
+    * but composed over the shared cached [[ngramPairGraph]] so a
+    * Verify/Bench run prices the pair graph once across the three
+    * dedup queries. Non-representative members arrive from a
+    * components pass whose labels are component minima; the keep set
+    * is a LEFT ANTI join — docs in no pair survive by construction. */
+  def q_dedup_drop(s: SparkSession, d: String): DataFrame = {
+    val dropIds = graft.Graft.connectedComponents(
+        ngramPairGraph(s, d).select(col("doc_a"), col("doc_b")))
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    Tables.documents(s, d)
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+           sum("doc_id").as("sum_kept_ids"),
+           sum(col("n_chars").cast("long")).as("kept_chars"))
+      .orderBy("lang")
+  }
+
   /** Token counting, three ways per source: whitespace split, a
     * regex tokenizer (`[^a-z0-9]+` — BPE-ish normalization boundary),
     * and a subword estimate (ceil(len/2) per token — the fixed-rate

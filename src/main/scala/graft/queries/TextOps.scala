@@ -110,6 +110,26 @@ object TextOps {
       .limit(10)
   }
 
+  /** Batch EXACT kNN join: for each of the 5 probe vectors (vec_id <
+    * 5), its 5 nearest corpus vectors by dot product (embeddings are
+    * unit-normalized, so dot ≡ cosine). This query IS
+    * [[graft.Graft.knnJoinExact]] applied to the embeddings table, so
+    * the oracle verifies the public API — and the brute-force ground
+    * truth the approximate srpSearchAll/ivfSearchAll facades measure
+    * recall against (GraftSpec). The per-probe cut is the bounded
+    * [[graft.TopK]] partial aggregate: ≤ k rows per probe leave each
+    * map task, never the |corpus|·|probes| score matrix. */
+  def q_knn_join(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.Graft.knnJoinExact(
+        emb.filter(col("vec_id") >= 5), col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        topk = 5)
+      .select(col("probe_id"), col("id").as("vec_id"),
+              round(col("score"), 3).as("score"), col("rk"))
+      .orderBy("probe_id", "rk")
+  }
+
   /** Per-class centroid: posexplode to (label, dim, value), average per
     * cell, then fold dims back to the centroid's L2 norm. Two shuffles,
     * both on small keys — shuffle-bounded at any scale. */

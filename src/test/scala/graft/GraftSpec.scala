@@ -483,4 +483,108 @@ class GraftSpec extends SparkSpecBase {
       .select(array_join(array_sort(split($"text", " ")), " ")).distinct().count()
     assert(fp == expected)
   }
+
+  test("packChunks: hand-computed chunk spans; straddle and zero-token cases") {
+    // budget 10, ids in order: 4 + 8 (straddles 10) + 0 + 20 (spans 3)
+    val docs = Seq((1L, 4L), (2L, 8L), (3L, 0L), (4L, 20L)).toDF("id", "n")
+    val got = rows(Graft.packChunks(docs, $"id", $"n", budget = 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "start_chunk", "end_chunk", "n_chunks"))
+    assert(got == Seq(
+      Seq(1L, 0L, 0L, 1L),   // prefix 0,  tokens 0..3
+      Seq(2L, 0L, 1L, 2L),   // prefix 4,  tokens 4..11 — straddles
+      Seq(3L, 1L, 1L, 1L),   // prefix 12, zero tokens: sits in chunk 1
+      Seq(4L, 1L, 3L, 3L)))  // prefix 12, tokens 12..31 — spans 3
+  }
+
+  test("packChunks: bucket count never changes the result") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+    val b1 = rows(Graft.packChunks(docs, $"doc_id", $"n", 512L, buckets = 1)
+      .orderBy("doc_id"))
+    val b16 = rows(Graft.packChunks(docs, $"doc_id", $"n", 512L, buckets = 16)
+      .orderBy("doc_id"))
+    val b5 = rows(Graft.packChunks(docs, $"doc_id", $"n", 512L, buckets = 5)
+      .orderBy("doc_id"))
+    assert(b1 == b16 && b1 == b5 && b1.nonEmpty)
+    // chunks tile the corpus: last end_chunk == ceil(total/budget) - 1
+    val total = docs.agg(sum($"n".cast("long"))).head.getLong(0)
+    assert(b1.map(_(3).asInstanceOf[Long]).max == (total - 1) / 512L)
+  }
+
+  test("unigramLogProb: uniform corpus scores exactly ln(V)") {
+    // 4 equally frequent tokens -> every doc's mean nll = ln 4
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "a b c d")).toDF("id", "t")
+    val got = Graft.unigramLogProb(docs, $"id", $"t").collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(2) - math.log(4.0)) < 1e-12,
+        s"doc ${r.getLong(0)}: ${r.getDouble(2)}")
+    }
+    // a doc of only the most frequent token scores below the corpus mix
+    val skew = Seq((1L, "a a a"), (2L, "a b")).toDF("id", "t")
+    val byId = Graft.unigramLogProb(skew, $"id", $"t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(1L) < byId(2L))
+  }
+
+  test("epochShuffleKey: bijective on residues, seed changes the order") {
+    val ids = (0L until 2000L).toDF("id")
+    val k1 = ids.select(Graft.epochShuffleKey($"id", 1L).as("k"))
+    assert(k1.distinct().count() == 2000)       // no collisions
+    val o1 = rows(ids.select($"id").orderBy(Graft.epochShuffleKey($"id", 1L)))
+    val o2 = rows(ids.select($"id").orderBy(Graft.epochShuffleKey($"id", 2L)))
+    assert(o1 != o2)                            // different epoch order
+    assert(o1.map(_.head).toSet == o2.map(_.head).toSet)  // same rows: a permutation
+    assert(o1 == rows(ids.select($"id").orderBy(Graft.epochShuffleKey($"id", 1L))))
+  }
+
+  test("knnJoinExact equals the window-rank brute force") {
+    val dot = graft.functions.GraftFunctions.dot _
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = e.filter($"vec_id" < 4).select($"vec_id".as("pid"), $"v".as("pv"))
+    val got = rows(Graft.knnJoinExact(e, $"vec_id", $"v",
+        probes, $"pid", $"pv", topk = 7)
+      .orderBy("probe_id", "rk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy($"score".desc, $"id".asc)
+    val brute = rows(e.crossJoin(broadcast(probes))
+      .select($"pid".as("probe_id"), $"vec_id".as("id"), dot($"v", $"pv").as("score"))
+      .withColumn("rk", row_number().over(w).cast("int")).filter($"rk" <= 7)
+      .orderBy("probe_id", "rk"))
+    assert(got == brute && got.size == 4 * 7)
+  }
+
+  test("approximate batch kNN recalls the exact knnJoinExact top-k") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = e.filter($"vec_id" < 3).select($"vec_id".as("pid"), $"v".as("pv"))
+    val exact = Graft.knnJoinExact(e, $"vec_id", $"v", probes, $"pid", $"pv", topk = 5)
+      .select($"probe_id", $"id".as("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SRP at the full radius is exhaustive -> perfect recall
+    val srp = Graft.srpSearchAll(e, $"vec_id", $"v", probes, $"pid", $"pv",
+        topk = 5, bits = 16, radius = 15)
+      .select($"probe_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(srp == exact)
+    // IVF at modest nprobe keeps most of the exact set on this corpus
+    val model = Graft.ivfTrain(e, $"vec_id", $"v", k = 6, iters = 2)
+    val ivf = Graft.ivfSearchAll(model, e, $"vec_id", $"v", probes, $"pid", $"pv",
+        nprobe = 3, topk = 5)
+      .select($"probe_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((ivf & exact).size >= (exact.size * 6) / 10,
+      s"IVF recall too low: ${(ivf & exact).size}/${exact.size}")
+  }
+
+  test("pack/unigram/knn facades on empty inputs return empty, never fault") {
+    val noDocs = Seq.empty[(Long, Long)].toDF("id", "n")
+    assert(Graft.packChunks(noDocs, $"id", $"n", 10L).count() == 0)
+    val noText = Seq.empty[(Long, String)].toDF("id", "t")
+    assert(Graft.unigramLogProb(noText, $"id", $"t").count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "v")
+    assert(Graft.knnJoinExact(noVecs, $"id", $"v", noVecs, $"id", $"v").count() == 0)
+  }
 }

@@ -27,6 +27,33 @@ class PropertySpec extends AnyFunSuite {
   private def minhashSig(tokens: Seq[String]): Seq[Long] =
     MinHash.agg.finish(tokens.foldLeft(MinHash.agg.zero)(MinHash.agg.reduce))
 
+  test("topk: combiner-safe and equal to sort-take-k for any split") {
+    val entryGen: Gen[TopK.Entry] = for {
+      id <- Gen.chooseNum(0L, 30L)            // small range forces score ties
+      s <- Gen.oneOf(0.0, 0.25, 0.5, 0.75, 1.0)
+    } yield TopK.Entry(id, s)
+    val agg = TopK.agg(5)
+    check("topk split-merge", Prop.forAll(
+        Gen.listOf(entryGen), Gen.chooseNum(0, 100)) { (es, cut) =>
+      val k = cut % (es.size + 1)
+      val (l, r) = es.splitAt(k)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val expect = es.sortBy(e => (-e.score, e.id)).take(5)
+      agg.finish(merged) == expect &&
+        agg.finish(es.foldLeft(agg.zero)(agg.reduce)) == expect
+    })
+  }
+
+  test("epoch shuffle key: bijection on [0, P) residues (sampled)") {
+    val P = 1000000007L
+    check("shuffle bijection", Prop.forAll(
+        Gen.chooseNum(0L, P - 1), Gen.chooseNum(0L, P - 1)) { (a, b) =>
+      def key(x: Long) = math.floorMod(math.floorMod(x + 3L, P) * 2654435761L, P)
+      (a == b) == (key(a) == key(b))
+    })
+  }
+
   test("minhash: combiner-safe — any split + merge equals one-pass reduce") {
     check("minhash merge", Prop.forAll(docGen, Gen.chooseNum(0, 100)) { (doc, cut) =>
       val k = cut % (doc.size + 1)
