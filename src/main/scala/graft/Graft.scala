@@ -863,15 +863,27 @@ object Graft {
     * bucket-total table folds to exclusive offsets with array HOFs —
     * at 100 TB only `buckets` grows. Returns (doc_id, n_tokens,
     * start_chunk, end_chunk, n_chunks), all LONG; a zero-token
-    * document occupies the single window at its offset. */
+    * document occupies the single window at its offset.
+    *
+    * `buckets = 0` (default) AUTO-SIZES from one cheap count —
+    * ceil(rows / 2M), floored at 16 — so each per-bucket window
+    * partition holds a bounded ~2M (long, long) rows at ANY corpus
+    * size without a caller-tuned constant (the same no-magic-constant
+    * rule as [[topkCosinePairs]]' chunk auto-sizing). */
   def packChunks(docs: DataFrame, id: Column, nTokens: Column,
-                 budget: Long, buckets: Int = 16): DataFrame = {
+                 budget: Long, buckets: Int = 0): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(buckets >= 0, s"buckets must be >= 0 (0 = auto), got $buckets")
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(id.cast("long").as("doc_id"),
                            nTokens.cast("long").as("n_tokens"))
-    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val b =
+      if (buckets > 0) buckets
+      else {
+        val n = base.count()
+        math.max(16, math.min(65536, ((n + 1999999L) / 2000000L).toInt))
+      }
+    val qs = (1 until b).map(_.toDouble / b)
     val bounds =
       if (qs.isEmpty) base.agg(typedlit(Seq.empty[Long]).as("__bounds"))
       else base.agg(percentile_approx(col("doc_id"), typedlit(qs), lit(1000))
@@ -918,21 +930,36 @@ object Graft {
     * token — semantics identical. Unseen tokens (possible only when
     * scoring docs OUTSIDE the model corpus) floor at count 1. Returns
     * (doc_id, n_tokens LONG, mean_nll DOUBLE — natural log). */
-  def unigramLogProb(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val base = docs.select(id.cast("long").as("doc_id"),
-                           split(text, " ").as("__toks"))
-    val model = base.select(explode(col("__toks")).as("token"))
+  def unigramLogProb(docs: DataFrame, id: Column, text: Column): DataFrame =
+    unigramScore(unigramModel(docs, text), docs, id, text)
+
+  /** The unigram model of [[unigramLogProb]] as a standalone ONE-row
+    * DataFrame ((token → count) map + total) — TRAINING DECOUPLED
+    * FROM SCORING, the [[ivfTrain]]/[[ivfAssign]] split for text:
+    * train on a (sampled) reference corpus once, persist/checkpoint,
+    * then [[unigramScore]] any number of batches — or a STREAM: the
+    * scoring side is a stateless stream-static broadcast join + a
+    * row-local fold, so the same call is an online quality gate under
+    * readStream (demonstrated in StreamingTwinSpec). */
+  def unigramModel(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(split(text, " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .agg(map_from_entries(collect_list(struct(col("token"), col("cnt"))))
              .as("__m"),
            sum("cnt").cast("double").as("__total"))
-    base.crossJoin(broadcast(model))
+
+  /** Score (id, text) rows against a trained [[unigramModel]]: mean
+    * negative log-likelihood per document, row-local after the 1-row
+    * model broadcast. Tokens unseen by the model floor at count 1. */
+  def unigramScore(model: DataFrame, docs: DataFrame,
+                   id: Column, text: Column): DataFrame =
+    docs.select(id.cast("long").as("doc_id"), split(text, " ").as("__toks"))
+      .crossJoin(broadcast(model))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
               (aggregate(col("__toks"), lit(0.0d),
                  (acc, t) => acc - log(coalesce(element_at(col("__m"), t), lit(1L))
                                          .cast("double") / col("__total")))
                / size(col("__toks"))).as("mean_nll"))
-  }
 
   /** Deterministic epoch-shuffle key: a seeded bijective scramble of
     * the id residues — ORDER BY (epochShuffleKey(id, seed), id) is the

@@ -43,6 +43,26 @@ object PipelineOps {
         .localCheckpoint())
   }
 
+  /** Component labels over [[ngramPairGraph]], computed ONCE per
+    * (session, sfDir) and shared by [[q_dedup_cluster]] (membership
+    * accounting) and [[q_dedup_drop]] (removal) — the "write the
+    * labeling once, read it twice" shape of a real pipeline; without
+    * it each consumer re-runs the O(log n) components loop. Same
+    * eviction discipline as the pair-graph cache. */
+  private val ccLabelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ngramCcLabels(s: SparkSession, d: String): DataFrame = {
+    ccLabelsCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(ccLabelsCache.remove)
+    if (ccLabelsCache.size > 8)
+      ccLabelsCache.keys.filter(_ != ((s, d))).foreach(ccLabelsCache.remove)
+    ccLabelsCache.getOrElseUpdate((s, d),
+      graft.operators.ConnectedComponents
+        .alternatingStar(ngramPairGraph(s, d).select(col("doc_a"), col("doc_b")))
+        .localCheckpoint())
+  }
+
   /** Word-3-gram Jaccard near-dup pairs at ≥ 0.8, via an INVERTED
     * INDEX join (docs sharing ≥1 gram), never all-pairs: explode
     * distinct grams → equi-join on gram → per-pair common count →
@@ -220,8 +240,7 @@ object PipelineOps {
     * can never be silently emitted. Emits (cluster_rep = min doc_id,
     * size, member-id checksum). */
   def q_dedup_cluster(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramPairGraph(s, d).select(col("doc_a"), col("doc_b"))
-    graft.operators.ConnectedComponents.alternatingStar(pairs)
+    ngramCcLabels(s, d)
       .groupBy("label").agg(count(lit(1)).as("size"), sum("node").as("member_id_sum"))
       .select(col("label").as("cluster_rep"), col("size"), col("member_id_sum"))
       .orderBy("cluster_rep")
@@ -277,8 +296,7 @@ object PipelineOps {
     * components pass whose labels are component minima; the keep set
     * is a LEFT ANTI join — docs in no pair survive by construction. */
   def q_dedup_drop(s: SparkSession, d: String): DataFrame = {
-    val dropIds = graft.Graft.connectedComponents(
-        ngramPairGraph(s, d).select(col("doc_a"), col("doc_b")))
+    val dropIds = ngramCcLabels(s, d)
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
     Tables.documents(s, d)

@@ -506,7 +506,9 @@ class GraftSpec extends SparkSpecBase {
       .orderBy("doc_id"))
     val b5 = rows(Graft.packChunks(docs, $"doc_id", $"n", 512L, buckets = 5)
       .orderBy("doc_id"))
-    assert(b1 == b16 && b1 == b5 && b1.nonEmpty)
+    val auto = rows(Graft.packChunks(docs, $"doc_id", $"n", 512L)
+      .orderBy("doc_id"))                       // buckets = 0: auto-sized
+    assert(b1 == b16 && b1 == b5 && b1 == auto && b1.nonEmpty)
     // chunks tile the corpus: last end_chunk == ceil(total/budget) - 1
     val total = docs.agg(sum($"n".cast("long"))).head.getLong(0)
     assert(b1.map(_(3).asInstanceOf[Long]).max == (total - 1) / 512L)
@@ -577,6 +579,28 @@ class GraftSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((ivf & exact).size >= (exact.size * 6) / 10,
       s"IVF recall too low: ${(ivf & exact).size}/${exact.size}")
+  }
+
+  test("q_dedup_drop keeps exactly dropNearDups' survivor ids") {
+    val docs = Tables.documents(spark, sf)
+    val facadeKept = Graft.dropNearDups(docs, $"doc_id", $"text",
+        thresholdPermille = 800, n = 3)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // the query aggregates per lang; its survivor id SUM must equal
+    // the facade's, and so must the survivor count
+    val q = queries.PipelineOps.q_dedup_drop(spark, sf).collect()
+    assert(q.map(_.getLong(1)).sum == facadeKept.size)
+    assert(q.map(_.getLong(2)).sum == facadeKept.sum)
+  }
+
+  test("unigramModel/unigramScore split equals the one-call unigramLogProb") {
+    val docs = Tables.documents(spark, sf)
+    val oneCall = rows(Graft.unigramLogProb(docs, $"doc_id", $"text")
+      .orderBy("doc_id"))
+    val model = Graft.unigramModel(docs, $"text")
+    val split = rows(Graft.unigramScore(model, docs, $"doc_id", $"text")
+      .orderBy("doc_id"))
+    assert(oneCall == split && oneCall.nonEmpty)
   }
 
   test("pack/unigram/knn facades on empty inputs return empty, never fault") {

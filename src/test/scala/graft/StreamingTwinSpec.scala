@@ -70,6 +70,26 @@ class StreamingTwinSpec extends SparkSpecBase {
     assert(diff(stream, batch) == 0)
   }
 
+  test("unigramScore gates a document stream against an offline model") {
+    import org.apache.spark.sql.functions._
+    // train offline (batch), score online: the model is a 1-row
+    // broadcast scalar and scoring a row-local fold, so the SAME
+    // facade call is a streaming quality gate — the text sibling of
+    // the ivfAssign online-routing demo below.
+    val docs = Tables.documents(spark, sf)
+    val model = Graft.unigramModel(docs, col("text")).localCheckpoint()
+    val schema = docs.schema
+    val src = spark.readStream.schema(schema).parquet(s"$sf/documents.parquet*")
+    val scored = Graft.unigramScore(model, src, col("doc_id"), col("text"))
+    val q = scored.writeStream.format("memory").queryName("t_ppl")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("t_ppl")
+    val batch = Graft.unigramLogProb(docs, col("doc_id"), col("text"))
+    assert(stream.count() > 0)
+    assert(diff(stream, batch) == 0)
+  }
+
   test("streaming as-of twin matches batch q_asof_join exactly") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
