@@ -191,8 +191,14 @@ class CapabilitiesSpec extends SparkSpecBase {
     // facade directly
     def ngram() = rows(Graft.nearDupPairsNgram(Tables.documents(spark, sf),
       $"doc_id", $"text").orderBy("doc_a", "doc_b"))
+    // the TopK partial aggregate is ObjectHashAggregate-backed too —
+    // the fallback threshold forces its buffers through the sort-based
+    // path's serialize/deserialize cycle, proving the buffer encoder
+    // survives spill, not just in-memory merge
+    def knn() = rows(queries.TextOps.q_knn_join(spark, sf))
     val baseline = rows(queries.TextOps.q_dedup_minhash(spark, sf))
     val baselineNgram = ngram()
+    val baselineKnn = knn()
     try {
       conf.set("spark.sql.shuffle.partitions", "200")
       conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
@@ -202,6 +208,8 @@ class CapabilitiesSpec extends SparkSpecBase {
         "minhash dedup diverged under forced sort-fallback/spill")
       assert(ngram() == baselineNgram,
         "ngram dedup diverged under forced spill thresholds")
+      assert(knn() == baselineKnn,
+        "TopK kNN join diverged under forced sort-fallback")
     } finally {
       saved.foreach { case (k, v) =>
         v.fold(conf.unset(k))(conf.set(k, _))
