@@ -971,6 +971,33 @@ object Graft {
     * Knuth multiply so the product stays < 2^62, and K mod P ≠ 0 with
     * P prime makes the map a bijection on [0, P) — distinct residues
     * never collide. */
+  /** Deterministic STRATIFIED sampling: exactly min(n, |stratum|)
+    * rows per stratum — the exact-count sibling of the rate-based
+    * [[deterministicKeep]] (a training pipeline uses both: rates for
+    * mixtures, exact counts for eval splits and per-domain caps).
+    * Selection is reproducible on any engine/run/parallelism: the n
+    * smallest [[epochShuffleKey]](id, seed) per stratum win. The cut
+    * is the bounded [[TopK]] partial aggregate per stratum — ≤ n
+    * entries per stratum leave each map task and there is NO
+    * per-stratum window sort, so a hot stratum (one domain = half the
+    * corpus) degrades map-side instead of serializing one task.
+    * Returns (stratum, id, pos) with pos 1-based in key order. */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+                       n: Int, seed: Long): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val topAgg = udaf(TopK.agg(n))
+    df.select(stratum.as("stratum"), id.cast("long").as("__id"))
+      // negate: TopK keeps the HIGHEST scores; key < 1e9+7 is exact
+      // in double, so the order is the exact integer key order
+      .select(col("stratum"), col("__id"),
+              negate(epochShuffleKey(col("__id"), seed).cast("double")).as("__nk"))
+      .groupBy("stratum")
+      .agg(topAgg(col("__id"), col("__nk")).as("__top"))
+      .select(col("stratum"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("stratum"), col("__e.id").as("id"),
+              (col("__pos") + 1).cast("int").as("pos"))
+  }
+
   def epochShuffleKey(id: Column, seed: Long): Column = {
     require(seed >= 0 && seed < 1000000007L,
       s"seed must be in [0, 1e9+7), got $seed")

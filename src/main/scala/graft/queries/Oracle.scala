@@ -587,6 +587,20 @@ object Oracle {
         |        * 2654435761) % 1000000007 AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin,
 
+    // exact-count stratified sampling: the n smallest seeded shuffle
+    // keys per stratum (bijection of ids — no ties possible)
+    "q_stratified_sample" ->
+      """WITH k AS (SELECT lang, doc_id,
+        |                  ((((doc_id % 1000000007) + 7) % 1000000007)
+        |                   * 2654435761) % 1000000007 AS key
+        |           FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |                                     ORDER BY key, doc_id) AS INT) AS pos
+        |      FROM k)
+        |SELECT lang, doc_id, pos FROM r WHERE pos <= 40
+        |ORDER BY lang, pos""".stripMargin,
+
     // near-dup removal: the recursive-CTE components of the same pair
     // graph give min-label reps; keep = NOT a non-rep member
     "q_dedup_drop" ->

@@ -285,6 +285,20 @@ object PipelineOps {
       .orderBy("shuffle_key", "doc_id")
       .limit(100)
 
+  /** Deterministic STRATIFIED sampling: exactly min(40, |lang|) docs
+    * per language — the per-domain cap / eval-split op. This query IS
+    * [[graft.Graft.stratifiedSample]] applied to the documents table
+    * (bounded TopK partial aggregate per stratum — no per-stratum
+    * window sort, hot strata degrade map-side), so the oracle
+    * verifies the public API. The n smallest seeded shuffle keys win;
+    * keys are a bijection of the ids, so selection and rank order are
+    * total and engine-independent. */
+  def q_stratified_sample(s: SparkSession, d: String): DataFrame =
+    graft.Graft.stratifiedSample(Tables.documents(s, d),
+        col("lang"), col("doc_id"), n = 40, seed = 7L)
+      .select(col("stratum").as("lang"), col("id").as("doc_id"), col("pos"))
+      .orderBy("lang", "pos")
+
   /** End-to-end near-dup REMOVAL — the stage [[q_dedup_cluster]]'s
     * labeling exists for: drop every clustered document except its
     * min-id representative, keep everything unclustered, and account

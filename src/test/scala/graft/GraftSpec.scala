@@ -603,6 +603,23 @@ class GraftSpec extends SparkSpecBase {
     assert(oneCall == split && oneCall.nonEmpty)
   }
 
+  test("stratifiedSample equals the per-stratum window brute force") {
+    val docs = Tables.documents(spark, sf)
+    val got = rows(Graft.stratifiedSample(docs, $"lang", $"doc_id", n = 7, seed = 3L)
+      .orderBy("stratum", "pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy($"k".asc, $"doc_id".asc)
+    val brute = rows(docs
+      .select($"lang".as("stratum"), $"doc_id",
+              Graft.epochShuffleKey($"doc_id", 3L).as("k"))
+      .withColumn("pos", row_number().over(w).cast("int")).filter($"pos" <= 7)
+      .select("stratum", "doc_id", "pos").orderBy("stratum", "pos"))
+    assert(got == brute && got.nonEmpty)
+    // a stratum smaller than n is kept whole: cap n above corpus size
+    val all = Graft.stratifiedSample(docs, $"lang", $"doc_id", n = 100000, seed = 3L)
+    assert(all.count() == docs.count())
+  }
+
   test("pack/unigram/knn facades on empty inputs return empty, never fault") {
     val noDocs = Seq.empty[(Long, Long)].toDF("id", "n")
     assert(Graft.packChunks(noDocs, $"id", $"n", 10L).count() == 0)
@@ -610,5 +627,7 @@ class GraftSpec extends SparkSpecBase {
     assert(Graft.unigramLogProb(noText, $"id", $"t").count() == 0)
     val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "v")
     assert(Graft.knnJoinExact(noVecs, $"id", $"v", noVecs, $"id", $"v").count() == 0)
+    val noStrat = Seq.empty[(String, Long)].toDF("g", "id")
+    assert(Graft.stratifiedSample(noStrat, $"g", $"id", 5, 1L).count() == 0)
   }
 }
