@@ -839,6 +839,7 @@ object Graft {
                           probeVec.cast("array<double>").as("__pv"))
     val topAgg = udaf(TopK.agg(topk))
     corpus.select(id.cast("long").as("__cid"), vec.cast("array<double>").as("__cv"))
+      .filter(col("__cid").isNotNull)    // a NULL id cannot be ranked
       .crossJoin(broadcast(p))
       .select(col("probe_id"), col("__cid"),
               functions.GraftFunctions.dot(col("__cv"), col("__pv")).as("__score"))
@@ -987,6 +988,7 @@ object Graft {
     require(n >= 1, s"n must be >= 1, got $n")
     val topAgg = udaf(TopK.agg(n))
     df.select(stratum.as("stratum"), id.cast("long").as("__id"))
+      .filter(col("__id").isNotNull)     // a NULL id cannot be sampled
       // negate: TopK keeps the HIGHEST scores; key < 1e9+7 is exact
       // in double, so the order is the exact integer key order
       .select(col("stratum"), col("__id"),

@@ -630,4 +630,18 @@ class GraftSpec extends SparkSpecBase {
     val noStrat = Seq.empty[(String, Long)].toDF("g", "id")
     assert(Graft.stratifiedSample(noStrat, $"g", $"id", 5, 1L).count() == 0)
   }
+
+  test("TopK-backed facades drop NULL-id rows instead of faulting") {
+    val vecs = Seq((java.lang.Long.valueOf(1L), Array(1.0, 0.0)),
+                   (null.asInstanceOf[java.lang.Long], Array(0.5, 0.5)),
+                   (java.lang.Long.valueOf(2L), Array(0.0, 1.0)))
+      .toDF("id", "v")
+    val probes = vecs.filter($"id" === 1L).select($"id".as("pid"), $"v".as("pv"))
+    val knn = Graft.knnJoinExact(vecs, $"id", $"v", probes, $"pid", $"pv", topk = 5)
+    assert(knn.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val strat = Seq((Some(1L), "a"), (None, "a"), (Some(2L), "b"))
+      .toDF("id", "g")
+    val got = Graft.stratifiedSample(strat, $"g", $"id", n = 5, seed = 1L)
+    assert(got.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
 }
