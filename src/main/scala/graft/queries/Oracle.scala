@@ -567,7 +567,13 @@ object Oracle {
         |         - prefix // 2048 + 1 AS n_chunks
         |FROM p ORDER BY doc_id""".stripMargin,
 
-    // corpus-as-its-own-unigram-model scoring; LN == Spark log (natural)
+    // corpus-as-its-own-unigram-model scoring; LN == Spark log
+    // (natural). Rule-F note: the engines sum the -ln terms in
+    // different orders, so the ROUND(.,3) could in principle flap.
+    // Measured margin: the document closest to a rounding boundary
+    // sits 2.3e-5 milli-units away at sf0.1 (4.9e-4 at sf0.01), vs a
+    // worst-case summation-order delta of ~4e-11 milli-units
+    // (n≈128 terms, |term|≤~5, double eps) — six orders of safety.
     "q_unigram_ppl" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
