@@ -626,7 +626,10 @@ object Oracle {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // batch exact kNN: q_sim_search's widen-then-multiply DOUBLE dot,
-    // generalized to 5 probes with a per-probe rank
+    // generalized to 5 probes with a per-probe rank. Rule-F margins
+    // measured at sf0.1: min adjacent top-6 score gap 5.5e-4 (rank
+    // stability) and min ROUND(.,3) boundary distance 6.7e-3
+    // milli-units, vs ~7e-13 worst-case 64-term summation-order noise.
     "q_knn_join" ->
       """WITH probes AS (SELECT vec_id AS probe_id, embedding AS p FROM embeddings
         |                WHERE vec_id < 5),

@@ -90,6 +90,38 @@ class StreamingTwinSpec extends SparkSpecBase {
     assert(diff(stream, batch) == 0)
   }
 
+  test("TopK aggregate merges correctly across micro-batches (running top-k)") {
+    import org.apache.spark.sql.functions._
+    // split the vectors into two parquet files and feed them as TWO
+    // micro-batches (maxFilesPerTrigger=1): the state store must MERGE
+    // the per-batch TopK partial buffers — the streaming face of the
+    // combiner-safety the ScalaCheck property proves JVM-side
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_stream")
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+              element_at(col("embedding"), 1).cast("double").as("score"))
+    e.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    e.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    val topAgg = udaf(TopK.agg(4))
+    val src = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val running = src.groupBy("label").agg(topAgg(col("vec_id"), col("score")).as("top"))
+    val q = running.writeStream.format("memory").queryName("t_topk")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.recentProgress.length >= 2, "expected >= 2 micro-batches")
+    val stream = spark.table("t_topk")
+      .select(col("label"), explode(col("top")).as("e"))
+      .select(col("label"), col("e.id"), col("e.score"))
+    val batch = e.groupBy("label").agg(topAgg(col("vec_id"), col("score")).as("top"))
+      .select(col("label"), explode(col("top")).as("e"))
+      .select(col("label"), col("e.id"), col("e.score"))
+    assert(stream.count() > 0)
+    assert(diff(stream, batch) == 0)
+  }
+
   test("streaming as-of twin matches batch q_asof_join exactly") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
