@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 73 query ids; 66 with DuckDB oracles. The
+  * and §3.1 (entry points). 74 query ids; 67 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -80,6 +80,7 @@ object SparkEntry {
     "q_lang_id"        -> PipelineOps.q_lang_id _,
     "q_token_count"    -> PipelineOps.q_token_count _,
     "q_pipeline_e2e"   -> PipelineOps.q_pipeline_e2e _,
+    "q_pipeline_layout" -> PipelineOps.q_pipeline_layout _,
     "q_dedup_simhash"  -> HashOps.q_dedup_simhash _,
     "q_doc_fingerprint" -> HashOps.q_doc_fingerprint _,
     "q_dedup_embed"    -> HashOps.q_dedup_embed _,

@@ -625,6 +625,47 @@ object Oracle {
         |FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // the round-5 layout composition: removal (recursive-CTE CC) →
+    // quality gate (integer permille) → stratified cap (seeded keys)
+    // → packing (windowed prefix sum) → per-lang budget
+    "q_pipeline_layout" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM scored
+        |          UNION ALL SELECT doc_b, doc_a FROM scored),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+        |),
+        |cc AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node),
+        |dropped AS (SELECT node FROM cc WHERE node <> rep),
+        |q AS (SELECT doc_id, lang,
+        |             len(string_split(text, ' ')) AS n,
+        |             len(list_filter(string_split(text, ' '),
+        |                             t -> t = 'the' OR t = 'a')) AS stops
+        |      FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)),
+        |gated AS (SELECT doc_id, lang, CAST(n AS BIGINT) AS n FROM q
+        |          WHERE LEAST(n, 50) * (n - stops) * 1000 // (50 * n) >= 400),
+        |keyed AS (SELECT doc_id, lang, n,
+        |                 ((((doc_id % 1000000007) + 11) % 1000000007)
+        |                  * 2654435761) % 1000000007 AS key
+        |          FROM gated),
+        |capped AS (SELECT doc_id, lang, n FROM (
+        |    SELECT doc_id, lang, n,
+        |           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id) AS r
+        |    FROM keyed) t WHERE r <= 30),
+        |p AS (SELECT doc_id, lang, n,
+        |             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |                  AS BIGINT) AS prefix
+        |      FROM capped),
+        |ch AS (SELECT lang, n, prefix // 1024 AS sc,
+        |              GREATEST(prefix // 1024, (prefix + n - 1) // 1024) AS ec
+        |       FROM p)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tokens,
+        |       CAST(SUM(ec - sc + 1) AS BIGINT) AS chunk_spans, MAX(ec) AS last_chunk
+        |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+
     // batch exact kNN: q_sim_search's widen-then-multiply DOUBLE dot,
     // generalized to 5 probes with a per-probe rank. Rule-F margins
     // measured at sf0.1: min adjacent top-6 score gap 5.5e-4 (rank

@@ -322,6 +322,43 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Round-5 layout-pipeline composition — the sibling of
+    * [[q_pipeline_e2e]] built from the round-5 operators: near-dup
+    * REMOVAL (shared [[ngramCcLabels]]) → quality gate (the
+    * [[q_text_quality]] integer permille) → per-language cap of 30
+    * docs ([[graft.Graft.stratifiedSample]]) → concat-then-chunk
+    * packing at a 1024-token budget ([[graft.Graft.packChunks]]) →
+    * per-language layout budget (docs, tokens, chunk spans, last
+    * chunk). ONE declarative DAG: the anti-join, gate, TopK cap,
+    * distributed prefix sum and budget agg fuse under Catalyst with
+    * no materialization between stages — the composition argument
+    * for building the LAYOUT phase of a training-data pipeline on a
+    * query engine too. */
+  def q_pipeline_layout(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dropIds = ngramCcLabels(s, d)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    val nL = size(toks).cast("long")
+    val stopsL = size(filter(toks, t => t === "the" || t === "a")).cast("long")
+    val gated = docs.join(dropIds, Seq("doc_id"), "left_anti")
+      .filter(floor(least(nL, lit(50L)) * (nL - stopsL) * 1000 / (lit(50L) * nL)) >= 400)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n"))
+    val capped = gated.join(
+      graft.Graft.stratifiedSample(gated, col("lang"), col("doc_id"),
+          n = 30, seed = 11L)
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    graft.Graft.packChunks(capped, col("doc_id"), col("n"), budget = 1024L)
+      .join(capped.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("tokens"),
+           sum("n_chunks").as("chunk_spans"),
+           max("end_chunk").as("last_chunk"))
+      .orderBy("lang")
+  }
+
   /** Token counting, three ways per source: whitespace split, a
     * regex tokenizer (`[^a-z0-9]+` — BPE-ish normalization boundary),
     * and a subword estimate (ceil(len/2) per token — the fixed-rate

@@ -17,7 +17,7 @@ class PlanGuardSpec extends SparkSpecBase {
   private val allowedBnlj = Set(
     "q_sim_search", "q_sim_srp", "q_sim_ivf", "q_ivf_build", "q_tfidf",
     "q_window_ntile", "q_late_data", "q_pack_chunks", "q_unigram_ppl",
-    "q_knn_join")
+    "q_knn_join", "q_pipeline_layout")
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
   // no longer get the exemption)
