@@ -918,6 +918,18 @@ object Graft {
               (end - start + 1).as("n_chunks"))
   }
 
+  /** The reader-side inverse of [[packChunks]]: per context window
+    * (chunk), the documents that land in it — the manifest a training
+    * data loader materializes to fetch window i's payload. One
+    * row-local explode of each doc's [start_chunk, end_chunk] span;
+    * chunks tile the concatenated token stream, so every chunk id in
+    * [0, max end_chunk] appears (no gaps — tested). Returns
+    * (chunk_id, doc_id). */
+  def chunkManifest(packed: DataFrame): DataFrame =
+    packed.select(
+      explode(sequence(col("start_chunk"), col("end_chunk"))).as("chunk_id"),
+      col("doc_id"))
+
   /** Per-document mean negative log-likelihood under the corpus's own
     * unigram model — the CCNet-style perplexity proxy a quality gate
     * ranks documents by (boilerplate scores low, rare-token noise

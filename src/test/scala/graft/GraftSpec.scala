@@ -514,6 +514,19 @@ class GraftSpec extends SparkSpecBase {
     assert(b1.map(_(3).asInstanceOf[Long]).max == (total - 1) / 512L)
   }
 
+  test("chunkManifest: chunks tile with no gaps; spans match packChunks") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+    val packed = Graft.packChunks(docs, $"doc_id", $"n", 512L)
+    val manifest = Graft.chunkManifest(packed)
+    val maxChunk = packed.agg(max("end_chunk")).head.getLong(0)
+    // every chunk id in [0, max] has at least one doc — no gaps
+    assert(manifest.select("chunk_id").distinct().count() == maxChunk + 1)
+    // manifest row count == sum of per-doc span widths
+    val spans = packed.agg(sum("n_chunks")).head.getLong(0)
+    assert(manifest.count() == spans)
+  }
+
   test("unigramLogProb: uniform corpus scores exactly ln(V)") {
     // 4 equally frequent tokens -> every doc's mean nll = ln 4
     val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "a b c d")).toDF("id", "t")
