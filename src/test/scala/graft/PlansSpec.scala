@@ -360,6 +360,20 @@ class PlansSpec extends SparkSpecBase {
     assert(asof.metrics("numMatched").value == 1)
   }
 
+  test("TopK-backed queries plan as partial aggregation, never a window sort") {
+    // the scale property: the per-probe / per-stratum cut is a
+    // map-side-combinable ObjectHashAggregate (partial_ + final), so
+    // <= k rows per group leave each map task; a Window node here
+    // would mean the full score matrix / stratum is being sorted
+    for (q <- Seq(queries.TextOps.q_knn_join(spark, sf),
+                  queries.PipelineOps.q_stratified_sample(spark, sf))) {
+      val plan = q.queryExecution.sparkPlan.toString
+      assert(plan.contains("ObjectHashAggregate"), "expected TopK aggregate")
+      assert("partial_".r.findAllIn(plan).nonEmpty, "expected a partial (map-side) phase")
+      assert(!plan.contains("Window ["), s"unexpected window sort in plan:\n$plan")
+    }
+  }
+
   test("dot-topk: per-partition output is bounded by k") {
     import graft.plans.DotTopK
     val e = Tables.embeddings(spark, sf)
