@@ -885,10 +885,15 @@ object Graft {
         math.max(16, math.min(65536, ((n + 1999999L) / 2000000L).toInt))
       }
     val qs = (1 until b).map(_.toDouble / b)
+    // accuracy must OUTRESOLVE the bucket count or adjacent bounds
+    // collapse and buckets merge — correctness survives (any monotone
+    // split is correct) but a merged mega-bucket re-creates the
+    // single-task window this scheme exists to avoid; 20× headroom,
+    // sketch stays O(accuracy) driver-side
     val bounds =
       if (qs.isEmpty) base.agg(typedlit(Seq.empty[Long]).as("__bounds"))
-      else base.agg(percentile_approx(col("doc_id"), typedlit(qs), lit(1000))
-                      .as("__bounds"))
+      else base.agg(percentile_approx(col("doc_id"), typedlit(qs),
+                      lit(math.max(10000, 20 * b))).as("__bounds"))
     // bucket = count of bounds strictly below the id: monotone in id,
     // so the global order is the bucket concatenation (ties share a
     // bucket; balance only affects speed, never the prefix)
