@@ -864,7 +864,10 @@ object Graft {
     * bucket-total table folds to exclusive offsets with array HOFs —
     * at 100 TB only `buckets` grows. Returns (doc_id, n_tokens,
     * start_chunk, end_chunk, n_chunks), all LONG; a zero-token
-    * document occupies the single window at its offset.
+    * document occupies the single window at its offset. The id is the
+    * LAYOUT ORDER and must be unique: rows sharing an id have no
+    * defined relative position, so their prefix (and chunk spans)
+    * would be run-dependent.
     *
     * `buckets = 0` (default) AUTO-SIZES from one cheap count —
     * ceil(rows / 2M), floored at 16 — so each per-bucket window
