@@ -982,6 +982,40 @@ object Graft {
                                          .cast("double") / col("__total")))
                / size(col("__toks"))).as("mean_nll"))
 
+  /** Per-document mean negative CONDITIONAL log-likelihood under the
+    * corpus's own bigram model — the next step from [[unigramLogProb]]
+    * toward the KenLM-style scoring CCNet gates on: score(d) = mean
+    * over adjacent pairs of −ln p(w2|w1), with the MLE conditional
+    * p(w2|w1) = c(w1,w2) / Σ_w c(w1,w) — the denominator is the
+    * PREFIX count, folded from the bigram counts themselves, so the
+    * distribution sums to 1 per prefix. Unlike the unigram scorer's
+    * one-row map scalar, the bigram vocabulary grows ~quadratically,
+    * so scoring is the OPEN-VOCAB shape: explode each document's
+    * bigrams once, equi-join the (bigram count, prefix count) model
+    * (broadcast when small, shuffle otherwise — the planner decides
+    * from stats), and re-group by document. Documents shorter than 2
+    * tokens have no bigram and are dropped. Returns (doc_id,
+    * n_bigrams LONG, mean_nll DOUBLE — natural log). */
+  def bigramLogProb(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = split(text, " ")
+    val base = docs
+      .filter(size(t) >= 2)
+      .select(id.cast("long").as("doc_id"),
+              explode(transform(sequence(lit(1), size(t) - 1),
+                i => concat_ws(" ", slice(t, i, lit(2))))).as("bigram"))
+    val bg = base.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val pref = bg
+      .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(sum("c12").as("c1"))
+    base
+      .join(bg, "bigram")
+      .join(pref, split(col("bigram"), " ").getItem(0) === col("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+           (sum(-log(col("c12").cast("double") / col("c1"))) /
+            count(lit(1))).as("mean_nll"))
+  }
+
   /** Deterministic epoch-shuffle key: a seeded bijective scramble of
     * the id residues — ORDER BY (epochShuffleKey(id, seed), id) is the
     * reproducible global shuffle a training run needs per epoch (same

@@ -585,6 +585,29 @@ object Oracle {
         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, ROUND(s / n, 3) AS mean_nll
         |FROM sc ORDER BY doc_id""".stripMargin,
 
+    // bigram conditional MLE: denominator = prefix count folded from
+    // the bigram counts (sums to 1 per prefix); LN == Spark log.
+    // Rule-F margin at sf0.1: 1.9e-4 milli-units to the nearest
+    // ROUND(.,3) boundary vs ~4e-11 summation-order noise.
+    "q_bigram_ppl" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 2),
+        |bgs AS (SELECT doc_id,
+        |               unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 1),
+        |                      i -> array_to_string(t[i:i+1], ' '))) AS bigram
+        |        FROM tok),
+        |bc AS (SELECT bigram, COUNT(*) AS c12 FROM bgs GROUP BY bigram),
+        |pc AS (SELECT string_split(bigram, ' ')[1] AS w1,
+        |              CAST(SUM(c12) AS BIGINT) AS c1
+        |       FROM bc GROUP BY 1),
+        |sc AS (SELECT b.doc_id, COUNT(*) AS n,
+        |              SUM(-LN(CAST(bc.c12 AS DOUBLE) / pc.c1)) AS s
+        |       FROM bgs b JOIN bc ON b.bigram = bc.bigram
+        |                  JOIN pc ON string_split(b.bigram, ' ')[1] = pc.w1
+        |       GROUP BY b.doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, ROUND(s / n, 3) AS mean_nll
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     // the same overflow-safe multiplicative hash as q_sample_det,
     // seeded: reduce mod P BEFORE the Knuth multiply (product < 2^62)
     "q_shuffle_det" ->

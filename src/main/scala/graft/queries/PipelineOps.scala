@@ -270,6 +270,19 @@ object PipelineOps {
               round(col("mean_nll"), 3).as("mean_nll"))
       .orderBy("doc_id")
 
+  /** Bigram-LM quality scoring: per-document mean negative
+    * conditional log-likelihood −ln p(w2|w1) under the corpus's own
+    * bigram MLE — the step from [[q_unigram_ppl]] toward KenLM-style
+    * gating. This query IS [[graft.Graft.bigramLogProb]] applied to
+    * the documents table (open-vocab equi-join scoring — the bigram
+    * model does NOT fit a row scalar at corpus scale), so the oracle
+    * verifies the public API. */
+  def q_bigram_ppl(s: SparkSession, d: String): DataFrame =
+    graft.Graft.bigramLogProb(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_bigrams"),
+              round(col("mean_nll"), 3).as("mean_nll"))
+      .orderBy("doc_id")
+
   /** Deterministic epoch shuffle: the reproducible global permutation
     * a training run draws per epoch — ORDER BY
     * ([[graft.Graft.epochShuffleKey]](doc_id, seed), doc_id), here

@@ -543,6 +543,17 @@ class GraftSpec extends SparkSpecBase {
     assert(byId(1L) < byId(2L))
   }
 
+  test("bigramLogProb: hand-computed conditionals; short docs dropped") {
+    // bigrams: "a b" x2 (docs 1,3), "a c" x1; prefix 'a' count = 3
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b"), (4L, "x")).toDF("id", "t")
+    val got = Graft.bigramLogProb(docs, $"id", $"t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))   // doc 4 has no bigram
+    assert(math.abs(got(1L) - (-math.log(2.0 / 3.0))) < 1e-12)
+    assert(math.abs(got(2L) - (-math.log(1.0 / 3.0))) < 1e-12)
+    assert(got(1L) == got(3L))
+  }
+
   test("epochShuffleKey: bijective on residues, seed changes the order") {
     val ids = (0L until 2000L).toDF("id")
     val k1 = ids.select(Graft.epochShuffleKey($"id", 1L).as("k"))
