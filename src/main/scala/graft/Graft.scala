@@ -1004,9 +1004,13 @@ object Graft {
               explode(transform(sequence(lit(1), size(t) - 1),
                 i => concat_ws(" ", slice(t, i, lit(2))))).as("bigram"))
     val bg = base.groupBy("bigram").agg(count(lit(1)).as("c12"))
-    val pref = bg
-      .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
-      .agg(sum("c12").as("c1"))
+    // Σ_w c(w1,w) == occurrences of w1 in positions 1..n-1 — the
+    // direct form costs one explode + one narrow shuffle instead of
+    // re-deriving the whole bigram count subtree
+    val pref = docs
+      .filter(size(t) >= 2)
+      .select(explode(slice(t, lit(1), size(t) - 1)).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
     base
       .join(bg, "bigram")
       .join(pref, split(col("bigram"), " ").getItem(0) === col("w1"))
