@@ -644,13 +644,18 @@ object Graft {
     val base = bits / bands; val rem = bits % bands
     val widths = Array.tabulate(bands)(b => if (b < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
+    // -1L >>> (64 - w), not (1L << w) - 1: Scala shifts mod 64, so the
+    // latter is 0 at the legal w == 64 (bits = 64, radius = 0) and every
+    // signature would share bucket key 0 — output still correct (exact
+    // Hamming filter downstream) but the banding degenerates to one hot
+    // key, which is exactly the scale property the bands exist for
     def bandKeys(sig: String): Column = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-             expr(s"shiftrightunsigned($sig, ${offsets(b)}) & ${(1L << widths(b)) - 1}")
+             expr(s"shiftrightunsigned($sig, ${offsets(b)}) & ${-1L >>> (64 - widths(b))}")
                .as("key"))
     }: _*)
-    val idName = vecs.select(id).columns.head
-    val corpus = vecs.withColumn("__v", vec).withColumn("__sig", sigOf(col("__v")))
+    val corpus = vecs.withColumn("__cid", id).withColumn("__v", vec)
+      .withColumn("__sig", sigOf(col("__v")))
       .select(col("*"), explode(bandKeys("__sig")).as("__bk"))
       .select(col("*"), col("__bk.band").as("__band"), col("__bk.key").as("__key"))
       .drop("__bk")
@@ -662,7 +667,7 @@ object Graft {
     val cols = vecs.columns
     val w = Window.partitionBy("probe_id").orderBy(col("score").desc, id.asc)
     corpus.join(probed, Seq("__band", "__key"))
-      .dropDuplicates("probe_id", idName)    // a pair can collide in >1 band
+      .dropDuplicates("probe_id", "__cid")   // a pair can collide in >1 band
       .withColumn("hamming", expr("bit_count(__sig ^ __psig)"))
       .filter(col("hamming") <= radius)
       .select(col("probe_id") +: cols.map(col) :+ col("hamming") :+

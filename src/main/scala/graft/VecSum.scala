@@ -13,12 +13,19 @@ import org.apache.spark.sql.expressions.Aggregator
   * row-blowup. Partial buffers merge element-wise-add — the
   * combiner/partial-aggregation path works unchanged at 100 TB.
   *
-  * Vectors must share one dimensionality (the first vector seen sizes
-  * the buffer; shorter inputs fold only their prefix). The mean is
-  * `transform(sum, x -> x / n)` at the call site, keeping division out
-  * of the merge path.
+  * Vectors must share one dimensionality; ragged input FAILS LOUDLY.
+  * Folding only a common prefix would make the result depend on which
+  * vector arrived first in each partial buffer — i.e. on partitioning
+  * and arrival order — so a length mismatch throws instead of silently
+  * producing a run-dependent sum. The mean is `transform(sum, x -> x /
+  * n)` at the call site, keeping division out of the merge path.
   */
 object VecSum {
+  private def requireSameLength(have: Int, got: Int): Unit =
+    if (have != got)
+      throw new IllegalArgumentException(
+        s"VecSum requires one dimensionality: buffer has $have dims, input has $got")
+
   val agg: Aggregator[Seq[Double], Array[Double], Seq[Double]] =
     new Aggregator[Seq[Double], Array[Double], Seq[Double]] {
       def zero: Array[Double] = Array.emptyDoubleArray
@@ -26,18 +33,18 @@ object VecSum {
         if (v == null) buf
         else if (buf.length == 0) v.toArray
         else {
-          val n = math.min(buf.length, v.length)
+          requireSameLength(buf.length, v.length)
           var i = 0
-          while (i < n) { buf(i) += v(i); i += 1 }
+          while (i < buf.length) { buf(i) += v(i); i += 1 }
           buf
         }
       def merge(a: Array[Double], b: Array[Double]): Array[Double] =
         if (a.length == 0) b
         else if (b.length == 0) a
         else {
-          val n = math.min(a.length, b.length)
+          requireSameLength(a.length, b.length)
           var i = 0
-          while (i < n) { a(i) += b(i); i += 1 }
+          while (i < a.length) { a(i) += b(i); i += 1 }
           a
         }
       def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
