@@ -326,10 +326,15 @@ object Graft {
     * gram equi-join — never all-pairs — with the output-invariant
     * integer size prune (J ≤ min/max ⇒ prune 1000·min < p·max at the
     * join) and the exact integer threshold c·(1000+p) ≥ p·(na+nb).
-    * Work ∝ Σ gram-bucket², bounded by gram selectivity. Docs shorter
-    * than n tokens have no n-gram and never pair. */
+    * Work ∝ Σ gram-bucket², bounded by gram selectivity — and a gram
+    * bucket larger than `maxBucket` docs (a stop-gram at scale) is
+    * BLOCK-DECOMPOSED by [[operators.SkewJoin.blockedSelfPairs]], so
+    * per-task input stays bounded while the pair set is exactly
+    * preserved. Docs shorter than n tokens have no n-gram and never
+    * pair. */
   def nearDupPairsNgram(docs: DataFrame, id: Column, text: Column,
-                        thresholdPermille: Int = 800, n: Int = 3): DataFrame = {
+                        thresholdPermille: Int = 800, n: Int = 3,
+                        maxBucket: Int = 1024): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
@@ -343,12 +348,10 @@ object Graft {
                 i => concat_ws(" ", slice(col("t"), i, lit(n)))))).as("gram"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val sized = grams.join(broadcast(sizes), "doc_id")
-    sized
-      .select(col("gram"), col("doc_id").as("doc_a"), col("n_grams").as("na"))
-      .join(sized.select(col("gram"), col("doc_id").as("doc_b"), col("n_grams").as("nb")),
-            "gram")
-      .filter(col("doc_a") < col("doc_b") &&
-              col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
+    operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
+      .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
+              col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
+      .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("common"))
       .filter(col("common") * (1000 + p) >= (col("na") + col("nb")) * p)
@@ -364,13 +367,17 @@ object Graft {
     * identical token SETS collapse to one representative before
     * anything quadratic; one signature per distinct set (element-wise-
     * min merging Aggregator — combiner-safe); LSH band-bucket
-    * candidate join on hashed band keys, never all-pairs; signatures
+    * candidate join on hashed band keys, never all-pairs, with band
+    * buckets larger than `maxBucket` BLOCK-DECOMPOSED
+    * ([[operators.SkewJoin.blockedSelfPairs]]) so a dense band at
+    * scale cannot serialize one quadratic task; signatures
     * re-attached to surviving pairs only; set-level pairs expand back
     * to doc-level pairs (within-group pairs are exact dups, est 1.0).
     * The estimate filter is exact integer arithmetic:
     * matches·1000 ≥ p·NumPerms. */
   def nearDupPairsMinhash(docs: DataFrame, id: Column, text: Column,
-                          estPermille: Int = 900): DataFrame = {
+                          estPermille: Int = 900,
+                          maxBucket: Int = 1024): DataFrame = {
     require(estPermille > 0 && estPermille <= 1000,
       s"estPermille must be in (0, 1000], got $estPermille")
     val base = docs.select(id.cast("long").as("doc_id"),
@@ -387,10 +394,9 @@ object Graft {
         posexplode(transform(sequence(lit(0), lit(MinHash.NumBands - 1)),
           b => slice(col("sig"), b * MinHash.RowsPerBand + 1, lit(MinHash.RowsPerBand)))))
       .select(col("rep"), xxhash64(col("pos"), col("col")).as("bucket"))
-    val repPairs = banded.select(col("bucket"), col("rep").as("rep_a"))
-      .join(banded.select(col("bucket"), col("rep").as("rep_b")), Seq("bucket"))
-      .filter(col("rep_a") < col("rep_b"))
-      .select("rep_a", "rep_b")
+    val repPairs = operators.SkewJoin
+      .blockedSelfPairs(banded, Seq("bucket"), "rep", maxBucket)
+      .select(col("rep_a"), col("rep_b"))
       .distinct()
     val matches = functions.ArrayMatchCount.matchCount(col("sig_a"), col("sig_b"))
     val candRep = repPairs
@@ -452,9 +458,13 @@ object Graft {
     * buckets, which have PERFECT recall only for maxHamming ≤
     * NumBands-1 (pigeonhole) — larger radii are rejected rather than
     * silently losing pairs. Band key and Hamming are pure built-ins
-    * (codegen-fused); rows stay two longs wide end-to-end. */
+    * (codegen-fused); rows stay two longs wide end-to-end. Band
+    * buckets larger than `maxBucket` docs are BLOCK-DECOMPOSED
+    * ([[operators.SkewJoin.blockedSelfPairs]]) so one dense 16-bit
+    * bucket at scale cannot serialize one quadratic task. */
   def nearDupPairsSimhash(docs: DataFrame, id: Column, text: Column,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxBucket: Int = 1024): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= SimHash.NumBands - 1,
       s"band LSH guarantees recall only for maxHamming <= ${SimHash.NumBands - 1}, " +
         s"got $maxHamming")
@@ -467,11 +477,9 @@ object Graft {
         explode(sequence(lit(0), lit(SimHash.NumBands - 1))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
               expr(s"shiftrightunsigned(sig, band * ${SimHash.BandBits}) & 65535").as("key"))
-    banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-            Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+    operators.SkewJoin.blockedSelfPairs(banded, Seq("band", "key"), "doc_id", maxBucket)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+              expr("bit_count(sig_a ^ sig_b)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -29,4 +29,67 @@ object SkewJoin {
         largeKey === smallKey && col("__salt_l") === col("__salt_r"))
       .drop("__salt_l", "__salt_r")
   }
+
+  /** Skew-guarded SELF-join on `bucketCols` — the candidate-pair
+    * kernel of the inverted-index / LSH near-dup joins, with hot
+    * buckets BLOCK-DECOMPOSED so no single task ever sees a whole hot
+    * bucket. A plain self-join's work is ∝ Σ bucket² and one stop-gram
+    * / dense band at 100× data serializes one quadratic task; here any
+    * bucket larger than `maxBucket` is split into
+    * nblk = ceil(size / maxBucket) hash-blocks and the bucket's pair
+    * set becomes the nblk·(nblk+1)/2 block-pair TRIANGLE — each block
+    * pair is its own join key, so per-task input stays ≈ 2·maxBucket
+    * rows at ANY bucket size while the pair set is EXACTLY preserved
+    * (every unordered pair meets in exactly one block pair: its two
+    * blocks, row-block ≤ col-block).
+    *
+    * Hot buckets are found by one map-side-combined count pass and
+    * broadcast (only keys ABOVE the threshold ship — metadata-scale);
+    * cold buckets keep nblk = 1 and pay only the broadcast lookup.
+    * Block membership is a deterministic id-hash, so a row lands in
+    * the same block on both sides and self-pairs cannot survive the
+    * diagonal's strict-order filter.
+    *
+    * Input: any DataFrame whose non-bucket columns are the per-row
+    * payload; `orderCol` (a payload column, unique per bucket) defines
+    * pair order. Output: `bucketCols` + each payload column twice,
+    * suffixed `_a`/`_b`, normalized so `orderCol_a < orderCol_b`; each
+    * qualifying unordered pair appears EXACTLY once per bucket row
+    * pair. Column names beginning `__` are reserved. */
+  def blockedSelfPairs(df: DataFrame, bucketCols: Seq[String],
+                       orderCol: String, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val payload = df.columns.filterNot(bucketCols.contains).toSeq
+    require(payload.contains(orderCol),
+      s"orderCol $orderCol must be a non-bucket column of ${df.columns.mkString(",")}")
+    require(df.columns.forall(!_.startsWith("__")),
+      s"column names starting with __ are reserved, got ${df.columns.mkString(",")}")
+    val keys = bucketCols.map(col)
+    val hot = df.groupBy(keys: _*).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxBucket)
+      .select(keys :+
+        ceil(col("__cnt").cast("double") / maxBucket).cast("int").as("__nblk"): _*)
+    val blocked = df.join(broadcast(hot), bucketCols, "left")
+      .withColumn("__nblk", coalesce(col("__nblk"), lit(1)))
+      .withColumn("__blk", pmod(xxhash64(col(orderCol)), col("__nblk")).cast("int"))
+    // triangle replication: a row in block b is the ROW side of block
+    // pairs (b, b..nblk-1) and the COLUMN side of (0..b, b)
+    val lhs = blocked.select(keys ++
+      Seq(col("__blk").as("__bi"),
+          explode(sequence(col("__blk"), col("__nblk") - 1)).as("__bj")) ++
+      payload.map(c => col(c).as(c + "_a")): _*)
+    val rhs = blocked.select(keys ++
+      Seq(explode(sequence(lit(0), col("__blk"))).as("__bi"),
+          col("__blk").as("__bj")) ++
+      payload.map(c => col(c).as(c + "_b")): _*)
+    val flip = col(orderCol + "_a") > col(orderCol + "_b")
+    lhs.join(rhs, bucketCols ++ Seq("__bi", "__bj"))
+      // diagonal blocks dedup by strict order; off-diagonal pairs are
+      // already unique (a row's block is fixed) and get normalized below
+      .filter(col("__bi") < col("__bj") ||
+              col(orderCol + "_a") < col(orderCol + "_b"))
+      .select(keys ++
+        payload.map(c => when(flip, col(c + "_b")).otherwise(col(c + "_a")).as(c + "_a")) ++
+        payload.map(c => when(flip, col(c + "_a")).otherwise(col(c + "_b")).as(c + "_b")): _*)
+  }
 }

@@ -217,6 +217,58 @@ class CapabilitiesSpec extends SparkSpecBase {
     }
   }
 
+  test("blockedSelfPairs: exact pair set with bounded blocks on a hot bucket") {
+    // one 500-row hot bucket + 50 cold buckets of 3: the shape where a
+    // plain self-join serializes one quadratic task
+    val hot = spark.range(500).select(lit("hot").as("b"), $"id")
+    val cold = spark.range(150).select(concat(lit("c"), $"id" % 50).as("b"), ($"id" + 1000).as("id"))
+    val df = hot.union(cold)
+    val maxBucket = 32
+    val got = SkewJoin.blockedSelfPairs(df, Seq("b"), "id", maxBucket)
+      .select($"b", $"id_a", $"id_b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactness: every unordered same-bucket pair exactly once, ordered
+    val brute = df.select($"b", $"id".as("id_a"))
+      .join(df.select($"b", $"id".as("id_b")), "b")
+      .filter($"id_a" < $"id_b")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == brute.length, "pair multiset size diverged")
+    assert(got.toSet == brute.toSet, "pair set diverged")
+    assert(got.forall { case (_, a, b) => a < b }, "pair order not normalized")
+    // boundedness: the hot bucket decomposes into ceil(500/32) = 16
+    // hash-blocks and the deterministic id-hash spreads them — no
+    // block (hence no join-task group side) exceeds 2x the target
+    val nblk = math.ceil(500.0 / maxBucket).toInt
+    assert(nblk > 1)
+    val blockSizes = hot
+      .select(pmod(xxhash64($"id"), lit(nblk.toLong)).as("blk"))
+      .groupBy("blk").count().collect().map(_.getLong(1))
+    assert(blockSizes.length == nblk, "hash assignment left empty blocks")
+    assert(blockSizes.max <= 2L * maxBucket,
+      s"a block holds ${blockSizes.max} rows, bound is ${2 * maxBucket}")
+  }
+
+  test("skew guard: guarded candidate joins equal unguarded on a 50%-hot corpus") {
+    // the verdict's stop-gram shape: one gram shared by HALF the docs,
+    // so its bucket is quadratic-hot; guarded (tiny maxBucket) and
+    // effectively-unguarded (huge maxBucket) plans must emit the same
+    // pairs for all three near-dup families
+    val docs = spark.range(200).select($"id",
+      when($"id" % 2 === 0, concat(lit("a b c d u"), $"id"))
+        .otherwise(concat(lit("x"), $"id", lit(" y"), $"id")).as("txt"))
+    val unguarded = 1 << 29
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      rows(df.orderBy(df.columns.map(col): _*))
+    assert(pairs(Graft.nearDupPairsNgram(docs, $"id", $"txt", 300, 2, maxBucket = 8)) ==
+           pairs(Graft.nearDupPairsNgram(docs, $"id", $"txt", 300, 2, maxBucket = unguarded)))
+    assert(pairs(Graft.nearDupPairsNgram(docs, $"id", $"txt", 300, 2, maxBucket = 8)).nonEmpty)
+    assert(pairs(Graft.nearDupPairsMinhash(docs, $"id", $"txt", 500, maxBucket = 8)) ==
+           pairs(Graft.nearDupPairsMinhash(docs, $"id", $"txt", 500, maxBucket = unguarded)))
+    assert(pairs(Graft.nearDupPairsSimhash(docs, $"id", $"txt", 3, maxBucket = 8)) ==
+           pairs(Graft.nearDupPairsSimhash(docs, $"id", $"txt", 3, maxBucket = unguarded)))
+    assert(pairs(Graft.nearDupPairsSimhash(docs, $"id", $"txt", 3, maxBucket = 8)).nonEmpty)
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     // 10k rows, 90% on one hot key — the shape that stalls one reducer
     val large = spark.range(10000)
