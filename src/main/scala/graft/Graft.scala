@@ -546,8 +546,8 @@ object Graft {
   /** Signature builder: derives the corpus dimensionality (one
     * metadata-scale driver action), materializes the seeded planes,
     * and returns the vector → packed-sign-bits column function. */
-  private def srpSigOf(vecs: DataFrame, vec: Column,
-                       bits: Int, seed: Int): Column => Column = {
+  private[graft] def srpSigOf(vecs: DataFrame, vec: Column,
+                              bits: Int, seed: Int): Column => Column = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     val dimsRow = vecs.agg(max(size(vec))).head()
     val dims = if (dimsRow.isNullAt(0)) 0 else dimsRow.getInt(0)
@@ -633,56 +633,95 @@ object Graft {
     * meet in ONE equi-join on (band, key). Surviving pairs are
     * Hamming-filtered exactly, deduped, reranked with the exact dot
     * kernel, and cut to `topk` per probe by (HALF_UP-3 rounded score
-    * DESC, id ASC). Requires radius < bits (radius = bits means
-    * "everything is a candidate" — use a plain cross join / brute
-    * force instead of an LSH at that point). Returns `probe_id` +
-    * vecs' columns + `hamming` + `score`. */
+    * DESC, id ASC) — the cut is the bounded [[TopK]] PARTIAL AGGREGATE
+    * (the [[knnJoinExact]] kernel), so each map task forwards ≤ topk
+    * candidates per probe and a hot probe never concentrates its full
+    * candidate set in one window-sort task. Only (id, signature) ride
+    * the band join; the caller's corpus columns re-attach to the ≤
+    * topk·|probes| survivors in one final equi-join. Requires radius <
+    * bits (radius = bits means "everything is a candidate" — use a
+    * plain cross join / brute force instead of an LSH at that point).
+    * Corpus ids must be unique and long-castable; NULL ids/vectors
+    * cannot rank and are dropped. Returns `probe_id` + vecs' columns +
+    * `hamming` + `score`. */
   def srpSearchAll(vecs: DataFrame, id: Column, vec: Column,
                    probes: DataFrame, probeId: Column, probeVec: Column,
                    topk: Int = 10, bits: Int = 16, radius: Int = 5,
                    seed: Int = SrpDefaultSeed): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(topk > 0, s"topk must be positive, got $topk")
     require(radius >= 0 && radius < bits,
       s"banded search requires radius in [0, bits), got radius=$radius bits=$bits")
+    requireNoReserved(vecs, "srpSearchAll vecs")
     val sigOf = srpSigOf(vecs, vec, bits, seed)
-    // partition the bits into radius+1 contiguous bands of near-equal
-    // width — any Hamming <= radius pair matches in >= 1 band
+    def bandKeys(sig: String): Column = srpBandKeys(sig, bits, radius)
+    // only (id, sig) explode into the band join — the corpus payload
+    // (vectors included) never rides the candidate shuffle
+    val corpusSlim = vecs.select(id.cast("long").as("__cid"), vec.as("__v"))
+      .filter(col("__cid").isNotNull)
+    val corpusBanded = corpusSlim.withColumn("__sig", sigOf(col("__v")))
+      .select(col("__cid"), col("__sig"), explode(bandKeys("__sig")).as("__bk"))
+      .select(col("__cid"), col("__sig"),
+              col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+    val probeSlim = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
+    val probeBanded = probeSlim.withColumn("__psig", sigOf(col("__pv")))
+      .select(col("probe_id"), col("__psig"), explode(bandKeys("__psig")).as("__bk"))
+      .select(col("probe_id"), col("__psig"),
+              col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+    val cand = corpusBanded.join(probeBanded, Seq("__band", "__key"))
+      .dropDuplicates("probe_id", "__cid")   // a pair can collide in >1 band
+      .withColumn("hamming", expr("bit_count(__sig ^ __psig)"))
+      .filter(col("hamming") <= radius)
+      .select(col("probe_id"), col("__cid"), col("hamming"))
+    // exact rerank of survivors + the bounded per-probe cut: <= topk
+    // rows per probe leave each map task (no per-probe window sort)
+    val topAgg = udaf(TopK.taggedAgg(topk))
+    val top = cand
+      .join(corpusSlim, "__cid")
+      .join(probeSlim, "probe_id")
+      .select(col("probe_id"), col("__cid"), col("hamming"),
+        round(functions.GraftFunctions.dot(col("__v"), col("__pv")), 3).as("score"))
+      .filter(col("score").isNotNull)
+      .groupBy("probe_id")
+      .agg(topAgg(col("__cid"), col("score"), col("hamming").cast("long")).as("__top"))
+      .select(col("probe_id"), explode(col("__top")).as("__e"))
+      .select(col("probe_id"), col("__e.id").as("__cid"),
+              col("__e.tag").cast("int").as("hamming"), col("__e.score").as("score"))
+    val cols = vecs.columns
+    top.join(vecs.withColumn("__jid", id.cast("long")), col("__cid") === col("__jid"))
+      .select(col("probe_id") +: cols.map(col) :+ col("hamming") :+ col("score"): _*)
+  }
+
+  /** The (radius+1)-band decomposition of a `bits`-bit signature
+    * column (named by `sig`) as an array<struct<band,key>> — any
+    * Hamming ≤ radius pair matches in ≥ 1 band (pigeonhole). Bands are
+    * contiguous near-equal-width bit ranges. The mask is
+    * `-1L >>> (64 - w)`, not `(1L << w) - 1`: Scala shifts mod 64, so
+    * the latter is 0 at the legal w == 64 (bits = 64, radius = 0) and
+    * every signature would share bucket key 0 — output still correct
+    * (exact Hamming filter downstream) but the banding degenerates to
+    * one hot key, which is exactly the scale property the bands exist
+    * for (pinned by the bits=64 GraftSpec test). */
+  private[graft] def srpBandKeys(sig: String, bits: Int, radius: Int): Column = {
     val bands = radius + 1
     val base = bits / bands; val rem = bits % bands
     val widths = Array.tabulate(bands)(b => if (b < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
-    // -1L >>> (64 - w), not (1L << w) - 1: Scala shifts mod 64, so the
-    // latter is 0 at the legal w == 64 (bits = 64, radius = 0) and every
-    // signature would share bucket key 0 — output still correct (exact
-    // Hamming filter downstream) but the banding degenerates to one hot
-    // key, which is exactly the scale property the bands exist for
-    def bandKeys(sig: String): Column = array((0 until bands).map { b =>
+    array((0 until bands).map { b =>
       struct(lit(b).as("band"),
              expr(s"shiftrightunsigned($sig, ${offsets(b)}) & ${-1L >>> (64 - widths(b))}")
                .as("key"))
     }: _*)
-    val corpus = vecs.withColumn("__cid", id).withColumn("__v", vec)
-      .withColumn("__sig", sigOf(col("__v")))
-      .select(col("*"), explode(bandKeys("__sig")).as("__bk"))
-      .select(col("*"), col("__bk.band").as("__band"), col("__bk.key").as("__key"))
-      .drop("__bk")
-    val probed = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
-      .withColumn("__psig", sigOf(col("__pv")))
-      .select(col("*"), explode(bandKeys("__psig")).as("__bk"))
-      .select(col("probe_id"), col("__pv"), col("__psig"),
-              col("__bk.band").as("__band"), col("__bk.key").as("__key"))
-    val cols = vecs.columns
-    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, id.asc)
-    corpus.join(probed, Seq("__band", "__key"))
-      .dropDuplicates("probe_id", "__cid")   // a pair can collide in >1 band
-      .withColumn("hamming", expr("bit_count(__sig ^ __psig)"))
-      .filter(col("hamming") <= radius)
-      .select(col("probe_id") +: cols.map(col) :+ col("hamming") :+
-        round(functions.GraftFunctions.dot(col("__v"), col("__pv")), 3).as("score"): _*)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= topk)
-      .drop("__rk")
+  }
+
+  /** The ANN facades stage working columns prefixed `__` (and the
+    * output key `probe_id`) next to the caller's columns — caller
+    * columns with those names would be silently shadowed, so reject
+    * them loudly instead. */
+  private def requireNoReserved(df: DataFrame, who: String): Unit = {
+    val clash = df.columns.filter(c => c.startsWith("__") || c == "probe_id")
+    require(clash.isEmpty,
+      s"$who columns ${clash.mkString(", ")} collide with reserved working " +
+        "names (__-prefixed, probe_id); rename them before the call")
   }
 
   /** Trains an IVF coarse quantizer over ANY (id, vec) DataFrame —
@@ -767,34 +806,43 @@ object Graft {
     * row-locally ranks cells and explodes to its `nprobe` best
     * ([[bestCells]] — no window), and candidates meet in ONE shuffle
     * equi-join on cell — work ∝ Σ probes×cell sizes, never
-    * probes×corpus. Per-probe top-k is a cell-bounded partitioned
-    * window. Returns `probe_id` + vecs' columns + `score` by
+    * probes×corpus. The per-probe top-k is the bounded [[TopK]]
+    * PARTIAL AGGREGATE (the [[knnJoinExact]] kernel): ≤ topk rows per
+    * probe leave each map task, so a hot probe never concentrates its
+    * candidate cells in one window-sort task; the caller's corpus
+    * columns re-attach to the ≤ topk·|probes| survivors in one final
+    * equi-join. Returns `probe_id` + vecs' columns + `score` by
     * (HALF_UP-3 rounded score DESC, id ASC) per probe; with nprobe >=
-    * |cells| each probe's result IS its brute-force top-k. Probes
-    * drawn from the corpus itself match themselves — filter on
-    * probe_id/id downstream if unwanted. */
+    * |cells| each probe's result IS its brute-force top-k. Corpus ids
+    * must be unique and long-castable; NULL ids/scores cannot rank and
+    * are dropped. Probes drawn from the corpus itself match
+    * themselves — filter on probe_id/id downstream if unwanted. */
   def ivfSearchAll(centroids: DataFrame, vecs: DataFrame, id: Column, vec: Column,
                    probes: DataFrame, probeId: Column, probeVec: Column,
                    nprobe: Int = 3, topk: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     require(topk > 0, s"topk must be positive, got $topk")
-    val cols = vecs.columns
-    val assigned = vecs.withColumn("__v", vec)
+    requireNoReserved(vecs, "ivfSearchAll vecs")
+    val assigned = vecs.select(id.cast("long").as("__cid"), vec.as("__v"))
+      .filter(col("__cid").isNotNull)
       .crossJoin(broadcast(centroidArray(centroids)))
-      .withColumn("__cell", bestCell(col("__v")))
-      .drop("__cents")
+      .select(col("__cid"), col("__v"), bestCell(col("__v")).as("__cell"))
     val probed = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
       .crossJoin(broadcast(centroidArray(centroids)))
       .select(col("probe_id"), col("__pv"),
               explode(bestCells(col("__pv"), nprobe)).as("__cell"))
-    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, id.asc)
-    assigned.join(probed, "__cell")
-      .select(col("probe_id") +: cols.map(col) :+
-        round(functions.GraftFunctions.dot(col("__v"), col("__pv")), 3).as("score"): _*)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= topk)
-      .drop("__rk")
+    val topAgg = udaf(TopK.agg(topk))
+    val top = assigned.join(probed, "__cell")
+      .select(col("probe_id"), col("__cid"),
+        round(functions.GraftFunctions.dot(col("__v"), col("__pv")), 3).as("score"))
+      .filter(col("score").isNotNull)
+      .groupBy("probe_id")
+      .agg(topAgg(col("__cid"), col("score")).as("__top"))
+      .select(col("probe_id"), explode(col("__top")).as("__e"))
+      .select(col("probe_id"), col("__e.id").as("__cid"), col("__e.score").as("score"))
+    val cols = vecs.columns
+    top.join(vecs.withColumn("__jid", id.cast("long")), col("__cid") === col("__jid"))
+      .select(col("probe_id") +: cols.map(col) :+ col("score"): _*)
   }
 
   /** IVF approximate nearest neighbor: assign every vector to its

@@ -17,8 +17,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * Folding only a common prefix would make the result depend on which
   * vector arrived first in each partial buffer — i.e. on partitioning
   * and arrival order — so a length mismatch throws instead of silently
-  * producing a run-dependent sum. The mean is `transform(sum, x -> x /
-  * n)` at the call site, keeping division out of the merge path.
+  * producing a run-dependent sum. A ZERO-LENGTH input vector throws
+  * unconditionally: an empty input is indistinguishable from the
+  * not-yet-initialized zero buffer, so whether "empty after non-empty"
+  * raggedness was detected would otherwise depend on partition/arrival
+  * order — the exact run-dependence this contract exists to kill
+  * (NULLs, by contrast, are skipped: SQL aggregate convention). The
+  * mean is `transform(sum, x -> x / n)` at the call site, keeping
+  * division out of the merge path.
   */
 object VecSum {
   private def requireSameLength(have: Int, got: Int): Unit =
@@ -31,6 +37,10 @@ object VecSum {
       def zero: Array[Double] = Array.emptyDoubleArray
       def reduce(buf: Array[Double], v: Seq[Double]): Array[Double] =
         if (v == null) buf
+        else if (v.isEmpty)
+          throw new IllegalArgumentException(
+            "VecSum input vector is empty (0 dims) — empty vectors cannot " +
+              "be summed (use NULL to skip a row)")
         else if (buf.length == 0) v.toArray
         else {
           requireSameLength(buf.length, v.length)

@@ -403,6 +403,55 @@ class GraftSpec extends SparkSpecBase {
       // scalars; the candidate join itself must be a hash/merge join
       assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
         s"$name candidate join is not an equi-join:\n$plan")
+      // the per-probe cut is the bounded TopK partial aggregate — a
+      // window rank would sort a hot probe's full candidate set in ONE
+      // task, the scale-killer this plan shape exists to avoid
+      assert(!plan.contains("Window"),
+        s"$name cuts per-probe top-k with a window, not the bounded TopK:\n$plan")
+    }
+  }
+
+  test("srpSearchAll at bits=64/radius=0: banding stays non-degenerate and finds self") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // the w == 64 band mask: (1L << 64) - 1 == 0 under Scala's mod-64
+    // shift would collapse EVERY signature to bucket key 0 — one hot
+    // bucket. The fixed -1L >>> (64 - w) mask must keep the full
+    // signature as the key: distinct keys ~ distinct signatures
+    val sigOf = Graft.srpSigOf(e, $"v", bits = 64, seed = Graft.SrpDefaultSeed)
+    val sigs = e.select(sigOf($"v").as("s"))
+    val nSigs = sigs.select("s").distinct().count()
+    val nKeys = sigs.select(explode(Graft.srpBandKeys("s", bits = 64, radius = 0)).as("bk"))
+      .select($"bk.key").distinct().count()
+    assert(nSigs > 1, "test corpus collapsed to one 64-bit signature")
+    assert(nKeys == nSigs, s"band keys degenerated: $nKeys keys for $nSigs signatures")
+    // and the facade at radius 0: every corpus-drawn probe finds at
+    // least itself (identical signature) at hamming 0
+    val probes = e.filter($"vec_id" < 3).select($"vec_id".as("pid"), $"v".as("pv"))
+    val res = Graft.srpSearchAll(e, $"vec_id", $"v", probes, $"pid", $"pv",
+        topk = 5, bits = 64, radius = 0)
+      .select("probe_id", "vec_id", "hamming").collect()
+    assert(res.forall(_.getInt(2) == 0))
+    assert(Set(0L, 1L, 2L).subsetOf(
+      res.filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(0)).toSet),
+      "a probe did not find its own identical-signature row")
+  }
+
+  test("batch ANN facades reject reserved working-column names loudly") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = e.filter($"vec_id" === 0).select($"vec_id".as("pid"), $"v".as("pv"))
+    // a corpus column literally named __cid (or probe_id) would be
+    // silently shadowed by the staged working columns — refuse it
+    val clash = e.withColumn("__cid", $"vec_id" + 1)
+    val m1 = intercept[IllegalArgumentException] {
+      Graft.srpSearchAll(clash, $"vec_id", $"v", probes, $"pid", $"pv", topk = 3)
+    }.getMessage
+    assert(m1.contains("__cid") && m1.contains("reserved"))
+    val model = Graft.ivfTrain(e, $"vec_id", $"v", k = 2, iters = 0)
+    intercept[IllegalArgumentException] {
+      Graft.ivfSearchAll(model, e.withColumn("probe_id", $"vec_id"),
+        $"vec_id", $"v", probes, $"pid", $"pv", topk = 3)
     }
   }
 

@@ -107,6 +107,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("vecsum: ragged and empty inputs throw regardless of arrival order") {
+    val a = VecSum.agg
+    // ragged: dims mismatch throws whichever vector folds first
+    intercept[IllegalArgumentException] {
+      Seq(Seq(1.0, 2.0), Seq(1.0)).foldLeft(a.zero)(a.reduce)
+    }
+    intercept[IllegalArgumentException] {
+      Seq(Seq(1.0), Seq(1.0, 2.0)).foldLeft(a.zero)(a.reduce)
+    }
+    // a ragged pair split across partial buffers throws at merge
+    intercept[IllegalArgumentException] {
+      a.merge(a.reduce(a.zero, Seq(1.0, 2.0)), a.reduce(a.zero, Seq(3.0)))
+    }
+    // empty vectors are indistinguishable from the uninitialized
+    // buffer, so they must throw DETERMINISTICALLY — empty-first used
+    // to be silently swallowed while empty-after-nonempty threw
+    intercept[IllegalArgumentException] { a.reduce(a.zero, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      a.reduce(a.reduce(a.zero, Seq(1.0, 2.0)), Seq.empty)
+    }
+    // NULLs still skip (SQL aggregate convention)
+    assert(a.finish(a.reduce(a.reduce(a.zero, null), Seq(1.0, 2.0))) == Seq(1.0, 2.0))
+  }
+
   test("simhash: combiner-safe and tf-linear") {
     check("simhash merge", Prop.forAll(docGen) { doc =>
       val tf = doc.groupBy(identity).view.mapValues(_.size.toLong).toSeq
