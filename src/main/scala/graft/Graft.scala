@@ -54,6 +54,12 @@ object Graft {
   def matchCount(a: Column, b: Column): Column =
     functions.ArrayMatchCount.matchCount(a, b)
 
+  /** Native codegen'd sliding-window token n-grams (array<string> →
+    * array<string>, duplicates kept — the shingle kernel of the
+    * n-gram/bigram/repetition operators). */
+  def tokenNGrams(tokens: Column, n: Int): Column =
+    functions.TokenNGrams.ngrams(tokens, n)
+
   /** Deterministic ~`keepPermille`/1000 sample decision on a stable
     * long id: engine-, run- and parallelism-independent (q_sample_det's
     * overflow-safe multiplicative hash — the id is reduced mod 1e9+7
@@ -156,8 +162,7 @@ object Graft {
     * descending [1,0] and faulting `slice` on short docs). */
   def repetitionScores(text: Column): Column = {
     val t = split(text, " ")
-    def grams(n: Int) = transform(sequence(lit(1), size(t) - (n - 1)),
-      i => concat_ws(" ", slice(t, i, lit(n))))
+    def grams(n: Int) = functions.TokenNGrams.ngrams(t, n)
     def dupPermille(arr: Column) =
       floor((size(arr).cast("long") - size(array_distinct(arr))) * 1000 / size(arr))
         .cast("long")
@@ -227,8 +232,7 @@ object Graft {
                             shingle: Int = 3, window: Int = 4): DataFrame = {
     require(shingle >= 1 && window >= 1, "shingle and window must be >= 1")
     val t = split(text, " ")
-    val shingles = transform(sequence(lit(1), size(t) - (shingle - 1)),
-      i => xxhash64(concat_ws(" ", slice(t, i, lit(shingle)))))
+    val shingles = transform(functions.TokenNGrams.ngrams(t, shingle), s => xxhash64(s))
     val fps = transform(sequence(lit(1), size(col("hashes")) - (window - 1)),
       i => array_min(slice(col("hashes"), i, lit(window))))
     docs
@@ -344,8 +348,7 @@ object Graft {
       .select(id.cast("long").as("doc_id"), t.as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"),
-              explode(array_distinct(transform(sequence(lit(1), size(col("t")) - (n - 1)),
-                i => concat_ws(" ", slice(col("t"), i, lit(n)))))).as("gram"))
+              explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val sized = grams.join(broadcast(sizes), "doc_id")
     operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
@@ -437,8 +440,7 @@ object Graft {
       df.select(id.cast("long").as(idName), t.as("t"))
         .filter(size(col("t")) >= n)
         .select(col(idName),
-                explode(array_distinct(transform(sequence(lit(1), size(col("t")) - (n - 1)),
-                  i => concat_ws(" ", slice(col("t"), i, lit(n)))))).as("gram"))
+                explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
     }
     val evalGrams = grams(eval, evalId, evalText, "eval_id")
     val evalSizes = evalGrams.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
@@ -1062,8 +1064,7 @@ object Graft {
     val base = docs
       .filter(size(t) >= 2)
       .select(id.cast("long").as("doc_id"),
-              explode(transform(sequence(lit(1), size(t) - 1),
-                i => concat_ws(" ", slice(t, i, lit(2))))).as("bigram"))
+              explode(functions.TokenNGrams.ngrams(t, 2)).as("bigram"))
     val bg = base.groupBy("bigram").agg(count(lit(1)).as("c12"))
     // Σ_w c(w1,w) == occurrences of w1 in positions 1..n-1 — the
     // direct form costs one explode + one narrow shuffle instead of

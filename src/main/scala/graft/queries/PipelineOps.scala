@@ -172,10 +172,8 @@ object PipelineOps {
     * floor-div outputs per parity rule F. */
   def q_repetition(s: SparkSession, d: String): DataFrame = {
     val t = toks
-    val g2 = transform(sequence(lit(1), size(t) - 1),
-      i => concat_ws(" ", slice(t, i, lit(2))))
-    val g3 = transform(sequence(lit(1), size(t) - 2),
-      i => concat_ws(" ", slice(t, i, lit(3))))
+    val g2 = graft.functions.TokenNGrams.ngrams(t, 2)
+    val g3 = graft.functions.TokenNGrams.ngrams(t, 3)
     def dupPermille(arr: org.apache.spark.sql.Column) =
       floor((size(arr).cast("long") - size(array_distinct(arr))) * 1000 / size(arr))
         .cast("long")
