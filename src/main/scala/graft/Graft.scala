@@ -1045,6 +1045,41 @@ object Graft {
                                          .cast("double") / col("__total")))
                / size(col("__toks"))).as("mean_nll"))
 
+  /** The unigram model of [[unigramLogProb]] in OPEN-VOCAB form: a
+    * (token, cnt) TABLE instead of the one-row map scalar — the shape
+    * to train when the vocabulary is unbounded (code, URLs, raw bytes)
+    * and a collected map would not fit in one row. One explode + one
+    * narrow count shuffle; no collect, no scalar. Score with
+    * [[unigramScoreJoin]]. */
+  def unigramModelTable(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(split(text, " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Score (id, text) rows against a [[unigramModelTable]] — the
+    * broadcast-equi-join sibling of the map-scalar [[unigramScore]],
+    * semantics identical (equivalence-tested): mean −ln(cnt/total) per
+    * document, unseen tokens floored at count 1. The join is the
+    * open-vocab shape of [[bigramLogProb]]: explode each document's
+    * tokens once, LEFT-join the model on token (broadcast when small,
+    * shuffle otherwise — the planner decides from stats), re-group by
+    * document. The model total folds from the table itself (one-row
+    * partial aggregate, broadcast as a scalar), so the caller passes
+    * ONE model artifact, not two. Returns the [[unigramScore]] schema:
+    * (doc_id, n_tokens LONG, mean_nll DOUBLE — natural log). */
+  def unigramScoreJoin(model: DataFrame, docs: DataFrame,
+                       id: Column, text: Column): DataFrame = {
+    val total = model.agg(sum("cnt").cast("double").as("__total"))
+    docs.select(id.cast("long").as("doc_id"),
+                explode(split(text, " ")).as("token"))
+      .join(model.withColumnRenamed("cnt", "__cnt"), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+           (sum(-log(coalesce(col("__cnt"), lit(1L)).cast("double")
+                       / col("__total"))) /
+            count(lit(1))).as("mean_nll"))
+  }
+
   /** Per-document mean negative CONDITIONAL log-likelihood under the
     * corpus's own bigram model — the next step from [[unigramLogProb]]
     * toward the KenLM-style scoring CCNet gates on: score(d) = mean

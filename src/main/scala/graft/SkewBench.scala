@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew-bench evidence harness: measures the hot-bucket guard of the
+  * near-dup candidate joins on a DELIBERATELY skewed corpus — the
+  * shape the sf* testdata never exhibits but 100 TB of web text will
+  * (a stop-gram shared by most documents; boilerplate that collapses
+  * most LSH band buckets onto one key; one dominant language).
+  *
+  * Two synthetic corpora, written once to parquet and read back so
+  * every timed run starts from a scan like the declared queries:
+  *  - stop-gram corpus: `hotFrac` of `nDocs` docs share ONE leading
+  *    3-gram and are otherwise unique, 90% share one lang — the
+  *    inverted-index worst case (one gram bucket holds hotFrac·nDocs
+  *    docs; a plain self-join computes its ~(hot²/2) candidate pairs
+  *    in ONE task).
+  *  - boilerplate corpus: half the docs are a 20-token template plus
+  *    one unique token — near-identical SETS, so MinHash/SimHash band
+  *    buckets all collapse onto a handful of hot keys.
+  *
+  * For each near-dup family it times the GUARDED default
+  * (maxBucket = 1024, hot buckets block-decomposed by
+  * [[operators.SkewJoin.blockedSelfPairs]]) against the effectively
+  * UNGUARDED plan (maxBucket = 2^29: every bucket is one block — the
+  * pre-guard plan shape), plus [[Graft.stratifiedSample]] on the 90%
+  * lang stratum (bounded-TopK cut; no unguarded variant exists to
+  * compare). Prints one JSON line of median-of-3 seconds; the
+  * recorded numbers live in BASELINE.md ("Skew bench"). */
+object SkewBench {
+
+  private val Unguarded = 1 << 29
+
+  /** Longest single task observed between resets — the straggler
+    * metric. local[32] wall-clock hides hot-task serialization (a
+    * single local task still streams shuffle rows at memory speed, and
+    * the shared final-agg shuffle dominates either way); on a
+    * 1000-executor cluster the stage clock IS its slowest task, so the
+    * guard's claim is "max task time bounded", not "local wall-clock
+    * lower". */
+  private final class MaxTaskListener extends org.apache.spark.scheduler.SparkListener {
+    @volatile var maxMillis: Long = 0L
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (te.taskInfo != null) {
+        val d = te.taskInfo.duration
+        if (d > maxMillis) maxMillis = d
+      }
+  }
+
+  /** Times each labelled thunk 3 times, INTERLEAVED round-robin (a
+    * full round of all variants, three times over) so slow JVM/page-
+    * cache/GC drift lands on every variant equally instead of biasing
+    * whichever block ran last; returns per-label
+    * (median wall sec, median max-task sec, rows). */
+  private def median3(spark: SparkSession, variants: Seq[(String, () => Long)])
+      : Seq[(String, (Double, Double, Long))] = {
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    val runs = (1 to 3).flatMap { _ =>
+      variants.map { case (label, f) =>
+        listener.maxMillis = 0L
+        val t0 = System.nanoTime()
+        val n = f()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)   // let straggler TaskEnd events drain
+        (label, wall, listener.maxMillis / 1e3, n)
+      }
+    }
+    variants.map { case (label, _) =>
+      val mine = runs.filter(_._1 == label)
+      label -> (mine.map(_._2).sorted.apply(1), mine.map(_._3).sorted.apply(1), mine.head._4)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "/tmp/graft_skew")
+    // 256 shuffle partitions, NOT the Bench default of `cpus`: this
+    // harness models a cluster, where partition-uniform stages (the
+    // pair agg — 200M rows hash-spread by pair key) shrink with the
+    // partition count while a hot-BUCKET task does not. At 32
+    // partitions the uniform agg is 6M rows/task and masks the hot
+    // task; at 256 the uniform stages are bounded and what remains as
+    // max-task is exactly the skew the guard exists to cut.
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 256)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // stop-gram corpus: 24k docs, 20000 share the gram "h1 h2 h3"
+    // (~200M candidate pairs in ONE task unguarded — the serialized
+    // quadratic shape), 13 unique tail tokens each; 90% lang = "en"
+    val uniqueTail = (p: String) => concat_ws(" ",
+      transform(sequence(lit(0), lit(12)),
+        j => concat(lit(p), $"id", lit("_"), j)))
+    spark.range(24000).select(
+        $"id".as("doc_id"),
+        when($"id" % 6 < 5, concat(lit("h1 h2 h3 "), uniqueTail("u")))
+          .otherwise(uniqueTail("v")).as("text"),
+        when($"id" % 10 === 0, lit("zh")).otherwise(lit("en")).as("lang"))
+      .write.mode("overwrite").parquet(s"$dir/stopgram.parquet")
+    val stopgram = spark.read.parquet(s"$dir/stopgram.parquet")
+
+    // boilerplate corpus: 4k docs, 2000 = template + 1 unique token
+    val template = (1 to 20).map(i => s"t$i").mkString(" ")
+    spark.range(4000).select(
+        $"id".as("doc_id"),
+        when($"id" % 2 === 0, concat(lit(template + " w"), $"id"))
+          .otherwise(uniqueTail("b")).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/boilerplate.parquet")
+    val boiler = spark.read.parquet(s"$dir/boilerplate.parquet")
+
+    def ngram(mb: Int) = Graft
+      .nearDupPairsNgram(stopgram, $"doc_id", $"text", 800, 3, maxBucket = mb).count()
+    def minhash(mb: Int) = Graft
+      .nearDupPairsMinhash(boiler, $"doc_id", $"text", 900, maxBucket = mb).count()
+    def simhash(mb: Int) = Graft
+      .nearDupPairsSimhash(boiler, $"doc_id", $"text", 3, maxBucket = mb).count()
+
+    // warm the session once so run 1 isn't charged for codegen warmup
+    minhash(Unguarded)
+
+    val results = median3(spark, Seq(
+      "ngram_guarded" -> (() => ngram(1024)),
+      "ngram_unguarded" -> (() => ngram(Unguarded)),
+      "minhash_guarded" -> (() => minhash(1024)),
+      "minhash_unguarded" -> (() => minhash(Unguarded)),
+      "simhash_guarded" -> (() => simhash(1024)),
+      "simhash_unguarded" -> (() => simhash(Unguarded)),
+      "stratified_hot_lang" -> (() =>
+        Graft.stratifiedSample(stopgram, $"lang", $"doc_id", 100, 7L).count())))
+
+    // guarded and unguarded plans must agree before timings mean anything
+    val byLabel = results.toMap
+    Seq("ngram", "minhash", "simhash").foreach { fam =>
+      require(byLabel(s"${fam}_guarded")._3 == byLabel(s"${fam}_unguarded")._3,
+        s"$fam pair counts diverged")
+    }
+
+    val js = results.map { case (k, (sec, maxTask, n)) =>
+      s""""$k":{"sec":${math.round(sec * 1000) / 1000.0},""" +
+        s""""max_task_sec":${math.round(maxTask * 1000) / 1000.0},"rows":$n}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"bench":"skew","cpus":$cpus,"results":$js}""")
+    spark.stop()
+  }
+}

@@ -83,7 +83,18 @@ object SkewJoin {
           col("__blk").as("__bj")) ++
       payload.map(c => col(c).as(c + "_b")): _*)
     val flip = col(orderCol + "_a") > col(orderCol + "_b")
-    lhs.join(rhs, bucketCols ++ Seq("__bi", "__bj"))
+    // EXPLICIT-COUNT repartition on the join keys, not the planner's
+    // implicit exchange: AQE's partition coalescing sizes on INPUT
+    // bytes, and a candidate join's input is tiny while its output is
+    // quadratic in the bucket size — measured on the skew corpus, AQE
+    // re-fused the decomposed block pairs into a handful of fat tasks
+    // and undid the guard. REPARTITION_BY_NUM exchanges are exempt
+    // from coalescing, and since the repartition keys equal the join
+    // keys the join adds no further exchange.
+    val joinKeys = bucketCols ++ Seq("__bi", "__bj")
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    lhs.repartition(nPart, joinKeys.map(col): _*)
+      .join(rhs.repartition(nPart, joinKeys.map(col): _*), joinKeys)
       // diagonal blocks dedup by strict order; off-diagonal pairs are
       // already unique (a row's block is fixed) and get normalized below
       .filter(col("__bi") < col("__bj") ||

@@ -48,6 +48,16 @@ class DocsConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("PLANS.md plan headers cover exactly the live query ids") {
+    val headers = "(?m)^## (q_\\w+)$".r
+      .findAllMatchIn(read("PLANS.md")).map(_.group(1)).toSet
+    val live = SparkEntry.queries.keySet
+    assert(headers == live,
+      s"PLANS.md is stale — regenerate with `sbt \"runMain graft.Plans\"`. " +
+      s"Missing: ${(live -- headers).toSeq.sorted.mkString(",")}; " +
+      s"orphaned: ${(headers -- live).toSeq.sorted.mkString(",")}")
+  }
+
   test("SparkEntry scaladoc states the live counts") {
     val entry = read("src/main/scala/graft/SparkEntry.scala")
     assert(entry.contains(s"$nQueries query ids"),

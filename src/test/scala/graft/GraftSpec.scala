@@ -676,6 +676,28 @@ class GraftSpec extends SparkSpecBase {
     assert(oneCall == split && oneCall.nonEmpty)
   }
 
+  test("open-vocab unigramScoreJoin equals the map-scalar unigramScore") {
+    val docs = Tables.documents(spark, sf)
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val scalar = byId(Graft.unigramScore(
+      Graft.unigramModel(docs, $"text"), docs, $"doc_id", $"text"))
+    val joined = byId(Graft.unigramScoreJoin(
+      Graft.unigramModelTable(docs, $"text"), docs, $"doc_id", $"text"))
+    assert(scalar.keySet == joined.keySet && scalar.nonEmpty)
+    // same token count exactly; same mean nll up to summation order
+    scalar.foreach { case (id, (n, nll)) =>
+      assert(joined(id)._1 == n, s"doc $id token count")
+      assert(math.abs(joined(id)._2 - nll) < 1e-9, s"doc $id nll")
+    }
+    // unseen tokens floor at count 1 in both paths
+    val model = Seq(("a", 3L), ("b", 1L)).toDF("token", "cnt")
+    val outside = Seq((1L, "a zzz")).toDF("id", "t")
+    val got = Graft.unigramScoreJoin(model, outside, $"id", $"t").head
+    val want = (-math.log(3.0 / 4.0) - math.log(1.0 / 4.0)) / 2.0
+    assert(got.getLong(1) == 2 && math.abs(got.getDouble(2) - want) < 1e-12)
+  }
+
   test("stratifiedSample equals the per-stratum window brute force") {
     val docs = Tables.documents(spark, sf)
     val got = rows(Graft.stratifiedSample(docs, $"lang", $"doc_id", n = 7, seed = 3L)
