@@ -335,20 +335,42 @@ object Graft {
     * BLOCK-DECOMPOSED by [[operators.SkewJoin.blockedSelfPairs]], so
     * per-task input stays bounded while the pair set is exactly
     * preserved. Docs shorter than n tokens have no n-gram and never
-    * pair. */
+    * pair.
+    *
+    * `maxGramDocFreq` (default off) is the LOSSY stop-gram cap the
+    * 100 TB path wants (the CCNet/RefinedWeb trade): grams appearing
+    * in more than that many documents are dropped from the gram
+    * universe BEFORE anything quadratic, and Jaccard is computed over
+    * the remaining grams (per-doc sizes recomputed on the filtered
+    * sets, so the estimate stays internally consistent). A true
+    * stop-gram contributes ~zero discriminative signal but Σ bucket²
+    * work; the block guard bounds that work per task, the cap removes
+    * it. Semantics CHANGE when it fires — an opt-in, never a silent
+    * default (BASELINE.md "Round-7 skew bench"). */
   def nearDupPairsNgram(docs: DataFrame, id: Column, text: Column,
                         thresholdPermille: Int = 800, n: Int = 3,
-                        maxBucket: Int = 1024): DataFrame = {
+                        maxBucket: Int = 1024,
+                        maxGramDocFreq: Int = Int.MaxValue): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
+    require(maxGramDocFreq >= 1, s"maxGramDocFreq must be >= 1, got $maxGramDocFreq")
     val p = thresholdPermille
     val t = split(text, " ")
-    val grams = docs
+    val allGrams = docs
       .select(id.cast("long").as("doc_id"), t.as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"),
               explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
+    val grams =
+      if (maxGramDocFreq == Int.MaxValue) allGrams
+      else {
+        // one map-side-combined count pass; only the stop grams ship
+        // (Zipf-bounded metadata) and stream out via broadcast anti-join
+        val stop = allGrams.groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxGramDocFreq).select("gram")
+        allGrams.join(broadcast(stop), Seq("gram"), "left_anti")
+      }
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val sized = grams.join(broadcast(sizes), "doc_id")
     operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)

@@ -116,6 +116,9 @@ object SkewBench {
 
     def ngram(mb: Int) = Graft
       .nearDupPairsNgram(stopgram, $"doc_id", $"text", 800, 3, maxBucket = mb).count()
+    def ngramCapped() = Graft
+      .nearDupPairsNgram(stopgram, $"doc_id", $"text", 800, 3,
+        maxGramDocFreq = 4096).count()
     def minhash(mb: Int) = Graft
       .nearDupPairsMinhash(boiler, $"doc_id", $"text", 900, maxBucket = mb).count()
     def simhash(mb: Int) = Graft
@@ -124,21 +127,32 @@ object SkewBench {
     // warm the session once so run 1 isn't charged for codegen warmup
     minhash(Unguarded)
 
-    val results = median3(spark, Seq(
+    val all = Seq[(String, () => Long)](
       "ngram_guarded" -> (() => ngram(1024)),
       "ngram_unguarded" -> (() => ngram(Unguarded)),
+      // the LOSSY alternative: df-capped grams (semantics change — the
+      // stop gram leaves the universe), measured for the same corpus
+      "ngram_df_capped" -> (() => ngramCapped()),
       "minhash_guarded" -> (() => minhash(1024)),
       "minhash_unguarded" -> (() => minhash(Unguarded)),
       "simhash_guarded" -> (() => simhash(1024)),
       "simhash_unguarded" -> (() => simhash(Unguarded)),
       "stratified_hot_lang" -> (() =>
-        Graft.stratifiedSample(stopgram, $"lang", $"doc_id", 100, 7L).count())))
+        Graft.stratifiedSample(stopgram, $"lang", $"doc_id", 100, 7L).count()))
+    // optional variant filter: `runMain graft.SkewBench ngram` times only
+    // labels containing "ngram" (for quick one-variant measurements)
+    val picked = if (args.isEmpty) all
+                 else all.filter { case (l, _) => args.exists(l.contains) }
+    val results = median3(spark, picked)
 
     // guarded and unguarded plans must agree before timings mean anything
     val byLabel = results.toMap
     Seq("ngram", "minhash", "simhash").foreach { fam =>
-      require(byLabel(s"${fam}_guarded")._3 == byLabel(s"${fam}_unguarded")._3,
-        s"$fam pair counts diverged")
+      (byLabel.get(s"${fam}_guarded"), byLabel.get(s"${fam}_unguarded")) match {
+        case (Some(g), Some(u)) =>
+          require(g._3 == u._3, s"$fam pair counts diverged")
+        case _ => ()
+      }
     }
 
     val js = results.map { case (k, (sec, maxTask, n)) =>

@@ -185,6 +185,25 @@ class GraftSpec extends SparkSpecBase {
     assert(Graft.nearDupPairsNgram(docs, $"id", $"txt", 501, 2).count() == 0)
   }
 
+  test("nearDupPairsNgram maxGramDocFreq: stop-gram cap equals manual removal") {
+    // "the" is in all 6 docs (df = 6); at n = 1 a gram IS a token, so
+    // capping at 4 must equal running uncapped on texts with "the"
+    // stripped — sizes and jaccard recomputed over the filtered sets
+    val docs = Seq(
+      (1L, "the a b c"), (2L, "the a b c"), (3L, "the a b d"),
+      (4L, "the x y z"), (5L, "the x y w"), (6L, "the q r s")).toDF("id", "t")
+    def pairs(df: org.apache.spark.sql.DataFrame, cap: Int) =
+      rows(Graft.nearDupPairsNgram(df, $"id", $"t", 600, 1, maxGramDocFreq = cap)
+        .orderBy("doc_a", "doc_b"))
+    val capped = pairs(docs, 4)
+    val stripped = docs.select($"id", regexp_replace($"t", "the ", "").as("t"))
+    assert(capped == pairs(stripped, Int.MaxValue) && capped.nonEmpty)
+    // the cap is strict-greater: df == cap keeps the gram → uncapped result,
+    // where "the" itself pushes (1,3)'s jaccard to 3/5 over the 600‰ bar
+    assert(pairs(docs, 6) == pairs(docs, Int.MaxValue))
+    assert(pairs(docs, 6) != capped)
+  }
+
   test("decontaminate: coverage threshold against a tiny eval set") {
     // eval doc 100 has grams {a b c, b c d} (n_eval=2); corpus doc 1
     // shares both (coverage 1000‰), doc 2 shares one (500‰), doc 3 none
