@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 75 query ids; 68 with DuckDB oracles. The
+  * and §3.1 (entry points). 77 query ids; 70 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -75,6 +75,7 @@ object SparkEntry {
     "q_knn_centroid"   -> TextOps.q_knn_centroid _,
     // §2.12 training-data-pipeline extensions
     "q_dedup_ngram"    -> PipelineOps.q_dedup_ngram _,
+    "q_dedup_ngram_capped" -> PipelineOps.q_dedup_ngram_capped _,
     "q_dedup_cluster"  -> PipelineOps.q_dedup_cluster _,
     "q_text_quality"   -> PipelineOps.q_text_quality _,
     "q_lang_id"        -> PipelineOps.q_lang_id _,
@@ -95,6 +96,7 @@ object SparkEntry {
     "q_shuffle_det"    -> PipelineOps.q_shuffle_det _,
     "q_pack_chunks"    -> PipelineOps.q_pack_chunks _,
     "q_unigram_ppl"    -> PipelineOps.q_unigram_ppl _,
+    "q_unigram_open"   -> PipelineOps.q_unigram_open _,
     "q_bigram_ppl"     -> PipelineOps.q_bigram_ppl _,
     "q_dedup_drop"     -> PipelineOps.q_dedup_drop _,
     "q_repetition"     -> PipelineOps.q_repetition _,

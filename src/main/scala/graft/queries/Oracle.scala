@@ -379,6 +379,30 @@ object Oracle {
         |SELECT doc_a, doc_b, jaccard FROM scored
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // the df-capped variant: grams in more than 5 documents leave the
+    // gram universe, sizes/Jaccard recomputed over the remainder —
+    // the same lossy cap the Spark side applies (maxGramDocFreq = 5)
+    "q_dedup_ngram_capped" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |grams0 AS (SELECT DISTINCT doc_id,
+        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |           FROM toks),
+        |stop AS (SELECT gram FROM grams0 GROUP BY gram HAVING COUNT(*) > 5),
+        |grams AS (SELECT * FROM grams0 WHERE gram NOT IN (SELECT gram FROM stop)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |           FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |scored AS (SELECT doc_a, doc_b,
+        |                  ROUND(common * 1.0 / (sa.n_grams + sb.n_grams - common), 3) AS jaccard
+        |           FROM common JOIN sizes sa ON doc_a = sa.doc_id
+        |                       JOIN sizes sb ON doc_b = sb.doc_id
+        |           WHERE common * 9 >= 4 * (sa.n_grams + sb.n_grams))
+        |SELECT doc_a, doc_b, jaccard FROM scored
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // connected components over the same pair graph (min-label ==
     // component minimum), via DuckDB's recursive CTE
     "q_dedup_cluster" ->
@@ -575,6 +599,21 @@ object Oracle {
     // worst-case summation-order delta of ~4e-11 milli-units
     // (n≈128 terms, |term|≤~5, double eps) — six orders of safety.
     "q_unigram_ppl" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM cnt),
+        |sc AS (SELECT t.doc_id, COUNT(*) AS n,
+        |              SUM(-LN(CAST(c.c AS DOUBLE) / tot.total)) AS s
+        |       FROM tok t JOIN cnt c ON t.token = c.token CROSS JOIN tot
+        |       GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, ROUND(s / n, 3) AS mean_nll
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // the open-vocab twin scores the SAME corpus under the SAME model
+    // (no unseen tokens, so the LEFT join's count-1 floor never
+    // fires): one oracle text serves both, and the hash must agree
+    // with both the map-scalar and the equi-join Spark plan
+    "q_unigram_open" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
         |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM cnt),

@@ -77,6 +77,19 @@ object PipelineOps {
   def q_dedup_ngram(s: SparkSession, d: String): DataFrame =
     ngramPairGraph(s, d).orderBy("doc_a", "doc_b")
 
+  /** [[q_dedup_ngram]] with the LOSSY stop-gram cap engaged
+    * (`maxGramDocFreq = 5` — chosen to FIRE at every test sf, from 45
+    * stop grams at sf0.001 to ~25k at sf0.1): grams above the
+    * document-frequency cap leave the gram universe before anything
+    * quadratic and Jaccard is recomputed over what remains. The
+    * 100 TB stop-gram remedy as a first-class, oracle-verified query
+    * — the semantics CHANGE vs q_dedup_ngram (deliberately: that is
+    * what the cap is), so the oracle applies the same cap in SQL. */
+  def q_dedup_ngram_capped(s: SparkSession, d: String): DataFrame =
+    graft.Graft.nearDupPairsNgram(Tables.documents(s, d),
+        col("doc_id"), col("text"), maxGramDocFreq = 5)
+      .orderBy("doc_a", "doc_b")
+
   /** Per-document quality scoring: token count, mean token length
     * (exact from n_chars — the corpus is single-space separated),
     * stopword ratio, and a composite score. Ratios are emitted as
@@ -267,6 +280,24 @@ object PipelineOps {
       .select(col("doc_id"), col("n_tokens"),
               round(col("mean_nll"), 3).as("mean_nll"))
       .orderBy("doc_id")
+
+  /** [[q_unigram_ppl]]'s OPEN-VOCAB twin: the same scores via
+    * [[graft.Graft.unigramScoreJoin]] over a
+    * [[graft.Graft.unigramModelTable]] — token-table model +
+    * equi-join scoring instead of the one-row map scalar, the shape
+    * an unbounded vocabulary (code, URLs) needs at 100 TB. Scoring
+    * the training corpus itself, both paths are numerically equal
+    * (GraftSpec equivalence), so this query shares q_unigram_ppl's
+    * oracle SQL verbatim and the DuckDB hash must agree with BOTH. */
+  def q_unigram_open(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.Graft.unigramScoreJoin(
+        graft.Graft.unigramModelTable(docs, col("text")),
+        docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens"),
+              round(col("mean_nll"), 3).as("mean_nll"))
+      .orderBy("doc_id")
+  }
 
   /** Bigram-LM quality scoring: per-document mean negative
     * conditional log-likelihood −ln p(w2|w1) under the corpus's own

@@ -12,12 +12,14 @@ class PlanGuardSpec extends SparkSpecBase {
   // aggregate, q_ivf_build / q_sim_ivf the 1-row centroid-array scalar
   // (q_dedup_embed now plans the custom DotTopKJoinExec, not a BNLJ).
   // q_pack_chunks broadcasts its 1-row quantile-bounds aggregate,
-  // q_unigram_ppl its 1-row unigram-model scalar, q_knn_join the
-  // tiny probe batch (small BY DEFINITION — a query set, not a corpus)
+  // q_unigram_ppl its 1-row unigram-model scalar, q_unigram_open the
+  // 1-row model-total aggregate (the token model itself equi-joins),
+  // q_knn_join the tiny probe batch (small BY DEFINITION — a query
+  // set, not a corpus)
   private val allowedBnlj = Set(
     "q_sim_search", "q_sim_srp", "q_sim_ivf", "q_ivf_build", "q_tfidf",
     "q_window_ntile", "q_late_data", "q_pack_chunks", "q_unigram_ppl",
-    "q_knn_join", "q_pipeline_layout")
+    "q_unigram_open", "q_knn_join", "q_pipeline_layout")
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
   // no longer get the exemption)
