@@ -362,15 +362,7 @@ object Graft {
       .filter(size(col("t")) >= n)
       .select(col("doc_id"),
               explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
-    val grams =
-      if (maxGramDocFreq == Int.MaxValue) allGrams
-      else {
-        // one map-side-combined count pass; only the stop grams ship
-        // (Zipf-bounded metadata) and stream out via broadcast anti-join
-        val stop = allGrams.groupBy("gram").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxGramDocFreq).select("gram")
-        allGrams.join(broadcast(stop), Seq("gram"), "left_anti")
-      }
+    val grams = dropHotBuckets(allGrams, Seq("gram"), maxGramDocFreq)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val sized = grams.join(broadcast(sizes), "doc_id")
     operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
@@ -383,6 +375,22 @@ object Graft {
       .select(col("doc_a"), col("doc_b"),
               round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
   }
+
+  /** Drops every `keyCols` bucket holding more than `cap` rows — the
+    * shared LOSSY hot-bucket remedy of the near-dup candidate joins
+    * (stop-gram cap for the inverted index, dense-band cap for the
+    * LSH joins). One map-side-combined count pass finds the hot keys;
+    * only keys ABOVE the cap ship (Zipf-bounded metadata) and the
+    * input streams out through a broadcast anti-join.
+    * `cap == Int.MaxValue` is the zero-cost identity. */
+  private def dropHotBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    if (cap == Int.MaxValue) df
+    else {
+      val hot = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap)
+        .select(keyCols.map(col): _*)
+      df.join(broadcast(hot), keyCols, "left_anti")
+    }
 
   /** MinHash/LSH near-dup pairs over ANY (id, text) DataFrame:
     * (doc_a, doc_b, est_jaccard rounded 3) for estimated Jaccard ≥
@@ -399,12 +407,26 @@ object Graft {
     * re-attached to surviving pairs only; set-level pairs expand back
     * to doc-level pairs (within-group pairs are exact dups, est 1.0).
     * The estimate filter is exact integer arithmetic:
-    * matches·1000 ≥ p·NumPerms. */
+    * matches·1000 ≥ p·NumPerms.
+    *
+    * `maxBandDocFreq` (default off) is the LOSSY dense-band cap, the
+    * band-join sibling of [[nearDupPairsNgram]]'s stop-gram cap: band
+    * buckets holding more than that many set representatives leave
+    * the candidate universe BEFORE anything quadratic. Unlike the
+    * gram cap it never changes a surviving pair's score (estimates
+    * come from the full signatures after candidates are found) — it
+    * only loses CANDIDATE RECALL for pairs whose every colliding band
+    * was dropped; a bucket that dense is boilerplate whose pairs the
+    * downstream drop stage would collapse anyway. Opt-in, never a
+    * silent default. Exact-dup pairs (identical token sets) bypass
+    * banding entirely and always survive. */
   def nearDupPairsMinhash(docs: DataFrame, id: Column, text: Column,
                           estPermille: Int = 900,
-                          maxBucket: Int = 1024): DataFrame = {
+                          maxBucket: Int = 1024,
+                          maxBandDocFreq: Int = Int.MaxValue): DataFrame = {
     require(estPermille > 0 && estPermille <= 1000,
       s"estPermille must be in (0, 1000], got $estPermille")
+    require(maxBandDocFreq >= 1, s"maxBandDocFreq must be >= 1, got $maxBandDocFreq")
     val base = docs.select(id.cast("long").as("doc_id"),
         array_sort(array_distinct(split(text, " "))).as("toks"))
       .withColumn("fp", array_join(col("toks"), " "))
@@ -415,10 +437,11 @@ object Graft {
       .select(col("rep"), explode(col("toks")).as("token"))
       .groupBy("rep")
       .agg(udaf(MinHash.agg).apply(col("token")).as("sig"))
-    val banded = sigs.select(col("rep"),
+    val bandedAll = sigs.select(col("rep"),
         posexplode(transform(sequence(lit(0), lit(MinHash.NumBands - 1)),
           b => slice(col("sig"), b * MinHash.RowsPerBand + 1, lit(MinHash.RowsPerBand)))))
       .select(col("rep"), xxhash64(col("pos"), col("col")).as("bucket"))
+    val banded = dropHotBuckets(bandedAll, Seq("bucket"), maxBandDocFreq)
     val repPairs = operators.SkewJoin
       .blockedSelfPairs(banded, Seq("bucket"), "rep", maxBucket)
       .select(col("rep_a"), col("rep_b"))
@@ -485,22 +508,33 @@ object Graft {
     * (codegen-fused); rows stay two longs wide end-to-end. Band
     * buckets larger than `maxBucket` docs are BLOCK-DECOMPOSED
     * ([[operators.SkewJoin.blockedSelfPairs]]) so one dense 16-bit
-    * bucket at scale cannot serialize one quadratic task. */
+    * bucket at scale cannot serialize one quadratic task.
+    *
+    * `maxBandDocFreq` (default off) is the LOSSY dense-band cap
+    * ([[nearDupPairsMinhash]]'s sibling): band buckets holding more
+    * than that many docs leave the candidate universe before pairing.
+    * Surviving pairs keep their exact Hamming distance (computed from
+    * the full signatures) — the cap only loses candidate recall for
+    * pairs whose every colliding band was dropped. Opt-in, never a
+    * silent default. */
   def nearDupPairsSimhash(docs: DataFrame, id: Column, text: Column,
                           maxHamming: Int = 3,
-                          maxBucket: Int = 1024): DataFrame = {
+                          maxBucket: Int = 1024,
+                          maxBandDocFreq: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= SimHash.NumBands - 1,
       s"band LSH guarantees recall only for maxHamming <= ${SimHash.NumBands - 1}, " +
         s"got $maxHamming")
+    require(maxBandDocFreq >= 1, s"maxBandDocFreq must be >= 1, got $maxBandDocFreq")
     val sigs = docs
       .select(id.cast("long").as("doc_id"), explode(split(text, " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .groupBy("doc_id")
       .agg(udaf(SimHash.agg).apply(col("token"), col("tf")).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val bandedAll = sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(SimHash.NumBands - 1))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
               expr(s"shiftrightunsigned(sig, band * ${SimHash.BandBits}) & 65535").as("key"))
+    val banded = dropHotBuckets(bandedAll, Seq("band", "key"), maxBandDocFreq)
     operators.SkewJoin.blockedSelfPairs(banded, Seq("band", "key"), "doc_id", maxBucket)
       .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
               expr("bit_count(sig_a ^ sig_b)").as("hamming"))

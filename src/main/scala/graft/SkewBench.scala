@@ -121,8 +121,14 @@ object SkewBench {
         maxGramDocFreq = 4096).count()
     def minhash(mb: Int) = Graft
       .nearDupPairsMinhash(boiler, $"doc_id", $"text", 900, maxBucket = mb).count()
+    def minhashCapped() = Graft
+      .nearDupPairsMinhash(boiler, $"doc_id", $"text", 900,
+        maxBandDocFreq = 256).count()
     def simhash(mb: Int) = Graft
       .nearDupPairsSimhash(boiler, $"doc_id", $"text", 3, maxBucket = mb).count()
+    def simhashCapped() = Graft
+      .nearDupPairsSimhash(boiler, $"doc_id", $"text", 3,
+        maxBandDocFreq = 256).count()
 
     // warm the session once so run 1 isn't charged for codegen warmup
     minhash(Unguarded)
@@ -135,8 +141,12 @@ object SkewBench {
       "ngram_df_capped" -> (() => ngramCapped()),
       "minhash_guarded" -> (() => minhash(1024)),
       "minhash_unguarded" -> (() => minhash(Unguarded)),
+      // the LOSSY dense-band cap (candidate recall changes, survivor
+      // scores don't), measured against the same boilerplate corpus
+      "minhash_band_capped" -> (() => minhashCapped()),
       "simhash_guarded" -> (() => simhash(1024)),
       "simhash_unguarded" -> (() => simhash(Unguarded)),
+      "simhash_band_capped" -> (() => simhashCapped()),
       "stratified_hot_lang" -> (() =>
         Graft.stratifiedSample(stopgram, $"lang", $"doc_id", 100, 7L).count()))
     // optional variant filter: `runMain graft.SkewBench ngram` times only

@@ -204,6 +204,42 @@ class GraftSpec extends SparkSpecBase {
     assert(pairs(docs, 6) != capped)
   }
 
+  test("nearDupPairsMinhash maxBandDocFreq: dense-band cap loses only cross-set recall") {
+    // ten docs sharing 19 of 20 set tokens pair across sets through the
+    // bands; 100/101 are identical SETS (the band-bypassing intra path)
+    val shared = (1 to 19).map("w" + _).mkString(" ")
+    val docs = ((1L to 10L).map(i => (i, s"$shared u$i")) ++
+      Seq((100L, "p q r"), (101L, "r q p p"))).toDF("id", "txt")
+    def pairs(cap: Int) =
+      Graft.nearDupPairsMinhash(docs, $"id", $"txt", estPermille = 500,
+          maxBandDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    val intra = Set((100L, 101L, 1.0))
+    assert(intra.subsetOf(uncapped) && (uncapped -- intra).nonEmpty)
+    // cap = 1 drops every bucket that could yield a candidate (a pair
+    // needs 2 reps in one bucket) — exactly the intra pairs remain
+    assert(pairs(1) == intra)
+    // any intermediate cap only removes pairs, never rescores survivors
+    // (triple-set inclusion covers the score)
+    assert(pairs(3).subsetOf(uncapped))
+  }
+
+  test("nearDupPairsSimhash maxBandDocFreq: dense-band cap can drop identical pairs") {
+    // simhash has no band-bypassing intra path: identical docs meet in
+    // all 4 band buckets, each of size 2 — a cap of 1 drops them all
+    val docs = Seq((1L, "a a b c"), (2L, "a a b c"), (3L, "x y z w"))
+      .toDF("id", "txt")
+    def pairs(cap: Int) =
+      Graft.nearDupPairsSimhash(docs, $"id", $"txt", maxHamming = 0,
+          maxBandDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(Int.MaxValue) == Set((1L, 2L, 0)))
+    assert(pairs(1).isEmpty)
+    // df == cap keeps the bucket (strict-greater, like the gram cap)
+    assert(pairs(2) == Set((1L, 2L, 0)))
+  }
+
   test("decontaminate: coverage threshold against a tiny eval set") {
     // eval doc 100 has grams {a b c, b c d} (n_eval=2); corpus doc 1
     // shares both (coverage 1000‰), doc 2 shares one (500‰), doc 3 none
