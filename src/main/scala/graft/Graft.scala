@@ -1057,6 +1057,44 @@ object Graft {
       explode(sequence(col("start_chunk"), col("end_chunk"))).as("chunk_id"),
       col("doc_id"))
 
+  /** Per-document sliding-window chunking with overlap — the
+    * RAG/context-prep sibling of [[packChunks]]: where packing lays
+    * the corpus end-to-end and cuts ACROSS document boundaries, this
+    * cuts WITHIN each document into `chunkTokens`-token windows whose
+    * starts advance by stride = chunkTokens − overlapTokens, so
+    * consecutive windows share `overlapTokens` tokens of context and
+    * the last window shortens to the tail instead of overrunning —
+    * every token lands in ≥ 1 chunk, no chunk is empty (the chunk
+    * count is 1 + ceil(max(n − chunk, 0) / stride), whose last start
+    * is provably < n). Entirely ROW-LOCAL: one Generate per document,
+    * zero shuffle at any corpus size; output volume is ~n/stride rows
+    * per document, linear in the corpus. Tokens are the single-space
+    * split (the corpus contract every text operator here shares);
+    * NULL ids and NULL texts drop (no tokens, no chunks). Returns
+    * (doc_id LONG, chunk_idx LONG 0-based, start_tok LONG 0-based,
+    * n_tok LONG, chunk_text STRING). */
+  def slidingChunks(docs: DataFrame, id: Column, text: Column,
+                    chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = (chunkTokens - overlapTokens).toLong
+    val nChunks = lit(1L) +
+      ceil(greatest(col("__n") - chunkTokens, lit(0L)).cast("double") / stride)
+        .cast("long")
+    docs.select(id.cast("long").as("doc_id"), split(text, " ").as("__t"))
+      .filter(col("doc_id").isNotNull)
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .filter(col("__n") > 0)   // NULL text: size = -1
+      .select(col("doc_id"), col("__t"), col("__n"),
+              explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("n_tok", least(lit(chunkTokens.toLong), col("__n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("n_tok"),
+              array_join(slice(col("__t"), (col("start_tok") + 1).cast("int"),
+                               col("n_tok").cast("int")), " ").as("chunk_text"))
+  }
+
   /** Per-document mean negative log-likelihood under the corpus's own
     * unigram model — the CCNet-style perplexity proxy a quality gate
     * ranks documents by (boilerplate scores low, rare-token noise

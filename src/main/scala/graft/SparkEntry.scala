@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 77 query ids; 70 with DuckDB oracles. The
+  * and §3.1 (entry points). 78 query ids; 71 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -95,6 +95,7 @@ object SparkEntry {
     "q_stratified_sample" -> PipelineOps.q_stratified_sample _,
     "q_shuffle_det"    -> PipelineOps.q_shuffle_det _,
     "q_pack_chunks"    -> PipelineOps.q_pack_chunks _,
+    "q_chunk_overlap"  -> PipelineOps.q_chunk_overlap _,
     "q_unigram_ppl"    -> PipelineOps.q_unigram_ppl _,
     "q_unigram_open"   -> PipelineOps.q_unigram_open _,
     "q_bigram_ppl"     -> PipelineOps.q_bigram_ppl _,

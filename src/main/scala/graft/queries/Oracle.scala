@@ -591,6 +591,24 @@ object Oracle {
         |         - prefix // 2048 + 1 AS n_chunks
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // sliding 32-token windows, stride 24 (overlap 8), last window
+    // shortened to the tail; chunk text is the space-joined token
+    // slice — string parity rides on the corpus's single-space
+    // separation (same split contract as q_array_funcs)
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |             unnest(range(0, 1 + CAST(CEIL(GREATEST(n - 32, 0) / 24.0) AS BIGINT)))
+        |               AS chunk_idx
+        |      FROM t)
+        |SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+        |       CAST(LEAST(32, n - chunk_idx * 24) AS BIGINT) AS n_tok,
+        |       array_to_string(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + LEAST(32, n - chunk_idx * 24))], ' ')
+        |         AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // corpus-as-its-own-unigram-model scoring; LN == Spark log
     // (natural). Rule-F note: the engines sum the -ln terms in
     // different orders, so the ROUND(.,3) could in principle flap.

@@ -269,6 +269,19 @@ object PipelineOps {
         size(toks), budget = 2048L)
       .orderBy("doc_id")
 
+  /** Per-document sliding-window chunking with overlap: every document
+    * cut into 32-token windows advancing by 24 (8 tokens of shared
+    * context between consecutive chunks, last window shortened to the
+    * tail) — the RAG/context-prep op, and [[q_pack_chunks]]'s
+    * within-document complement. This query IS
+    * [[graft.Graft.slidingChunks]] applied to the documents table
+    * (one row-local Generate, ZERO shuffle at any corpus size), so the
+    * oracle verifies the public API, chunk text included. */
+  def q_chunk_overlap(s: SparkSession, d: String): DataFrame =
+    graft.Graft.slidingChunks(Tables.documents(s, d), col("doc_id"), col("text"),
+        chunkTokens = 32, overlapTokens = 8)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Unigram-LM quality scoring: per-document mean negative
     * log-likelihood under the corpus's own unigram model — the
     * CCNet-style perplexity proxy. This query IS

@@ -631,6 +631,36 @@ class GraftSpec extends SparkSpecBase {
     assert(manifest.count() == spans)
   }
 
+  test("slidingChunks: hand-computed spans; overlap, short-doc and exact-tail cases") {
+    // chunk 4, overlap 1 → stride 3
+    // doc 1: 10 tokens → 1 + ceil(6/3) = 3 chunks [0,4) [3,7) [6,10)
+    // doc 2: 3 tokens (< chunk) → one chunk of 3
+    // doc 3: 7 tokens → 2 chunks [0,4) [3,7) — tail lands exactly
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "x y z"),
+                   (3L, "p q r s t u v")).toDF("id", "txt")
+    val got = Graft.slidingChunks(docs, $"id", $"txt", 4, 1)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 4L, "a b c d"), (1L, 1L, 3L, 4L, "d e f g"),
+      (1L, 2L, 6L, 4L, "g h i j"),
+      (2L, 0L, 0L, 3L, "x y z"),
+      (3L, 0L, 0L, 4L, "p q r s"), (3L, 1L, 3L, 4L, "s t u v")))
+    // zero overlap partitions the tokens exactly
+    val flat = Graft.slidingChunks(docs, $"id", $"txt", 4, 0)
+      .groupBy("doc_id").agg(sum("n_tok").as("tot")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat == Map(1L -> 10L, 2L -> 3L, 3L -> 7L))
+    // overlap >= chunk is rejected; NULL text drops, never faults
+    intercept[IllegalArgumentException] {
+      Graft.slidingChunks(docs, $"id", $"txt", 4, 4)
+    }
+    val withNull = Seq((1L, "a b"), (2L, null.asInstanceOf[String])).toDF("id", "txt")
+    assert(Graft.slidingChunks(withNull, $"id", $"txt", 4, 1)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("unigramLogProb: uniform corpus scores exactly ln(V)") {
     // 4 equally frequent tokens -> every doc's mean nll = ln 4
     val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "a b c d")).toDF("id", "t")
