@@ -701,14 +701,25 @@ object Graft {
     * plain cross join / brute force instead of an LSH at that point).
     * Corpus ids must be unique and long-castable; NULL ids/vectors
     * cannot rank and are dropped. Returns `probe_id` + vecs' columns +
-    * `hamming` + `score`. */
+    * `hamming` + `score`.
+    *
+    * `maxBucket` (default off) opts into
+    * [[operators.SkewJoin.blockedBipartiteJoin]] for the band join —
+    * the guard for the CORPUS-SCALE probe batch regime, where the
+    * probe side exceeds the broadcast threshold and a dense (band,
+    * key) bucket would otherwise serialize one shuffled-join task.
+    * Result-identical at any setting; leave off for query-batch-sized
+    * probes (the planner broadcasts them and the corpus never
+    * shuffles). */
   def srpSearchAll(vecs: DataFrame, id: Column, vec: Column,
                    probes: DataFrame, probeId: Column, probeVec: Column,
                    topk: Int = 10, bits: Int = 16, radius: Int = 5,
-                   seed: Int = SrpDefaultSeed): DataFrame = {
+                   seed: Int = SrpDefaultSeed,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     require(topk > 0, s"topk must be positive, got $topk")
     require(radius >= 0 && radius < bits,
       s"banded search requires radius in [0, bits), got radius=$radius bits=$bits")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     requireNoReserved(vecs, "srpSearchAll vecs")
     val sigOf = srpSigOf(vecs, vec, bits, seed)
     def bandKeys(sig: String): Column = srpBandKeys(sig, bits, radius)
@@ -725,7 +736,15 @@ object Graft {
       .select(col("probe_id"), col("__psig"), explode(bandKeys("__psig")).as("__bk"))
       .select(col("probe_id"), col("__psig"),
               col("__bk.band").as("__band"), col("__bk.key").as("__key"))
-    val cand = corpusBanded.join(probeBanded, Seq("__band", "__key"))
+    // small probe batches broadcast (planner's call — the corpus never
+    // shuffles); a corpus-scale probe batch falls back to a shuffled
+    // join where one hot (band, key) bucket serializes a task — opt
+    // into the bipartite block guard with `maxBucket` there
+    val met =
+      if (maxBucket == Int.MaxValue) corpusBanded.join(probeBanded, Seq("__band", "__key"))
+      else operators.SkewJoin.blockedBipartiteJoin(
+        corpusBanded, "__cid", probeBanded, Seq("__band", "__key"), maxBucket)
+    val cand = met
       .dropDuplicates("probe_id", "__cid")   // a pair can collide in >1 band
       .withColumn("hamming", expr("bit_count(__sig ^ __psig)"))
       .filter(col("hamming") <= radius)
@@ -874,12 +893,17 @@ object Graft {
     * |cells| each probe's result IS its brute-force top-k. Corpus ids
     * must be unique and long-castable; NULL ids/scores cannot rank and
     * are dropped. Probes drawn from the corpus itself match
-    * themselves — filter on probe_id/id downstream if unwanted. */
+    * themselves — filter on probe_id/id downstream if unwanted.
+    * `maxBucket` (default off) opts into the bipartite hot-bucket
+    * guard for corpus-scale probe batches — see [[srpSearchAll]];
+    * result-identical at any setting. */
   def ivfSearchAll(centroids: DataFrame, vecs: DataFrame, id: Column, vec: Column,
                    probes: DataFrame, probeId: Column, probeVec: Column,
-                   nprobe: Int = 3, topk: Int = 10): DataFrame = {
+                   nprobe: Int = 3, topk: Int = 10,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     require(topk > 0, s"topk must be positive, got $topk")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     requireNoReserved(vecs, "ivfSearchAll vecs")
     val assigned = vecs.select(id.cast("long").as("__cid"), vec.as("__v"))
       .filter(col("__cid").isNotNull)
@@ -890,7 +914,15 @@ object Graft {
       .select(col("probe_id"), col("__pv"),
               explode(bestCells(col("__pv"), nprobe)).as("__cell"))
     val topAgg = udaf(TopK.agg(topk))
-    val top = assigned.join(probed, "__cell")
+    // same small-probes-broadcast / corpus-scale-probes block-guard
+    // trade as srpSearchAll: a hot IVF cell (imbalanced clustering)
+    // only serializes a task when the probe side is too big to
+    // broadcast — `maxBucket` opts into the bipartite decomposition
+    val met =
+      if (maxBucket == Int.MaxValue) assigned.join(probed, "__cell")
+      else operators.SkewJoin.blockedBipartiteJoin(
+        assigned, "__cid", probed, Seq("__cell"), maxBucket)
+    val top = met
       .select(col("probe_id"), col("__cid"),
         round(functions.GraftFunctions.dot(col("__v"), col("__pv")), 3).as("score"))
       .filter(col("score").isNotNull)

@@ -30,6 +30,62 @@ object SkewJoin {
       .drop("__salt_l", "__salt_r")
   }
 
+  /** Skew-guarded BIPARTITE inner equi-join `large ⋈ small ON
+    * bucketCols` — [[blockedSelfPairs]]' two-sided sibling, the
+    * batch-ANN candidate-join kernel for the regime where the small
+    * side is itself too big to broadcast (a corpus-scale probe batch):
+    * the planner then shuffles BOTH sides on the bucket key and one
+    * hot large-side bucket serializes one task. Here any large-side
+    * bucket over `maxBucket` rows is split into nblk =
+    * ceil(size / maxBucket) deterministic id-hash blocks and the
+    * small side's matching rows are REPLICATED across the blocks, so
+    * each (large row, small row) key match meets in exactly ONE
+    * block — the join result is exactly the plain join's, while
+    * per-task large-side input stays ≈ maxBucket rows at any bucket
+    * size. Small-side replication cost is nblk× on hot keys only.
+    *
+    * Like [[blockedSelfPairs]], the block-pair exchange repartitions
+    * on the join keys with an EXPLICIT partition count so AQE's
+    * input-byte-based coalescing cannot re-fuse the decomposed
+    * blocks. Non-bucket column names must be disjoint across the two
+    * sides; `largeIdCol` (any unique-ish large-side column) drives
+    * deterministic block assignment. The working names __cnt, __nblk,
+    * __blk must be absent from both sides. */
+  def blockedBipartiteJoin(large: DataFrame, largeIdCol: String,
+                           small: DataFrame, bucketCols: Seq[String],
+                           maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val lPayload = large.columns.filterNot(bucketCols.contains).toSeq
+    val sPayload = small.columns.filterNot(bucketCols.contains).toSeq
+    require(lPayload.contains(largeIdCol),
+      s"largeIdCol $largeIdCol must be a non-bucket column of ${large.columns.mkString(",")}")
+    require(bucketCols.forall(small.columns.contains),
+      s"small side must carry the bucket columns ${bucketCols.mkString(",")}")
+    require(lPayload.intersect(sPayload).isEmpty,
+      s"non-bucket columns must be disjoint, both sides have ${lPayload.intersect(sPayload).mkString(",")}")
+    val working = Seq("__cnt", "__nblk", "__blk")
+    require(working.forall(w => !large.columns.contains(w) && !small.columns.contains(w)),
+      s"column names ${working.mkString(",")} are reserved")
+    val keys = bucketCols.map(col)
+    val hot = large.groupBy(keys: _*).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxBucket)
+      .select(keys :+
+        ceil(col("__cnt").cast("double") / maxBucket).cast("int").as("__nblk"): _*)
+    val lb = large.join(broadcast(hot), bucketCols, "left")
+      .withColumn("__nblk", coalesce(col("__nblk"), lit(1)))
+      .withColumn("__blk", pmod(xxhash64(col(largeIdCol)), col("__nblk")).cast("int"))
+      .drop("__nblk")
+    val sb = small.join(broadcast(hot), bucketCols, "left")
+      .withColumn("__nblk", coalesce(col("__nblk"), lit(1)))
+      .withColumn("__blk", explode(sequence(lit(0), col("__nblk") - 1)))
+      .drop("__nblk")
+    val joinKeys = bucketCols :+ "__blk"
+    val nPart = large.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    lb.repartition(nPart, joinKeys.map(col): _*)
+      .join(sb.repartition(nPart, joinKeys.map(col): _*), joinKeys)
+      .drop("__blk")
+  }
+
   /** Skew-guarded SELF-join on `bucketCols` — the candidate-pair
     * kernel of the inverted-index / LSH near-dup joins, with hot
     * buckets BLOCK-DECOMPOSED so no single task ever sees a whole hot

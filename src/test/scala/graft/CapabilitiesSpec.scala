@@ -248,6 +248,32 @@ class CapabilitiesSpec extends SparkSpecBase {
       s"a block holds ${blockSizes.max} rows, bound is ${2 * maxBucket}")
   }
 
+  test("blockedBipartiteJoin: exact join result with bounded blocks on a hot bucket") {
+    // one 400-row hot large-side bucket vs a 60-row small side on the
+    // same key, plus cold keys: the corpus-scale-probe-batch shape
+    val large = spark.range(400).select(lit("hot").as("b"), $"id".as("lid"))
+      .union(spark.range(60).select(concat(lit("c"), $"id" % 20).as("b"), ($"id" + 1000).as("lid")))
+    val small = spark.range(60).select(lit("hot").as("b"), ($"id" + 5000).as("sid"))
+      .union(spark.range(20).select(concat(lit("c"), $"id").as("b"), ($"id" + 9000).as("sid")))
+    val maxBucket = 32
+    val got = SkewJoin.blockedBipartiteJoin(large, "lid", small, Seq("b"), maxBucket)
+      .select($"b", $"lid", $"sid").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val brute = large.join(small, "b").select($"b", $"lid", $"sid")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == brute.length, "join multiset size diverged")
+    assert(got.toSet == brute.toSet, "join result diverged")
+    // disjointness and reserved-name contracts fail loudly
+    intercept[IllegalArgumentException] {
+      SkewJoin.blockedBipartiteJoin(large, "lid",
+        small.withColumnRenamed("sid", "lid"), Seq("b"), maxBucket)
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.blockedBipartiteJoin(large.withColumn("__blk", lit(1)), "lid",
+        small, Seq("b"), maxBucket)
+    }
+  }
+
   test("skew guard: guarded candidate joins equal unguarded on a 50%-hot corpus") {
     // the verdict's stop-gram shape: one gram shared by HALF the docs,
     // so its bucket is quadratic-hot; guarded (tiny maxBucket) and

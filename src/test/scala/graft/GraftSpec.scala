@@ -492,6 +492,26 @@ class GraftSpec extends SparkSpecBase {
       "a probe did not find its own identical-signature row")
   }
 
+  test("batch ANN facades: bipartite hot-bucket guard never changes results") {
+    // maxBucket = 2 forces block decomposition through essentially
+    // every (band, key) / cell bucket — output must equal the default
+    // (broadcast-join) plan exactly, scores included
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = e.filter($"vec_id" < 5).select($"vec_id".as("pid"), $"v".as("pv"))
+    def srp(mb: Int) = rows(
+      Graft.srpSearchAll(e, $"vec_id", $"v", probes, $"pid", $"pv",
+          topk = 5, bits = 16, radius = 5, maxBucket = mb)
+        .orderBy("probe_id", "vec_id"))
+    assert(srp(2) == srp(Int.MaxValue) && srp(2).nonEmpty)
+    val model = Graft.ivfTrain(e, $"vec_id", $"v", k = 4, iters = 1)
+    def ivf(mb: Int) = rows(
+      Graft.ivfSearchAll(model, e, $"vec_id", $"v", probes, $"pid", $"pv",
+          nprobe = 2, topk = 5, maxBucket = mb)
+        .orderBy("probe_id", "vec_id"))
+    assert(ivf(2) == ivf(Int.MaxValue) && ivf(2).nonEmpty)
+  }
+
   test("batch ANN facades reject reserved working-column names loudly") {
     val e = Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
