@@ -45,6 +45,25 @@ class StreamingTwinSpec extends SparkSpecBase {
     assert(diff(stream, batch) == 0)
   }
 
+  test("slidingChunks chunks a document stream exactly as in batch") {
+    import org.apache.spark.sql.functions._
+    // select/filter/Generate only — no aggregate, no sort — so the
+    // same facade call chunks a document stream in append mode: the
+    // streaming face of context-window preparation
+    val schema = Tables.documents(spark, sf).schema
+    val src = spark.readStream.schema(schema).parquet(s"$sf/documents.parquet*")
+    val chunked = Graft.slidingChunks(src, col("doc_id"), col("text"),
+      chunkTokens = 32, overlapTokens = 8)
+    val q = chunked.writeStream.format("memory").queryName("t_chunks")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("t_chunks")
+    val batch = Graft.slidingChunks(Tables.documents(spark, sf),
+      col("doc_id"), col("text"), chunkTokens = 32, overlapTokens = 8)
+    assert(stream.count() > 0)
+    assert(diff(stream, batch) == 0)
+  }
+
   test("ivfAssign routes a vector stream against an offline-trained model") {
     import org.apache.spark.sql.functions._
     // train offline (batch), assign online: the row-local broadcast-
