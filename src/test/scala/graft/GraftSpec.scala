@@ -681,6 +681,38 @@ class GraftSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("slidingChunks: coverage/bounds invariants across a parameter sweep") {
+    // docs of every length 1..40; for each (chunk, overlap) the spans
+    // must tile [0, n) with stride steps, no empty chunk, none longer
+    // than the window — the invariants that make the op correct at
+    // any document length, not just the hand-computed cases
+    val docs = (1 to 40).map(n => (n.toLong, (1 to n).map("t" + _).mkString(" ")))
+      .toDF("id", "txt")
+    for ((chunk, overlap) <- Seq((1, 0), (2, 1), (5, 0), (5, 2), (5, 4),
+                                 (8, 3), (32, 8), (64, 16))) {
+      val stride = chunk - overlap
+      val spans = Graft.slidingChunks(docs, $"id", $"txt", chunk, overlap)
+        .select("doc_id", "chunk_idx", "start_tok", "n_tok")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      for (n <- 1 to 40) {
+        val s = spans(n.toLong).sortBy(_._2)
+        assert(s.head._3 == 0L, s"chunk=$chunk overlap=$overlap n=$n: first start")
+        assert(s.last._3 + s.last._4 == n.toLong,
+          s"chunk=$chunk overlap=$overlap n=$n: tail not covered exactly")
+        assert(s.forall(x => x._4 >= 1 && x._4 <= chunk),
+          s"chunk=$chunk overlap=$overlap n=$n: span length out of [1, chunk]")
+        assert(s.forall(x => x._3 == x._2 * stride),
+          s"chunk=$chunk overlap=$overlap n=$n: starts not stride-spaced")
+        // consecutive spans overlap (no gap): next start <= prior end
+        assert(s.sliding(2).forall {
+          case Array(a, b) => b._3 <= a._3 + a._4
+          case _           => true
+        }, s"chunk=$chunk overlap=$overlap n=$n: gap between chunks")
+      }
+    }
+  }
+
   test("unigramLogProb: uniform corpus scores exactly ln(V)") {
     // 4 equally frequent tokens -> every doc's mean nll = ln 4
     val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "a b c d")).toDF("id", "t")
