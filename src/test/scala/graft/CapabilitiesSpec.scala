@@ -248,6 +248,28 @@ class CapabilitiesSpec extends SparkSpecBase {
       s"a block holds ${blockSizes.max} rows, bound is ${2 * maxBucket}")
   }
 
+  test("HLL sketches re-aggregate: grouped partial sketches union to the direct estimate") {
+    // the mergeable-sketch property a 100 TB rollup needs: distinct
+    // counts pre-aggregated per group (per day / per partition) and
+    // UNIONED later must equal the one-pass sketch — Spark 4's
+    // DataSketches surface (hll_sketch_agg / hll_union_agg), the
+    // re-aggregatable face of q_approx_distinct's HLL++ estimate
+    val o = Tables.orders(spark, sf)
+    val direct = o.select(
+        expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("est"))
+      .head.getLong(0)
+    val merged = o.groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head.getLong(0)
+    assert(direct == merged,
+      s"union of grouped sketches ($merged) != direct sketch ($direct)")
+    // and the estimate is a real approximation of the true count
+    val exact = o.select(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(math.abs(direct - exact).toDouble / exact < 0.05,
+      s"HLL estimate $direct vs exact $exact drifted > 5%")
+  }
+
   test("blockedBipartiteJoin: exact join result with bounded blocks on a hot bucket") {
     // one 400-row hot large-side bucket vs a 60-row small side on the
     // same key, plus cold keys: the corpus-scale-probe-batch shape
