@@ -574,6 +574,33 @@ object Oracle {
         |       COUNT(*) AS n
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // ordered-subsequence funnel: '>'-joined per-user type path in
+    // (us, event_id) order; LIKE wildcards span the separators and no
+    // event type is a substring of another, so the pattern IS ordered
+    // subsequence containment
+    "q_funnel" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |                  string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+        |           FROM events GROUP BY user_id, hour),
+        |s AS (SELECT CASE WHEN path LIKE '%view%click%purchase%' THEN 3
+        |                  WHEN path LIKE '%view%click%' THEN 2
+        |                  WHEN path LIKE '%view%' THEN 1 ELSE 0 END AS stage
+        |      FROM p)
+        |SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_sessions
+        |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // weekly cohort retention triangle: epoch-week = µs // day // 7,
+    // cohort = each user's first active week
+    "q_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |                   (epoch_us(ts) // 86400000000) // 7 AS week
+        |            FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT c.cohort_week, uw.week - c.cohort_week AS weeks_since,
+        |       COUNT(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // exclusive token prefix sum in doc_id order → fixed-budget
     // context windows; CAST the windowed SUM back to BIGINT (rule I)
     "q_pack_chunks" ->

@@ -30,6 +30,55 @@ class EventsSpec extends SparkSpecBase {
     assert(got(2L) == ((1L, 0.0)))
   }
 
+  test("funnel micro-fixture: order matters, hours scope, stages count") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ev_funnel").toString
+    val t0 = 1704067200L * 1000000000L // 2024-01-01 epoch-ns, hour-aligned
+    val min = 60L * 1000000000L
+    // user 1 hour 0: view->click->purchase in order   -> stage 3
+    // user 2 hour 0: purchase->click->view (reversed) -> stage 1 (view only)
+    // user 3 hour 0: click->view->click               -> stage 2 (view then click)
+    // user 4 hour 0: error,signup                     -> stage 0
+    // user 1 hour 1: view->purchase (no click between)-> stage 1
+    Seq(
+      (1L, t0 + 1 * min, 1L, "view"), (2L, t0 + 2 * min, 1L, "click"),
+      (3L, t0 + 3 * min, 1L, "purchase"),
+      (4L, t0 + 1 * min, 2L, "purchase"), (5L, t0 + 2 * min, 2L, "click"),
+      (6L, t0 + 3 * min, 2L, "view"),
+      (7L, t0 + 1 * min, 3L, "click"), (8L, t0 + 2 * min, 3L, "view"),
+      (9L, t0 + 3 * min, 3L, "click"),
+      (10L, t0 + 1 * min, 4L, "error"), (11L, t0 + 2 * min, 4L, "signup"),
+      (12L, t0 + 70 * min, 1L, "view"), (13L, t0 + 71 * min, 1L, "purchase")
+    ).map { case (id, ts, u, et) => (id, ts, u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.q_funnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("retention micro-fixture: cohorts anchor at first week, actives counted once") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ev_retention").toString
+    val t0 = 1704067200L * 1000000000L
+    val week = 7L * 86400L * 1000000000L
+    // user 1 active weeks 0,1,2; user 2 active weeks 0,2 (twice in w2 —
+    // distinct!); user 3 first appears week 1, active weeks 1,2
+    Seq(
+      (1L, t0, 1L), (2L, t0 + week, 1L), (3L, t0 + 2 * week, 1L),
+      (4L, t0, 2L), (5L, t0 + 2 * week, 2L), (6L, t0 + 2 * week + 1L, 2L),
+      (7L, t0 + week, 3L), (8L, t0 + 2 * week, 3L)
+    ).map { case (id, ts, u) => (id, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.q_retention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w0 = 1704067200L * 1000000L / 86400000000L / 7  // epoch-week of t0
+    assert(got == Map(
+      (w0, 0L) -> 2L, (w0, 1L) -> 1L, (w0, 2L) -> 2L,
+      (w0 + 1, 0L) -> 1L, (w0 + 1, 1L) -> 1L))
+  }
+
   test("tumbling buckets partition events: counts sum to table size") {
     val out = Events.q_tumbling_window(spark, sf)
       .agg(sum("n")).collect().head.getLong(0)
