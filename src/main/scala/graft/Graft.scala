@@ -195,6 +195,63 @@ object Graft {
       .drop("__new_s")
   }
 
+  /** Ordered-funnel stage per group over ANY event table: how far each
+    * group's event sequence progresses through `steps` IN ORDER —
+    * stage = length of the longest `steps` PREFIX embedded as a
+    * subsequence of the group's type sequence (greedy earliest-match,
+    * which is optimal for prefix embedding). The group's events fold
+    * to ONE ordered array per group (collect_list is order-free;
+    * array_sort on the (orderBy..., type) struct pins it — the
+    * `orderBy` tuple must be unique per group, rule O), then a
+    * row-local `aggregate` HOF advances a step pointer on EXACT string
+    * equality — no LIKE patterns, so step names containing SQL
+    * wildcards or each other as substrings stay correct. One
+    * groupBy(groupCols) shuffle with map-side partial aggregation;
+    * per-group state is that group's events, so scope groups to
+    * something bounded (a session, a user-hour) at corpus scale.
+    * Returns groupCols' columns + `stage` LONG in [0, steps.size]. */
+  def funnelStages(events: DataFrame, groupCols: Seq[Column],
+                   eventType: Column, orderBy: Seq[Column],
+                   steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(orderBy.nonEmpty, "orderBy must be non-empty (rule O: pin the event order)")
+    val seq = transform(
+      array_sort(collect_list(struct(orderBy :+ eventType.as("__et"): _*))),
+      e => e.getField("__et"))
+    val stepsArr = typedlit(steps)
+    val stage = aggregate(col("__seq"), lit(0),
+      (acc, t) => when(acc < lit(steps.size) && t === element_at(stepsArr, acc + 1),
+                       acc + 1).otherwise(acc))
+    events.groupBy(groupCols: _*)
+      .agg(seq.as("__seq"))
+      .withColumn("stage", stage.cast("long"))
+      .drop("__seq")
+  }
+
+  /** Cohort-retention triangle over ANY event table: users bucketed by
+    * the period of their FIRST activity (cohort), distinct actives per
+    * (cohort, periods-since) cell. `time` is a LONG in any unit;
+    * `periodUnits` is the period length in that unit, and bucketing is
+    * true INTEGER division (SQL `div` — epoch-ns exceeds double's
+    * exact range, so float math would corrupt buckets; rule T). Scale
+    * shape: one (user, period) distinct (partial-aggregated), a
+    * min-aggregate per user, one equi-join the planner
+    * broadcast/shuffles — no window, no collect. Returns
+    * (cohort, offset, n_users), all LONG. */
+  def retentionTriangle(events: DataFrame, user: Column, time: Column,
+                        periodUnits: Long): DataFrame = {
+    require(periodUnits > 0, s"periodUnits must be positive, got $periodUnits")
+    val uw = events
+      .select(user.as("__u"),
+              call_function("div", time.cast("long"), lit(periodUnits)).as("__p"))
+      .distinct()
+    val cohort = uw.groupBy("__u").agg(min("__p").as("__c"))
+    uw.join(cohort, "__u")
+      .groupBy(col("__c").as("cohort"), (col("__p") - col("__c")).as("offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+  }
+
   /** Interval join of ANY two event tables: every (left, right) pair
     * with |leftTime − rightTime| ≤ radius (long times, e.g. epoch-µs).
     * The inequality join is decomposed into an EQUI-join on

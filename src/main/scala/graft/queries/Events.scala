@@ -183,50 +183,41 @@ object Events {
   /** Funnel analysis (added round 7): how many (user, hour) visits
     * progressed view → click → purchase IN ORDER — the classic
     * product-analytics query, scoped to an hour so a funnel means one
-    * sitting, not a 30-day history. Each visit's events fold to one
-    * '>'-joined type path in deterministic (us, event_id) order
-    * (collect_list is order-free; array_sort on the (us, event_id,
-    * type) struct pins it — rule O), and stage membership is ordered
-    * SUBSEQUENCE matching: with separators, `LIKE
-    * '%view%click%purchase%'` wildcards span steps, and no event type
-    * is a substring of another. One groupBy(user, hour) shuffle;
-    * per-group state is one visit's events (bounded by construction —
-    * tighter than the [[sessionize]] per-user assumption). Emits
+    * sitting, not a 30-day history. This query IS
+    * [[graft.Graft.funnelStages]] applied to the events table (greedy
+    * ordered-subsequence prefix matching over the deterministically
+    * ordered per-visit type sequence; one groupBy(user, hour) shuffle,
+    * per-group state bounded by construction), so the oracle verifies
+    * the public API — the DuckDB twin expresses the same subsequence
+    * semantics as separator-joined LIKE patterns, equivalent here
+    * because no event type is a substring of another. Emits
     * (stage 0-3, n_sessions). */
-  def q_funnel(s: SparkSession, d: String): DataFrame = {
-    val path = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-              Tables.tsUs.as("us"), expr(s"(ts div 1000) div $US_PER_HOUR").as("hour"))
-      .groupBy("user_id", "hour")
-      .agg(concat_ws(">",
-        transform(array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
-          e => e.getField("event_type"))).as("path"))
-    val stage = when(col("path").like("%view%click%purchase%"), 3L)
-      .when(col("path").like("%view%click%"), 2L)
-      .when(col("path").like("%view%"), 1L)
-      .otherwise(0L)
-    path.select(stage.as("stage"))
+  def q_funnel(s: SparkSession, d: String): DataFrame =
+    graft.Graft.funnelStages(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  Tables.tsUs.as("us"),
+                  expr(s"(ts div 1000) div $US_PER_HOUR").as("hour")),
+        groupCols = Seq(col("user_id"), col("hour")),
+        eventType = col("event_type"),
+        orderBy = Seq(col("us"), col("event_id")),
+        steps = Seq("view", "click", "purchase"))
       .groupBy("stage").agg(count(lit(1)).as("n_sessions"))
       .orderBy("stage")
-  }
 
   /** Weekly cohort retention (added round 7): users bucketed by the
     * epoch-week of their FIRST activity (cohort), distinct actives
     * per (cohort, weeks-since) cell — the classic retention triangle.
-    * Weeks are integer µs arithmetic (rule T/I: epoch-µs div day div
-    * 7, identical in DuckDB). Scale shape: one distinct over
-    * (user, week) — partial-aggregated, output ≤ users·weeks — a
+    * This query IS [[graft.Graft.retentionTriangle]] at a 7-day
+    * period over epoch-µs (integer `div` bucketing, identical in
+    * DuckDB — rule T/I), so the oracle verifies the public API.
+    * Scale shape: one (user, week) distinct — partial-aggregated — a
     * min-aggregate per user, and one equi-join the planner
     * broadcast/shuffles; no window, no collect. */
-  def q_retention(s: SparkSession, d: String): DataFrame = {
-    val uw = Tables.events(s, d)
-      .select(col("user_id"),
-              expr(s"((ts div 1000) div $US_PER_DAY) div 7").as("week"))
-      .distinct()
-    val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
-    uw.join(cohort, "user_id")
-      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
-      .agg(countDistinct("user_id").as("n_users"))
+  def q_retention(s: SparkSession, d: String): DataFrame =
+    graft.Graft.retentionTriangle(Tables.events(s, d),
+        user = col("user_id"), time = Tables.tsUs, periodUnits = 7 * US_PER_DAY)
+      .select(col("cohort").as("cohort_week"), col("offset").as("weeks_since"),
+              col("n_users"))
       .orderBy("cohort_week", "weeks_since")
-  }
 }

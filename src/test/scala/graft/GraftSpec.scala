@@ -651,6 +651,47 @@ class GraftSpec extends SparkSpecBase {
     assert(manifest.count() == spans)
   }
 
+  test("funnelStages: exact token matching, repeated steps, generic step lists") {
+    val ev = Seq(
+      // group 1: a_b appears literally -> full 2-step funnel
+      (1L, 1L, "a_b"), (1L, 2L, "done"),
+      // group 2: "axb" must NOT match step "a_b" (LIKE's _ wildcard
+      // would; the HOF matcher compares exact strings)
+      (2L, 1L, "axb"), (2L, 2L, "done"),
+      // group 3: repeated step needs two occurrences; only one present
+      (3L, 1L, "click"), (3L, 2L, "view"),
+      // group 4: two clicks in order
+      (4L, 1L, "click"), (4L, 2L, "view"), (4L, 3L, "click")
+    ).toDF("g", "ord", "et")
+    def stages(steps: Seq[String]) =
+      Graft.funnelStages(ev, Seq($"g"), $"et", Seq($"ord"), steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ab = stages(Seq("a_b", "done"))
+    // group 2 stalls at step 1: "axb" is not "a_b", and "done" cannot
+    // advance a pointer still waiting on step 1 (prefix semantics)
+    assert(ab(1L) == 2L && ab(2L) == 0L)
+    val cc = stages(Seq("click", "click"))
+    assert(cc(3L) == 1L && cc(4L) == 2L && cc(1L) == 0L)
+  }
+
+  test("retentionTriangle: integer-exact bucketing beyond double's range; custom period") {
+    // epoch-ns-scale times exceed double's 2^53 exact range: one user
+    // has events 1 ns either side of a period boundary — float math
+    // could fold them into one bucket; integer div must not
+    val p = 1000000000L
+    val t = 1700000000000000000L // multiple of p, > 2^53
+    val ev = Seq(
+      (10L, t - 1L), (10L, t), // user 10: periods k-1 and k
+      (20L, t)                 // user 20: first seen period k
+    ).toDF("u", "ts")
+    val got = Graft.retentionTriangle(ev, $"u", $"ts", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k = t / p
+    assert(got == Map(
+      (k - 1, 0L) -> 1L, (k - 1, 1L) -> 1L, // user 10: cohort k-1, active k-1 and k
+      (k, 0L) -> 1L))                       // user 20 alone COHORTS at k
+  }
+
   test("slidingChunks: hand-computed spans; overlap, short-doc and exact-tail cases") {
     // chunk 4, overlap 1 → stride 3
     // doc 1: 10 tokens → 1 + ceil(6/3) = 3 chunks [0,4) [3,7) [6,10)
