@@ -130,6 +130,33 @@ object SkewBench {
       .nearDupPairsSimhash(boiler, $"doc_id", $"text", 3,
         maxBandDocFreq = 256).count()
 
+    // vector-skew corpus: 4k unit vectors, half tiny perturbations of
+    // ONE base vector — near-identical SRP signatures, so the batch
+    // ANN's (band, key) buckets collapse onto hot keys. Probes = the
+    // full corpus (batch self-kNN, the "every doc's neighbors" shape);
+    // broadcast is disabled around these variants to model the
+    // corpus-scale probe batch that exceeds the broadcast threshold.
+    val dim = 16
+    val noise = (p: String) => transform(sequence(lit(0), lit(dim - 1)),
+      j => when(j === 0, lit(1000.0))
+        .otherwise(pmod(xxhash64(concat(lit(p), $"id", lit("_"), j)), lit(7)).cast("double") - 3.0))
+    spark.range(4000).select(
+        $"id".as("vec_id"),
+        when($"id" % 2 === 0, noise("hotv")) // ~unit e0 + small tail
+          .otherwise(transform(sequence(lit(0), lit(dim - 1)),
+            j => pmod(xxhash64(concat(lit("cold"), $"id", lit("_"), j)), lit(200)).cast("double") - 100.0))
+          .as("v"))
+      .write.mode("overwrite").parquet(s"$dir/vecskew.parquet")
+    val vecs = spark.read.parquet(s"$dir/vecskew.parquet")
+    def srpBatch(mb: Int): Long = {
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      try Graft.srpSearchAll(vecs, $"vec_id", $"v",
+          vecs.select($"vec_id".as("pid"), $"v".as("pv")), $"pid", $"pv",
+          topk = 5, bits = 16, radius = 2, maxBucket = mb).count()
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+
     // warm the session once so run 1 isn't charged for codegen warmup
     minhash(Unguarded)
 
@@ -148,7 +175,14 @@ object SkewBench {
       "simhash_unguarded" -> (() => simhash(Unguarded)),
       "simhash_band_capped" -> (() => simhashCapped()),
       "stratified_hot_lang" -> (() =>
-        Graft.stratifiedSample(stopgram, $"lang", $"doc_id", 100, 7L).count()))
+        Graft.stratifiedSample(stopgram, $"lang", $"doc_id", 100, 7L).count()),
+      // batch ANN with a corpus-scale probe batch (broadcast disabled):
+      // guarded = blockedBipartiteJoin, unguarded = plain shuffled join
+      // maxBucket 256, not 1024: the hot band bucket holds 2k corpus
+      // rows, and the guard's signal is the block count (2k/256 = 8
+      // blocks vs 2 at 1024) — the bound is on large-side task input
+      "srp_batch_guarded" -> (() => srpBatch(256)),
+      "srp_batch_unguarded" -> (() => srpBatch(Unguarded)))
     // optional variant filter: `runMain graft.SkewBench ngram` times only
     // labels containing "ngram" (for quick one-variant measurements)
     val picked = if (args.isEmpty) all
@@ -157,7 +191,7 @@ object SkewBench {
 
     // guarded and unguarded plans must agree before timings mean anything
     val byLabel = results.toMap
-    Seq("ngram", "minhash", "simhash").foreach { fam =>
+    Seq("ngram", "minhash", "simhash", "srp_batch").foreach { fam =>
       (byLabel.get(s"${fam}_guarded"), byLabel.get(s"${fam}_unguarded")) match {
         case (Some(g), Some(u)) =>
           require(g._3 == u._3, s"$fam pair counts diverged")
