@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 80 query ids; 73 with DuckDB oracles. The
+  * and §3.1 (entry points). 81 query ids; 74 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -110,6 +110,7 @@ object SparkEntry {
     "q_late_data"       -> Events.q_late_data _,
     "q_funnel"          -> Events.q_funnel _,
     "q_retention"       -> Events.q_retention _,
+    "q_gapfill"         -> Events.q_gapfill _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

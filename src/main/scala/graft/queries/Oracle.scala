@@ -589,6 +589,19 @@ object Oracle {
         |SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_sessions
         |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
 
+    // dense hourly spine (range over the global min/max hour) crossed
+    // with the distinct types; empty (hour, type) cells zero-filled
+    "q_gapfill" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type FROM events),
+        |b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM e),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS hour FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |a AS (SELECT hour, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT s.hour, t.event_type, CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+        |FROM spine s CROSS JOIN t
+        |LEFT JOIN a ON a.hour = s.hour AND a.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
     // weekly cohort retention triangle: epoch-week = µs // day // 7,
     // cohort = each user's first active week
     "q_retention" ->

@@ -79,6 +79,28 @@ class EventsSpec extends SparkSpecBase {
       (w0 + 1, 0L) -> 1L, (w0 + 1, 1L) -> 1L))
   }
 
+  test("gapfill micro-fixture: empty hours appear zero-filled for every type") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ev_gapfill").toString
+    val t0 = 1704067200L * 1000000000L // hour-aligned epoch-ns
+    val hr = 3600L * 1000000000L
+    // events in hours 0 and 2 only; hour 1 must appear with n = 0;
+    // type "view" active both hours, "click" only hour 0
+    Seq(
+      (1L, t0, 1L, "view"), (2L, t0 + 1L, 1L, "click"),
+      (3L, t0 + 2 * hr, 2L, "view")
+    ).map { case (id, ts, u, et) => (id, ts, u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.q_gapfill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val h0 = t0 / 1000 / 3600000000L
+    assert(got == Map(
+      (h0, "view") -> 1L, (h0, "click") -> 1L,
+      (h0 + 1, "view") -> 0L, (h0 + 1, "click") -> 0L,
+      (h0 + 2, "view") -> 1L, (h0 + 2, "click") -> 0L))
+  }
+
   test("tumbling buckets partition events: counts sum to table size") {
     val out = Events.q_tumbling_window(spark, sf)
       .agg(sum("n")).collect().head.getLong(0)
