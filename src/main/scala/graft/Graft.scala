@@ -252,6 +252,37 @@ object Graft {
       .agg(countDistinct(col("__u")).as("n_users"))
   }
 
+  /** Densify a bucketed aggregate over ANY table: re-emit `agg` on the
+    * DENSE integer spine [min(bucket), max(bucket)] crossed with the
+    * distinct key tuples, filling absent cells from `fill` — the
+    * temporal-densification op (a plain groupBy silently omits empty
+    * buckets; dashboards, window math and downsampling need the dense
+    * grid, zero- or sentinel-filled). The spine derives from a ONE-row
+    * min/max aggregate exploded to |buckets| rows (metadata-scale: it
+    * grows with the bucket SPAN, not the row count) and the key table
+    * is broadcast — callers' key cardinality must be
+    * broadcast-small, which is what "per key" reporting means. Input
+    * must already be aggregated (one row per (bucket, keys));
+    * `fill` maps each remaining value column to its absent-cell
+    * default. Returns bucket + keys + filled value columns. */
+  def densify(agg: DataFrame, bucket: String, keys: Seq[String],
+              fill: Map[String, Column]): DataFrame = {
+    val valueCols = agg.columns.filterNot(c => c == bucket || keys.contains(c)).toSeq
+    require(agg.columns.contains(bucket), s"bucket column $bucket missing")
+    require(keys.forall(agg.columns.contains),
+      s"key columns ${keys.mkString(",")} must exist in ${agg.columns.mkString(",")}")
+    require(fill.keySet == valueCols.toSet,
+      s"fill must cover exactly the value columns ${valueCols.mkString(",")}, got ${fill.keySet.mkString(",")}")
+    val spine = agg.agg(min(col(bucket)).as("__lo"), max(col(bucket)).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as(bucket))
+    val grid =
+      if (keys.isEmpty) spine
+      else spine.join(broadcast(agg.select(keys.map(col): _*).distinct()))
+    grid.join(agg, bucket +: keys, "left")
+      .select((bucket +: keys).map(col) ++
+        valueCols.map(c => coalesce(col(c), fill(c)).as(c)): _*)
+  }
+
   /** Interval join of ANY two event tables: every (left, right) pair
     * with |leftTime − rightTime| ≤ radius (long times, e.g. epoch-µs).
     * The inequality join is decomposed into an EQUI-join on

@@ -218,23 +218,19 @@ object Events {
     * type over a DENSE hour spine — every hour between the corpus's
     * first and last appears for every type, empty cells zero-filled
     * (the temporal-densification op dashboards and downsampling
-    * need; a plain groupBy silently omits empty buckets). The spine
-    * derives from a ONE-row global min/max aggregate exploded to
-    * |hours| rows and crossed with the ≤|types| distinct-type table —
-    * both METADATA-scale (hours grow with the time span, not the
-    * event count; the cross is broadcast, no CartesianProduct) — and
-    * the heavy side stays one partial-aggregated hourly count. Emits
+    * need; a plain groupBy silently omits empty buckets). This query
+    * IS [[graft.Graft.densify]] over the hourly count aggregate (the
+    * spine is a ONE-row global min/max aggregate exploded to |hours|
+    * rows crossed with the broadcast ≤|types| distinct-type table —
+    * both METADATA-scale: hours grow with the time span, not the
+    * event count), so the oracle verifies the public API; the heavy
+    * side stays one partial-aggregated hourly count. Emits
     * (hour, event_type, n), empty cells n = 0. */
   def q_gapfill(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    val hourly = Tables.events(s, d)
       .select(expr(s"(ts div 1000) div $US_PER_HOUR").as("hour"), col("event_type"))
-    val agg = ev.groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
-    val spine = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"))).as("hour"))
-    spine.join(broadcast(ev.select("event_type").distinct()))
-      .join(agg, Seq("hour", "event_type"), "left")
-      .select(col("hour"), col("event_type"),
-              coalesce(col("n"), lit(0L)).as("n"))
+      .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    graft.Graft.densify(hourly, "hour", Seq("event_type"), Map("n" -> lit(0L)))
       .orderBy("hour", "event_type")
   }
 

@@ -651,6 +651,44 @@ class GraftSpec extends SparkSpecBase {
     assert(manifest.count() == spans)
   }
 
+  test("densify: dense spine with custom fills, multi-value columns, no keys") {
+    // buckets 10 and 13 present -> 11, 12 filled; two value columns
+    // with different fills; key column preserved per tuple
+    val agg = Seq((10L, "a", 5L, 1.5), (13L, "a", 7L, 2.5), (10L, "b", 1L, 0.5))
+      .toDF("bkt", "k", "n", "avg")
+    val got = Graft.densify(agg, "bkt", Seq("k"),
+        Map("n" -> lit(0L), "avg" -> lit(-1.0)))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == 8) // 4 buckets x 2 keys
+    assert(got((10L, "a")) == ((5L, 1.5)) && got((13L, "a")) == ((7L, 2.5)))
+    assert(got((11L, "a")) == ((0L, -1.0)) && got((12L, "b")) == ((0L, -1.0)))
+    assert(got((13L, "b")) == ((0L, -1.0))) // b never seen past 10
+    // no keys: plain integer spine
+    val noKeys = Graft.densify(agg.select($"bkt", $"n").groupBy("bkt")
+        .agg(sum("n").as("n")), "bkt", Nil, Map("n" -> lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noKeys == Map(10L -> 6L, 11L -> 0L, 12L -> 0L, 13L -> 7L))
+    // fill must cover exactly the value columns
+    intercept[IllegalArgumentException] {
+      Graft.densify(agg, "bkt", Seq("k"), Map("n" -> lit(0L)))
+    }
+  }
+
+  test("sessionized funnel: sessionize and funnelStages compose") {
+    // one user, two sessions split by a >30-unit gap: the first
+    // completes view->click, the second only views — the composed
+    // per-session funnel the two facades exist to express
+    val ev = Seq(
+      (1L, 100L, "view"), (1L, 110L, "click"),
+      (1L, 200L, "view"), (1L, 210L, "error")
+    ).toDF("u", "t", "et")
+    val sessions = Graft.sessionize(ev, $"u", $"t", gap = 30L)
+    val staged = Graft.funnelStages(sessions,
+        Seq($"u", $"session_id"), $"et", Seq($"t"), Seq("view", "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(staged == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L))
+  }
+
   test("funnelStages: exact token matching, repeated steps, generic step lists") {
     val ev = Seq(
       // group 1: a_b appears literally -> full 2-step funnel
