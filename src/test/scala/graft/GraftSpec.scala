@@ -651,6 +651,34 @@ class GraftSpec extends SparkSpecBase {
     assert(manifest.count() == spans)
   }
 
+  test("funnelStages equals a reference greedy matcher on randomized sequences") {
+    // 60 deterministic pseudo-random groups (xorshift over the group
+    // id), 1-12 events each from a 5-type alphabet; the Spark fold
+    // must match the obvious Scala greedy prefix matcher on every one
+    val types = Vector("view", "click", "purchase", "error", "signup")
+    val steps = Seq("view", "click", "purchase")
+    def rng(seed: Long): Long = { // xorshift64
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val events = (1L to 60L).flatMap { g =>
+      val n = 1 + (math.abs(rng(g)) % 12).toInt
+      (1 to n).map { i =>
+        val t = types((math.abs(rng(g * 1000 + i)) % types.size).toInt)
+        (g, i.toLong, t)
+      }
+    }
+    val expected = events.groupBy(_._1).map { case (g, es) =>
+      val seq = es.sortBy(_._2).map(_._3)
+      g -> seq.foldLeft(0L) { (acc, t) =>
+        if (acc < steps.size && t == steps(acc.toInt)) acc + 1 else acc
+      }
+    }
+    val got = Graft.funnelStages(events.toDF("g", "ord", "et"),
+        Seq($"g"), $"et", Seq($"ord"), steps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("densify: dense spine with custom fills, multi-value columns, no keys") {
     // buckets 10 and 13 present -> 11, 12 filled; two value columns
     // with different fills; key column preserved per tuple
