@@ -237,7 +237,8 @@ object Graft {
     * exact range, so float math would corrupt buckets; rule T). Scale
     * shape: one (user, period) distinct (partial-aggregated), a
     * min-aggregate per user, one equi-join the planner
-    * broadcast/shuffles — no window, no collect. Returns
+    * broadcast/shuffles — no window, no collect. NULL users cannot
+    * cohort (the equi-join drops them, SQL convention). Returns
     * (cohort, offset, n_users), all LONG. */
   def retentionTriangle(events: DataFrame, user: Column, time: Column,
                         periodUnits: Long): DataFrame = {
@@ -264,7 +265,10 @@ object Graft {
     * broadcast-small, which is what "per key" reporting means. Input
     * must already be aggregated (one row per (bucket, keys));
     * `fill` maps each remaining value column to its absent-cell
-    * default. Returns bucket + keys + filled value columns. */
+    * default. Rows whose bucket or key is NULL cannot sit on the
+    * dense grid and are dropped (the SQL-join convention every
+    * NULL-id facade here shares). Returns bucket + keys + filled
+    * value columns. */
   def densify(agg: DataFrame, bucket: String, keys: Seq[String],
               fill: Map[String, Column]): DataFrame = {
     val valueCols = agg.columns.filterNot(c => c == bucket || keys.contains(c)).toSeq
