@@ -287,6 +287,31 @@ object Graft {
         valueCols.map(c => coalesce(col(c), fill(c)).as(c)): _*)
   }
 
+  /** Forward fill (LOCF) over a bucketed frame: per key tuple, each
+    * listed value column replaces NULL with the latest non-NULL value
+    * at or before its bucket — the carry-forward companion of
+    * [[densify]] (densify with NULL fills, then forwardFill, is the
+    * classic observe-and-hold time series). Leading NULLs (nothing
+    * observed yet) stay NULL. One PARTITIONED running window per key
+    * tuple ordered by bucket: a key's whole history sorts in one task
+    * — the bounded-per-entity time-series assumption, which is why
+    * `keys` must be non-empty (a deliberately global fill can pass a
+    * constant key and own that choice). */
+  def forwardFill(df: DataFrame, bucket: String, keys: Seq[String],
+                  valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty,
+      "keys must be non-empty — an unkeyed fill is one global window partition")
+    require((bucket +: (keys ++ valueCols)).forall(df.columns.contains),
+      s"columns must exist in ${df.columns.mkString(",")}")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(bucket))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(df.columns.toSeq.map { c =>
+      if (valueCols.contains(c)) last(col(c), ignoreNulls = true).over(w).as(c)
+      else col(c)
+    }: _*)
+  }
+
   /** Interval join of ANY two event tables: every (left, right) pair
     * with |leftTime − rightTime| ≤ radius (long times, e.g. epoch-µs).
     * The inequality join is decomposed into an EQUI-join on

@@ -702,6 +702,24 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("forwardFill: densify-then-LOCF carries observations, leading NULLs stay") {
+    val agg = Seq((10L, "a", Some(5.0)), (13L, "a", Some(7.0)), (12L, "b", Some(1.0)))
+      .toDF("bkt", "k", "v")
+    val dense = Graft.densify(agg, "bkt", Seq("k"),
+      Map("v" -> lit(null).cast("double")))
+    val filled = Graft.forwardFill(dense, "bkt", Seq("k"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(filled((11L, "a")) == Some(5.0)) // gap carries 10's value
+    assert(filled((12L, "a")) == Some(5.0))
+    assert(filled((13L, "a")) == Some(7.0)) // fresh observation wins
+    assert(filled((10L, "b")).isEmpty && filled((11L, "b")).isEmpty) // leading NULLs stay
+    assert(filled((13L, "b")) == Some(1.0))
+    intercept[IllegalArgumentException] {
+      Graft.forwardFill(dense, "bkt", Nil, Seq("v"))
+    }
+  }
+
   test("sessionized funnel: sessionize and funnelStages compose") {
     // one user, two sessions split by a >30-unit gap: the first
     // completes view->click, the second only views — the composed
