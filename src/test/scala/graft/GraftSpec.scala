@@ -679,6 +679,40 @@ class GraftSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("retentionTriangle and densify equal Scala references on randomized data") {
+    // 40 users with pseudo-random activity periods: the triangle must
+    // equal the obvious Scala cohort computation cell for cell
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val acts = (1L to 40L).flatMap { u =>
+      val n = 1 + (math.abs(rng(u)) % 6).toInt
+      (1 to n).map(i => (u, math.abs(rng(u * 97 + i)) % 8)) // periods 0..7
+    }
+    val expectedRet = {
+      val uw = acts.distinct
+      val cohort = uw.groupBy(_._1).map { case (u, ps) => u -> ps.map(_._2).min }
+      uw.groupBy { case (u, p) => (cohort(u), p - cohort(u)) }
+        .map { case (cell, us) => cell -> us.map(_._1).distinct.size.toLong }
+    }
+    val gotRet = Graft.retentionTriangle(acts.toDF("u", "t"), $"u", $"t", 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotRet == expectedRet)
+    // densify of the per-(period, parity-key) counts: every (period,
+    // key) cell in [min, max] x keys present; observed cells keep
+    // their count, absent cells zero
+    val agg = acts.map { case (u, p) => (p, (u % 2).toString) }
+      .groupBy(identity).map { case ((p, k), xs) => (p, k, xs.size.toLong) }.toSeq
+    val lo = agg.map(_._1).min; val hi = agg.map(_._1).max
+    val keys = agg.map(_._2).distinct
+    val expectedDense = (for { p <- lo to hi; k <- keys } yield
+      (p, k) -> agg.find(a => a._1 == p && a._2 == k).map(_._3).getOrElse(0L)).toMap
+    val gotDense = Graft.densify(agg.toDF("p", "k", "n"), "p", Seq("k"),
+        Map("n" -> lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotDense == expectedDense)
+  }
+
   test("densify: dense spine with custom fills, multi-value columns, no keys") {
     // buckets 10 and 13 present -> 11, 12 filled; two value columns
     // with different fills; key column preserved per tuple
