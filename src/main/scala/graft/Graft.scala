@@ -46,6 +46,36 @@ object Graft {
                  largeKey: Column, smallKey: Column, salts: Int): DataFrame =
     operators.SkewJoin.saltedJoin(large, small, largeKey, smallKey, salts)
 
+  /** Bloom-prefiltered LEFT SEMI join: `big` rows whose long `bigKey`
+    * appears in `small`'s `smallKey` set. Semantically identical to a
+    * plain left-semi join — the sketch only PRE-filters: a distributed
+    * `treeAggregate` builds a bloom filter over the small side's keys
+    * (two passes over the SMALL side: count to size the sketch, then
+    * build), the codegen'd [[functions.BloomMightContain]] probe drops
+    * big-side rows at the scan, and the exact semi join behind it
+    * removes the sketch's false positives. At 100 TB the win is that
+    * the big side's shuffle ships ~selectivity× the bytes — rows that
+    * cannot match never reach the exchange; `fpp` trades sketch size
+    * (~1.2 bytes/key at 1%) against extra shuffled false positives. */
+  def bloomSemiJoin(big: DataFrame, bigKey: Column,
+                    small: DataFrame, smallKey: Column,
+                    fpp: Double = 0.01): DataFrame = {
+    val keys = small.select(smallKey.cast("long").as("__bk"))
+      .filter(col("__bk").isNotNull)
+    val n = keys.count()
+    // an empty build side has no sketch to build (stat.bloomFilter's
+    // aggregate yields an unwritable null-bits filter) — and needs
+    // none: the exact semi join alone is already empty-fast
+    val prefiltered = if (n == 0) big else {
+      val bf = keys.stat.bloomFilter("__bk", n, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      big.filter(functions.BloomMightContain.mightContain(bos.toByteArray,
+        bigKey.cast("long")))
+    }
+    prefiltered.join(keys, bigKey.cast("long") === col("__bk"), "left_semi")
+  }
+
   /** Native codegen'd dot product of two double arrays. */
   def dot(a: Column, b: Column): Column = functions.GraftFunctions.dot(a, b)
 
@@ -310,6 +340,53 @@ object Graft {
       if (valueCols.contains(c)) last(col(c), ignoreNulls = true).over(w).as(c)
       else col(c)
     }: _*)
+  }
+
+  /** SCD-2 intervalization of ANY change-log DataFrame: per `keyCols`
+    * tuple ordered by (`time`, `tieBreak`...), each change row becomes
+    * a dimension version valid from its own `time` (inclusive) until
+    * the NEXT change's `time` (exclusive) — appended as `valid_from` /
+    * `valid_to` / `is_current` (1 on the open latest version, whose
+    * `valid_to` is NULL). The slowly-changing-dimension builder every
+    * warehouse load needs when the upstream ships events, not
+    * snapshots. One PARTITIONED lead() window per key — a key's
+    * history sorts in one task (the bounded-per-entity assumption;
+    * same posture as [[forwardFill]]), keys spread across the
+    * cluster. `tieBreak` must make the order total or same-instant
+    * changes get an engine-arbitrary version order. */
+  def scd2Intervals(changes: DataFrame, keyCols: Seq[Column], time: Column,
+                    tieBreak: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy((time +: tieBreak).map(_.asc): _*)
+    changes
+      .withColumn("valid_from", time)
+      .withColumn("valid_to", lead(time, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+
+  /** Per-group z-score outliers of ANY DataFrame: rows whose `value`
+    * deviates from its group's mean by more than `threshold` sample
+    * standard deviations, with the score appended as `z`. Two-pass
+    * shape built for scale: one partial+final aggregate computes each
+    * group's (mean, stddev) — output is |groups| rows, broadcast back
+    * — then one broadcast equi-join scores every row locally; no
+    * window, no second shuffle of the fact side. Groups with stddev
+    * NULL/0 (fewer than 2 rows, or constant) emit no outliers: a
+    * deviation cannot be scored against a degenerate spread. */
+  def zscoreOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
+                     threshold: Double): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(!df.columns.exists(c => c == "__mean" || c == "__sd"),
+      "column names __mean and __sd are reserved")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(avg(value).as("__mean"), stddev_samp(value).as("__sd"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z", (value - col("__mean")) / col("__sd"))
+      .filter(col("__sd") > 0 && abs(col("z")) > threshold)
+      .drop("__mean", "__sd")
   }
 
   /** Interval join of ANY two event tables: every (left, right) pair

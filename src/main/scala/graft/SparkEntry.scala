@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 81 query ids; 74 with DuckDB oracles. The
+  * and §3.1 (entry points). 87 query ids; 80 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -32,6 +32,8 @@ object SparkEntry {
     "q_semi_join"      -> Relational.q_semi_join _,
     "q_anti_join"      -> Relational.q_anti_join _,
     "q_join_theta"     -> Relational.q_join_theta _,
+    "q_bloom_join"     -> Relational.q_bloom_join _,
+    "q_skew_join"      -> Relational.q_skew_join _,
     // §2.4 aggregations
     "q_agg_pricing"    -> Relational.q_agg_pricing _,
     "q_agg_having"     -> Relational.q_agg_having _,
@@ -44,6 +46,7 @@ object SparkEntry {
     "q_percentile"     -> Relational.q_percentile _,
     "q_stats_agg"      -> Relational.q_stats_agg _,
     "q_pivot"          -> Relational.q_pivot _,
+    "q_histogram"      -> Relational.q_histogram _,
     "q_window_ntile"   -> Relational.q_window_ntile _,
     // §2.5 sorts / top-k
     "q_topk_global"    -> Relational.q_topk_global _,
@@ -53,6 +56,7 @@ object SparkEntry {
     "q_window_running" -> Relational.q_window_running _,
     "q_window_lag"     -> Relational.q_window_lag _,
     "q_window_range"   -> Relational.q_window_range _,
+    "q_first_last"     -> Relational.q_first_last _,
     // §2.7 set ops
     "q_union"          -> Relational.q_union _,
     "q_intersect"      -> Relational.q_intersect _,
@@ -111,6 +115,8 @@ object SparkEntry {
     "q_funnel"          -> Events.q_funnel _,
     "q_retention"       -> Events.q_retention _,
     "q_gapfill"         -> Events.q_gapfill _,
+    "q_scd2"            -> Events.q_scd2 _,
+    "q_anomaly"         -> Events.q_anomaly _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

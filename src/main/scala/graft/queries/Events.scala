@@ -234,6 +234,46 @@ object Events {
       .orderBy("hour", "event_type")
   }
 
+  /** SCD-2 intervalization (added round 8): the purchase change-log
+    * per user becomes a slowly-changing-dimension version table —
+    * each purchase's `value` valid from its own time until the next
+    * purchase (exclusive), the open latest version flagged current.
+    * This query IS [[graft.Graft.scd2Intervals]] applied to the
+    * events table (one PARTITIONED lead() window per user, total
+    * order via the (us, event_id) tiebreak), so the oracle verifies
+    * the public API. NULL open end encoded as -1 (rule: the Verify
+    * hash treats NULL and absent differently across engines only
+    * through schema, but a sentinel keeps the column NOT NULL on
+    * both sides). */
+  def q_scd2(s: SparkSession, d: String): DataFrame =
+    graft.Graft.scd2Intervals(
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("value"), Tables.tsUs.as("us")),
+        keyCols = Seq(col("user_id")), time = col("us"),
+        tieBreak = Seq(col("event_id")))
+      .select(col("user_id"), col("event_id"), col("value"),
+              col("valid_from"),
+              coalesce(col("valid_to"), lit(-1L)).as("valid_to"),
+              col("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+
+  /** Z-score anomaly detection (added round 8): events whose value
+    * deviates from their type's mean by more than 2 sample standard
+    * deviations, rolled up per type. This query IS
+    * [[graft.Graft.zscoreOutliers]] (one |types|-row stats aggregate
+    * broadcast back over the fact side — no window, no second fact
+    * shuffle), so the oracle verifies the public API. max |z| rounded
+    * (rule F) to absorb cross-engine stddev ulps; the 2σ threshold
+    * itself is safe on this data — no |z| lands within 1e-6 of 2. */
+  def q_anomaly(s: SparkSession, d: String): DataFrame =
+    graft.Graft.zscoreOutliers(
+        Tables.events(s, d).select(col("event_type"), col("event_id"), col("value")),
+        groupCols = Seq("event_type"), value = col("value"), threshold = 2.0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_outliers"),
+           round(max(abs(col("z"))), 2).as("max_z"))
+      .orderBy("event_type")
+
   def q_retention(s: SparkSession, d: String): DataFrame =
     graft.Graft.retentionTriangle(Tables.events(s, d),
         user = col("user_id"), time = Tables.tsUs, periodUnits = 7 * US_PER_DAY)

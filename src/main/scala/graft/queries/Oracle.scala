@@ -113,6 +113,23 @@ object Oracle {
         |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
+    // the bloom sketch is exact-result-preserving (false positives are
+    // removed by the semi join behind it), so the oracle is the plain
+    // IN-subquery semi join
+    "q_bloom_join" ->
+      """SELECT l_suppkey, COUNT(*) AS n_lines,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 4000)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    // salting only splinters shuffle buckets; row-level results equal
+    // the unsalted inner join
+    "q_skew_join" ->
+      """SELECT p_brand, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -187,6 +204,13 @@ object Oracle {
         |       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
 
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+        |       COUNT(*) AS n_orders,
+        |       ROUND(MIN(o_totalprice), 2) AS min_price,
+        |       ROUND(MAX(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+
     "q_window_ntile" ->
       """SELECT c_custkey,
         |       CAST(ntile(4) OVER w AS INT) AS quartile,
@@ -232,6 +256,19 @@ object Oracle {
         |       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_10min
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_first_last" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT user_id,
+        |             FIRST_VALUE(event_type) OVER win AS first_type,
+        |             LAST_VALUE(event_type) OVER win AS last_type,
+        |             NTH_VALUE(event_type, 2) OVER win AS second_type,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_type, last_type, COALESCE(second_type, '') AS second_type
+        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_union" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -601,6 +638,30 @@ object Oracle {
         |FROM spine s CROSS JOIN t
         |LEFT JOIN a ON a.hour = s.hour AND a.event_type = t.event_type
         |ORDER BY 1, 2""".stripMargin,
+
+    // SCD-2 intervalization: each purchase valid until the user's next
+    // purchase; open latest version → valid_to -1, is_current 1
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id, value, us AS valid_from,
+        |             LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |      FROM e)
+        |SELECT user_id, event_id, value, valid_from,
+        |       COALESCE(nxt, -1) AS valid_to,
+        |       CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // z-score outliers: per-type (mean, stddev_samp) then |z| > 2;
+    // max_z rounded (rule F) to absorb cross-engine stddev ulps
+    "q_anomaly" ->
+      """WITH s AS (SELECT event_type, AVG(value) AS mean, STDDEV_SAMP(value) AS sd
+        |           FROM events GROUP BY event_type),
+        |z AS (SELECT e.event_type, ABS((e.value - s.mean) / s.sd) AS az
+        |      FROM events e JOIN s USING (event_type)
+        |      WHERE s.sd > 0 AND ABS((e.value - s.mean) / s.sd) > 2)
+        |SELECT event_type, COUNT(*) AS n_outliers, ROUND(MAX(az), 2) AS max_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // weekly cohort retention triangle: epoch-week = µs // day // 7,
     // cohort = each user's first active week

@@ -132,6 +132,45 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"))
       .orderBy("p_brand")
 
+  /** Bloom-prefiltered semi join (added round 8): lineitem revenue per
+    * high-balance supplier, the big side pre-filtered by a bloom
+    * sketch of the small side's keys BEFORE the shuffle. This query IS
+    * [[graft.Graft.bloomSemiJoin]] (distributed sketch build, codegen
+    * [[graft.functions.BloomMightContain]] probe at the scan, exact
+    * semi join behind it — so the result is exactly the plain semi
+    * join's and the oracle verifies the public API). The sketch keeps
+    * the non-matching ~half of lineitem out of the exchange here; at a
+    * more selective build side the saving scales with 1−selectivity. */
+  def q_bloom_join(s: SparkSession, d: String): DataFrame =
+    graft.Graft.bloomSemiJoin(
+        Tables.lineitem(s, d), col("l_suppkey"),
+        Tables.supplier(s, d).filter(col("s_acctbal") > 4000), col("s_suppkey"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("l_suppkey")
+
+  /** Salted skew join (added round 8): the manual-Partitioner escape
+    * hatch for a pathological key distribution, wired into a declared
+    * query — this IS [[graft.Graft.saltedJoin]]
+    * (operators/SkewJoin.saltedJoin): the large side salts uniformly,
+    * the small side replicates `salts`×, the key becomes (key, salt)
+    * so one celebrity key spreads over `salts` shuffle partitions.
+    * Row-level results are identical to the unsalted join (every
+    * (key, salt) pair exists on the replicated side), so the oracle is
+    * the plain join. At THIS data the unsalted plan is fine — the
+    * query pins the operator's exactness; CapabilitiesSpec proves it
+    * equal to the plain join on a deliberately skewed corpus. */
+  def q_skew_join(s: SparkSession, d: String): DataFrame =
+    graft.Graft.saltedJoin(
+        Tables.lineitem(s, d),
+        Tables.part(s, d).select("p_partkey", "p_brand"),
+        col("l_partkey"), col("p_partkey"), salts = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+           round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_brand")
+
   // ---- §2.4 aggregations --------------------------------------------
 
   /** TPC-H Q1 shape — the flagship. Partial+final hash aggregation
@@ -276,6 +315,21 @@ object Relational {
               coalesce(col("5-LOW"), lit(0L)).as("n_low"))
       .orderBy("o_year")
 
+  /** Fixed-width histogram (added round 8): order totals binned at
+    * $25k width — count + min/max per bin. The profiling aggregation
+    * behind every numeric-column dashboard; output is O(bins) rows so
+    * the partial+final combine collapses everything map-side. Integer
+    * bin ids via floor of a double ratio (both engines compute the
+    * same IEEE division, and bin boundaries at exact multiples of 25k
+    * don't occur in this price data). */
+  def q_histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(min("o_totalprice"), 2).as("min_price"),
+           round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("bin")
+
   // ---- §2.5 sorts / top-k -------------------------------------------
 
   /** Global top-k by aggregate → TakeOrderedAndProject (the in-mapper
@@ -344,6 +398,29 @@ object Relational {
       .select(col("user_id"), col("event_id"),
               count(lit(1)).over(w).as("n_10min"))
       .orderBy("user_id", "event_id")
+  }
+
+  /** Boundary-value window functions (added round 8): per user's full
+    * ordered event history — first, last and second event type, one
+    * row per user. The full-frame trio (first_value / last_value /
+    * nth_value over UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING) that
+    * session-summary queries need; users with one event get '' for the
+    * second. PARTITIONED window (one user's history per task), total
+    * order via the (us, event_id) tiebreak. */
+  def q_first_last(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), Tables.tsUs.as("us"))
+      .select(col("user_id"),
+              first("event_type").over(wf).as("first_type"),
+              last("event_type").over(wf).as("last_type"),
+              nth_value(col("event_type"), 2).over(wf).as("second_type"),
+              row_number().over(w).as("__rn"))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("first_type"), col("last_type"),
+              coalesce(col("second_type"), lit("")).as("second_type"))
+      .orderBy("user_id")
   }
 
   /** Distribution window functions: ntile / percent_rank / cume_dist

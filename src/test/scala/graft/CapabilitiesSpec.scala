@@ -317,6 +317,39 @@ class CapabilitiesSpec extends SparkSpecBase {
     assert(pairs(Graft.nearDupPairsSimhash(docs, $"id", $"txt", 3, maxBucket = 8)).nonEmpty)
   }
 
+  test("bloom might-contain: no false negatives, eval ≡ codegen, fp rate sane") {
+    import graft.functions.BloomMightContain
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(1000, 0.01)
+    (0L until 1000L).foreach(k => bf.putLong(k * 3))
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
+    val probes = spark.range(3000).select($"id")
+    val probe = BloomMightContain.mightContain(bytes, $"id")
+    // codegen on (default) and off must agree row-for-row
+    val on = probes.withColumn("hit", probe)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try probes.withColumn("hit", probe).collect()
+              finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on.collect().toSeq == off.toSeq)
+    // every inserted key hits (no false negatives — the contract the
+    // semi-join rewrite rests on); non-members mostly miss
+    val hits = on.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 1000L).forall(k => hits(k * 3)))
+    val fp = hits.count { case (k, h) => h && k % 3 != 0 }
+    assert(fp < 200, s"false-positive count implausibly high: $fp of 2000")
+  }
+
+  test("bloomSemiJoin equals the plain left-semi join") {
+    val big = Tables.orders(spark, sf).select($"o_custkey", $"o_totalprice")
+    val small = Tables.customer(spark, sf).filter($"c_acctbal" > 5000)
+    val got = Graft.bloomSemiJoin(big, $"o_custkey", small, $"c_custkey")
+    val want = big.join(small, $"o_custkey" === $"c_custkey", "left_semi")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // output schema is exactly the big side's (no working columns leak)
+    assert(got.columns.toSeq == big.columns.toSeq)
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     // 10k rows, 90% on one hot key — the shape that stalls one reducer
     val large = spark.range(10000)

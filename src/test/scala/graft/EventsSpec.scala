@@ -171,4 +171,64 @@ class EventsSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
     assert(viaWindow.toSeq == viaGroup.toSeq)
   }
+
+  test("scd2 micro-fixture: versions chain, non-purchase ignored, one open per key") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ev_scd2").toString
+    val t0 = 1704067200L * 1000000000L
+    val min = 60L * 1000000000L
+    // user 1: purchases at t0 / t0+10 / t0+50 (a view between must not
+    // split an interval); user 2: single purchase -> immediately current
+    Seq(
+      (1L, t0, 1L, "purchase", 10.0), (2L, t0 + 5 * min, 1L, "view", 0.0),
+      (3L, t0 + 10 * min, 1L, "purchase", 20.0),
+      (4L, t0 + 50 * min, 1L, "purchase", 30.0),
+      (5L, t0, 2L, "purchase", 7.0)
+    ).map { case (id, ts, u, et, v) => (id, ts, u, et, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.q_scd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    val us0 = t0 / 1000
+    val minUs = 60L * 1000000L
+    assert(got.toSeq == Seq(
+      (1L, 10.0, us0, us0 + 10 * minUs, 0),
+      (1L, 20.0, us0 + 10 * minUs, us0 + 50 * minUs, 0),
+      (1L, 30.0, us0 + 50 * minUs, -1L, 1),
+      (2L, 7.0, us0, -1L, 1)))
+  }
+
+  test("scd2 on real data: intervals tile per user, exactly one current each") {
+    val rows = Events.q_scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      // already sorted by (user, valid_from); closed intervals chain
+      // exactly onto the next version's start, the single open one last
+      vs.init.zip(vs.tail).foreach { case (a, b) =>
+        assert(a._3 == b._2, s"user $u: valid_to ${a._3} != next valid_from ${b._2}")
+      }
+      assert(vs.count(_._4 == 1) == 1 && vs.last._4 == 1 && vs.last._3 == -1L)
+      vs.filter(_._4 == 0).foreach(v => assert(v._2 < v._3))
+    }
+  }
+
+  test("anomaly micro-fixture: 2σ flags the spike, degenerate groups emit none") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ev_anom").toString
+    val t0 = 1704067200L * 1000000000L
+    // 'click': nine 0.0s and one 100.0 -> sd=sqrt(1000)≈31.6, spike
+    // z≈2.85 (flagged), zeros z≈0.32; 'view': constant (sd=0) -> none;
+    // 'error': single row (sd NULL) -> none
+    val rows =
+      (1 to 9).map(i => (i.toLong, t0 + i * 1000000000L, 1L, "click", 0.0, "{}")) ++
+      Seq((10L, t0 + 10 * 1000000000L, 1L, "click", 100.0, "{}"),
+          (11L, t0, 2L, "view", 5.0, "{}"), (12L, t0 + 1000000000L, 2L, "view", 5.0, "{}"),
+          (13L, t0, 3L, "error", 42.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.q_anomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("click", 1L, 2.85)))
+  }
 }
