@@ -1035,4 +1035,76 @@ class GraftSpec extends SparkSpecBase {
     val got = Graft.stratifiedSample(strat, $"g", $"id", n = 5, seed = 1L)
     assert(got.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
+
+  test("scd2Intervals equals a Scala reference on randomized change logs") {
+    // 40 keys, 1-8 changes each, deliberately COLLIDING times (t in
+    // 0..3) so the (time, tieBreak) total order is what's under test
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val changes = (1L to 40L).flatMap { k =>
+      val n = 1 + (math.abs(rng(k)) % 8).toInt
+      (1 to n).map(i => (k, k * 100 + i, math.abs(rng(k * 31 + i)) % 4))
+    } // (key, unique change id, time)
+    val expected = changes.groupBy(_._1).toSeq.flatMap { case (_, cs) =>
+      val sorted = cs.sortBy(c => (c._3, c._2))
+      sorted.zipWithIndex.map { case ((k, id, t), i) =>
+        val nxt = if (i == sorted.size - 1) None else Some(sorted(i + 1)._3)
+        (k, id, t, nxt.getOrElse(-1L), if (nxt.isEmpty) 1 else 0)
+      }
+    }.toSet
+    val got = Graft.scd2Intervals(changes.toDF("k", "cid", "t"),
+        Seq($"k"), $"t", Seq($"cid"))
+      .select($"k", $"cid", $"valid_from",
+              coalesce($"valid_to", lit(-1L)).as("vt"), $"is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getInt(4))).toSet
+    assert(got == expected)
+  }
+
+  test("zscoreOutliers equals a Scala reference on randomized groups") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // 8 groups x 2-20 rows of values in [0, 100); plus a constant
+    // group and a singleton group that must emit nothing
+    val data = (1L to 8L).flatMap { g =>
+      val n = 2 + (math.abs(rng(g)) % 19).toInt
+      (1 to n).map(i => (s"g$g", g * 1000 + i, (math.abs(rng(g * 53 + i)) % 10000) / 100.0))
+    } ++ Seq(("const", 9001L, 5.0), ("const", 9002L, 5.0), ("single", 9003L, 42.0))
+    val expected = data.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val vs = rs.map(_._3); val n = vs.size
+      val mean = vs.sum / n
+      val sd = if (n < 2) 0.0 else math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+      if (sd == 0.0) Nil
+      else rs.collect { case (_, id, v) if math.abs((v - mean) / sd) > 1.5 => id }
+    }.toSet
+    val got = Graft.zscoreOutliers(data.toDF("g", "id", "v"),
+        Seq("g"), $"v", threshold = 1.5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got == expected && got.nonEmpty)
+    // reserved working names are guarded loudly
+    intercept[IllegalArgumentException] {
+      Graft.zscoreOutliers(data.toDF("g", "id", "__mean"), Seq("g"), $"__mean", 2.0)
+    }
+  }
+
+  test("bloomSemiJoin equals the semi join on randomized keys, nulls, empty sides") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // keys drawn from a small range so both overlap and misses occur;
+    // NULL big-side keys must drop on both paths
+    val bigKeys: Seq[java.lang.Long] =
+      (1L to 500L).map(i => java.lang.Long.valueOf(math.abs(rng(i)) % 60)) :+
+        null.asInstanceOf[java.lang.Long]
+    val big = bigKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = (1L to 40L).map(i => math.abs(rng(i * 7)) % 40).toDF("sk")
+    val got = Graft.bloomSemiJoin(big, $"k", small, $"sk")
+    val want = big.join(small, $"k" === $"sk", "left_semi")
+    assert(rows(got.orderBy("payload")) == rows(want.orderBy("payload")))
+    assert(want.count() > 0)
+    // empty build side: no sketch to build, result is simply empty
+    assert(Graft.bloomSemiJoin(big, $"k", small.filter($"sk" < 0), $"sk").count() == 0)
+  }
 }
