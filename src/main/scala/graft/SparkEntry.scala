@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 87 query ids; 80 with DuckDB oracles. The
+  * and §3.1 (entry points). 89 query ids; 82 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -47,6 +47,7 @@ object SparkEntry {
     "q_stats_agg"      -> Relational.q_stats_agg _,
     "q_pivot"          -> Relational.q_pivot _,
     "q_histogram"      -> Relational.q_histogram _,
+    "q_above_avg"      -> Relational.q_above_avg _,
     "q_window_ntile"   -> Relational.q_window_ntile _,
     // §2.5 sorts / top-k
     "q_topk_global"    -> Relational.q_topk_global _,
@@ -117,6 +118,7 @@ object SparkEntry {
     "q_gapfill"         -> Events.q_gapfill _,
     "q_scd2"            -> Events.q_scd2 _,
     "q_anomaly"         -> Events.q_anomaly _,
+    "q_hourly_delta"    -> Events.q_hourly_delta _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

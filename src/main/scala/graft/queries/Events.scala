@@ -234,6 +234,26 @@ object Events {
       .orderBy("hour", "event_type")
   }
 
+  /** Hour-over-hour delta (added round 8): hourly event counts per
+    * type on the DENSE zero-filled hour spine, each with its change
+    * vs the previous hour — the growth/trend query dashboards derive
+    * from gap-filled series (on a sparse series a lag-delta silently
+    * compares non-adjacent hours; densify first makes it honest).
+    * Composes TWO public facades: [[graft.Graft.densify]] (the
+    * q_gapfill spine) then one lag window PARTITIONED per type —
+    * a type's spine is metadata-scale (hours grow with the time span,
+    * not the event count), so the per-partition window is bounded.
+    * First hour's delta = its own count (lag default 0). */
+  def q_hourly_delta(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .select(expr(s"(ts div 1000) div $US_PER_HOUR").as("hour"), col("event_type"))
+      .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    graft.Graft.densify(hourly, "hour", Seq("event_type"), Map("n" -> lit(0L)))
+      .withColumn("delta", col("n") - lag("n", 1, 0L).over(w))
+      .orderBy("hour", "event_type")
+  }
+
   /** SCD-2 intervalization (added round 8): the purchase change-log
     * per user becomes a slowly-changing-dimension version table —
     * each purchase's `value` valid from its own time until the next

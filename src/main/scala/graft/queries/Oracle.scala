@@ -211,6 +211,17 @@ object Oracle {
         |       ROUND(MAX(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
 
+    // the correlated form `o_totalprice > (SELECT AVG ... same cust)`,
+    // written decorrelated exactly as both planners execute it
+    "q_above_avg" ->
+      """WITH a AS (SELECT o_custkey AS a_custkey, AVG(o_totalprice) AS avg_price
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, COUNT(*) AS n_above,
+        |       ROUND(MAX(o_totalprice), 2) AS max_price
+        |FROM orders JOIN a ON o_custkey = a_custkey
+        |WHERE o_totalprice > avg_price
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "q_window_ntile" ->
       """SELECT c_custkey,
         |       CAST(ntile(4) OVER w AS INT) AS quartile,
@@ -638,6 +649,21 @@ object Oracle {
         |FROM spine s CROSS JOIN t
         |LEFT JOIN a ON a.hour = s.hour AND a.event_type = t.event_type
         |ORDER BY 1, 2""".stripMargin,
+
+    // hour-over-hour delta on the dense spine (the q_gapfill CTE chain
+    // + one partitioned LAG; first hour's delta = its own count)
+    "q_hourly_delta" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type FROM events),
+        |b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM e),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS hour FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |a AS (SELECT hour, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |dense AS (SELECT s.hour, t.event_type, CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+        |          FROM spine s CROSS JOIN t
+        |          LEFT JOIN a ON a.hour = s.hour AND a.event_type = t.event_type)
+        |SELECT hour, event_type, n,
+        |       n - LAG(n, 1, 0) OVER (PARTITION BY event_type ORDER BY hour) AS delta
+        |FROM dense ORDER BY hour, event_type""".stripMargin,
 
     // SCD-2 intervalization: each purchase valid until the user's next
     // purchase; open latest version → valid_to -1, is_current 1

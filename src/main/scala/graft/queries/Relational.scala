@@ -330,6 +330,26 @@ object Relational {
            round(max("o_totalprice"), 2).as("max_price"))
       .orderBy("bin")
 
+  /** Correlated scalar subquery, decorrelated (added round 8): orders
+    * priced above their own customer's average order value — the
+    * OLAP staple `WHERE x > (SELECT AVG(...) correlated)`. Expressed
+    * as Catalyst itself decorrelates it: one per-customer aggregate
+    * (partial+final) joined back on the grouping key, then the
+    * residual comparison — no per-row subquery execution, one shuffle
+    * each side on the same key. */
+  def q_above_avg(s: SparkSession, d: String): DataFrame = {
+    val avgs = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("a_custkey"))
+      .agg(avg("o_totalprice").as("avg_price"))
+    Tables.orders(s, d)
+      .join(avgs, col("o_custkey") === col("a_custkey"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_above"),
+           round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("o_custkey")
+  }
+
   // ---- §2.5 sorts / top-k -------------------------------------------
 
   /** Global top-k by aggregate → TakeOrderedAndProject (the in-mapper
