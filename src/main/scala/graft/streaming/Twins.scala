@@ -136,6 +136,42 @@ object Twins {
       .agg(count(lit(1)).as("n"))
 }
 
+/** Streaming face of [[graft.Graft.zscoreOutliers]] (q_anomaly): an
+  * ONLINE per-key z-score detector. The batch form is inherently
+  * two-pass (global stats, then score every row); a stream cannot
+  * re-score the past, so the honest streaming analogue scores each
+  * event against the stats of everything seen BEFORE it, then folds
+  * it in — per-key state is the O(1) Welford triple (n, mean, m2),
+  * which accumulates the batch aggregate's exact partial state (same
+  * algebra Spark's stddev_samp partials use), so the final state's
+  * (mean, stddev) equals the batch computation's. In: (key, event_id,
+  * value) keyed by key; out: (key, event_id, z, flagged) with z = 0 /
+  * flagged = 0 while the key's history is degenerate (n < 2 or zero
+  * spread). Rows fold in event_id order so replays are deterministic.
+  * Top-level (shipped to tasks; must not capture a test class). */
+private[graft] class OnlineZScoreProcessor(threshold: Double)
+  extends StatefulProcessor[String, (String, Long, Double), (String, Long, Double, Int)] {
+  @transient private var stats: ValueState[(Long, Double, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    stats = getHandle.getValueState[(Long, Double, Double)](
+      "welford", Encoders.product[(Long, Double, Double)], TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[(String, Long, Double)],
+                               timerValues: TimerValues): Iterator[(String, Long, Double, Int)] = {
+    var (n, mean, m2) = if (stats.exists()) stats.get() else (0L, 0.0, 0.0)
+    val out = Seq.newBuilder[(String, Long, Double, Int)]
+    rows.toSeq.sortBy(_._2).foreach { case (_, eid, x) =>
+      val z = if (n >= 2 && m2 > 0) (x - mean) / math.sqrt(m2 / (n - 1)) else 0.0
+      out += ((key, eid, z, if (math.abs(z) > threshold) 1 else 0))
+      n += 1
+      val d = x - mean
+      mean += d / n
+      m2 += d * (x - mean)
+    }
+    stats.update((n, mean, m2))
+    out.result().iterator
+  }
+}
+
 /** Top-level (shipped to tasks; must not capture a test/suite class):
   * per-user as-of state = the greatest click time seen, folded in
   * (us, event_id) order within each batch. In: (user, event_id, us,

@@ -50,4 +50,45 @@ class TransformWithStateSpec extends SparkSpecBase {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("online z-score: state survives batches, spike flagged, Welford equals batch stats") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(String, Long, Double)]
+      val scored = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.OnlineZScoreProcessor(threshold = 3.0),
+          TimeMode.None(), OutputMode.Update())
+      val q = scored.toDF("k", "eid", "z", "flagged").writeStream
+        .format("memory").queryName("zs").outputMode(OutputMode.Update()).start()
+      try {
+        // batch 1: values 1..9 build the baseline (none should flag —
+        // z of 9 against mean-so-far stays small)
+        input.addData((1 to 9).map(i => ("click", i.toLong, i.toDouble)): _*)
+        q.processAllAvailable()
+        // batch 2: the spike is scored against batch-1 state (mean 5,
+        // sd sqrt(60/8)≈2.74 → z≈34.7) — state crossed the batch gap
+        input.addData(("click", 10L, 100.0))
+        q.processAllAvailable()
+        val rows = spark.table("zs").collect()
+          .map(r => r.getLong(1) -> (r.getDouble(2), r.getInt(3))).toMap
+        assert(rows.count { case (_, (_, f)) => f == 1 } == 1)
+        assert(rows(10L)._2 == 1 && math.abs(rows(10L)._1 - 34.7) < 0.1,
+          s"spike not flagged against prior-batch state: $rows")
+        // batch 3: a normal value scored against stats INCLUDING the
+        // spike — Welford state must equal the exact batch stats of
+        // values (1..9, 100): mean 14.5, stddev_samp of the 10 values
+        input.addData(("click", 11L, 14.5))
+        q.processAllAvailable()
+        val vs = (1 to 9).map(_.toDouble) :+ 100.0
+        val mean = vs.sum / vs.size
+        val sd = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / (vs.size - 1))
+        val z11 = spark.table("zs").collect().find(_.getLong(1) == 11L).get.getDouble(2)
+        assert(math.abs(z11 - (14.5 - mean) / sd) < 1e-9,
+          s"online state diverged from exact batch stats: z=$z11")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
