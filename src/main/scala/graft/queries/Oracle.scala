@@ -211,8 +211,9 @@ object Oracle {
         |       ROUND(MAX(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
 
-    // the correlated form `o_totalprice > (SELECT AVG ... same cust)`,
-    // written decorrelated exactly as both planners execute it
+    // the correlated form `o_totalprice > (SELECT AVG ... same cust)`;
+    // the oracle uses the decorrelated CTE join (row-set-identical to
+    // the Spark side's single-scan window form)
     "q_above_avg" ->
       """WITH a AS (SELECT o_custkey AS a_custkey, AVG(o_totalprice) AS avg_price
         |           FROM orders GROUP BY o_custkey)

@@ -330,19 +330,23 @@ object Relational {
            round(max("o_totalprice"), 2).as("max_price"))
       .orderBy("bin")
 
-  /** Correlated scalar subquery, decorrelated (added round 8): orders
-    * priced above their own customer's average order value — the
-    * OLAP staple `WHERE x > (SELECT AVG(...) correlated)`. Expressed
-    * as Catalyst itself decorrelates it: one per-customer aggregate
-    * (partial+final) joined back on the grouping key, then the
-    * residual comparison — no per-row subquery execution, one shuffle
-    * each side on the same key. */
+  /** Correlated scalar subquery (added round 8): orders priced above
+    * their own customer's average order value — the OLAP staple
+    * `WHERE x > (SELECT AVG(...) correlated)`. Catalyst decorrelates
+    * the subquery form into aggregate-join-back, which scans orders
+    * TWICE; here it is the single-scan sibling — a full-frame window
+    * average PARTITIONED by customer, residual filter, then a groupBy
+    * on the same key, so the window's exchange is the only shuffle
+    * (the aggregation reuses its partitioning) and orders is read
+    * once. The per-partition window state is one customer's orders —
+    * the bounded-per-entity assumption. Contrast q_anomaly: with few
+    * fat groups the broadcast-stats join is right because it never
+    * shuffles the fact side; with many small groups (customers) the
+    * partitioned window is. */
   def q_above_avg(s: SparkSession, d: String): DataFrame = {
-    val avgs = Tables.orders(s, d)
-      .groupBy(col("o_custkey").as("a_custkey"))
-      .agg(avg("o_totalprice").as("avg_price"))
+    val w = Window.partitionBy("o_custkey")
     Tables.orders(s, d)
-      .join(avgs, col("o_custkey") === col("a_custkey"))
+      .withColumn("avg_price", avg("o_totalprice").over(w))
       .filter(col("o_totalprice") > col("avg_price"))
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_above"),
