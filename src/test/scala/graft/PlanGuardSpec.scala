@@ -45,14 +45,15 @@ class PlanGuardSpec extends SparkSpecBase {
   }
 
   test("unpartitioned windows only where semantics are inherently global") {
-    // A Window node prints `Window [exprs], [partitionSpec], [orderSpec]`
-    // when partitioned and `Window [exprs], [orderSpec]` when global —
-    // i.e. 2 vs 1 occurrences of "], [" on the line.
+    // structural, not textual: a WindowExec with an empty partitionSpec
+    // moves ALL rows to one task (the earlier string heuristic
+    // misread order-less partitioned windows — `Window [exprs],
+    // [partitionSpec]` — as global)
+    import org.apache.spark.sql.execution.window.WindowExec
     for ((name, fn) <- SparkEntry.queries) {
-      val plan = fn(spark, sf).queryExecution.sparkPlan.toString
-      val hasGlobal = plan.linesIterator.exists { l =>
-        l.contains("Window [") && "\\], \\[".r.findAllIn(l).size < 2
-      }
+      val hasGlobal = fn(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.nonEmpty
       if (hasGlobal)
         assert(allowedGlobalWindow.contains(name), s"unreviewed global window in $name")
     }
