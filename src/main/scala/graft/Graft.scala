@@ -353,11 +353,17 @@ object Graft {
     * history sorts in one task (the bounded-per-entity assumption;
     * same posture as [[forwardFill]]), keys spread across the
     * cluster. `tieBreak` must make the order total or same-instant
-    * changes get an engine-arbitrary version order. */
+    * changes get an engine-arbitrary version order. The output names
+    * valid_from / valid_to / is_current are reserved (loud failure on
+    * collision, not silent overwrite). */
   def scd2Intervals(changes: DataFrame, keyCols: Seq[Column], time: Column,
                     tieBreak: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val out = Seq("valid_from", "valid_to", "is_current")
+    require(!changes.columns.exists(out.contains),
+      s"output columns ${out.mkString(", ")} are reserved — they would " +
+        "silently overwrite the caller's columns of the same name")
     val w = Window.partitionBy(keyCols: _*)
       .orderBy((time +: tieBreak).map(_.asc): _*)
     changes
@@ -374,13 +380,16 @@ object Graft {
     * — then one broadcast equi-join scores every row locally; no
     * window, no second shuffle of the fact side. Groups with stddev
     * NULL/0 (fewer than 2 rows, or constant) emit no outliers: a
-    * deviation cannot be scored against a degenerate spread. */
+    * deviation cannot be scored against a degenerate spread. The
+    * output name z (and working names __mean / __sd) are reserved —
+    * loud failure on collision, not silent overwrite. */
   def zscoreOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
                      threshold: Double): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(threshold > 0, s"threshold must be positive, got $threshold")
-    require(!df.columns.exists(c => c == "__mean" || c == "__sd"),
-      "column names __mean and __sd are reserved")
+    require(!df.columns.exists(c => c == "__mean" || c == "__sd" || c == "z"),
+      "column names __mean, __sd and the z output column are reserved — " +
+        "a caller column named z would be silently overwritten")
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(avg(value).as("__mean"), stddev_samp(value).as("__sd"))
     df.join(broadcast(stats), groupCols)

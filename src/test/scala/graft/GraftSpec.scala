@@ -1083,9 +1083,16 @@ class GraftSpec extends SparkSpecBase {
         Seq("g"), $"v", threshold = 1.5)
       .collect().map(_.getAs[Long]("id")).toSet
     assert(got == expected && got.nonEmpty)
-    // reserved working names are guarded loudly
+    // reserved working AND output names are guarded loudly
     intercept[IllegalArgumentException] {
       Graft.zscoreOutliers(data.toDF("g", "id", "__mean"), Seq("g"), $"__mean", 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.zscoreOutliers(data.toDF("g", "id", "z"), Seq("g"), $"z", 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.scd2Intervals(data.toDF("g", "id", "valid_from"),
+        Seq($"g"), $"valid_from", Seq($"id"))
     }
   }
 
