@@ -56,7 +56,12 @@ object Graft {
     * removes the sketch's false positives. At 100 TB the win is that
     * the big side's shuffle ships ~selectivity× the bytes — rows that
     * cannot match never reach the exchange; `fpp` trades sketch size
-    * (~1.2 bytes/key at 1%) against extra shuffled false positives. */
+    * (~1.2 bytes/key at 1%) against extra shuffled false positives.
+    * Measured (BloomBench, BASELINE.md "Bloom bench"): 22.8% of the
+    * plain sort-merge semi join's shuffle write at 20% selectivity,
+    * identical row sets. When the planner broadcasts the small side
+    * anyway, the probe's saving shrinks to early row elimination —
+    * the sketch matters in the no-broadcast regime. */
   def bloomSemiJoin(big: DataFrame, bigKey: Column,
                     small: DataFrame, smallKey: Column,
                     fpp: Double = 0.01): DataFrame = {

@@ -138,9 +138,13 @@ object Relational {
     * [[graft.Graft.bloomSemiJoin]] (distributed sketch build, codegen
     * [[graft.functions.BloomMightContain]] probe at the scan, exact
     * semi join behind it — so the result is exactly the plain semi
-    * join's and the oracle verifies the public API). The sketch keeps
-    * the non-matching ~half of lineitem out of the exchange here; at a
-    * more selective build side the saving scales with 1−selectivity. */
+    * join's and the oracle verifies the public API). In THIS plan the
+    * small side broadcasts, so the probe only spares the join rows
+    * that cannot match; the regime the operator exists for is both
+    * sides too big to broadcast — there the probe cuts the big side's
+    * shuffle to ~(selectivity + fpp)× the bytes, measured in
+    * BloomBench / BASELINE.md ("Bloom bench": 22.8% of plain-join
+    * shuffle write, identical row sets). */
   def q_bloom_join(s: SparkSession, d: String): DataFrame =
     graft.Graft.bloomSemiJoin(
         Tables.lineitem(s, d), col("l_suppkey"),
