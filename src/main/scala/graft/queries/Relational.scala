@@ -162,13 +162,16 @@ object Relational {
     * so one celebrity key spreads over `salts` shuffle partitions.
     * Row-level results are identical to the unsalted join (every
     * (key, salt) pair exists on the replicated side), so the oracle is
-    * the plain join. At THIS data the unsalted plan is fine — the
-    * query pins the operator's exactness; CapabilitiesSpec proves it
-    * equal to the plain join on a deliberately skewed corpus. */
+    * the plain join. The MERGE hint pins the SHUFFLE join the salt
+    * exists for — under a broadcast there is no per-key shuffle
+    * bucket to splinter and the salt would be dead weight; with it
+    * the exchange hashes on (key, salt) exactly as on a cluster.
+    * CapabilitiesSpec proves the operator equal to the plain join on
+    * a deliberately skewed corpus. */
   def q_skew_join(s: SparkSession, d: String): DataFrame =
     graft.Graft.saltedJoin(
         Tables.lineitem(s, d),
-        Tables.part(s, d).select("p_partkey", "p_brand"),
+        Tables.part(s, d).select("p_partkey", "p_brand").hint("merge"),
         col("l_partkey"), col("p_partkey"), salts = 8)
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_lines"),

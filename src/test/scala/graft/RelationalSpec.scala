@@ -102,6 +102,16 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("SortMergeJoin"), s"no sort-merge join in:\n$plan")
   }
 
+  test("q_skew_join shuffles on (key, salt) — the exchange the salt exists to splinter") {
+    // Under a broadcast there is no per-key shuffle bucket, so the salt
+    // would be dead weight; the MERGE hint pins the shuffle regime and
+    // this pin keeps a future broadcast-threshold change from silently
+    // turning the declared skew query into a no-op demo.
+    val plan = planString(Relational.q_skew_join(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"salted join is not a shuffle join:\n$plan")
+    assert(plan.contains("__salt_l"), s"exchange does not hash on the salt:\n$plan")
+  }
+
   test("q_filter_range pushes predicates into the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // FileScan.toString truncates PushedFilters — read the scan node's
