@@ -600,6 +600,53 @@ object Graft {
       df.join(broadcast(hot), keyCols, "left_anti")
     }
 
+  /** Edit-distance near-dup pairs over ANY (id, text) DataFrame:
+    * (doc_a, doc_b, edit_dist) for Levenshtein distance ≤ `maxDist`
+    * between the documents' CANONICAL strings — the sorted distinct
+    * tokens joined by one space — doc_a < doc_b, unordered. The canon
+    * makes the distance word-order- and repetition-invariant (a
+    * reordered or partially re-worded doc stays close; raw-text
+    * Levenshtein would see a reordering as a rewrite), which is the
+    * useful fuzzy-dedup semantics for a bag-of-words corpus.
+    *
+    * Candidates are BLOCKED, never all-pairs: two docs are compared
+    * only when they agree on every `partitionBy` column (caller's
+    * dedup domains, e.g. language), their canon's FIRST token, and
+    * their distinct-token COUNT. First-token/size agreement is a
+    * deliberate approximate-blocking trade (a pair whose edit path
+    * crosses a block boundary is unseen — declared semantics, same
+    * stance as LSH banding); within a block the pair set is exact.
+    * Work is ∝ Σ block², and a hot block (one dominant first token at
+    * 100× data) is BLOCK-DECOMPOSED by
+    * [[operators.SkewJoin.blockedSelfPairs]] so per-task input stays
+    * ≈ `maxBucket` rows at any block size. The distance itself runs
+    * through Spark's threshold form `levenshtein(a, b, maxDist)` —
+    * the banded O(maxDist·len) early-exit algorithm, not the full
+    * O(len²) matrix, so a non-match costs little more than a length
+    * check. Canon strings ride the candidate exchange once; ids are
+    * the only other payload. */
+  def fuzzyDupPairs(docs: DataFrame, id: Column, text: Column,
+                    partitionBy: Seq[Column] = Nil,
+                    maxDist: Int = 8,
+                    maxBucket: Int = 1024): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // the fresh projection below carries ONLY these fixed names, so
+    // caller column names cannot collide with the working set
+    val canon = array_join(array_sort(array_distinct(split(text, " "))), " ")
+    val parts = partitionBy.zipWithIndex.map { case (c, i) => c.as(s"fz_p$i") }
+    val base = docs
+      .select(parts :+ id.cast("long").as("doc_id") :+ canon.as("fz_s"): _*)
+      .filter(length(col("fz_s")) > 0)
+      .withColumn("fz_tok0", substring_index(col("fz_s"), " ", 1))
+      .withColumn("fz_n", size(split(col("fz_s"), " ")))
+    val bucketCols = partitionBy.indices.map(i => s"fz_p$i") ++ Seq("fz_tok0", "fz_n")
+    operators.SkewJoin.blockedSelfPairs(base, bucketCols, "doc_id", maxBucket)
+      .withColumn("edit_dist", levenshtein(col("fz_s_a"), col("fz_s_b"), maxDist))
+      .filter(col("edit_dist") >= 0)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+              col("edit_dist"))
+  }
+
   /** MinHash/LSH near-dup pairs over ANY (id, text) DataFrame:
     * (doc_a, doc_b, est_jaccard rounded 3) for estimated Jaccard ≥
     * estPermille/1000 (matching-signature fraction of

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 89 query ids; 82 with DuckDB oracles. The
+  * and §3.1 (entry points). 90 query ids; 83 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -81,6 +81,7 @@ object SparkEntry {
     // §2.12 training-data-pipeline extensions
     "q_dedup_ngram"    -> PipelineOps.q_dedup_ngram _,
     "q_dedup_ngram_capped" -> PipelineOps.q_dedup_ngram_capped _,
+    "q_dedup_fuzzy"    -> PipelineOps.q_dedup_fuzzy _,
     "q_dedup_cluster"  -> PipelineOps.q_dedup_cluster _,
     "q_text_quality"   -> PipelineOps.q_text_quality _,
     "q_lang_id"        -> PipelineOps.q_lang_id _,

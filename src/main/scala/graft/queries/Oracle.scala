@@ -452,6 +452,24 @@ object Oracle {
         |SELECT doc_a, doc_b, jaccard FROM scored
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // canonical-string edit distance, blocked by (lang, first canon
+    // token, distinct-token count) — the same blocking the Spark
+    // facade declares, so parity is exact
+    "q_dedup_fuzzy" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |                  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS s
+        |           FROM documents),
+        |d2 AS (SELECT doc_id, lang, s, split_part(s, ' ', 1) AS tok0,
+        |              len(string_split(s, ' ')) AS n
+        |       FROM d WHERE length(s) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(a.s, b.s) AS edit_dist
+        |FROM d2 a JOIN d2 b
+        |  ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.n = b.n
+        | AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // connected components over the same pair graph (min-label ==
     // component minimum), via DuckDB's recursive CTE
     "q_dedup_cluster" ->

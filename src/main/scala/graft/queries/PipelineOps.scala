@@ -90,6 +90,22 @@ object PipelineOps {
         col("doc_id"), col("text"), maxGramDocFreq = 5)
       .orderBy("doc_a", "doc_b")
 
+  /** Edit-distance near-dup pairs on the CANONICAL string (sorted
+    * distinct tokens — word-order/repetition-invariant), candidates
+    * blocked by (lang, first canon token, distinct-token count):
+    * [[graft.Graft.fuzzyDupPairs]] applied to documents, so the
+    * oracle verifies the public API. Levenshtein runs in Spark's
+    * banded threshold form (early-exit at maxDist=8); cross-block
+    * pairs are unseen by declaration (the LSH-banding stance), and a
+    * hot block is decomposed so no task sees a whole one. edit_dist
+    * cast to long for rule I (DuckDB levenshtein returns BIGINT). */
+  def q_dedup_fuzzy(s: SparkSession, d: String): DataFrame =
+    graft.Graft.fuzzyDupPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"),
+        partitionBy = Seq(col("lang")), maxDist = 8)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist").cast("long").as("edit_dist"))
+      .orderBy("doc_a", "doc_b")
+
   /** Per-document quality scoring: token count, mean token length
     * (exact from n_chars — the corpus is single-space separated),
     * stopword ratio, and a composite score. Ratios are emitted as

@@ -1114,4 +1114,46 @@ class GraftSpec extends SparkSpecBase {
     // empty build side: no sketch to build, result is simply empty
     assert(Graft.bloomSemiJoin(big, $"k", small.filter($"sk" < 0), $"sk").count() == 0)
   }
+
+  test("fuzzyDupPairs equals a brute-force reference on randomized docs (guarded and unguarded)") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    // 60 docs over a tiny vocab in 2 langs: dense same-block structure
+    val docs = (1L to 60L).map { i =>
+      val n = 2 + (math.abs(rng(i)) % 5).toInt
+      val toks = (1 to n).map(j => vocab((math.abs(rng(i * 31 + j)) % vocab.size).toInt))
+      (i, toks.mkString(" "), (i % 2).toString)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)(
+        (i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+                           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val canon = docs.map { case (i, t, l) =>
+      (i, t.split(" ").distinct.sorted.mkString(" "), l) }
+    val expected = (for {
+      (ia, sa, la) <- canon
+      (ib, sb, lb) <- canon
+      if ia < ib && la == lb &&
+        sa.split(" ").head == sb.split(" ").head &&
+        sa.split(" ").length == sb.split(" ").length
+      dist = lev(sa, sb) if dist <= 3
+    } yield (ia, ib, dist)).toSet
+    assert(expected.nonEmpty, "degenerate test corpus: no qualifying pairs")
+    val df = docs.toDF("id", "t", "lang")
+    val got = Graft.fuzzyDupPairs(df, $"id", $"t", Seq($"lang"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    // hot-block decomposition (maxBucket = 2 forces it on every
+    // multi-row block) must not change the pair set
+    val guarded = Graft.fuzzyDupPairs(df, $"id", $"t", Seq($"lang"),
+        maxDist = 3, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(guarded == expected)
+  }
 }
