@@ -403,6 +403,40 @@ object Graft {
       .drop("__mean", "__sd")
   }
 
+  /** Winsorized (robust) mean per group over ANY (groups, value)
+    * DataFrame: values clamped at the group's EXACT interpolated
+    * [pLo, pHi] percentiles before averaging, plus how many rows each
+    * bound clamped. Output: groupCols, wins_mean (unrounded double —
+    * callers round per their precision contract), n_lo, n_hi.
+    *
+    * ONE fact shuffle: the percentile bounds come from an unbounded
+    * window over the SAME hash partitioning the final aggregate
+    * needs, so the planner runs Exchange → Sort → Window →
+    * HashAggregate with no second exchange (plan-pinned in
+    * RelationalSpec). The alternative — a separate percentile
+    * aggregate broadcast-joined back — would scan-shuffle the fact
+    * side twice. Exact percentiles sort each group once inside the
+    * window; for sketch-grade bounds at extreme group sizes swap in
+    * approx_percentile and keep the same shape. */
+  def winsorizedMean(df: DataFrame, groupCols: Seq[String], value: Column,
+                     pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(0 <= pLo && pLo <= pHi && pHi <= 1,
+      s"need 0 <= pLo <= pHi <= 1, got ($pLo, $pHi)")
+    // fresh projection: only groupCols and the fixed working name
+    // survive, so caller columns cannot collide
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCols.map(col) :+ value.cast("double").as("wz_v"): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    base
+      .withColumn("wz_lo", expr(s"percentile(wz_v, $pLo)").over(w))
+      .withColumn("wz_hi", expr(s"percentile(wz_v, $pHi)").over(w))
+      .groupBy(groupCols.map(col): _*)
+      .agg(avg(least(greatest(col("wz_v"), col("wz_lo")), col("wz_hi"))).as("wins_mean"),
+           sum(when(col("wz_v") < col("wz_lo"), 1L).otherwise(0L)).as("n_lo"),
+           sum(when(col("wz_v") > col("wz_hi"), 1L).otherwise(0L)).as("n_hi"))
+  }
+
   /** Interval join of ANY two event tables: every (left, right) pair
     * with |leftTime − rightTime| ≤ radius (long times, e.g. epoch-µs).
     * The inequality join is decomposed into an EQUI-join on
@@ -478,6 +512,37 @@ object Graft {
               round(col("tot_tf").cast("double") * log(col("n_docs") / col("df")), 4).as("score"))
       .select(col("grp"), col("term"), col("score"), row_number().over(w).as("rn"))
       .filter(col("rn") <= k)
+  }
+
+  /** EXACT heavy hitters over ANY item column via the two-pass
+    * sketch-then-recount pattern: every item whose exact count
+    * exceeds n/(k+1) (n = non-null items), with its exact count —
+    * deterministic output, despite a sketch inside.
+    *
+    * Pass 1 runs the [[FreqItems]] Misra–Gries sketch as ONE global
+    * aggregate: O(k) state per partial buffer, a one-row result —
+    * never a data-scale collect. The MG merge bound guarantees every
+    * true heavy hitter survives in the sketch (containment is
+    * deterministic even though the estimates are merge-order-
+    * dependent). Pass 2 recounts ONLY the ≤ k candidates exactly: a
+    * broadcast semi join keeps candidate rows, map-side combine
+    * collapses them to ≤ k rows per partition before the shuffle, and
+    * the integer threshold cnt·(k+1) > n filters to the true heavy
+    * hitters. Two linear scans, O(k) everything else — the shape that
+    * holds at 100 TB, where a single groupBy over a hot vocabulary
+    * would carry the full distinct-item set through the exchange. */
+  def heavyHitters(rows: DataFrame, item: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val items = rows.select(item.cast("string").as("item")).filter(col("item").isNotNull)
+    val sketch = udaf(FreqItems.agg(k))
+    val cand = items.agg(sketch(col("item")).as("sk"))
+      .select(explode(map_keys(col("sk"))).as("item"))
+    val total = items.agg(count(lit(1)).as("n"))
+    items.join(broadcast(cand), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("item"), col("cnt"))
   }
 
   /** MinHash signature of a token column, as an aggregation over the

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 90 query ids; 83 with DuckDB oracles. The
+  * and §3.1 (entry points). 92 query ids; 85 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -45,6 +45,7 @@ object SparkEntry {
     "q_listagg"        -> Relational.q_listagg _,
     "q_percentile"     -> Relational.q_percentile _,
     "q_stats_agg"      -> Relational.q_stats_agg _,
+    "q_winsorize"      -> Relational.q_winsorize _,
     "q_pivot"          -> Relational.q_pivot _,
     "q_histogram"      -> Relational.q_histogram _,
     "q_above_avg"      -> Relational.q_above_avg _,
@@ -82,6 +83,7 @@ object SparkEntry {
     "q_dedup_ngram"    -> PipelineOps.q_dedup_ngram _,
     "q_dedup_ngram_capped" -> PipelineOps.q_dedup_ngram_capped _,
     "q_dedup_fuzzy"    -> PipelineOps.q_dedup_fuzzy _,
+    "q_heavy_hitters"  -> PipelineOps.q_heavy_hitters _,
     "q_dedup_cluster"  -> PipelineOps.q_dedup_cluster _,
     "q_text_quality"   -> PipelineOps.q_text_quality _,
     "q_lang_id"        -> PipelineOps.q_lang_id _,

@@ -195,6 +195,21 @@ object Oracle {
         |       ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // winsorized mean: quantile_cont ≡ Spark percentile (the
+    // q_percentile parity), window bounds shared with the aggregate
+    "q_winsorize" ->
+      """WITH w AS (SELECT o_orderpriority, o_totalprice,
+        |                  quantile_cont(o_totalprice, 0.05)
+        |                    OVER (PARTITION BY o_orderpriority) AS lo,
+        |                  quantile_cont(o_totalprice, 0.95)
+        |                    OVER (PARTITION BY o_orderpriority) AS hi
+        |           FROM orders)
+        |SELECT o_orderpriority,
+        |       ROUND(AVG(LEAST(GREATEST(o_totalprice, lo), hi)), 2) AS wins_mean,
+        |       CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |       CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
@@ -469,6 +484,15 @@ object Oracle {
         | AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.s, b.s) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // exact heavy hitters: the sketch inside the Spark facade only
+    // finds candidates; the declared output is the exact SQL below
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+        |c AS (SELECT item, COUNT(*) AS cnt FROM t GROUP BY item),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+        |SELECT item, cnt FROM c, n WHERE cnt * 31 > n
+        |ORDER BY item""".stripMargin,
 
     // connected components over the same pair graph (min-label ==
     // component minimum), via DuckDB's recursive CTE

@@ -448,4 +448,21 @@ object PipelineOps {
            countDistinct(col("text")).as("n_distinct_docs"))
       .orderBy("source")
   }
+
+  /** EXACT corpus heavy hitters — tokens with count > n/31 (k = 30
+    * Misra–Gries counters) and their exact counts, via
+    * [[graft.Graft.heavyHitters]]' sketch-then-recount two-pass, so
+    * the oracle verifies the public API. The sketch only FINDS
+    * candidates (its containment guarantee is merge-order-proof even
+    * though its estimates are not); the exact recount makes the
+    * declared output deterministic and SQL-expressible. k = 30 is
+    * deliberately BELOW the 31-token corpus vocabulary, so the sketch
+    * genuinely evicts at every sf — the query exercises the bound,
+    * not the trivial k ≥ |vocab| regime. */
+  def q_heavy_hitters(s: SparkSession, d: String): DataFrame =
+    graft.Graft.heavyHitters(
+        Tables.documents(s, d).select(explode(split(col("text"), " ")).as("tok")),
+        col("tok"), k = 30)
+      .select(col("item"), col("cnt"))
+      .orderBy("item")
 }

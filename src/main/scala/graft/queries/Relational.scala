@@ -303,6 +303,21 @@ object Relational {
            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
       .orderBy("l_returnflag")
 
+  /** Winsorized mean: per-priority order totals clamped at the
+    * group's exact interpolated [p05, p95] before averaging, plus the
+    * clamp counts — [[graft.Graft.winsorizedMean]] applied to orders,
+    * so the oracle verifies the public API. ONE fact shuffle (the
+    * percentile window shares the aggregate's partitioning —
+    * plan-pinned below); Spark `percentile` ≡ DuckDB `quantile_cont`
+    * (the q_percentile parity), mean rounded per rule F, counts
+    * BIGINT per rule I. */
+  def q_winsorize(s: SparkSession, d: String): DataFrame =
+    graft.Graft.winsorizedMean(Tables.orders(s, d),
+        Seq("o_orderpriority"), col("o_totalprice"))
+      .select(col("o_orderpriority"), round(col("wins_mean"), 2).as("wins_mean"),
+              col("n_lo"), col("n_hi"))
+      .orderBy("o_orderpriority")
+
   /** PIVOT: order counts per (year × priority), priorities as columns.
     * Explicit value list keeps the output schema static (the only
     * scale-safe pivot — inferring pivot values is a driver-side

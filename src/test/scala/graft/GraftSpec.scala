@@ -1115,6 +1115,79 @@ class GraftSpec extends SparkSpecBase {
     assert(Graft.bloomSemiJoin(big, $"k", small.filter($"sk" < 0), $"sk").count() == 0)
   }
 
+  test("winsorizedMean equals a Scala reference on randomized groups") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val rows = (1L to 400L).map(i => ((i % 7).toString, (math.abs(rng(i)) % 1000).toDouble))
+    // Spark `percentile` / DuckDB `quantile_cont` interpolation
+    def pct(sorted: IndexedSeq[Double], p: Double): Double = {
+      val rank = p * (sorted.length - 1)
+      val lo = rank.toInt; val frac = rank - lo
+      if (lo + 1 < sorted.length) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac
+      else sorted(lo)
+    }
+    val expected = rows.groupBy(_._1).map { case (g, xs) =>
+      val vs = xs.map(_._2).sorted.toIndexedSeq
+      val lo = pct(vs, 0.1); val hi = pct(vs, 0.9)
+      val clamped = vs.map(v => math.min(math.max(v, lo), hi))
+      g -> ((clamped.sum / clamped.length,
+             vs.count(_ < lo).toLong, vs.count(_ > hi).toLong))
+    }
+    val got = Graft.winsorizedMean(rows.toDF("g", "v"), Seq("g"), $"v", 0.1, 0.9)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((g, (m, nlo, nhi)) <- expected) {
+      assert(math.abs(got(g)._1 - m) < 1e-9, s"group $g mean")
+      assert(got(g)._2 == nlo && got(g)._3 == nhi, s"group $g clamp counts")
+    }
+  }
+
+  test("heavyHitters equals the exact threshold query on randomized skewed items") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // Zipf-ish: item j drawn with weight ~ 1/(1+j%17)
+    val items = (1L to 3000L).map { i =>
+      val r = math.abs(rng(i)) % 100
+      val j = if (r < 30) 0 else if (r < 50) 1 else if (r < 62) 2 else (r % 40).toInt
+      s"item$j"
+    }
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size.toLong
+    for (k <- Seq(4, 10, 64)) {
+      val expected = exact.filter { case (_, c) => c * (k + 1) > n }
+      val got = Graft.heavyHitters(items.toDF("x"), $"x", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"k=$k")
+    }
+  }
+
+  test("FreqItems sketch: containment bound holds under adversarial partitioning") {
+    import org.apache.spark.sql.functions.udaf
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val items = (1L to 2000L).map { i =>
+      val r = math.abs(rng(i * 131)) % 100
+      (if (r < 25) "hot0" else if (r < 40) "hot1" else s"cold${r % 37}", i)
+    }
+    val exact = items.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = items.size.toLong
+    val k = 8
+    // many partitionings: the surviving SET of estimates may differ,
+    // but every item above n/(k+1) must be present in each
+    for (parts <- Seq(1, 3, 32)) {
+      val sk = items.toDF("x", "ord").repartition(parts, $"ord")
+        .agg(udaf(FreqItems.agg(k)).apply($"x")).collect()(0).getMap[String, Long](0)
+      for ((item, c) <- exact if c * (k + 1) > n)
+        assert(sk.contains(item), s"parts=$parts lost heavy hitter $item ($c of $n)")
+      for ((item, est) <- sk)
+        assert(est <= exact(item) && est >= exact(item) - n / (k + 1) - 1,
+          s"parts=$parts estimate $est outside MG bound for $item (${exact(item)})")
+    }
+  }
+
   test("fuzzyDupPairs equals a brute-force reference on randomized docs (guarded and unguarded)") {
     def rng(seed: Long): Long = {
       var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x

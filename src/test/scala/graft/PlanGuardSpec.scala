@@ -18,12 +18,14 @@ class PlanGuardSpec extends SparkSpecBase {
   // set, not a corpus)
   // q_gapfill crosses the exploded 1-row min/max spine with the
   // broadcast ≤|types|-row distinct-type table — both metadata-scale;
-  // q_hourly_delta composes the same densify spine before its lag
+  // q_hourly_delta composes the same densify spine before its lag;
+  // q_heavy_hitters crosses the ≤k candidate counts with the
+  // broadcast 1-row total-n aggregate
   private val allowedBnlj = Set(
     "q_sim_search", "q_sim_srp", "q_sim_ivf", "q_ivf_build", "q_tfidf",
     "q_window_ntile", "q_late_data", "q_pack_chunks", "q_unigram_ppl",
     "q_unigram_open", "q_knn_join", "q_pipeline_layout", "q_gapfill",
-    "q_hourly_delta")
+    "q_hourly_delta", "q_heavy_hitters")
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
   // no longer get the exemption)

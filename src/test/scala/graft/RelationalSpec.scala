@@ -112,6 +112,15 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("__salt_l"), s"exchange does not hash on the salt:\n$plan")
   }
 
+  test("q_winsorize shares ONE hash exchange between percentile window and aggregate") {
+    // the facade's point: bounds via a window over the aggregate's own
+    // partitioning — a second fact shuffle (stats-join shape) would
+    // show up as a second hashpartitioning exchange
+    val plan = planString(Relational.q_winsorize(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$plan")
+  }
+
   test("q_filter_range pushes predicates into the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // FileScan.toString truncates PushedFilters — read the scan node's
