@@ -545,6 +545,31 @@ object Graft {
       .select(col("item"), col("cnt"))
   }
 
+  /** Shannon entropy (nats) of an item distribution per group over
+    * ANY (groups, item) DataFrame — the corpus-diversity metric a
+    * data-mixture dashboard tracks (a source whose token entropy
+    * collapses is boilerplate/templated). Output: groupCols, n_items
+    * (non-null items), n_distinct, entropy — UNROUNDED double;
+    * callers round per their precision contract.
+    *
+    * Identity: H = ln(n) − (Σ c·ln c)/n over the per-item counts c,
+    * so the whole query is TWO cascaded hash aggregates, both
+    * partial+final combined — the (group, item) count shuffle is
+    * vocabulary-scale, the group rollup is |groups|-scale, and
+    * nothing ever materializes probabilities row-by-row. */
+  def groupEntropy(df: DataFrame, groupCols: Seq[String], item: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val counts = df.select(groupCols.map(col) :+ item.as("ge_item"): _*)
+      .filter(col("ge_item").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("ge_item"): _*)
+      .agg(count(lit(1)).as("ge_cnt"))
+    counts.groupBy(groupCols.map(col): _*)
+      .agg(sum("ge_cnt").as("n_items"),
+           count(lit(1)).as("n_distinct"),
+           (log(sum("ge_cnt")) -
+             sum(col("ge_cnt") * log(col("ge_cnt"))) / sum("ge_cnt")).as("entropy"))
+  }
+
   /** MinHash signature of a token column, as an aggregation over the
     * rows of one group (`groupBy(docId).agg(minhashSignature(col))`).
     * Partial buffers merge element-wise-min — combiner-safe. */

@@ -219,6 +219,19 @@ object Oracle {
         |       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
 
+    // unpivot: aggregate first, melt the tiny result (the Spark side's
+    // scale order); DuckDB's UNPIVOT names match Spark's
+    // variable/value column names
+    "q_unpivot" ->
+      """WITH agg AS (SELECT l_returnflag,
+        |                    ROUND(SUM(l_quantity), 2) AS quantity,
+        |                    ROUND(SUM(l_extendedprice), 2) AS extendedprice,
+        |                    ROUND(SUM(l_discount), 2) AS discount
+        |             FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, total
+        |FROM agg UNPIVOT (total FOR measure IN (quantity, extendedprice, discount))
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
     "q_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
         |       COUNT(*) AS n_orders,
@@ -385,6 +398,18 @@ object Oracle {
         |                                          ORDER BY score DESC, term) AS INT) AS rn
         |           FROM scored)
         |SELECT lang, term, score, rn FROM ranked WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    // token entropy per source: the ln-identity form H = ln(n) −
+    // (Σ c·ln c)/n over per-token counts — identical arithmetic on
+    // both engines, rounded per rule F
+    "q_entropy" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT source, tok, COUNT(*) AS cnt FROM tok GROUP BY source, tok)
+        |SELECT source,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) AS entropy
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH fps AS (SELECT lang, doc_id,

@@ -337,6 +337,25 @@ object Relational {
               coalesce(col("5-LOW"), lit(0L)).as("n_low"))
       .orderBy("o_year")
 
+  /** UNPIVOT / melt (added round 8): per-returnflag sums of three
+    * lineitem measures, melted wide→long via Spark's native
+    * `Dataset.unpivot` ≡ DuckDB `UNPIVOT` — (flag, measure, total).
+    * Order of operations is the scale decision: aggregate FIRST, melt
+    * the |flags|×3 result — metadata-scale. Melting the fact table
+    * first would triple the rows carried into the shuffle for the
+    * same answer. Measures rounded per rule F before the melt so the
+    * shared `total` column compares exactly. */
+  def q_unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("quantity"),
+           round(sum("l_extendedprice"), 2).as("extendedprice"),
+           round(sum("l_discount"), 2).as("discount"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("quantity"), col("extendedprice"), col("discount")),
+               "measure", "total")
+      .orderBy("l_returnflag", "measure")
+
   /** Fixed-width histogram (added round 8): order totals binned at
     * $25k width — count + min/max per bin. The profiling aggregation
     * behind every numeric-column dashboard; output is O(bins) rows so

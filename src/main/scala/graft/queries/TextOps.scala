@@ -130,6 +130,24 @@ object TextOps {
       .orderBy("probe_id", "rk")
   }
 
+  /** Shannon token entropy per source (added round 8): the
+    * corpus-diversity metric — a source whose entropy collapses
+    * relative to its volume is templated/boilerplate text. This query
+    * IS [[graft.Graft.groupEntropy]] over the exploded token stream,
+    * so the oracle verifies the public API. Two cascaded hash
+    * aggregates (per-(source, token) counts, then the per-source
+    * ln-identity rollup) — no window, no collect; entropy rounded per
+    * rule F (the Σ c·ln c float sum is summation-order-dependent only
+    * below 1e-10 here). */
+  def q_entropy(s: SparkSession, d: String): DataFrame =
+    graft.Graft.groupEntropy(
+        Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok")),
+        Seq("source"), col("tok"))
+      .select(col("source"), col("n_items").as("n_tokens"), col("n_distinct"),
+              round(col("entropy"), 6).as("entropy"))
+      .orderBy("source")
+
   /** Per-class centroid: posexplode to (label, dim, value), average per
     * cell, then fold dims back to the centroid's L2 norm. Two shuffles,
     * both on small keys — shuffle-bounded at any scale. */

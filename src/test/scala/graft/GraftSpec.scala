@@ -1143,6 +1143,30 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("groupEntropy equals a Scala reference and skips nulls") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val rows: Seq[(String, String)] = (1L to 500L).map { i =>
+      val w = if (i % 50 == 0) null else "w" + (math.abs(rng(i)) % 13)
+      ((i % 5).toString, w)
+    }
+    val nonNull = rows.filter(_._2 != null)
+    val expected = nonNull.groupBy(_._1).map { case (g, xs) =>
+      val counts = xs.groupBy(_._2).map(_._2.size.toDouble)
+      val n = xs.size.toDouble
+      g -> ((xs.size.toLong, counts.size.toLong,
+             math.log(n) - counts.map(c => c * math.log(c)).sum / n))
+    }
+    val got = Graft.groupEntropy(rows.toDF("g", "w"), Seq("g"), $"w")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((g, (n, nd, h)) <- expected) {
+      assert(got(g)._1 == n && got(g)._2 == nd, s"group $g counts")
+      assert(math.abs(got(g)._3 - h) < 1e-9, s"group $g entropy")
+    }
+  }
+
   test("heavyHitters equals the exact threshold query on randomized skewed items") {
     def rng(seed: Long): Long = {
       var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
