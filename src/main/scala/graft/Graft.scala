@@ -591,6 +591,106 @@ object Graft {
   def connectedComponents(edges: DataFrame): DataFrame =
     operators.ConnectedComponents.alternatingStar(edges)
 
+  /** Triangle statistics of an undirected edge list (first two
+    * columns = long endpoint ids; self-loops and duplicate/reversed
+    * edges tolerated — canonicalized away first). ONE row out:
+    * (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    * clustering = 3·triangles / wedges (0 when wedge-free) — the
+    * global clustering coefficient, UNROUNDED; callers round per
+    * their precision contract.
+    *
+    * Exact count via the DEGREE-ORDERED edge orientation (the
+    * standard distributed-triangle trick, e.g. Suri & Vassilvitskii,
+    * WWW'11): each edge points away from its lower-(degree, id)
+    * endpoint, wedges are generated only at a triangle's MINIMUM
+    * vertex in that order, so total wedge work is Σ outdeg² = O(m√m)
+    * even on power-law graphs where the naive Σ deg² is quadratic at
+    * the hubs. Wedge generation per source vertex runs through
+    * [[operators.SkewJoin.blockedSelfPairs]], so one residual hot hub
+    * still cannot serialize a task; closure is one equi-join of the
+    * id-normalized wedge pairs against the canonical edge list. The
+    * canonical edge list is localCheckpoint-ed — it feeds degrees,
+    * orientation, and closure; at real cluster scale swap for
+    * reliable `checkpoint` on a DFS (the [[connectedComponents]]
+    * note). */
+  def triangleStats(edges: DataFrame, maxBucket: Int = 4096): DataFrame = {
+    val e = edges
+      .select(col(edges.columns(0)).cast("long").as("a"),
+              col(edges.columns(1)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+                   (col("da") === col("db") && col("a") < col("b")),
+                   struct(col("a").as("u"), col("b").as("w")))
+              .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+    val wedges = operators.SkewJoin.blockedSelfPairs(oriented, Seq("u"), "w", maxBucket)
+      .select(least(col("w_a"), col("w_b")).as("a"),
+              greatest(col("w_a"), col("w_b")).as("b"))
+    val nTri = wedges.join(e, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    deg.agg(count(lit(1)).as("n_nodes"),
+            sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+      .crossJoin(broadcast(nEdges))
+      .crossJoin(broadcast(nTri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+              (lit(3.0) * col("n_triangles") / greatest(col("n_wedges"), lit(1L)))
+                .as("clustering"))
+  }
+
+  /** PageRank over an undirected edge list (first two columns = long
+    * endpoint ids), exactly `iters` damped power iterations from the
+    * uniform start — (node, rank), ranks UNROUNDED doubles summing to
+    * ~1. The graph is symmetrized (each undirected edge contributes
+    * both directions), so every node has outdegree ≥ 1 and no
+    * dangling-mass correction is needed.
+    *
+    * Distributed shape: per-source outdegree is folded into the
+    * adjacency ONCE (localCheckpoint — the loop body re-reads it every
+    * iteration); each iteration is one equi-join of the rank table
+    * onto the adjacency plus one partial+final sum by destination —
+    * the classic join-agg PageRank step, shuffle-bounded by |E| with
+    * map-side combine on the hot destinations. Per-iteration lineage
+    * is truncated with localCheckpoint exactly like
+    * [[connectedComponents]]' rounds (swap for reliable `checkpoint`
+    * on a DFS at cluster scale). The only driver-side values are the
+    * node count (one metadata aggregate) and the fixed iteration
+    * counter — never data. */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1, 100], got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
+    val e = edges
+      .select(col(edges.columns(0)).cast("long").as("a"),
+              col(edges.columns(1)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val adj = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adjW = adj.join(outdeg, "src").localCheckpoint()
+    val n = outdeg.count() // metadata aggregate: the node count
+    require(n > 0, "pageRank needs a non-empty graph")
+    var rank = adjW.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      rank = adjW.join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node")
+        .agg((lit((1 - damping) / n) + lit(damping) * sum(col("c"))).as("rank"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   /** Near-dup cluster labels for ANY (id, text) DataFrame — the
     * composed dedup pipeline as ONE call: n-gram Jaccard pair graph
     * ([[nearDupPairsNgram]], inverted-index bucketed) → connected

@@ -1,9 +1,9 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Events, HashOps, Oracle, PipelineOps, Relational, TextOps}
+import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 94 query ids; 87 with DuckDB oracles. The
+  * and §3.1 (entry points). 96 query ids; 89 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -124,6 +124,9 @@ object SparkEntry {
     "q_scd2"            -> Events.q_scd2 _,
     "q_anomaly"         -> Events.q_anomaly _,
     "q_hourly_delta"    -> Events.q_hourly_delta _,
+    // §2.14 graph analytics
+    "q_triangle_count"  -> GraphOps.q_triangle_count _,
+    "q_pagerank"        -> GraphOps.q_pagerank _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

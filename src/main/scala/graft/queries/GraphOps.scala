@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the part co-purchase graph, SURVEY.md §2.14.
+  *
+  * The graph: parts are nodes; two parts share an undirected edge when
+  * they appear together in at least MIN_COPURCHASE (= 2) distinct
+  * orders — the "significant co-purchase" market-basket graph. The
+  * ≥ 2 threshold is the scale governor: single co-occurrences grow
+  * linearly with the fact table, but REPEATED pairs are
+  * birthday-bounded (measured: 2.3k edges at sf0.001, 3.4k at sf0.01,
+  * 3.6k at sf0.1 — the graph stays metadata-scale while lineitem grows
+  * 100×). Edge generation itself is bounded per order by the order's
+  * item count (≤ 17 on this data; a pathological basket at 100 TB
+  * would get a per-order item cap before the pair explode).
+  */
+object GraphOps {
+
+  private val MIN_COPURCHASE = 2
+
+  /** The canonical (a < b) significant-co-purchase edge list. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val po = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    po.select(col("ok"), col("pk").as("a"))
+      .join(po.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= MIN_COPURCHASE)
+      .select("a", "b")
+  }
+
+  /** Exact triangle census of the co-purchase graph (added round 8):
+    * ONE row — nodes, edges, wedges, triangles, global clustering
+    * coefficient. This query IS [[graft.Graft.triangleStats]] applied
+    * to the co-purchase edges, so the oracle verifies the public API:
+    * degree-ordered orientation bounds wedge work at O(m√m) with the
+    * hot-hub blockedSelfPairs guard, closure is one equi-join against
+    * the canonical edge list. Clustering rounded per rule F (one
+    * integer division — deterministic, rounding is just the
+    * convention). */
+  def q_triangle_count(s: SparkSession, d: String): DataFrame =
+    graft.Graft.triangleStats(coPurchaseEdges(s, d))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+              round(col("clustering"), 6).as("clustering"))
+      .orderBy("n_nodes")
+
+  /** PageRank over the co-purchase graph (added round 8): 10 damped
+    * power iterations from the uniform start, per-part rank — the
+    * iterative join-agg workload class (the "is your engine just a
+    * one-pass SQL runner?" test). This query IS
+    * [[graft.Graft.pageRank]] applied to the co-purchase edges, so
+    * the oracle verifies the public API against DuckDB's 10 unrolled
+    * CTE iterations. Ranks rounded at 7dp: each iteration's
+    * float-sum order differs across engines only below ~1e-13, and
+    * rank gaps at this graph size sit at ~1e-4 — measured safe by the
+    * sf0.01/sf0.1 hash gate. The SQL twin writes `(1 - 0.85)` rather
+    * than `0.15` so both engines feed bit-identical teleport
+    * constants into the iteration. */
+  def q_pagerank(s: SparkSession, d: String): DataFrame =
+    graft.Graft.pageRank(coPurchaseEdges(s, d), iters = 10, damping = 0.85)
+      .select(col("node").as("part"), round(col("rank"), 7).as("rank"))
+      .orderBy("part")
+}

@@ -51,6 +51,39 @@ object Oracle {
       |                       JOIN sizes sb ON doc_b = sb.doc_id
       |           WHERE common * 9 >= 4 * (sa.n_grams + sb.n_grams))""".stripMargin
 
+  /** Shared CTE prefix of the graph queries: the significant
+    * co-purchase edge list (canonical a < b, co-occurrence count ≥ 2 —
+    * the GraphOps.coPurchaseEdges twin). */
+  private val coPurchaseCtes =
+    """po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT a.pk AS a, b.pk AS b FROM po a JOIN po b
+      |      ON a.ok = b.ok AND a.pk < b.pk
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  /** q_pagerank's oracle: DuckDB cannot aggregate over a recursive
+    * reference, so the 10 damped power iterations are UNROLLED as 10
+    * chained CTEs — each the exact twin of one Spark join-agg step.
+    * `(1 - 0.85)` is written as the expression (not 0.15) so both
+    * engines feed the identical IEEE teleport constant. */
+  private val pagerankSql: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (SELECT adj.dst AS node,
+         |            (1 - 0.85) / (SELECT n FROM nn) +
+         |            0.85 * SUM(r${i - 1}.rank / adj.outdeg) AS rank
+         |        FROM adj JOIN r${i - 1} ON r${i - 1}.node = adj.src
+         |        GROUP BY adj.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coPurchaseCtes,
+       |adj0 AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |od AS (SELECT src, COUNT(*) AS outdeg FROM adj0 GROUP BY src),
+       |adj AS (SELECT adj0.src, adj0.dst, od.outdeg FROM adj0
+       |        JOIN od ON od.src = adj0.src),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM od),
+       |r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM od),
+       |$iters
+       |SELECT node AS part, ROUND(rank, 7) AS rank FROM r10 ORDER BY part""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "q_scan_project" ->
@@ -959,6 +992,26 @@ object Oracle {
         |                                          ORDER BY score DESC, vec_id) AS INT) AS rk
         |           FROM sc)
         |SELECT probe_id, vec_id, ROUND(score, 3) AS score, rk FROM ranked
-        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    // triangle census: id-ordered 3-way self-join (x<y<z — each
+    // triangle once); wedges from the degree table; clustering =
+    // 3T/wedges, one integer division, rounded by convention
+    "q_triangle_count" ->
+      s"""WITH $coPurchaseCtes,
+         |deg AS (SELECT v, COUNT(*) AS d
+         |        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+         |tri AS (SELECT COUNT(*) AS t FROM e e1
+         |        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |               CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+         |SELECT agg.n_nodes, ne.n_edges, agg.n_wedges,
+         |       CAST(tri.t AS BIGINT) AS n_triangles,
+         |       ROUND(3.0 * tri.t / GREATEST(agg.n_wedges, 1), 6) AS clustering
+         |FROM agg, ne, tri ORDER BY n_nodes""".stripMargin,
+
+    "q_pagerank" -> pagerankSql
   )
 }

@@ -1143,6 +1143,56 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("triangleStats equals a brute-force reference (hot-hub guard on and off)") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // random graph on 40 nodes plus a hot hub (node 0 adjacent to all)
+    val raw = (1L to 300L).map { i =>
+      (math.abs(rng(i)) % 40, math.abs(rng(i * 7 + 1)) % 40)
+    } ++ (1L to 39L).map(v => (0L, v))
+    val canon = raw.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val eset = canon.toSet
+    val ns = canon.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var tri = 0L
+    for (i <- ns.indices; j <- i + 1 until ns.length; k <- j + 1 until ns.length)
+      if (eset((ns(i), ns(j))) && eset((ns(i), ns(k))) && eset((ns(j), ns(k)))) tri += 1
+    val wedges = canon.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (_, xs) => val d = xs.size.toLong; d * (d - 1) / 2 }.sum
+    for (maxBucket <- Seq(2, 4096)) { // forced block decomposition / effectively off
+      val r = Graft.triangleStats(raw.toDF("a", "b"), maxBucket).collect()(0)
+      assert(r.getLong(0) == ns.size && r.getLong(1) == canon.size, s"nodes/edges @$maxBucket")
+      assert(r.getLong(2) == wedges, s"wedges @$maxBucket")
+      assert(r.getLong(3) == tri, s"triangles @$maxBucket")
+      assert(math.abs(r.getDouble(4) - 3.0 * tri / math.max(wedges, 1L)) < 1e-12)
+    }
+  }
+
+  test("pageRank equals a Scala power-iteration reference and conserves mass") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val canon = (1L to 120L).map { i =>
+      (math.abs(rng(i * 3)) % 30, math.abs(rng(i * 11 + 5)) % 30)
+    }.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val nbrs = (canon ++ canon.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = nbrs.keys.toSeq.sorted
+    val n = nodes.size
+    var ref = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10)
+      ref = nodes.map { v =>
+        v -> ((1 - 0.85) / n +
+          0.85 * nbrs(v).map(u => ref(u) / nbrs(u).size).sum)
+      }.toMap
+    val got = Graft.pageRank(canon.toDF("a", "b"), iters = 10, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == ref.keySet)
+    for ((v, r) <- ref) assert(math.abs(got(v) - r) < 1e-9, s"node $v")
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, "mass conservation")
+  }
+
   test("groupEntropy equals a Scala reference and skips nulls") {
     def rng(seed: Long): Long = {
       var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x

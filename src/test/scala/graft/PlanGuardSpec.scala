@@ -25,7 +25,9 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_sim_search", "q_sim_srp", "q_sim_ivf", "q_ivf_build", "q_tfidf",
     "q_window_ntile", "q_late_data", "q_pack_chunks", "q_unigram_ppl",
     "q_unigram_open", "q_knn_join", "q_pipeline_layout", "q_gapfill",
-    "q_hourly_delta", "q_heavy_hitters")
+    "q_hourly_delta", "q_heavy_hitters",
+    // q_triangle_count crosses three 1-row stat aggregates
+    "q_triangle_count")
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
   // no longer get the exemption)
