@@ -570,6 +570,71 @@ object Graft {
              sum(col("ge_cnt") * log(col("ge_cnt"))) / sum("ge_cnt")).as("entropy"))
   }
 
+  /** EXACT dense global rank 1..n of ANY (key, tie) pair under
+    * (key DESC, tie ASC) total order — WITHOUT a single-partition
+    * window. Output: (key double, tie, rank long); `tie` must be
+    * unique per key for the order (hence the rank) to be total.
+    *
+    * The distributed two-pass scheme (the q_window_ntile /
+    * q_late_data pattern, here as a public facade): approx-quantile
+    * boundaries split the key range into `buckets` range buckets —
+    * any monotone split is exact because equal keys share a bucket —
+    * pass 1 computes per-bucket counts and an array-HOF exclusive
+    * prefix sum over the ≤`buckets`-row table, pass 2 ranks within
+    * each bucket under a PARTITIONED window and adds the bucket's
+    * offset. At 100 TB only `buckets` grows; no WindowExec ever sees
+    * more than one bucket. */
+  def globalRankDesc(df: DataFrame, key: Column, tie: Column,
+                     buckets: Int = 32): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val base = df.select(key.cast("double").as("key"), tie.as("tie"))
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = base.agg(
+      percentile_approx(col("key"), typedlit(qs), lit(1000)).as("bounds"))
+    // bucket 0 = highest keys … buckets-1 = lowest
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .select(col("key"), col("tie"),
+              (lit(buckets - 1) -
+               size(filter(col("bounds"), b => col("key") > b))).as("bucket"))
+    val offsets = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("cnt")))).as("arr"))
+      .select(explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("bucket").as("bucket"),
+               aggregate(slice(col("arr"), lit(1), i), lit(0L),
+                         (a, y) => a + y.getField("cnt")).as("off")))).as("s"))
+      .select(col("s.bucket").as("bucket"), col("s.off").as("off"))
+    val wLocal = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+      .orderBy(col("key").desc, col("tie").asc)
+    bucketed.join(broadcast(offsets), "bucket")
+      .select(col("key"), col("tie"),
+              (col("off") + row_number().over(wLocal)).as("rank"))
+  }
+
+  /** Zipf's-law fit of an item frequency distribution: ONE row —
+    * (n_types, n_tokens, slope, r2) where slope/r2 come from the
+    * least-squares regression of ln(count) on ln(rank) over the
+    * frequency-ranked item table (a healthy natural-language corpus
+    * fits slope ≈ −1 with high r²; templated/synthetic text does
+    * not — the corpus-health dashboard metric). Doubles UNROUNDED;
+    * callers round per their precision contract.
+    *
+    * Ranks are [[globalRankDesc]] (two-pass, no single-partition
+    * window — the item table is vocabulary-scale, which at 100 TB is
+    * NOT driver-scale), the fit is one `regr_slope`/`regr_r2`
+    * aggregate over it — both engines compute the same
+    * covar_pop/var_pop closed form. */
+  def zipfFit(rows: DataFrame, item: Column): DataFrame = {
+    val counts = rows.select(item.cast("string").as("zf_item"))
+      .filter(col("zf_item").isNotNull)
+      .groupBy("zf_item").agg(count(lit(1)).as("zf_cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_types"),
+                            sum("zf_cnt").as("n_tokens"))
+    val fit = globalRankDesc(counts, col("zf_cnt"), col("zf_item"))
+      .agg(regr_slope(log(col("key")), log(col("rank"))).as("slope"),
+           regr_r2(log(col("key")), log(col("rank"))).as("r2"))
+    totals.crossJoin(broadcast(fit))
+  }
+
   /** MinHash signature of a token column, as an aggregation over the
     * rows of one group (`groupBy(docId).agg(minhashSignature(col))`).
     * Partial buffers merge element-wise-min — combiner-safe. */

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 96 query ids; 89 with DuckDB oracles. The
+  * and §3.1 (entry points). 97 query ids; 90 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -76,6 +76,7 @@ object SparkEntry {
     "q_text_stats"     -> TextOps.q_text_stats _,
     "q_tfidf"          -> TextOps.q_tfidf _,
     "q_entropy"        -> TextOps.q_entropy _,
+    "q_zipf_slope"     -> TextOps.q_zipf_slope _,
     "q_dedup_exact"    -> TextOps.q_dedup_exact _,
     "q_dedup_minhash"  -> TextOps.q_dedup_minhash _,
     "q_sim_search"     -> TextOps.q_sim_search _,

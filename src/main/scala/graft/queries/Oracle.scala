@@ -543,6 +543,19 @@ object Oracle {
         |WHERE levenshtein(a.s, b.s) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Zipf fit: ROW_NUMBER over (cnt DESC, tok) ≡ the Spark side's
+    // two-pass distributed rank; regr_slope/regr_r2 share the
+    // covar_pop/var_pop closed form across engines
+    "q_zipf_slope" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+        |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank FROM c)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_types,
+        |       (SELECT CAST(SUM(cnt) AS BIGINT) FROM c) AS n_tokens,
+        |       ROUND(regr_slope(LN(CAST(cnt AS DOUBLE)), LN(CAST(rank AS DOUBLE))), 4) AS slope,
+        |       ROUND(regr_r2(LN(CAST(cnt AS DOUBLE)), LN(CAST(rank AS DOUBLE))), 4) AS r2
+        |FROM r ORDER BY n_types""".stripMargin,
+
     // exact heavy hitters: the sketch inside the Spark facade only
     // finds candidates; the declared output is the exact SQL below
     "q_heavy_hitters" ->

@@ -148,6 +148,25 @@ object TextOps {
               round(col("entropy"), 6).as("entropy"))
       .orderBy("source")
 
+  /** Zipf's-law fit of the token frequency distribution (added
+    * round 8): one row — type/token counts plus the slope and r² of
+    * ln(count) vs ln(rank) — the corpus-health metric (natural text
+    * fits slope ≈ −1; templated text does not). This query IS
+    * [[graft.Graft.zipfFit]] over the token stream, so the oracle
+    * verifies the public API: ranks via the two-pass distributed
+    * [[graft.Graft.globalRankDesc]] (the vocabulary is NOT
+    * driver-scale at 100 TB — no single-partition window), fit via
+    * one regr_slope/regr_r2 aggregate (both engines' covar/var
+    * closed form), rounded per rule F. */
+  def q_zipf_slope(s: SparkSession, d: String): DataFrame =
+    graft.Graft.zipfFit(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok")),
+        col("tok"))
+      .select(col("n_types"), col("n_tokens"),
+              round(col("slope"), 4).as("slope"), round(col("r2"), 4).as("r2"))
+      .orderBy("n_types")
+
   /** Per-class centroid: posexplode to (label, dim, value), average per
     * cell, then fold dims back to the centroid's L2 norm. Two shuffles,
     * both on small keys — shuffle-bounded at any scale. */

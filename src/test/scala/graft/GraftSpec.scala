@@ -1193,6 +1193,47 @@ class GraftSpec extends SparkSpecBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-6, "mass conservation")
   }
 
+  test("globalRankDesc equals the sorted reference under duplicate keys") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // many duplicate keys: ranks must still be total via the tiebreak
+    val rows = (1L to 300L).map(i => (s"t$i", (math.abs(rng(i)) % 20).toDouble))
+    val expected = rows.sortBy { case (t, k) => (-k, t) }
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    for (buckets <- Seq(2, 8, 32)) {
+      val got = Graft.globalRankDesc(rows.toDF("t", "k"), $"k", $"t", buckets)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(got == expected, s"buckets=$buckets")
+    }
+  }
+
+  test("zipfFit equals the closed-form least-squares reference") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // Zipf-ish draw over 40 types
+    val items = (1L to 5000L).map { i =>
+      val r = (math.abs(rng(i)) % 1000) + 1
+      "w" + (1000.0 / r).toInt.min(40)
+    }
+    val counts = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((_, c), i) => (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = ranked.size
+    val mx = ranked.map(_._1).sum / n
+    val my = ranked.map(_._2).sum / n
+    val cov = ranked.map { case (x, y) => (x - mx) * (y - my) }.sum / n
+    val vx = ranked.map { case (x, _) => (x - mx) * (x - mx) }.sum / n
+    val vy = ranked.map { case (_, y) => (y - my) * (y - my) }.sum / n
+    val slope = cov / vx
+    val r2 = cov * cov / (vx * vy)
+    val row = Graft.zipfFit(items.toDF("x"), $"x").collect()(0)
+    assert(row.getLong(0) == counts.size && row.getLong(1) == items.size)
+    assert(math.abs(row.getDouble(2) - slope) < 1e-9, s"slope ${row.getDouble(2)} vs $slope")
+    assert(math.abs(row.getDouble(3) - r2) < 1e-9, s"r2 ${row.getDouble(3)} vs $r2")
+  }
+
   test("groupEntropy equals a Scala reference and skips nulls") {
     def rng(seed: Long): Long = {
       var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x

@@ -26,8 +26,10 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_window_ntile", "q_late_data", "q_pack_chunks", "q_unigram_ppl",
     "q_unigram_open", "q_knn_join", "q_pipeline_layout", "q_gapfill",
     "q_hourly_delta", "q_heavy_hitters",
-    // q_triangle_count crosses three 1-row stat aggregates
-    "q_triangle_count")
+    // q_triangle_count crosses three 1-row stat aggregates;
+    // q_zipf_slope crosses the 1-row totals with the 1-row fit (and
+    // the rank pass broadcasts 1-row quantile bounds)
+    "q_triangle_count", "q_zipf_slope")
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
   // no longer get the exemption)
