@@ -741,17 +741,24 @@ object Graft {
     val adj = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
     val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // ONE edge build: materialize the weighted adjacency first, then
+    // take the node count as a metadata aggregate over the cached RDD
     val adjW = adj.join(outdeg, "src").localCheckpoint()
-    val n = outdeg.count() // metadata aggregate: the node count
+    val n = adjW.agg(countDistinct("src")).head.getLong(0)
     require(n > 0, "pageRank needs a non-empty graph")
     var rank = adjW.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       rank = adjW.join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node")
         .agg((lit((1 - damping) / n) + lit(damping) * sum(col("c"))).as("rank"))
-        .localCheckpoint()
+      // truncate lineage every 8 iterations, not every one: the rank
+      // table is a pure chain, so a handful of iterations fold into a
+      // single lazy job (the planner broadcasts the small rank side);
+      // unconditional per-iteration checkpoints turned 10 iterations
+      // into 10 scheduled jobs and dominated wall-clock at small |V|
+      if (i % 8 == 0 && i < iters) rank = rank.localCheckpoint()
     }
     rank
   }

@@ -21,18 +21,23 @@ object GraphOps {
 
   private val MIN_COPURCHASE = 2
 
-  /** The canonical (a < b) significant-co-purchase edge list. */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val po = Tables.lineitem(s, d)
+  /** The canonical (a < b) significant-co-purchase edge list.
+    * TWO shuffles, not three: per-order part SETS via one
+    * map-side-combined collect_set (bounded by the order's item
+    * count), pairs exploded map-side from each set, then the pair
+    * count aggregate. The distinct + self-join form spends a third
+    * exchange carrying the 4× pair fan-out through a join — measured
+    * 2× slower at sf0.1 for the same 3,573 edges. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    po.select(col("ok"), col("pk").as("a"))
-      .join(po.select(col("ok"), col("pk").as("b")), "ok")
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= MIN_COPURCHASE)
       .select("a", "b")
-  }
 
   /** Exact triangle census of the co-purchase graph (added round 8):
     * ONE row — nodes, edges, wedges, triangles, global clustering
@@ -60,7 +65,14 @@ object GraphOps {
     * rank gaps at this graph size sit at ~1e-4 — measured safe by the
     * sf0.01/sf0.1 hash gate. The SQL twin writes `(1 - 0.85)` rather
     * than `0.15` so both engines feed bit-identical teleport
-    * constants into the iteration. */
+    * constants into the iteration.
+    *
+    * Local bench cost is STAGE-LATENCY-bound, not data-bound: 10
+    * iterations = 10 join+agg shuffle stages over a ~6k-node graph,
+    * each stage paying fixed scheduling latency (the q_bigram_ppl
+    * class of documented floors). At cluster scale the identical plan
+    * amortizes those stages over real data; the per-iteration work
+    * itself is one |E|-bounded equi-join + map-side-combined sum. */
   def q_pagerank(s: SparkSession, d: String): DataFrame =
     graft.Graft.pageRank(coPurchaseEdges(s, d), iters = 10, damping = 0.85)
       .select(col("node").as("part"), round(col("rank"), 7).as("rank"))
