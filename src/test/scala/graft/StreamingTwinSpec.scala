@@ -141,6 +141,39 @@ class StreamingTwinSpec extends SparkSpecBase {
     assert(diff(stream, batch) == 0)
   }
 
+  test("FreqItems sketch merges across micro-batches with the containment bound intact") {
+    import org.apache.spark.sql.functions._
+    // two micro-batches force the state store to merge MG partial
+    // buffers; estimates are merge-order-dependent by design, so the
+    // assertion is the deterministic part: containment of every true
+    // heavy hitter plus the n/(k+1) underestimate bound
+    val dir = java.nio.file.Files.createTempDirectory("graft_freq_stream")
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    toks.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    toks.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    val k = 8
+    val sk = udaf(FreqItems.agg(k))
+    val src = spark.readStream.schema(toks.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = src.agg(sk(col("tok")).as("sk"))
+      .writeStream.format("memory").queryName("t_freq")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.recentProgress.length >= 2, "expected >= 2 micro-batches")
+    val got = spark.table("t_freq").collect()(0).getMap[String, Long](0)
+    val exact = toks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    for ((t, c) <- exact if c * (k + 1) > n)
+      assert(got.contains(t), s"lost heavy hitter $t ($c of $n)")
+    for ((t, est) <- got)
+      assert(est <= exact(t) && est >= exact(t) - n / (k + 1) - 1,
+        s"estimate $est outside MG bound for $t (${exact(t)})")
+  }
+
   test("streaming as-of twin matches batch q_asof_join exactly") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
