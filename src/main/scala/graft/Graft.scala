@@ -610,6 +610,32 @@ object Graft {
               (col("off") + row_number().over(wLocal)).as("rank"))
   }
 
+  /** Deterministic Poisson/PPS sample (probability proportional to
+    * size — classic survey sampling, Hájek/Horvitz–Thompson): keeps
+    * each row independently with probability
+    * p = min(weight · scaleNum, P) / P where P = 1e9+7, driven by the
+    * same pure-integer [[epochShuffleKey]] uniform as the rate
+    * sampler — NO floating point in the inclusion decision, so the
+    * sample is bit-reproducible on any engine and any partitioning.
+    * Longer/heavier rows are proportionally likelier to survive — the
+    * weighting a byte-budgeted corpus cut wants.
+    *
+    * Output: the caller's columns + `inv_p` (1/p, the row's
+    * Horvitz–Thompson weight — summing it over any sampled subgroup
+    * estimates that subgroup's TOTAL row count in expectation).
+    * Row-local filter, single scan, no shuffle: embarrassingly
+    * parallel at any scale. */
+  def ppsSample(df: DataFrame, id: Column, weight: Column,
+                scaleNum: Long, seed: Long = 0): DataFrame = {
+    require(scaleNum >= 1, s"scaleNum must be >= 1, got $scaleNum")
+    require(!df.columns.contains("inv_p"),
+      "column name inv_p is reserved by ppsSample")
+    val P = 1000000007L
+    val cap = least(weight.cast("long") * scaleNum, lit(P))
+    df.filter(epochShuffleKey(id, seed) < cap)
+      .withColumn("inv_p", lit(P.toDouble) / cap)
+  }
+
   /** Zipf's-law fit of an item frequency distribution: ONE row —
     * (n_types, n_tokens, slope, r2) where slope/r2 come from the
     * least-squares regression of ln(count) on ln(rank) over the

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 97 query ids; 90 with DuckDB oracles. The
+  * and §3.1 (entry points). 98 query ids; 91 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -103,6 +103,7 @@ object SparkEntry {
     "q_asof_native"    -> Events.q_asof_native _,
     "q_range_join"     -> Events.q_range_join _,
     "q_sample_det"     -> PipelineOps.q_sample_det _,
+    "q_pps_sample"     -> PipelineOps.q_pps_sample _,
     "q_stratified_sample" -> PipelineOps.q_stratified_sample _,
     "q_shuffle_det"    -> PipelineOps.q_shuffle_det _,
     "q_pack_chunks"    -> PipelineOps.q_pack_chunks _,

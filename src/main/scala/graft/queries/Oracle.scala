@@ -711,6 +711,20 @@ object Oracle {
         |FROM documents WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // PPS sample: integer inclusion decision (the epochShuffleKey
+    // uniform vs the weight-scaled threshold); the HT weight is the
+    // only float — one identical division per row, rounded per rule F
+    "q_pps_sample" ->
+      """WITH s AS (SELECT lang, doc_id,
+        |             1000000007.0 / LEAST(n_chars * 1000000, 1000000007) AS inv_p
+        |           FROM documents
+        |           WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007
+        |                 < LEAST(n_chars * 1000000, 1000000007))
+        |SELECT lang, COUNT(*) AS n_sampled,
+        |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |       ROUND(SUM(inv_p), 2) AS est_total_docs
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_asof_join" -> asofSql,
 
     // RANGE frame ordered by us alone — "any click at us' <= us",

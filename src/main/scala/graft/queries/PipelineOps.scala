@@ -192,6 +192,26 @@ object PipelineOps {
            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("lang")
 
+  /** Deterministic PPS sample (added round 8): documents kept with
+    * probability ∝ n_chars (scale 1e6/1e9+7 ≈ n_chars/1000 — ~30%
+    * average, no document reaches the cap on this corpus), per lang:
+    * sample count, id range, and the Horvitz–Thompson estimate of
+    * the lang's TOTAL doc count (Σ 1/p over the sample — the
+    * unbiasedness check a weighted sample ships with). This query IS
+    * [[graft.Graft.ppsSample]], so the oracle verifies the public
+    * API: the inclusion decision is pure integer arithmetic
+    * (bit-reproducible on both engines); only the HT weight is a
+    * float, one identical division per row, summed then rounded per
+    * rule F. */
+  def q_pps_sample(s: SparkSession, d: String): DataFrame =
+    graft.Graft.ppsSample(Tables.documents(s, d), col("doc_id"),
+        col("n_chars"), scaleNum = 1000000L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+           min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+           round(sum("inv_p"), 2).as("est_total_docs"))
+      .orderBy("lang")
+
   /** Repetition-ratio quality signals (the Gopher-style "fraction of
     * duplicate n-grams" family): per document, the permille of
     * duplicate tokens, duplicate word-2-grams and duplicate

@@ -1193,6 +1193,27 @@ class GraftSpec extends SparkSpecBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-6, "mass conservation")
   }
 
+  test("ppsSample equals the integer reference and its HT weights are exact") {
+    val P = 1000000007L
+    val scaleNum = 50000L
+    val rows = (1L to 2000L).map(i => (i, 100 + (i * 37) % 400)) // weights 100..499
+    def u(id: Long): Long = ((id % P) * 2654435761L) % P
+    val expected = rows.filter { case (id, w) => u(id) < math.min(w * scaleNum, P) }
+    val got = Graft.ppsSample(rows.toDF("id", "w"), $"id", $"w", scaleNum)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(g => (g._1, g._2)).sorted.toSeq == expected.sorted)
+    for ((id, w, invP) <- got)
+      assert(invP == P.toDouble / math.min(w * scaleNum, P), s"inv_p for id $id")
+    // the sample is weight-biased: heavier rows survive at a higher rate
+    val lightRate = got.count(_._2 < 300).toDouble / rows.count(_._2 < 300)
+    val heavyRate = got.count(_._2 >= 300).toDouble / rows.count(_._2 >= 300)
+    assert(heavyRate > lightRate, s"PPS bias: heavy $heavyRate vs light $lightRate")
+    // reserved output name fails loudly
+    intercept[IllegalArgumentException] {
+      Graft.ppsSample(rows.toDF("id", "inv_p"), $"id", $"inv_p", scaleNum)
+    }
+  }
+
   test("globalRankDesc equals the sorted reference under duplicate keys") {
     def rng(seed: Long): Long = {
       var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
