@@ -872,6 +872,63 @@ object Graft {
               round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
   }
 
+  /** BIPARTITE n-gram Jaccard near-dup pairs: every (corpus doc, new
+    * doc) pair with exact Jaccard ≥ threshold — the INCREMENTAL
+    * ingestion face of [[nearDupPairsNgram]]. At 100 TB you do not
+    * re-run the O(corpus²) self-join when a batch arrives; you probe
+    * the new batch against the standing inverted gram index, which is
+    * work ∝ Σ_gram (corpus-bucket × new-bucket) — linear in the new
+    * batch for a fixed index. Output: (doc_a = corpus id,
+    * doc_b = new id, jaccard rounded 3).
+    *
+    * Same exactness machinery as the self-join form: distinct-gram
+    * inverted index, two-sided integer size prune (implied by the
+    * final threshold — drops candidates early, changes nothing),
+    * exact Jaccard from the common-gram count. The candidate join is
+    * [[operators.SkewJoin.blockedBipartiteJoin]] — a hot gram's
+    * corpus bucket is block-decomposed and the new-batch rows
+    * replicated across blocks, so per-task input stays bounded.
+    * `maxGramDocFreq` (default off) is the lossy stop-gram cap; the
+    * CORPUS side defines the hot-gram list (the index is built once)
+    * and both sides drop the same grams, keeping Jaccard symmetric. */
+  def nearDupPairsNgramAgainst(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                               newDocs: DataFrame, newId: Column, newText: Column,
+                               thresholdPermille: Int = 800, n: Int = 3,
+                               maxBucket: Int = 1024,
+                               maxGramDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(thresholdPermille > 0 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxGramDocFreq >= 1, s"maxGramDocFreq must be >= 1, got $maxGramDocFreq")
+    val p = thresholdPermille
+    def gramsOf(df: DataFrame, id: Column, text: Column, idName: String): DataFrame = {
+      val t = split(text, " ")
+      df.select(id.cast("long").as(idName), t.as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col(idName),
+                explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
+    }
+    val cg0 = gramsOf(corpus, corpusId, corpusText, "doc_a")
+    val ng0 = gramsOf(newDocs, newId, newText, "doc_b")
+    val (cg, ng) =
+      if (maxGramDocFreq == Int.MaxValue) (cg0, ng0)
+      else {
+        val hot = cg0.groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxGramDocFreq).select("gram")
+        (cg0.join(broadcast(hot), Seq("gram"), "left_anti"),
+         ng0.join(broadcast(hot), Seq("gram"), "left_anti"))
+      }
+    val cSized = cg.join(broadcast(cg.groupBy("doc_a").agg(count(lit(1)).as("na"))), "doc_a")
+    val nSized = ng.join(broadcast(ng.groupBy("doc_b").agg(count(lit(1)).as("nb"))), "doc_b")
+    operators.SkewJoin.blockedBipartiteJoin(cSized, "doc_a", nSized, Seq("gram"), maxBucket)
+      .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") * (1000 + p) >= (col("na") + col("nb")) * p)
+      .select(col("doc_a"), col("doc_b"),
+              round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
+  }
+
   /** Drops every `keyCols` bucket holding more than `cap` rows — the
     * shared LOSSY hot-bucket remedy of the near-dup candidate joins
     * (stop-gram cap for the inverted index, dense-band cap for the

@@ -556,6 +556,28 @@ object Oracle {
         |       ROUND(regr_r2(LN(CAST(cnt AS DOUBLE)), LN(CAST(rank AS DOUBLE))), 4) AS r2
         |FROM r ORDER BY n_types""".stripMargin,
 
+    // incremental dedup: the bipartite (even-corpus × odd-batch)
+    // restriction of the ngram pair query — same gram universe, same
+    // size prefilter (common*9 >= 4*(sa+sb) ⟺ jaccard >= 0.8)
+    "q_dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |          FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |           FROM grams a JOIN grams b ON a.gram = b.gram
+        |           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |           GROUP BY 1, 2),
+        |scored AS (SELECT doc_a, doc_b,
+        |                  ROUND(common * 1.0 / (sa.n_grams + sb.n_grams - common), 3) AS jaccard
+        |           FROM common JOIN sizes sa ON doc_a = sa.doc_id
+        |                       JOIN sizes sb ON doc_b = sb.doc_id
+        |           WHERE common * 9 >= 4 * (sa.n_grams + sb.n_grams))
+        |SELECT doc_a, doc_b, jaccard FROM scored ORDER BY doc_a, doc_b""".stripMargin,
+
     // exact heavy hitters: the sketch inside the Spark facade only
     // finds candidates; the declared output is the exact SQL below
     "q_heavy_hitters" ->

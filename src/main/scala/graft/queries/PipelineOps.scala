@@ -192,6 +192,23 @@ object PipelineOps {
            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("lang")
 
+  /** Incremental dedup (added round 8): the odd-doc_id half of the
+    * corpus arrives as a NEW batch and is probed against the standing
+    * even-doc_id corpus — every cross pair with exact 3-gram Jaccard
+    * ≥ 0.8. This query IS [[graft.Graft.nearDupPairsNgramAgainst]],
+    * so the oracle verifies the public API: the bipartite inverted-
+    * index join (blockedBipartiteJoin hot-gram guard) does work
+    * linear in the new batch for a fixed index — the shape that lets
+    * a 100 TB pipeline dedup per-ingest instead of re-running the
+    * corpus² self-join. */
+  def q_dedup_incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.Graft.nearDupPairsNgramAgainst(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Deterministic PPS sample (added round 8): documents kept with
     * probability ∝ n_chars (scale 1e6/1e9+7 ≈ n_chars/1000 — ~30%
     * average, no document reaches the cap on this corpus), per lang:

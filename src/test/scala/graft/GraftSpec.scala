@@ -1193,6 +1193,34 @@ class GraftSpec extends SparkSpecBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-6, "mass conservation")
   }
 
+  test("nearDupPairsNgramAgainst equals the self-join's cross pairs (guard on and off)") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // near-dup-rich corpus: small vocabulary, overlapping windows
+    val words = (0 until 12).map(i => s"w$i")
+    val docs = (1L to 120L).map { i =>
+      val off = (math.abs(rng(i)) % 4).toInt
+      val len = 6 + (math.abs(rng(i * 13)) % 4).toInt
+      (i, (0 until len).map(j => words((off + j) % words.size)).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val self = Graft.nearDupPairsNgram(df, $"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }
+      .toSet
+    for (maxBucket <- Seq(2, 1024)) {
+      val bi = Graft.nearDupPairsNgramAgainst(
+          df.filter($"doc_id" % 2 === 0), $"doc_id", $"text",
+          df.filter($"doc_id" % 2 === 1), $"doc_id", $"text",
+          maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(bi == self, s"maxBucket=$maxBucket: ${bi.size} vs ${self.size} pairs")
+      assert(bi.nonEmpty, "vacuous corpus — no cross near-dup pairs")
+    }
+  }
+
   test("ppsSample equals the integer reference and its HT weights are exact") {
     val P = 1000000007L
     val scaleNum = 50000L
