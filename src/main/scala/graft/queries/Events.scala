@@ -254,6 +254,41 @@ object Events {
       .orderBy("hour", "event_type")
   }
 
+  /** Forward fill / LOCF (added round 8): hourly mean event value per
+    * type on the DENSE hour spine, empty hours carrying the latest
+    * observed mean forward — the observe-and-hold time series every
+    * metrics store materializes. Composes TWO public facades exactly
+    * as their scaladocs prescribe: [[graft.Graft.densify]] with NULL
+    * fills, then [[graft.Graft.forwardFill]] partitioned per type
+    * (metadata-scale spine per partition), so the oracle verifies
+    * both. Leading NULLs (no observation yet) surface as −1 (rule N).
+    *
+    * The mean is emitted as integer CENTS via pure integer
+    * arithmetic — rule F's hard form, forced by this data: hourly
+    * cells hold 1-2 two-decimal values, so a float avg lands EXACTLY
+    * on half-cent boundaries where the engines' ROUND tie rules
+    * diverge (measured: 19/3600 cells at sf0.001 flipped under
+    * `ROUND(avg, 2)`). The cent sum per cell reconstructs exactly
+    * from the double sum (error ≪ 0.5 cents), and the half-up mean
+    * is `(2·sc + n) div (2·n)` — no float ever rounded. (Spark `div`
+    * truncates while DuckDB `//` floors — equal here because value ≥ 0
+    * on this data; a signed-value variant would add an offset.) */
+  def q_forward_fill(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .select(expr(s"(ts div 1000) div $US_PER_HOUR").as("hour"),
+              col("event_type"), col("value"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value") * 100).cast("long").as("sc"))
+      .select(col("hour"), col("event_type"),
+              expr("(sc * 2 + n) div (n * 2)").as("v_cents"))
+    val dense = graft.Graft.densify(hourly, "hour", Seq("event_type"),
+      Map("v_cents" -> lit(null).cast("long")))
+    graft.Graft.forwardFill(dense, "hour", Seq("event_type"), Seq("v_cents"))
+      .select(col("hour"), col("event_type"),
+              coalesce(col("v_cents"), lit(-1L)).as("v_cents"))
+      .orderBy("hour", "event_type")
+  }
+
   /** SCD-2 intervalization (added round 8): the purchase change-log
     * per user becomes a slowly-changing-dimension version table —
     * each purchase's `value` valid from its own time until the next

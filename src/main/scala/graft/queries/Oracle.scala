@@ -800,6 +800,31 @@ object Oracle {
         |LEFT JOIN a ON a.hour = s.hour AND a.event_type = t.event_type
         |ORDER BY 1, 2""".stripMargin,
 
+    // forward fill: the q_gapfill spine with NULL cells, then LOCF
+    // via last_value IGNORE NULLS per type. The mean is integer
+    // CENTS, half-up via (2·sc + n) // (2·n) — a float ROUND(avg, 2)
+    // lands exactly on half-cent ties here (1-2 values per cell) and
+    // the engines' tie rules diverge (rule F's hard form)
+    "q_forward_fill" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type, value FROM events),
+        |b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM e),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS hour FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |a AS (SELECT hour, event_type,
+        |             (CAST(ROUND(SUM(value) * 100) AS BIGINT) * 2 + COUNT(*))
+        |               // (COUNT(*) * 2) AS v_cents
+        |      FROM e GROUP BY 1, 2),
+        |dense AS (SELECT s.hour, t.event_type, a.v_cents
+        |          FROM spine s CROSS JOIN t
+        |          LEFT JOIN a ON a.hour = s.hour AND a.event_type = t.event_type),
+        |filled AS (SELECT hour, event_type,
+        |                  LAST_VALUE(v_cents IGNORE NULLS)
+        |                    OVER (PARTITION BY event_type ORDER BY hour
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cents
+        |           FROM dense)
+        |SELECT hour, event_type, COALESCE(v_cents, -1) AS v_cents
+        |FROM filled ORDER BY 1, 2""".stripMargin,
+
     // hour-over-hour delta on the dense spine (the q_gapfill CTE chain
     // + one partitioned LAG; first hour's delta = its own count)
     "q_hourly_delta" ->
