@@ -929,6 +929,71 @@ object Graft {
               round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
   }
 
+  /** EXACT prefix-filtered Jaccard self-join (the AllPairs / PPJoin
+    * prefix-filter family — Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): same output contract as [[nearDupPairsNgram]] —
+    * (doc_a, doc_b, jaccard rounded 3) for exact word-n-gram Jaccard
+    * ≥ thresholdPermille/1000, doc_a < doc_b — but candidates come
+    * from a PREFIX inverted index, not the full one. Rank every gram
+    * by global rarity (document frequency asc, gram asc — one total
+    * order both docs agree on); a doc of n grams indexes only its
+    * `n - ceil(t·n) + 1` RAREST grams. Two sets with Jaccard ≥ t
+    * overlap in ≥ ceil(t·max(n_a, n_b)) grams, so their prefixes must
+    * share at least one — every qualifying pair survives (exactness
+    * is a theorem, not a tuning choice), unlike the lossy
+    * `maxGramDocFreq` stop-gram cap.
+    *
+    * Why this is the 100 TB shape: the index shrinks to the
+    * ~(1−t) rarest fraction of each doc, and candidate work
+    * Σ bucket² shrinks doubly — fewer entries AND the surviving
+    * buckets are the rarest grams by construction. True stop-grams
+    * (the Σ bucket² killers) sort LAST in rarity order and never
+    * enter a prefix at any realistic t. Candidate generation still
+    * runs under [[operators.SkewJoin.blockedSelfPairs]], so even a
+    * rare-gram bucket stays bounded per task. Survivors are verified
+    * exactly: one distinct over candidate pairs, two equi-joins onto
+    * the per-doc gram arrays, `array_intersect` for the true overlap
+    * — work ∝ candidates, not corpus². Docs shorter than n tokens
+    * have no n-gram and never pair. */
+  def jaccardJoinPrefix(docs: DataFrame, id: Column, text: Column,
+                        thresholdPermille: Int = 800, n: Int = 3,
+                        maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdPermille > 0 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val p = thresholdPermille
+    val t = split(text, " ")
+    val grams = docs
+      .select(id.cast("long").as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+              explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
+    val rarity = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val byDoc = Window.partitionBy("doc_id")
+    // ONE doc_id shuffle carries both the full set size (count over
+    // the unordered frame) and the rarity rank; the prefix bound is
+    // pure integer: n − ceil(p·n/1000) + 1 = n − (p·n + 999) div 1000 + 1
+    val prefix = grams.join(rarity, "gram")
+      .withColumn("na", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("gdf"), col("gram"))))
+      .filter(col("rn") <= col("na") - expr(s"(na * $p + 999) div 1000") + 1)
+      .select("doc_id", "gram", "na")
+    val cand = operators.SkewJoin.blockedSelfPairs(prefix, Seq("gram"), "doc_id", maxBucket)
+      .select(col("doc_id_a").as("doc_a"), col("na_a").as("na"),
+              col("doc_id_b").as("doc_b"), col("na_b").as("nb"))
+      .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
+      .distinct()
+    val sets = grams.groupBy("doc_id").agg(collect_list("gram").as("gs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .filter(col("common") * (1000 + p) >= (col("na") + col("nb")) * p)
+      .select(col("doc_a"), col("doc_b"),
+              round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
+  }
+
   /** Drops every `keyCols` bucket holding more than `cap` rows — the
     * shared LOSSY hot-bucket remedy of the near-dup candidate joins
     * (stop-gram cap for the inverted index, dense-band cap for the

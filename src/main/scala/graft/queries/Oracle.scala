@@ -501,6 +501,30 @@ object Oracle {
         |SELECT doc_a, doc_b, jaccard FROM scored
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // prefix-filtered exact Jaccard at t = 0.7: the oracle is the
+    // BRUTE-FORCE pair graph — deliberately blind to the prefix
+    // pruning, so parity proves the filter loses nothing. The
+    // integer threshold c·(1000+700) ≥ 700·(na+nb) reduces to
+    // c·17 ≥ 7·(na+nb)
+    "q_jaccard_prefix" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |          FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |           FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |scored AS (SELECT doc_a, doc_b,
+        |                  ROUND(common * 1.0 / (sa.n_grams + sb.n_grams - common), 3) AS jaccard
+        |           FROM common JOIN sizes sa ON doc_a = sa.doc_id
+        |                       JOIN sizes sb ON doc_b = sb.doc_id
+        |           WHERE common * 17 >= 7 * (sa.n_grams + sb.n_grams))
+        |SELECT doc_a, doc_b, jaccard FROM scored
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // the df-capped variant: grams in more than 5 documents leave the
     // gram universe, sizes/Jaccard recomputed over the remainder —
     // the same lossy cap the Spark side applies (maxGramDocFreq = 5)

@@ -90,6 +90,23 @@ object PipelineOps {
         col("doc_id"), col("text"), maxGramDocFreq = 5)
       .orderBy("doc_a", "doc_b")
 
+  /** EXACT prefix-filtered Jaccard pairs (AllPairs/PPJoin prefix
+    * filter) at t = 0.7 over the word-3-gram sets:
+    * [[graft.Graft.jaccardJoinPrefix]] applied to documents, so the
+    * oracle verifies the public API. Candidates come from the PREFIX
+    * inverted index — each doc indexes only its `n − ceil(0.7·n) + 1`
+    * globally-rarest grams — and exactness is the prefix-filter
+    * theorem, not a cap: the oracle is the plain brute-force n-gram
+    * Jaccard SQL, blind to the pruning strategy. The third face of
+    * the near-dup family: q_dedup_ngram = full inverted index (exact,
+    * blocked), q_dedup_ngram_capped = lossy stop-gram cap,
+    * q_jaccard_prefix = exact AND stop-gram-immune (frequent grams
+    * sort last in rarity order and never enter a prefix). */
+  def q_jaccard_prefix(s: SparkSession, d: String): DataFrame =
+    graft.Graft.jaccardJoinPrefix(Tables.documents(s, d),
+        col("doc_id"), col("text"), thresholdPermille = 700)
+      .orderBy("doc_a", "doc_b")
+
   /** Edit-distance near-dup pairs on the CANONICAL string (sorted
     * distinct tokens — word-order/repetition-invariant), candidates
     * blocked by (lang, first canon token, distinct-token count):

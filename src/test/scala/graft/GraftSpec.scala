@@ -185,6 +185,41 @@ class GraftSpec extends SparkSpecBase {
     assert(Graft.nearDupPairsNgram(docs, $"id", $"txt", 501, 2).count() == 0)
   }
 
+  test("jaccardJoinPrefix: hand-computed pairs, threshold edge, empty input") {
+    // 2-grams: doc1 {a b, b c, c d}, doc2 {a b, b c, c x} → J = 2/4 = 0.5
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "p q r s"))
+      .toDF("id", "txt")
+    val got = Graft.jaccardJoinPrefix(docs, $"id", $"txt",
+        thresholdPermille = 500, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.5)))
+    assert(Graft.jaccardJoinPrefix(docs, $"id", $"txt", 501, 2).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("id", "txt")
+    assert(Graft.jaccardJoinPrefix(noDocs, $"id", $"txt").count() == 0)
+  }
+
+  test("jaccardJoinPrefix equals the full-index exact join (prefix filter loses nothing)") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // near-dup-rich corpus: small vocabulary, overlapping windows
+    val words = (0 until 12).map(i => s"w$i")
+    val docs = (1L to 120L).map { i =>
+      val off = (math.abs(rng(i)) % 4).toInt
+      val len = 6 + (math.abs(rng(i * 13)) % 4).toInt
+      (i, (0 until len).map(j => words((off + j) % words.size)).mkString(" "))
+    }.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (p <- Seq(500, 700, 800); mb <- Seq(2, 1024)) {
+      val full = key(Graft.nearDupPairsNgram(docs, $"doc_id", $"text", p))
+      val pref = key(Graft.jaccardJoinPrefix(docs, $"doc_id", $"text", p,
+        maxBucket = mb))
+      assert(pref == full, s"p=$p maxBucket=$mb")
+      assert(pref.nonEmpty, s"vacuous at p=$p")
+    }
+  }
+
   test("nearDupPairsNgram maxGramDocFreq: stop-gram cap equals manual removal") {
     // "the" is in all 6 docs (df = 6); at n = 1 a gram IS a token, so
     // capping at 4 must equal running uncapped on texts with "the"
