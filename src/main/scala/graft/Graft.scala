@@ -377,6 +377,35 @@ object Graft {
       .withColumn("is_current", col("valid_to").isNull.cast("int"))
   }
 
+  /** First-order Markov transition matrix over per-entity state
+    * sequences: for each entity (`partitionBy`), order its rows by
+    * `orderBy` (must be a TOTAL order or the chain is
+    * engine-arbitrary), read `state` as the chain, and count every
+    * (src → dst) step across all entities. Output: (src, dst, n,
+    * p_permille) where p_permille = floor(1000·n / Σ_dst n) — the
+    * row-normalized transition probability in exact integer form
+    * (`div` on non-negative longs; no float ever rounded). Each
+    * entity's first row has no predecessor and contributes no step.
+    *
+    * Scale shape: ONE fact shuffle (the per-entity lag window — an
+    * entity's history sorts in one task, the bounded-per-entity
+    * posture of [[scd2Intervals]]), then a partial+final count to the
+    * |states|² transition table, which is metadata-scale — the
+    * normalizing window runs there, not on facts. */
+  def transitionMatrix(df: DataFrame, partitionBy: Seq[Column],
+                       orderBy: Seq[Column], state: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(partitionBy.nonEmpty, "partitionBy must be non-empty")
+    require(orderBy.nonEmpty, "orderBy must be non-empty")
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy.map(_.asc): _*)
+    df.select(lag(state, 1).over(w).as("src"), state.as("dst"))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("src")))
+      .withColumn("p_permille", expr("n * 1000 div tot"))
+      .drop("tot")
+  }
+
   /** Per-group z-score outliers of ANY DataFrame: rows whose `value`
     * deviates from its group's mean by more than `threshold` sample
     * standard deviations, with the score appended as `z`. Two-pass

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 101 query ids; 94 with DuckDB oracles. The
+  * and §3.1 (entry points). 102 query ids; 95 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -126,6 +126,7 @@ object SparkEntry {
     "q_retention"       -> Events.q_retention _,
     "q_gapfill"         -> Events.q_gapfill _,
     "q_forward_fill"    -> Events.q_forward_fill _,
+    "q_markov"          -> Events.q_markov _,
     "q_scd2"            -> Events.q_scd2 _,
     "q_anomaly"         -> Events.q_anomaly _,
     "q_hourly_delta"    -> Events.q_hourly_delta _,

@@ -312,6 +312,26 @@ object Events {
               col("is_current"))
       .orderBy("user_id", "valid_from", "event_id")
 
+  /** First-order Markov transition matrix (added round 8): each
+    * user's event-type sequence in deterministic (µs, event_id) order
+    * becomes a chain; count every (src → dst) step corpus-wide and
+    * row-normalize to permille — [[graft.Graft.transitionMatrix]]
+    * applied to events, so the oracle verifies the public API. The
+    * probability is floor(1000·n / Σ n) in pure integer arithmetic
+    * (rule F's hard form; Spark `div` ≡ DuckDB `//` on non-negative
+    * longs). ONE fact shuffle (the per-user lag window); the
+    * |types|²-row transition table and its normalizing window are
+    * metadata-scale. */
+  def q_markov(s: SparkSession, d: String): DataFrame =
+    graft.Graft.transitionMatrix(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  Tables.tsUs.as("us")),
+        partitionBy = Seq(col("user_id")),
+        orderBy = Seq(col("us"), col("event_id")),
+        state = col("event_type"))
+      .orderBy("src", "dst")
+
   /** Z-score anomaly detection (added round 8): events whose value
     * deviates from their type's mean by more than 2 sample standard
     * deviations, rolled up per type. This query IS

@@ -877,6 +877,21 @@ object Oracle {
         |       CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin,
 
+    // first-order Markov transitions: per-user LAG chain in (µs,
+    // event_id) order, corpus-wide (src, dst) counts, probability as
+    // floor-permille integer (n*1000 // tot — Spark div ≡ DuckDB //
+    // on the non-negative counts)
+    "q_markov" ->
+      """WITH s AS (SELECT event_type AS dst,
+        |                  LAG(event_type) OVER (PARTITION BY user_id
+        |                    ORDER BY epoch_us(ts), event_id) AS src
+        |           FROM events),
+        |c AS (SELECT src, dst, COUNT(*) AS n FROM s
+        |      WHERE src IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.src, c.dst, c.n, c.n * 1000 // t.tot AS p_permille
+        |FROM c JOIN t USING (src) ORDER BY 1, 2""".stripMargin,
+
     // z-score outliers: per-type (mean, stddev_samp) then |z| > 2;
     // max_z rounded (rule F) to absorb cross-engine stddev ulps
     "q_anomaly" ->

@@ -1097,6 +1097,39 @@ class GraftSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("transitionMatrix equals a Scala reference on randomized chains") {
+    // 30 entities, chains of 1-12 states over a 4-symbol alphabet,
+    // COLLIDING times (t in 0..2) so the (time, tieBreak) total order
+    // is what's under test; single-state chains contribute no step
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val syms = Array("A", "B", "C", "D")
+    val rows = (1L to 30L).flatMap { k =>
+      val n = 1 + (math.abs(rng(k)) % 12).toInt
+      (1 to n).map(i => (k, k * 100 + i, math.abs(rng(k * 17 + i)) % 3,
+                         syms((math.abs(rng(k * 53 + i)) % 4).toInt)))
+    } // (entity, unique id, time, state)
+    val steps = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val chain = rs.sortBy(r => (r._3, r._2)).map(_._4)
+      chain.zip(chain.drop(1))
+    }
+    val counts = steps.groupBy(identity).map { case ((a, b), s) =>
+      (a, b) -> s.size.toLong }
+    val tots = counts.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val expected = counts.map { case ((a, b), n) =>
+      (a, b, n, n * 1000 / tots(a)) }.toSet
+    val got = Graft.transitionMatrix(rows.toDF("k", "id", "t", "st"),
+        Seq($"k"), Seq($"t", $"id"), $"st")
+      .collect().map(r => (r.getString(0), r.getString(1),
+                           r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected && got.nonEmpty)
+    // permille rows sum to ≤ 1000 per src (floor rounding)
+    expected.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.toSeq.map(_._4).sum <= 1000L)
+    }
+  }
+
   test("zscoreOutliers equals a Scala reference on randomized groups") {
     def rng(seed: Long): Long = {
       var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
