@@ -1937,6 +1937,97 @@ object Graft {
             count(lit(1))).as("mean_nll"))
   }
 
+  /** Corpus-wide PMI-scored collocations: the top-k adjacent token
+    * pairs by pointwise mutual information, the classic
+    * keyphrase/compound detector ("new york" scores high because the
+    * pair count dwarfs what the unigram frequencies predict). With
+    * M = total tokens, N = total adjacent pairs, c12 = pair count,
+    * ca/cb = unigram counts: PMI = ln((c12·M·M) / (N·ca·cb)),
+    * reported rounded to 6 decimals. The k-cut does NOT rank on the
+    * rounded transcendental: PMI is monotone in the rational
+    * c12/(ca·cb) (M, N are corpus constants), and that ratio is ONE
+    * IEEE division of exactly-representable longs — bit-identical on
+    * every engine — so the ordering is exact where a log-based rank
+    * could flap at rounding boundaries. Pairs below `minCount` are
+    * noise (PMI of a hapax pair is unboundedly high) and are cut
+    * BEFORE the unigram joins.
+    *
+    * Scale shape: one codegen'd [[functions.TokenNGrams]] explode →
+    * partial+final pair count; unigram counts are a second narrow
+    * aggregate; M and N are 1-row broadcast scalars; the two
+    * unigram attaches are vocabulary-scale equi-joins (broadcast
+    * when small — the planner decides from stats); the final cut is
+    * orderBy+limit = TakeOrderedAndProject (k-bounded partials, no
+    * global sort materializes). Returns (w1, w2, n_pair, pmi) in
+    * rank order. */
+  def collocations(docs: DataFrame, text: Column,
+                   minCount: Long = 5L, k: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = split(text, " ")
+    val uni = docs.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // M = Σ c and N = Σ n_pair, but both fold as one-row sums straight
+    // off the scan (Σ len, Σ len−1) — no need to re-run the vocab /
+    // bigram shuffle aggregations just to total them
+    val m = docs.agg(sum(size(t)).cast("long").as("__m"))
+    val pairs = docs.filter(size(t) >= 2)
+      .select(explode(functions.TokenNGrams.ngrams(t, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+    val n = docs.filter(size(t) >= 2)
+      .agg(sum(size(t) - 1).cast("long").as("__n"))
+    pairs
+      .filter(col("n_pair") >= minCount)
+      .select(split(col("bigram"), " ").getItem(0).as("w1"),
+              split(col("bigram"), " ").getItem(1).as("w2"),
+              col("n_pair"))
+      .join(uni.select(col("w").as("w1"), col("c").as("__ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("__cb")), Seq("w2"))
+      .crossJoin(broadcast(m)).crossJoin(broadcast(n))
+      // rank key: exact rational; display: rounded log. Products stay
+      // < 2^53 (token counts are corpus-bounded), so every operand is
+      // an exactly-represented integer and the division is one
+      // deterministically-rounded IEEE op
+      .withColumn("__r", col("n_pair").cast("double")
+                           / (col("__ca") * col("__cb")).cast("double"))
+      .withColumn("pmi",
+        round(log(col("n_pair").cast("double") * col("__m") * col("__m")
+                    / (col("__n").cast("double") * col("__ca") * col("__cb"))),
+              6))
+      .orderBy(col("__r").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "n_pair", "pmi")
+  }
+
+  /** Single-scan column profile — the data-quality primitive behind
+    * every ingest dashboard: per named column, (n_rows, n_null,
+    * n_distinct) in long format, all exact integers (cross-engine
+    * safe for ANY column type — no min/max string rendering to
+    * diverge). ONE scan: all 2k+1 measures fold in one aggregate;
+    * the multiple exact COUNT(DISTINCT)s plan as Spark's Expand
+    * (k× row multiplication, but each expanded row carries only its
+    * own column after pruning, and partial aggregation combines
+    * map-side before the single shuffle). At extreme width/scale,
+    * swap exact distincts for approx_count_distinct and the Expand
+    * disappears — the declared query keeps the exact form, which is
+    * what an oracle can verify. The melt runs on the ONE-row
+    * aggregate (metadata-scale), never on facts. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val measures = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"__null_$c"),
+          countDistinct(col(c)).as(s"__dist_$c"))
+    }
+    df.agg(count(lit(1)).cast("long").as("__rows"), measures: _*)
+      .select(col("__rows"), explode(array(cols.map(c =>
+          struct(lit(c).as("column"),
+                 col(s"__null_$c").as("n_null"),
+                 col(s"__dist_$c").as("n_distinct"))): _*)).as("__s"))
+      .select(col("__s.column").as("column"), col("__rows").as("n_rows"),
+              col("__s.n_null").as("n_null"),
+              col("__s.n_distinct").as("n_distinct"))
+  }
+
   /** Deterministic epoch-shuffle key: a seeded bijective scramble of
     * the id residues — ORDER BY (epochShuffleKey(id, seed), id) is the
     * reproducible global shuffle a training run needs per epoch (same

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 102 query ids; 95 with DuckDB oracles. The
+  * and §3.1 (entry points). 104 query ids; 97 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -49,6 +49,7 @@ object SparkEntry {
     "q_pivot"          -> Relational.q_pivot _,
     "q_unpivot"        -> Relational.q_unpivot _,
     "q_histogram"      -> Relational.q_histogram _,
+    "q_profile"        -> Relational.q_profile _,
     "q_above_avg"      -> Relational.q_above_avg _,
     "q_window_ntile"   -> Relational.q_window_ntile _,
     // §2.5 sorts / top-k
@@ -77,6 +78,7 @@ object SparkEntry {
     "q_tfidf"          -> TextOps.q_tfidf _,
     "q_entropy"        -> TextOps.q_entropy _,
     "q_zipf_slope"     -> TextOps.q_zipf_slope _,
+    "q_collocations"   -> TextOps.q_collocations _,
     "q_dedup_exact"    -> TextOps.q_dedup_exact _,
     "q_dedup_minhash"  -> TextOps.q_dedup_minhash _,
     "q_sim_search"     -> TextOps.q_sim_search _,

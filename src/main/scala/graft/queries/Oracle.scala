@@ -272,6 +272,33 @@ object Oracle {
         |       ROUND(MAX(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
 
+    // single-scan column profile: per-column UNION ALL is the
+    // SQL-expressible twin of the one-aggregate Expand plan
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_custkey' AS "column", COUNT(*) AS n_rows,
+        |         COUNT(*) - COUNT(o_custkey) AS n_null,
+        |         COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+        |         COUNT(DISTINCT o_orderdate) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+        |         COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |         COUNT(DISTINCT o_orderpriority) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |         COUNT(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |         COUNT(DISTINCT o_totalprice) FROM orders)
+        |SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_null AS BIGINT) AS n_null,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct
+        |FROM p ORDER BY "column"""".stripMargin,
+
     // the correlated form `o_totalprice > (SELECT AVG ... same cust)`;
     // the oracle uses the decorrelated CTE join (row-set-identical to
     // the Spark side's single-scan window form)
@@ -443,6 +470,33 @@ object Oracle {
         |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
         |       ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) AS entropy
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // PMI collocations: rank on the exact rational c12/(ca·cb) (one
+    // IEEE division of < 2^53 integers — PMI is monotone in it, M/N
+    // are corpus constants), report ln((c12·M²)/(N·ca·cb)) rounded
+    // (rule F). Factor order mirrors the Spark left-assoc products.
+    "q_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT w, COUNT(*) AS c
+        |      FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
+        |m AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS m FROM d),
+        |bgs AS (SELECT unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 1),
+        |               i -> array_to_string(t[i:i+1], ' '))) AS bigram
+        |        FROM d WHERE len(t) >= 2),
+        |c AS (SELECT string_split(bigram, ' ')[1] AS w1,
+        |             string_split(bigram, ' ')[2] AS w2,
+        |             COUNT(*) AS n_pair
+        |      FROM bgs GROUP BY 1, 2),
+        |n AS (SELECT CAST(SUM(len(t) - 1) AS BIGINT) AS n FROM d WHERE len(t) >= 2)
+        |SELECT c.w1, c.w2, c.n_pair,
+        |       ROUND(LN(CAST(c.n_pair AS DOUBLE) * m.m * m.m
+        |                / (CAST(n.n AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+        |FROM c JOIN u ua ON c.w1 = ua.w
+        |       JOIN u ub ON c.w2 = ub.w, m, n
+        |WHERE c.n_pair >= 5
+        |ORDER BY CAST(c.n_pair AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) DESC,
+        |         c.w1, c.w2
+        |LIMIT 50""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH fps AS (SELECT lang, doc_id,

@@ -371,6 +371,20 @@ object Relational {
            round(max("o_totalprice"), 2).as("max_price"))
       .orderBy("bin")
 
+  /** Single-scan column profile (added round 8): per orders column,
+    * (n_rows, n_null, n_distinct) — the ingest data-quality check.
+    * This query IS [[graft.Graft.profile]] over all six orders
+    * columns, so the oracle verifies the public API. All measures
+    * fold in ONE aggregate over ONE scan (the exact multi-distinct
+    * plans as Expand with map-side partials); the melt runs on the
+    * one-row result. All-integer output — cross-engine safe for the
+    * double and timestamp columns too. */
+  def q_profile(s: SparkSession, d: String): DataFrame =
+    graft.Graft.profile(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+            "o_orderstatus", "o_totalprice"))
+      .orderBy("column")
+
   /** Correlated scalar subquery (added round 8): orders priced above
     * their own customer's average order value — the OLAP staple
     * `WHERE x > (SELECT AVG(...) correlated)`. Catalyst decorrelates

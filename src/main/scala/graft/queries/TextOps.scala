@@ -167,6 +167,20 @@ object TextOps {
               round(col("slope"), 4).as("slope"), round(col("r2"), 4).as("r2"))
       .orderBy("n_types")
 
+  /** PMI collocations (added round 8): the corpus's top-50 adjacent
+    * token pairs by pointwise mutual information, pairs seen ≥ 5
+    * times — the classic compound/keyphrase detector. This query IS
+    * [[graft.Graft.collocations]] on the documents table, so the
+    * oracle verifies the public API. The rank key is the exact
+    * rational c12/(ca·cb) (one IEEE division — PMI is monotone in
+    * it), not the rounded log, so the k-cut cannot flap at rounding
+    * boundaries; the reported pmi is ln((c12·M²)/(N·ca·cb)) rounded
+    * per rule F. One codegen'd bigram explode + two narrow counts;
+    * M and N broadcast scalars; TakeOrderedAndProject cut. */
+  def q_collocations(s: SparkSession, d: String): DataFrame =
+    graft.Graft.collocations(Tables.documents(s, d), col("text"),
+                             minCount = 5L, k = 50)
+
   /** Per-class centroid: posexplode to (label, dim, value), average per
     * cell, then fold dims back to the centroid's L2 norm. Two shuffles,
     * both on small keys — shuffle-bounded at any scale. */

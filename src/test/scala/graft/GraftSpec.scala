@@ -1130,6 +1130,68 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("collocations equals a Scala reference on randomized docs") {
+    // 40 docs over a 6-symbol alphabet, lengths 1-8 (length-1 docs
+    // contribute unigrams but no pair); k = 5 exercises the ORDERED
+    // rational-ratio cut, not just set membership
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val syms = Array("a", "b", "c", "d", "e", "f")
+    val docs = (1 to 40).map { k =>
+      val n = 1 + (math.abs(rng(k * 31L)) % 8).toInt
+      (1 to n).map(i => syms((math.abs(rng(k * 97L + i)) % 6).toInt))
+    }
+    val uni = docs.flatten.groupBy(identity).map { case (w, s) => w -> s.size.toLong }
+    val m = docs.map(_.size).sum.toLong
+    val pairCounts = docs.filter(_.size >= 2)
+      .flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case (p, s) => p -> s.size.toLong }
+    val n = pairCounts.values.sum
+    val minCount = 2L
+    val expected = pairCounts.toSeq
+      .filter(_._2 >= minCount)
+      .map { case ((w1, w2), c12) =>
+        val ca = uni(w1); val cb = uni(w2)
+        val ratio = c12.toDouble / (ca * cb).toDouble
+        val pmi = BigDecimal(math.log(c12.toDouble * m * m / (n.toDouble * ca * cb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (w1, w2, c12, pmi, ratio)
+      }
+      .sortBy { case (w1, w2, _, _, r) => (-r, w1, w2) }
+      .take(5).map { case (w1, w2, c12, pmi, _) => (w1, w2, c12, pmi) }
+    val got = Graft.collocations(
+        docs.map(_.mkString(" ")).toDF("text"), $"text", minCount, 5)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected && got.size == 5)
+  }
+
+  test("profile equals a Scala reference on randomized data with NULLs") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // (long with nulls, string with nulls, dense int) over 200 rows
+    val rows = (1 to 200).map { i =>
+      val a = if (math.abs(rng(i * 7L)) % 5 == 0) None
+              else Some(math.abs(rng(i * 11L)) % 40)
+      val b = if (math.abs(rng(i * 13L)) % 7 == 0) None
+              else Some(("s" + math.abs(rng(i * 17L)) % 6))
+      (a, b, (math.abs(rng(i * 19L)) % 3).toInt)
+    }
+    def expCol[T](name: String, vs: Seq[Option[T]]) =
+      (name, 200L, vs.count(_.isEmpty).toLong,
+       vs.flatten.distinct.size.toLong)
+    val expected = Seq(
+      expCol("a", rows.map(_._1)),
+      expCol("b", rows.map(_._2)),
+      expCol("c", rows.map(r => Option(r._3)))).sortBy(_._1)
+    val got = Graft.profile(rows.toDF("a", "b", "c"), Seq("a", "b", "c"))
+      .orderBy("column").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected)
+  }
+
   test("zscoreOutliers equals a Scala reference on randomized groups") {
     def rng(seed: Long): Long = {
       var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
