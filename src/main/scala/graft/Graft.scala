@@ -901,6 +901,55 @@ object Graft {
               round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM) — the
+    * THIRD blocking family next to the inverted-index
+    * ([[nearDupPairsNgram]]) and LSH ([[nearDupPairsMinhash]])
+    * candidate generators: order the corpus by a blocking key, pair
+    * each row with its next `w−1` neighbors in that order, verify
+    * exact token-set Jaccard ≥ thresholdPermille/1000. Recall is
+    * whatever the key's locality buys (classic SNM runs several
+    * passes with different keys); what it buys BACK is a skew-immune
+    * cost model: every doc pairs with EXACTLY w−1 neighbors —
+    * candidate volume is n·(w−1) by construction, no bucket can go
+    * quadratic, no guard needed.
+    *
+    * Scale shape: ranks via the two-pass distributed
+    * [[globalRankDesc]] (range-bucketed — no single-partition
+    * window), then ONE equi-join on rank+d (d exploded 1..w−1) and a
+    * row-local exact-Jaccard verify; integer threshold
+    * inter·1000 ≥ p·union, jaccard reported rounded 3 like the other
+    * pair facades. Returns (doc_a, doc_b, jaccard) with doc_a before
+    * doc_b in key order. */
+  def sortedNeighborPairs(docs: DataFrame, id: Column, text: Column,
+                          sortKey: Column, w: Int = 8,
+                          thresholdPermille: Int = 800): DataFrame = {
+    require(w >= 2, s"w must be >= 2, got $w")
+    require(thresholdPermille > 0 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
+    val p = thresholdPermille
+    val base = docs.select(id.cast("long").as("__id"), sortKey.as("__k"),
+                           array_distinct(split(text, " ")).as("__ts"))
+    // globalRankDesc ranks key DESC; negate for ascending key order
+    val ranked = globalRankDesc(base.select(col("__id"), col("__k")),
+                                negate(col("__k").cast("double")), col("__id"))
+      .select(col("tie").as("__id"), col("rank").as("__r"))
+    val sorted = base.drop("__k").join(ranked, "__id")
+    val probes = sorted
+      .select(col("__id").as("doc_a"), col("__ts").as("__ta"), col("__r"),
+              explode(sequence(lit(1), lit(w - 1))).as("__d"))
+      .select(col("doc_a"), col("__ta"), (col("__r") + col("__d")).as("__nr"))
+    probes
+      .join(sorted.select(col("__id").as("doc_b"), col("__ts").as("__tb"),
+                          col("__r").as("__nr")), "__nr")
+      .select(col("doc_a"), col("doc_b"),
+              size(array_intersect(col("__ta"), col("__tb"))).as("__i"),
+              (size(col("__ta")) + size(col("__tb"))
+                 - size(array_intersect(col("__ta"), col("__tb")))).as("__u"))
+      .filter(col("__i") * 1000 >= col("__u") * p)
+      .select(col("doc_a"), col("doc_b"),
+              round(col("__i") / col("__u"), 3).as("jaccard"))
+  }
+
   /** BIPARTITE n-gram Jaccard near-dup pairs: every (corpus doc, new
     * doc) pair with exact Jaccard ≥ threshold — the INCREMENTAL
     * ingestion face of [[nearDupPairsNgram]]. At 100 TB you do not

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 104 query ids; 97 with DuckDB oracles. The
+  * and §3.1 (entry points). 105 query ids; 98 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -89,6 +89,7 @@ object SparkEntry {
     "q_dedup_ngram_capped" -> PipelineOps.q_dedup_ngram_capped _,
     "q_jaccard_prefix" -> PipelineOps.q_jaccard_prefix _,
     "q_dedup_fuzzy"    -> PipelineOps.q_dedup_fuzzy _,
+    "q_dedup_sorted"   -> PipelineOps.q_dedup_sorted _,
     "q_dedup_incremental" -> PipelineOps.q_dedup_incremental _,
     "q_heavy_hitters"  -> PipelineOps.q_heavy_hitters _,
     "q_dedup_cluster"  -> PipelineOps.q_dedup_cluster _,

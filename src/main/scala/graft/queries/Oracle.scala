@@ -621,6 +621,24 @@ object Oracle {
         |WHERE levenshtein(a.s, b.s) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // sorted-neighborhood pairs: the ROW_NUMBER total order states
+    // what the Spark side's two-pass distributed rank computes; the
+    // window join is rank-adjacency, the verify is exact set Jaccard
+    "q_dedup_sorted" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |                  list_distinct(string_split(text, ' ')) AS ts
+        |           FROM documents),
+        |r AS (SELECT doc_id, ts,
+        |             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+        |      FROM d),
+        |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             len(list_intersect(a.ts, b.ts)) AS i,
+        |             len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS u
+        |      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 7)
+        |SELECT doc_a, doc_b, ROUND(i * 1.0 / u, 3) AS jaccard
+        |FROM c WHERE i * 1000 >= u * 900
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Zipf fit: ROW_NUMBER over (cnt DESC, tok) ≡ the Spark side's
     // two-pass distributed rank; regr_slope/regr_r2 share the
     // covar_pop/var_pop closed form across engines

@@ -107,6 +107,22 @@ object PipelineOps {
         col("doc_id"), col("text"), thresholdPermille = 700)
       .orderBy("doc_a", "doc_b")
 
+  /** Sorted-neighborhood near-dup pairs (added round 8): order docs
+    * by n_chars (tie doc_id), pair each with its next 7 neighbors,
+    * keep exact token-set Jaccard ≥ 0.9 —
+    * [[graft.Graft.sortedNeighborPairs]] applied to documents, so
+    * the oracle verifies the public API. The FOURTH blocking family
+    * (inverted index / LSH bands / prefix filter / sorted window),
+    * and the only one whose candidate volume is skew-immune BY
+    * CONSTRUCTION: exactly w−1 partners per doc, no bucket to go
+    * quadratic. Ranks via the two-pass distributed globalRankDesc —
+    * the oracle's ROW_NUMBER window states the same total order. */
+  def q_dedup_sorted(s: SparkSession, d: String): DataFrame =
+    graft.Graft.sortedNeighborPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), sortKey = col("n_chars"),
+        w = 8, thresholdPermille = 900)
+      .orderBy("doc_a", "doc_b")
+
   /** Edit-distance near-dup pairs on the CANONICAL string (sorted
     * distinct tokens — word-order/repetition-invariant), candidates
     * blocked by (lang, first canon token, distinct-token count):

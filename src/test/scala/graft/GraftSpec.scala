@@ -1192,6 +1192,44 @@ class GraftSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("sortedNeighborPairs equals a Scala reference on randomized docs") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val syms = Array("ga", "bu", "co", "dy", "el", "fi", "gr", "ho")
+    // 60 docs; every third is its predecessor plus one token — a
+    // guaranteed near-dup at a nearby sort position
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    (1 to 60).foreach { k =>
+      val toks =
+        if (k % 3 == 0) raw(k - 2)._2 :+ syms((math.abs(rng(k * 7L)) % 8).toInt)
+        else (1 to 3 + (math.abs(rng(k * 31L)) % 8).toInt)
+          .map(i => syms((math.abs(rng(k * 97L + i)) % 8).toInt))
+      raw += ((k.toLong, toks))
+    }
+    val w = 4; val p = 800
+    val sortedDocs = raw.toSeq
+      .map { case (id, ts) => (id, ts, ts.mkString(" ").length.toLong) }
+      .sortBy { case (id, _, len) => (len, id) }
+    val expected = (for {
+      i <- sortedDocs.indices
+      d <- 1 until w
+      j = i + d if j < sortedDocs.size
+      a = sortedDocs(i); b = sortedDocs(j)
+      inter = (a._2.toSet & b._2.toSet).size
+      uni = (a._2.toSet | b._2.toSet).size
+      if inter * 1000 >= uni * p
+    } yield (a._1, b._1,
+             BigDecimal(inter.toDouble / uni)
+               .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val df = raw.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("id", "text")
+    val got = Graft.sortedNeighborPairs(df, $"id", $"text",
+        length($"text"), w, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("zscoreOutliers equals a Scala reference on randomized groups") {
     def rng(seed: Long): Long = {
       var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
