@@ -818,6 +818,49 @@ object Graft {
     rank
   }
 
+  /** Association rules over ANY (basket, item) DataFrame — classic
+    * market-basket mining (Agrawal–Srikant), pair rules only: for
+    * every item pair co-occurring in ≥ `minBoth` baskets, the three
+    * canonical measures in EXACT integer permille (floor `div` on
+    * non-negative longs — no float anywhere):
+    * confidence(a→b) = n_ab/n_a, confidence(b→a) = n_ab/n_b, and
+    * lift = n_ab·N / (n_a·n_b) (>1000 permille ⇔ positively
+    * associated). Returns (item_a, item_b, n_both, conf_ab_permille,
+    * conf_ba_permille, lift_permille), item_a < item_b.
+    *
+    * Scale shape (the co-purchase edge-build argument, §2.14): per
+    * basket one map-side-combined collect_set bounded by basket
+    * width, pairs exploded map-side, then a partial+final pair count
+    * — single co-occurrences grow linearly but pairs repeating
+    * ≥ minBoth are birthday-bounded, so the rule table stays
+    * metadata-scale while facts grow. Per-item basket counts attach
+    * via vocabulary-scale equi-joins (planner broadcasts from
+    * stats); N is a 1-row broadcast scalar. A pathological basket at
+    * 100× gets a per-basket item cap before the explode — same
+    * governor the graph build documents. */
+  def basketRules(df: DataFrame, basket: Column, item: Column,
+                  minBoth: Long = 2L): DataFrame = {
+    require(minBoth >= 1, s"minBoth must be >= 1, got $minBoth")
+    val b = df.select(basket.as("__bk"), item.as("__it")).distinct()
+    val itemCounts = b.groupBy("__it").agg(count(lit(1)).as("n_item"))
+    val nBaskets = b.agg(countDistinct("__bk").cast("long").as("__nb"))
+    b.groupBy("__bk").agg(collect_set(col("__it")).as("__ps"))
+      .select(explode(col("__ps")).as("item_a"), col("__ps"))
+      .select(col("item_a"), explode(col("__ps")).as("item_b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minBoth)
+      .join(itemCounts.select(col("__it").as("item_a"), col("n_item").as("__na")),
+            "item_a")
+      .join(itemCounts.select(col("__it").as("item_b"), col("n_item").as("__nb2")),
+            "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+              expr("(n_both * 1000) div __na").as("conf_ab_permille"),
+              expr("(n_both * 1000) div __nb2").as("conf_ba_permille"),
+              expr("(n_both * __nb * 1000) div (__na * __nb2)").as("lift_permille"))
+  }
+
   /** Near-dup cluster labels for ANY (id, text) DataFrame — the
     * composed dedup pipeline as ONE call: n-gram Jaccard pair graph
     * ([[nearDupPairsNgram]], inverted-index bucketed) → connected

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 105 query ids; 98 with DuckDB oracles. The
+  * and §3.1 (entry points). 106 query ids; 99 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -136,6 +136,7 @@ object SparkEntry {
     // §2.14 graph analytics
     "q_triangle_count"  -> GraphOps.q_triangle_count _,
     "q_pagerank"        -> GraphOps.q_pagerank _,
+    "q_basket_rules"    -> GraphOps.q_basket_rules _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -77,4 +77,17 @@ object GraphOps {
     graft.Graft.pageRank(coPurchaseEdges(s, d), iters = 10, damping = 0.85)
       .select(col("node").as("part"), round(col("rank"), 7).as("rank"))
       .orderBy("part")
+
+  /** Association rules over the order baskets (added round 8):
+    * support / confidence / lift for every part pair co-purchased in
+    * ≥ 2 distinct orders — the Agrawal–Srikant market-basket canon on
+    * the same birthday-bounded pair universe the graph queries mine.
+    * This query IS [[graft.Graft.basketRules]] applied to lineitem,
+    * so the oracle verifies the public API. All three measures are
+    * EXACT integer permille (floor `div` ≡ DuckDB `//` on the
+    * non-negative counts) — no float anywhere in the query. */
+  def q_basket_rules(s: SparkSession, d: String): DataFrame =
+    graft.Graft.basketRules(Tables.lineitem(s, d),
+        basket = col("l_orderkey"), item = col("l_partkey"), minBoth = 2L)
+      .orderBy("item_a", "item_b")
 }

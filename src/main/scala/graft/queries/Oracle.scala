@@ -1197,6 +1197,24 @@ object Oracle {
          |       ROUND(3.0 * tri.t / GREATEST(agg.n_wedges, 1), 6) AS clustering
          |FROM agg, ne, tri ORDER BY n_nodes""".stripMargin,
 
-    "q_pagerank" -> pagerankSql
+    "q_pagerank" -> pagerankSql,
+
+    // association rules: all three measures in exact integer permille
+    // (// ≡ Spark div on non-negative counts); b is the DISTINCT
+    // (basket, item) incidence, N the distinct basket count
+    "q_basket_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM b),
+        |ic AS (SELECT it, COUNT(*) AS n_item FROM b GROUP BY it),
+        |p AS (SELECT a.it AS item_a, b2.it AS item_b, COUNT(*) AS n_both
+        |      FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.n_both,
+        |       (p.n_both * 1000) // ia.n_item AS conf_ab_permille,
+        |       (p.n_both * 1000) // ib.n_item AS conf_ba_permille,
+        |       (p.n_both * n.nb * 1000) // (ia.n_item * ib.n_item) AS lift_permille
+        |FROM p JOIN ic ia ON p.item_a = ia.it
+        |       JOIN ic ib ON p.item_b = ib.it, n
+        |ORDER BY item_a, item_b""".stripMargin
   )
 }

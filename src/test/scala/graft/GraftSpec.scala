@@ -1230,6 +1230,34 @@ class GraftSpec extends SparkSpecBase {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("basketRules equals a Scala reference on randomized baskets") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // 40 baskets, 2-6 items each from a 10-item universe, WITH
+    // duplicate (basket, item) rows to exercise the distinct
+    val rows = (1L to 40L).flatMap { bk =>
+      val n = 2 + (math.abs(rng(bk * 13L)) % 5).toInt
+      val items = (1 to n).map(i => math.abs(rng(bk * 29L + i)) % 10)
+      (items ++ items.take(1)).map(it => (bk, it))
+    }
+    val b = rows.distinct
+    val nb = b.map(_._1).distinct.size.toLong
+    val ic = b.groupBy(_._2).map { case (it, s) => it -> s.size.toLong }
+    val pairCounts = b.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val is = rs.map(_._2).sorted
+      for (i <- is.indices; j <- i + 1 until is.size) yield (is(i), is(j))
+    }.groupBy(identity).map { case (p, s) => p -> s.size.toLong }
+    val expected = pairCounts.toSeq.filter(_._2 >= 2L).map { case ((a, c), n2) =>
+      (a, c, n2, n2 * 1000 / ic(a), n2 * 1000 / ic(c),
+       n2 * nb * 1000 / (ic(a) * ic(c)))
+    }.toSet
+    val got = Graft.basketRules(rows.toDF("bk", "it"), $"bk", $"it", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("zscoreOutliers equals a Scala reference on randomized groups") {
     def rng(seed: Long): Long = {
       var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x

@@ -31,9 +31,10 @@ class PlanGuardSpec extends SparkSpecBase {
     // the rank pass broadcasts 1-row quantile bounds);
     // q_forward_fill composes the q_gapfill densify spine;
     // q_collocations crosses the 1-row M/N token-total scalars;
-    // q_dedup_sorted's rank pass broadcasts 1-row quantile bounds
+    // q_dedup_sorted's rank pass broadcasts 1-row quantile bounds;
+    // q_basket_rules crosses the 1-row basket-total scalar
     "q_triangle_count", "q_zipf_slope", "q_forward_fill",
-    "q_collocations", "q_dedup_sorted")
+    "q_collocations", "q_dedup_sorted", "q_basket_rules")
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
   // no longer get the exemption)
