@@ -861,6 +861,43 @@ object Graft {
               expr("(n_both * __nb * 1000) div (__na * __nb2)").as("lift_permille"))
   }
 
+  /** Latest-row compaction for ANY change-log DataFrame — the CDC
+    * upsert read path: one surviving row per `keyCols` group, the one
+    * greatest by `versionCols` (lexicographic), caller's columns and
+    * column order untouched. This is log-structured table compaction
+    * (Hudi/Delta "merge latest", Kafka log compaction) as a query.
+    *
+    * Shape: ONE map-side-combinable `max(struct(version ++ payload))`
+    * aggregate — each map task forwards at most one candidate row per
+    * key it sees, so shuffle volume is bounded by |keys|, not |log|.
+    * The window form (`row_number() = 1`) shuffles and SORTS the
+    * entire log to discard all but one row per key; at a 100 TB log
+    * with a bounded key universe the aggregate ships orders of
+    * magnitude less.
+    *
+    * Determinism: `versionCols` should order each key's rows totally
+    * (e.g. timestamp + unique id). When they don't, the comparison
+    * falls through into the payload columns — still deterministic, but
+    * payload-null ordering is then engine-specific, so keep the
+    * version prefix total if the output must be engine-portable. */
+  def compactLatest(df: DataFrame, keyCols: Seq[String],
+                    versionCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "compactLatest needs at least one key column")
+    require(versionCols.nonEmpty, "compactLatest needs at least one version column")
+    requireNoReserved(df, "compactLatest df")
+    val missing = (keyCols ++ versionCols).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"compactLatest: columns not in df: ${missing.mkString(", ")}")
+    val overlap = keyCols.intersect(versionCols)
+    require(overlap.isEmpty, s"compactLatest: columns in both keyCols and versionCols: ${overlap.mkString(", ")}")
+    val payload = df.columns.filterNot(c => keyCols.contains(c) || versionCols.contains(c)).toSeq
+    val ordered = (versionCols ++ payload).map(c => col(c).as(c))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(ordered: _*)).as("__m"))
+      .select(df.columns.toIndexedSeq.map { c =>
+        if (keyCols.contains(c)) col(c) else col("__m").getField(c).as(c)
+      }: _*)
+  }
+
   /** Near-dup cluster labels for ANY (id, text) DataFrame — the
     * composed dedup pipeline as ONE call: n-gram Jaccard pair graph
     * ([[nearDupPairsNgram]], inverted-index bucketed) → connected

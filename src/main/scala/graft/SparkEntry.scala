@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 106 query ids; 99 with DuckDB oracles. The
+  * and §3.1 (entry points). 109 query ids; 102 with DuckDB oracles. The
   * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
   * SQL-expressible (sketch/ANN internals) and are covered by
@@ -49,6 +49,7 @@ object SparkEntry {
     "q_pivot"          -> Relational.q_pivot _,
     "q_unpivot"        -> Relational.q_unpivot _,
     "q_histogram"      -> Relational.q_histogram _,
+    "q_equidepth"      -> Relational.q_equidepth _,
     "q_profile"        -> Relational.q_profile _,
     "q_above_avg"      -> Relational.q_above_avg _,
     "q_window_ntile"   -> Relational.q_window_ntile _,
@@ -84,6 +85,7 @@ object SparkEntry {
     "q_sim_search"     -> TextOps.q_sim_search _,
     "q_knn_join"       -> TextOps.q_knn_join _,
     "q_knn_centroid"   -> TextOps.q_knn_centroid _,
+    "q_knn_classify"   -> TextOps.q_knn_classify _,
     // §2.12 training-data-pipeline extensions
     "q_dedup_ngram"    -> PipelineOps.q_dedup_ngram _,
     "q_dedup_ngram_capped" -> PipelineOps.q_dedup_ngram_capped _,
@@ -133,6 +135,7 @@ object SparkEntry {
     "q_scd2"            -> Events.q_scd2 _,
     "q_anomaly"         -> Events.q_anomaly _,
     "q_hourly_delta"    -> Events.q_hourly_delta _,
+    "q_dedup_latest"    -> Events.q_dedup_latest _,
     // §2.14 graph analytics
     "q_triangle_count"  -> GraphOps.q_triangle_count _,
     "q_pagerank"        -> GraphOps.q_pagerank _,

@@ -355,4 +355,25 @@ object Events {
       .select(col("cohort").as("cohort_week"), col("offset").as("weeks_since"),
               col("n_users"))
       .orderBy("cohort_week", "weeks_since")
+
+  /** Latest-row compaction (added round 8): the events change-log
+    * collapsed to each user's most recent event — the CDC upsert /
+    * log-compaction read path. This query IS
+    * [[graft.Graft.compactLatest]] keyed on user_id with the total
+    * (us, event_id) version order, so the oracle verifies the public
+    * API. The facade's shape is the scale argument: ONE
+    * map-side-combinable max(struct) aggregate bounded by |users| per
+    * map task, where the row_number-window form the oracle uses would
+    * shuffle AND sort the full log. value rounded (rule F). */
+  def q_dedup_latest(s: SparkSession, d: String): DataFrame =
+    graft.Graft.compactLatest(
+        Tables.events(s, d)
+          .select(col("user_id"), Tables.tsUs.as("us"), col("event_id"),
+                  col("event_type"), col("value")),
+        keyCols = Seq("user_id"), versionCols = Seq("us", "event_id"))
+      .select(col("user_id"), col("us").as("last_us"),
+              col("event_id").as("last_event_id"),
+              col("event_type").as("last_type"),
+              round(col("value"), 2).as("last_value"))
+      .orderBy("user_id")
 }

@@ -272,6 +272,20 @@ object Oracle {
         |       ROUND(MAX(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
 
+    // equi-depth histogram: quantile_cont boundaries verified
+    // bit-identical to Spark `percentile` at all three sfs, so the
+    // strict `v > boundary` bucket comparison agrees everywhere
+    "q_equidepth" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice,
+        |                  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+        |           FROM orders),
+        |a AS (SELECT o_totalprice AS v,
+        |             CAST(len(list_filter(b.bs, x -> v > x)) + 1 AS BIGINT) AS bucket
+        |      FROM orders, b)
+        |SELECT bucket, COUNT(*) AS n_orders, ROUND(MIN(v), 2) AS min_price,
+        |       ROUND(MAX(v), 2) AS max_price
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // single-scan column profile: per-column UNION ALL is the
     // SQL-expressible twin of the one-aggregate Expand plan
     "q_profile" ->
@@ -987,6 +1001,18 @@ object Oracle {
         |FROM uw JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // latest-row compaction: the oracle deliberately takes the window
+    // form (row_number over the (us, event_id) total order) the Spark
+    // side's max(struct) aggregate replaces — parity proves the
+    // aggregate selects the identical survivor per user
+    "q_dedup_latest" ->
+      """SELECT user_id, last_us, last_event_id, last_type, last_value FROM (
+        |  SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+        |         event_type AS last_type, ROUND(value, 2) AS last_value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     // exclusive token prefix sum in doc_id order → fixed-budget
     // context windows; CAST the windowed SUM back to BIGINT (rule I)
     "q_pack_chunks" ->
@@ -1178,6 +1204,35 @@ object Oracle {
         |           FROM sc)
         |SELECT probe_id, vec_id, ROUND(score, 3) AS score, rk FROM ranked
         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    // kNN majority-vote classification: same DOUBLE widen-then-multiply
+    // dot as q_knn_join, 20 probes; measured min rank-5/6 score gap
+    // 1.9e-5 (sf0.01) / 2.2e-4 (sf0.1) vs ~1e-13 summation-order noise,
+    // so the vote set is cross-engine stable; vote argmax tie-breaks by
+    // smallest label on both sides
+    "q_knn_classify" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, embedding AS p, label AS true_label
+        |                FROM embeddings WHERE vec_id < 20),
+        |ex AS (SELECT pr.probe_id, e.vec_id, e.label,
+        |              CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) *
+        |              CAST(pr.p[CAST(t.i AS INT)] AS DOUBLE) AS prod
+        |       FROM embeddings e, probes pr, range(1, 65) t(i) WHERE e.vec_id >= 20),
+        |sc AS (SELECT probe_id, vec_id, MIN(label) AS label, SUM(prod) AS score
+        |       FROM ex GROUP BY 1, 2),
+        |ranked AS (SELECT probe_id, label,
+        |                  ROW_NUMBER() OVER (PARTITION BY probe_id
+        |                                     ORDER BY score DESC, vec_id) AS rk
+        |           FROM sc),
+        |v AS (SELECT probe_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+        |      FROM ranked WHERE rk <= 5 GROUP BY 1, 2),
+        |best AS (SELECT probe_id, label AS pred_label, votes,
+        |                ROW_NUMBER() OVER (PARTITION BY probe_id
+        |                                   ORDER BY votes DESC, label) AS brk
+        |         FROM v)
+        |SELECT b.probe_id, pr.true_label, b.pred_label, b.votes,
+        |       CAST(b.pred_label = pr.true_label AS INT) AS correct
+        |FROM best b JOIN probes pr USING (probe_id) WHERE brk = 1
+        |ORDER BY probe_id""".stripMargin,
 
     // triangle census: id-ordered 3-way self-join (x<y<z — each
     // triangle once); wedges from the degree table; clustering =

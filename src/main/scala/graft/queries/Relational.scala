@@ -371,6 +371,35 @@ object Relational {
            round(max("o_totalprice"), 2).as("max_price"))
       .orderBy("bin")
 
+  /** Equi-depth (equal-frequency) histogram (added round 8): order
+    * totals cut into 8 buckets at the exact interpolated octile
+    * boundaries — count + min/max per bucket, q_histogram's
+    * equal-frequency sibling and the optimizer-statistics shape
+    * (equi-depth is what engines keep for selectivity). Bucket id =
+    * 1 + #boundaries strictly below the value, so values exactly at a
+    * boundary fall left — same comparison on both engines over
+    * boundary doubles verified BIT-IDENTICAL between Spark
+    * `percentile` and DuckDB `quantile_cont` at all three sfs. The
+    * 7-boundary array is a 1-row broadcast scalar; bucketing is a
+    * row-local HOF count and the final rollup collapses map-side to
+    * O(buckets) rows. At 100 TB the exact `percentile` (an
+    * ObjectHashAggregate that buffers values) swaps for
+    * `approx_percentile` with no plan-shape change — exact is chosen
+    * here because the oracle gate demands cross-engine equality. */
+  def q_equidepth(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_totalprice").as("v"))
+    val bounds = o.agg(
+      percentile(col("v"), lit((1 to 7).map(_ / 8.0).toArray)).as("bs"))
+    o.crossJoin(broadcast(bounds))
+      .select(col("v"),
+              (size(filter(col("bs"), b => col("v") > b)) + 1).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+           round(min("v"), 2).as("min_price"),
+           round(max("v"), 2).as("max_price"))
+      .orderBy("bucket")
+  }
+
   /** Single-scan column profile (added round 8): per orders column,
     * (n_rows, n_null, n_distinct) — the ingest data-quality check.
     * This query IS [[graft.Graft.profile]] over all six orders

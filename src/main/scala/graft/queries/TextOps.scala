@@ -130,6 +130,36 @@ object TextOps {
       .orderBy("probe_id", "rk")
   }
 
+  /** kNN majority-vote classification (added round 8): each probe
+    * vector (vec_id < 20) labeled by the majority label of its 5
+    * nearest corpus vectors (ties → smallest label) — the standard
+    * label-propagation / weak-annotation pattern over an embedding
+    * column. Built on the same bounded-[[graft.TopK]]
+    * [[graft.Graft.knnJoinExact]] as q_knn_join; the vote argmax is a
+    * map-side-combinable min(struct(-votes, label)) aggregate, not a
+    * window — per probe only |labels| candidate rows exist, and ≤ 1
+    * leaves each map task. All-integer output (rule F never fires). */
+  def q_knn_classify(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 20)
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val pred = graft.Graft.knnJoinExact(
+        corpus, col("vec_id"), col("embedding"),
+        probes, col("vec_id"), col("embedding"), topk = 5)
+      .join(corpus.select(col("vec_id").as("id"), col("label")), "id")
+      .groupBy("probe_id", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("probe_id")
+      .agg(min(struct((-col("votes")).as("nv"), col("label").as("lb"))).as("m"))
+      .select(col("probe_id"), col("m.lb").as("pred_label"),
+              (-col("m.nv")).as("votes"))
+    pred.join(probes.select(col("vec_id").as("probe_id"),
+                            col("label").as("true_label")), "probe_id")
+      .select(col("probe_id"), col("true_label"), col("pred_label"),
+              col("votes").as("votes"),
+              (col("pred_label") === col("true_label")).cast("int").as("correct"))
+      .orderBy("probe_id")
+  }
+
   /** Shannon token entropy per source (added round 8): the
     * corpus-diversity metric — a source whose entropy collapses
     * relative to its volume is templated/boilerplate text. This query

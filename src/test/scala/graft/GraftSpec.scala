@@ -1589,4 +1589,40 @@ class GraftSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(guarded == expected)
   }
+
+  test("compactLatest keeps exactly the greatest-version row per key, any partitioning") {
+    // change-log: (key, version v1/v2, payload) with multi-row keys,
+    // a key whose latest has a NULL payload, and a single-row key
+    val log = Seq(
+      ("a", 1L, 1L, "x", java.lang.Double.valueOf(1.0)),
+      ("a", 2L, 1L, "y", java.lang.Double.valueOf(2.0)),
+      ("a", 2L, 2L, "z", java.lang.Double.valueOf(3.0)),   // survivor: v=(2,2)
+      ("b", 5L, 9L, null, null),                           // survivor: NULL payload kept as-is
+      ("b", 4L, 10L, "w", java.lang.Double.valueOf(4.0)),
+      ("c", 7L, 7L, "only", java.lang.Double.valueOf(5.0)))
+    val expected = Set(
+      ("a", 2L, 2L, "z", Option(3.0)),
+      ("b", 5L, 9L, null, None),
+      ("c", 7L, 7L, "only", Option(5.0)))
+    for (parts <- Seq(1, 2, 7)) {
+      val df = log.toDF("k", "v1", "v2", "s", "d").repartition(parts, $"v2")
+      val out = Graft.compactLatest(df, keyCols = Seq("k"), versionCols = Seq("v1", "v2"))
+      // caller's column order is untouched
+      assert(out.columns.toSeq == Seq("k", "v1", "v2", "s", "d"))
+      val got = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), if (r.isNullAt(4)) None else Option(r.getDouble(4)))).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    // misuse fails loudly: unknown / overlapping / reserved columns
+    val df = log.toDF("k", "v1", "v2", "s", "d")
+    intercept[IllegalArgumentException] {
+      Graft.compactLatest(df, Seq("k"), Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Graft.compactLatest(df, Seq("k"), Seq("k", "v1"))
+    }
+    intercept[IllegalArgumentException] {
+      Graft.compactLatest(df.withColumnRenamed("s", "__s"), Seq("k"), Seq("v1"))
+    }
+  }
 }

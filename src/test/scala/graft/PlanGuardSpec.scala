@@ -32,9 +32,12 @@ class PlanGuardSpec extends SparkSpecBase {
     // q_forward_fill composes the q_gapfill densify spine;
     // q_collocations crosses the 1-row M/N token-total scalars;
     // q_dedup_sorted's rank pass broadcasts 1-row quantile bounds;
-    // q_basket_rules crosses the 1-row basket-total scalar
+    // q_basket_rules crosses the 1-row basket-total scalar;
+    // q_knn_classify shares q_knn_join's tiny-probe-batch cross;
+    // q_equidepth crosses the 1-row octile-boundary aggregate
     "q_triangle_count", "q_zipf_slope", "q_forward_fill",
-    "q_collocations", "q_dedup_sorted", "q_basket_rules")
+    "q_collocations", "q_dedup_sorted", "q_basket_rules",
+    "q_knn_classify", "q_equidepth")
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
   // no longer get the exemption)
