@@ -1681,6 +1681,74 @@ object Graft {
     centroids
   }
 
+  /** Top principal component of a vector column — MATRIX-FREE
+    * distributed power iteration, the spectral sibling of [[ivfTrain]]
+    * (PCA whitening / dominant-direction analysis of an embedding
+    * corpus). Never materializes the dim×dim covariance: each
+    * iteration computes w = C·v = (Σᵢ cᵢ·xᵢ − (Σᵢ cᵢ)·μ)/n with
+    * cᵢ = xᵢ·v − μ·v in ONE map-side-combinable pass — a row-local
+    * codegen'd dot ([[functions.GraftFunctions.dot]]) + a [[VecSum]]
+    * partial aggregate — so per-iteration shuffle traffic is a single
+    * dim-length vector per task regardless of corpus size. Driver
+    * state is O(dim) (mean, v), exactly the ivfTrain centroid-scalar
+    * pattern; the input is localCheckpoint'd once for the iters+1
+    * passes.
+    *
+    * Returns one row per dimension: (pos, loading, eigenvalue,
+    * var_permille) — the unit eigenvector (sign-canonicalized: its
+    * largest-|.| component is positive), the Rayleigh eigenvalue
+    * λ = vᵀCv, and floor(1000·λ/trace(C)) (variance explained).
+    * Convergence is geometric in the spectral gap; `iters` bounds
+    * work, and the output is a deterministic function of the input
+    * and `iters` up to float summation order. Ragged or empty input
+    * vectors fail loudly via [[VecSum]]'s dimensionality contract. */
+  def topPrincipalComponent(vecs: DataFrame, vec: Column,
+                            iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(vec.cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint()
+    val stats = base.agg(
+        udaf(VecSum.agg).apply(col("__v")).as("sv"),
+        count(lit(1)).as("n"),
+        sum(aggregate(transform(col("__v"), x => x * x),
+                      lit(0.0), (a, b) => a + b)).as("ss"))
+      .collect()(0)
+    val n = stats.getAs[Long]("n")
+    require(n > 0, "topPrincipalComponent: no non-null input vectors")
+    val mean = stats.getAs[Seq[Double]]("sv").map(_ / n).toArray
+    val dim = mean.length
+    val trace = stats.getAs[Double]("ss") / n - mean.map(m => m * m).sum
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val mv = mean.zip(v).map { case (m, c) => m * c }.sum
+      val r = base
+        .select(col("__v"),
+                (functions.GraftFunctions.dot(col("__v"), typedLit(v.toSeq)) - lit(mv)).as("__c"))
+        .select(transform(col("__v"), x => x * col("__c")).as("__cv"), col("__c"))
+        .agg(udaf(VecSum.agg).apply(col("__cv")).as("w"), sum(col("__c")).as("sc"))
+        .collect()(0)
+      val sc = r.getAs[Double]("sc")
+      val w = r.getAs[Seq[Double]]("w").zipWithIndex
+        .map { case (x, j) => (x - sc * mean(j)) / n }.toArray
+      lambda = v.zip(w).map(p => p._1 * p._2).sum
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      require(norm > 0, "topPrincipalComponent: power iteration collapsed to zero " +
+        "(input has no variance along the current direction)")
+      v = w.map(_ / norm)
+    }
+    val am = v.indices.maxBy(j => math.abs(v(j)))
+    val out = if (v(am) < 0) v.map(x => -x) else v
+    val varPermille = if (trace > 0) math.floor(1000.0 * lambda / trace).toLong else 0L
+    out.toSeq.zipWithIndex
+      .map { case (l, j) => (j.toLong, l) }.toDF("pos", "loading")
+      .withColumn("eigenvalue", lit(lambda))
+      .withColumn("var_permille", lit(varPermille))
+  }
+
   /** Nearest-trained-centroid cell id for EVERY row of `vecs` — the
     * assignment half of IVF as a standalone op: row-local argmax-dot
     * against the broadcast centroid-array scalar, a pure map with zero

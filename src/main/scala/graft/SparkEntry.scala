@@ -3,11 +3,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 109 query ids; 102 with DuckDB oracles. The
-  * 7 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
-  * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp) are not
-  * SQL-expressible (sketch/ANN internals) and are covered by
-  * unit/property tests. */
+  * and §3.1 (entry points). 111 query ids; 103 with DuckDB oracles. The
+  * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
+  * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
+  * are not SQL-expressible (sketch/ANN internals, iterative float
+  * linear algebra) and are covered by unit/property tests. */
 object SparkEntry {
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -106,6 +106,7 @@ object SparkEntry {
     "q_ivf_build"      -> HashOps.q_ivf_build _,
     "q_sim_ivf"        -> HashOps.q_sim_ivf _,
     "q_sim_srp"        -> HashOps.q_sim_srp _,
+    "q_pca_power"      -> HashOps.q_pca_power _,
     "q_asof_join"      -> Events.q_asof_join _,
     "q_asof_native"    -> Events.q_asof_native _,
     "q_range_join"     -> Events.q_range_join _,
@@ -139,6 +140,7 @@ object SparkEntry {
     // §2.14 graph analytics
     "q_triangle_count"  -> GraphOps.q_triangle_count _,
     "q_pagerank"        -> GraphOps.q_pagerank _,
+    "q_degree_dist"     -> GraphOps.q_degree_dist _,
     "q_basket_rules"    -> GraphOps.q_basket_rules _,
   )
 

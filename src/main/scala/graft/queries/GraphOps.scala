@@ -86,6 +86,22 @@ object GraphOps {
     * so the oracle verifies the public API. All three measures are
     * EXACT integer permille (floor `div` ≡ DuckDB `//` on the
     * non-negative counts) — no float anywhere in the query. */
+  /** Degree distribution of the co-purchase graph (added round 8):
+    * per degree, how many nodes have it — the graph-health profile
+    * (power-law tail check; the input a planner needs before picking
+    * a triangle/join strategy). Both endpoints explode from ONE pass
+    * over the edge list (an `array(a, b)` Generate — no self-union
+    * that would build the edge DAG twice), then two cascaded
+    * partial+final counts: the first keyed by node (vocabulary-scale
+    * exchange), the second O(max-degree) rows that collapse
+    * map-side. */
+  def q_degree_dist(s: SparkSession, d: String): DataFrame =
+    coPurchaseEdges(s, d)
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+
   def q_basket_rules(s: SparkSession, d: String): DataFrame =
     graft.Graft.basketRules(Tables.lineitem(s, d),
         basket = col("l_orderkey"), item = col("l_partkey"), minBoth = 2L)

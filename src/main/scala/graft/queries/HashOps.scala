@@ -151,4 +151,24 @@ object HashOps {
       .select(col("vec_id"), col("label"), col("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
   }
+
+  /** Top principal component of the embedding corpus (added round 8):
+    * 8 matrix-free power iterations — per dimension its unit-norm
+    * loading, the Rayleigh eigenvalue, and variance-explained
+    * permille. The query IS [[graft.Graft.topPrincipalComponent]], so
+    * every iteration is the one-pass dot + VecSum partial aggregate
+    * the facade documents (never a dim×dim covariance materialization,
+    * never a per-row explode). Oracle=no (iterative float linear
+    * algebra is not SQL-expressible cross-engine at hash precision);
+    * GraftSpec pins the eigenpair residual ‖Cv − λv‖ against a
+    * brute-force covariance on deterministic data, partitioning
+    * invariance, and the unit-norm/sign contract. Loadings rounded
+    * (rule F) for display; the rows-only driver check sees a fixed
+    * 64-row frame. */
+  def q_pca_power(s: SparkSession, d: String): DataFrame =
+    graft.Graft.topPrincipalComponent(
+        Tables.embeddings(s, d), col("embedding"), iters = 8)
+      .select(col("pos"), round(col("loading"), 6).as("loading"),
+              round(col("eigenvalue"), 6).as("eigenvalue"), col("var_permille"))
+      .orderBy("pos")
 }

@@ -1257,6 +1257,15 @@ object Oracle {
     // association rules: all three measures in exact integer permille
     // (// ≡ Spark div on non-negative counts); b is the DISTINCT
     // (basket, item) incidence, N the distinct basket count
+    // degree distribution over the same co-purchase edge CTEs
+    "q_degree_dist" ->
+      s"""WITH $coPurchaseCtes,
+         |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+         |        GROUP BY v)
+         |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+
     "q_basket_rules" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
         |n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM b),

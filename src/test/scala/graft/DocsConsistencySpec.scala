@@ -27,8 +27,8 @@ class DocsConsistencySpec extends AnyFunSuite {
       s"README must state '$nQueries queries' (the live SparkEntry.queries.size)")
     assert(readme.contains(s"$nOracles carry a DuckDB-equivalent SQL twin"),
       s"README must state '$nOracles carry a DuckDB-equivalent SQL twin'")
-    assert(readme.contains(s"the other $nNoOracle use JVM hashing"),
-      s"README must state 'the other $nNoOracle use JVM hashing'")
+    assert(readme.contains(s"the other $nNoOracle are not SQL-expressible"),
+      s"README must state 'the other $nNoOracle are not SQL-expressible'")
   }
 
   test("SURVEY.md §2 inventory totals match the live maps") {

@@ -1590,6 +1590,50 @@ class GraftSpec extends SparkSpecBase {
     assert(guarded == expected)
   }
 
+  test("topPrincipalComponent matches the brute-force eigenpair on deterministic data") {
+    val dim = 8
+    // planted dominant direction + bounded deterministic noise
+    val dir = Array(4.0, -3.0, 2.0, -1.0, 0.5, 1.5, -2.5, 3.5)
+    val dn = math.sqrt(dir.map(x => x * x).sum)
+    val d0 = dir.map(_ / dn)
+    def rng(s: Long): Long = {
+      var x = s; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val rows: Seq[Seq[Double]] = (1 to 300).map { i =>
+      val a = (math.abs(rng(i)) % 1000) / 100.0
+      Seq.tabulate(dim)(j => a * d0(j) + (math.abs(rng(i.toLong * 67 + j)) % 100) / 500.0)
+    }
+    val df = rows.map(Tuple1(_)).toDF("v")
+    val res = Graft.topPrincipalComponent(df, $"v", iters = 30).orderBy("pos").collect()
+    assert(res.map(_.getLong(0)).toSeq == (0L until dim))
+    val v = res.map(_.getDouble(1))
+    val lambda = res(0).getDouble(2)
+    // unit norm + canonical sign (largest-|.| component positive)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(v(v.indices.maxBy(j => math.abs(v(j)))) > 0)
+    // eigenpair residual vs the brute-force covariance
+    val n = rows.size
+    val mean = Array.tabulate(dim)(j => rows.map(_(j)).sum / n)
+    val cov = Array.tabulate(dim, dim)((a, b) =>
+      rows.map(r => (r(a) - mean(a)) * (r(b) - mean(b))).sum / n)
+    val cv = Array.tabulate(dim)(a => (0 until dim).map(b => cov(a)(b) * v(b)).sum)
+    val resid = math.sqrt(cv.zip(v).map { case (c, x) =>
+      val e = c - lambda * x; e * e }.sum)
+    assert(resid <= 1e-6 * lambda, s"eigenpair residual $resid vs lambda $lambda")
+    // var_permille consistent with the brute-force trace
+    val trace = (0 until dim).map(j => cov(j)(j)).sum
+    assert(res(0).getLong(3) == math.floor(1000.0 * lambda / trace).toLong ||
+           math.abs(res(0).getLong(3) - 1000.0 * lambda / trace) <= 1)
+    // partitioning invariance
+    val v2 = Graft.topPrincipalComponent(df.repartition(7), $"v", iters = 30)
+      .orderBy("pos").collect().map(_.getDouble(1))
+    v.zip(v2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-8) }
+    // ragged input fails loudly through VecSum's dimensionality contract
+    intercept[Exception] {
+      Graft.topPrincipalComponent((rows :+ Seq(1.0)).map(Tuple1(_)).toDF("v"), $"v", iters = 1)
+    }
+  }
+
   test("compactLatest keeps exactly the greatest-version row per key, any partitioning") {
     // change-log: (key, version v1/v2, payload) with multi-row keys,
     // a key whose latest has a NULL payload, and a single-row key
