@@ -898,6 +898,32 @@ object Graft {
       }: _*)
   }
 
+  /** Portable order-independent table fingerprint — the
+    * pipeline-integrity op ("did the copy/migration/rewrite lose or
+    * mutate rows?"): ONE row (n_rows, xor_sig, sum_sig) from a pure
+    * map + single partial+final aggregate, no shuffle beyond the
+    * 1-row combine at any table size. Each row folds `cols` through
+    * the polynomial hash h = fold((a·31 + c mod P)) with
+    * P = 1000000007 in plain non-negative BIGINT arithmetic — NO
+    * engine-specific hash — so ANY engine (DuckDB, Trino, a Python
+    * reader) can recompute the identical signature on its copy.
+    * Rows combine by XOR (overflow-free, order/partitioning
+    * invariant) and by sum (catches the duplicated-row pairs XOR
+    * cancels; overflows only past ~9e9 rows — shard the sum by a key
+    * range and checksum per shard before that). NULLs fold as the
+    * sentinel 999983. Columns must cast to long — pre-scale doubles
+    * (e.g. `floor(price * 100)`) so the caller, not the engine,
+    * owns the float→int convention. */
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum needs at least one column")
+    val P = 1000000007L
+    val h = cols.map(c => pmod(coalesce(c.cast("long"), lit(999983L)), lit(P)))
+      .reduce((a, b) => pmod(a * 31 + b, lit(P)))
+    df.select(h.as("__h"))
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("__h")).as("xor_sig"),
+           sum(col("__h")).as("sum_sig"))
+  }
+
   /** Near-dup cluster labels for ANY (id, text) DataFrame — the
     * composed dedup pipeline as ONE call: n-gram Jaccard pair graph
     * ([[nearDupPairsNgram]], inverted-index bucketed) → connected

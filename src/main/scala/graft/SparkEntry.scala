@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 111 query ids; 103 with DuckDB oracles. The
+  * and §3.1 (entry points). 113 query ids; 105 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -51,6 +51,7 @@ object SparkEntry {
     "q_histogram"      -> Relational.q_histogram _,
     "q_equidepth"      -> Relational.q_equidepth _,
     "q_profile"        -> Relational.q_profile _,
+    "q_checksum"       -> Relational.q_checksum _,
     "q_above_avg"      -> Relational.q_above_avg _,
     "q_window_ntile"   -> Relational.q_window_ntile _,
     // §2.5 sorts / top-k
@@ -135,6 +136,7 @@ object SparkEntry {
     "q_markov"          -> Events.q_markov _,
     "q_scd2"            -> Events.q_scd2 _,
     "q_anomaly"         -> Events.q_anomaly _,
+    "q_outlier_mad"     -> Events.q_outlier_mad _,
     "q_hourly_delta"    -> Events.q_hourly_delta _,
     "q_dedup_latest"    -> Events.q_dedup_latest _,
     // §2.14 graph analytics

@@ -356,6 +356,40 @@ object Events {
               col("n_users"))
       .orderBy("cohort_week", "weeks_since")
 
+  /** Median/MAD robust outliers (added round 8): events whose value
+    * deviates from their type's MEDIAN by more than 3 scaled median
+    * absolute deviations (3·1.4826 written as the one literal 4.4478
+    * on both engines) — the robust complement of q_anomaly's z-score:
+    * a mean/stddev gate is itself dragged by the outliers it hunts,
+    * medians are not. Degenerate groups (MAD = 0) emit none, the
+    * q_anomaly rule.
+    *
+    * Scale shape: exact medians are inherently two-pass — one grouped
+    * percentile for the medians, deviations re-derived with the
+    * |types|-row stats broadcast back, a second grouped percentile
+    * for the MAD, and a map-side-collapsing rollup. Each percentile
+    * is a partial+final ObjectHashAggregate keyed by type; at 100 TB
+    * both swap for `approx_percentile` with no plan-shape change
+    * (the q_equidepth trade — exact is chosen because the oracle gate
+    * demands cross-engine equality). */
+  def q_outlier_mad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(med, "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("ad"), col("med"))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    dev.join(mad, "event_type")
+      .filter(col("mad") > 0 && col("ad") > col("mad") * 4.4478)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_outliers"),
+           round(max(col("ad") / col("mad")), 2).as("max_ratio"),
+           round(min(col("med")), 2).as("median"),
+           round(min(col("mad")), 2).as("mad_val"))
+      .orderBy("event_type")
+  }
+
   /** Latest-row compaction (added round 8): the events change-log
     * collapsed to each user's most recent event — the CDC upsert /
     * log-compaction read path. This query IS

@@ -286,6 +286,46 @@ object Oracle {
         |       ROUND(MAX(v), 2) AS max_price
         |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // portable table fingerprint: DuckDB recomputes the identical
+    // polynomial row-hash in plain BIGINT arithmetic and the identical
+    // XOR/sum folds. c_acctbal can be NEGATIVE and DuckDB `%` keeps
+    // the sign where Spark `pmod` is non-negative, so the one signed
+    // term gets the ((x % P) + P) % P wrap
+    "q_checksum" ->
+      """WITH h AS (
+        |  SELECT 'customer' AS tbl,
+        |         (((c_custkey % 1000000007) * 31 + (c_nationkey % 1000000007))
+        |            % 1000000007 * 31
+        |          + ((CAST(FLOOR(c_acctbal * 100) AS BIGINT) % 1000000007)
+        |             + 1000000007) % 1000000007)
+        |           % 1000000007 AS h
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         (((((l_orderkey % 1000000007) * 31 + (l_partkey % 1000000007))
+        |              % 1000000007 * 31 + (l_suppkey % 1000000007))
+        |             % 1000000007 * 31 + (l_linenumber % 1000000007))
+        |            % 1000000007 * 31
+        |          + (CAST(FLOOR(l_extendedprice * 100) AS BIGINT) % 1000000007))
+        |           % 1000000007
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders',
+        |         (((o_orderkey % 1000000007) * 31 + (o_custkey % 1000000007))
+        |            % 1000000007 * 31
+        |          + (CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 1000000007))
+        |           % 1000000007
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'part',
+        |         ((p_partkey % 1000000007) * 31 + (p_size % 1000000007))
+        |           % 1000000007
+        |  FROM part)
+        |SELECT tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+        |       CAST(SUM(h) AS BIGINT) AS sum_sig
+        |FROM h GROUP BY tbl ORDER BY tbl""".stripMargin,
+
     // single-scan column profile: per-column UNION ALL is the
     // SQL-expressible twin of the one-aggregate Expand plan
     "q_profile" ->
@@ -988,6 +1028,22 @@ object Oracle {
         |      WHERE s.sd > 0 AND ABS((e.value - s.mean) / s.sd) > 2)
         |SELECT event_type, COUNT(*) AS n_outliers, ROUND(MAX(az), 2) AS max_z
         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // median/MAD robust outliers: quantile_cont ≡ Spark percentile
+    // (bit-identical, the q_equidepth verification); the 3·1.4826
+    // threshold is the single literal 4.4478 on both engines
+    "q_outlier_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, ABS(e.value - m.med) AS ad, m.med
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+        |       ROUND(MAX(d.ad / md.mad), 2) AS max_ratio,
+        |       ROUND(MIN(d.med), 2) AS median, ROUND(MIN(md.mad), 2) AS mad_val
+        |FROM d JOIN md USING (event_type)
+        |WHERE md.mad > 0 AND d.ad > md.mad * 4.4478
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // weekly cohort retention triangle: epoch-week = µs // day // 7,
     // cohort = each user's first active week

@@ -400,6 +400,32 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Portable table fingerprints (added round 8): an
+    * order/partitioning-independent checksum row per table — the
+    * data-integrity half of ingest validation (q_profile is the
+    * statistics half). This query IS [[graft.Graft.tableChecksum]]
+    * over four tables, so the oracle proves the signature is
+    * ENGINE-PORTABLE: DuckDB recomputes the identical polynomial
+    * row-hash (plain non-negative BIGINT arithmetic, no JVM hashing)
+    * and the identical XOR/sum folds. Doubles enter as floor-cents so
+    * the float→int convention is explicit in the query, not the
+    * engine. Each table costs a pure map + one partial+final
+    * aggregate — no shuffle beyond the 1-row combines. */
+  def q_checksum(s: SparkSession, d: String): DataFrame = {
+    def one(name: String, df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
+      graft.Graft.tableChecksum(df, cols)
+        .select(lit(name).as("tbl"), col("n_rows"), col("xor_sig"), col("sum_sig"))
+    one("customer", Tables.customer(s, d),
+        Seq(col("c_custkey"), col("c_nationkey"), floor(col("c_acctbal") * 100)))
+      .union(one("lineitem", Tables.lineitem(s, d),
+        Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_linenumber"), floor(col("l_extendedprice") * 100))))
+      .union(one("orders", Tables.orders(s, d),
+        Seq(col("o_orderkey"), col("o_custkey"), floor(col("o_totalprice") * 100))))
+      .union(one("part", Tables.part(s, d), Seq(col("p_partkey"), col("p_size"))))
+      .orderBy("tbl")
+  }
+
   /** Single-scan column profile (added round 8): per orders column,
     * (n_rows, n_null, n_distinct) — the ingest data-quality check.
     * This query IS [[graft.Graft.profile]] over all six orders

@@ -1590,6 +1590,31 @@ class GraftSpec extends SparkSpecBase {
     assert(guarded == expected)
   }
 
+  test("tableChecksum: partitioning-invariant, row-sensitive, NULL-stable") {
+    val rows = (1L to 500L).map(i => (i, i * 7 % 97, if (i % 13 == 0) null else s"$i"))
+    val df = rows.toDF("a", "b", "s")
+    def sig(d: org.apache.spark.sql.DataFrame) = {
+      val r = Graft.tableChecksum(d, Seq($"a", $"b")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val base = sig(df)
+    assert(base._1 == 500L)
+    // any partitioning / row order folds to the identical signature
+    for (parts <- Seq(1, 3, 32))
+      assert(sig(df.repartition(parts, $"b")) == base, s"parts=$parts")
+    // dropping one row or mutating one value changes the signature
+    assert(sig(df.filter($"a" =!= 250L)) != base)
+    assert(sig(df.withColumn("b", when($"a" === 250L, $"b" + 1).otherwise($"b"))) != base)
+    // XOR cancels a duplicated pair; the sum fold catches it
+    val dup = df.union(df.filter($"a" === 7L)).union(df.filter($"a" === 7L))
+    val dupSig = sig(dup)
+    assert(dupSig._2 == base._2 && dupSig._3 != base._3,
+      "duplicated pair must cancel in XOR and surface in the sum")
+    // NULLs fold as the fixed sentinel, not an error
+    val withNull = sig(df.withColumn("b", when($"a" === 1L, lit(null)).otherwise($"b")))
+    assert(withNull != base && withNull._1 == 500L)
+  }
+
   test("topPrincipalComponent matches the brute-force eigenpair on deterministic data") {
     val dim = 8
     // planted dominant direction + bounded deterministic noise
