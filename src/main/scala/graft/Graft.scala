@@ -898,6 +898,53 @@ object Graft {
       }: _*)
   }
 
+  /** Unit-normalized tf-idf document vectors over the corpus's own
+    * top-`vocabLimit` tokens — the sparse-text half of the similarity
+    * family (the embeddings column is the dense half): returns
+    * (doc_id, vec: array<double>) ready for [[topkCosinePairs]] /
+    * [[knnJoinExact]] / [[topPrincipalComponent]]. Vocabulary =
+    * the `vocabLimit` highest-document-frequency tokens (ties broken
+    * by token asc — fully deterministic); idf = ln(N/df); tf = raw
+    * in-doc count; vectors L2-normalized so dot ≡ cosine (all-zero
+    * vectors — no vocab token — stay zero).
+    *
+    * Scale shape: ONE map-side-combined df aggregate + a
+    * TakeOrdered(vocabLimit) cut; the vocabulary is O(vocabLimit)
+    * DRIVER state broadcast back (the ivfTrain centroid-scalar
+    * pattern), and every vector builds ROW-LOCALLY from it — zero
+    * shuffle in the featurize step at any corpus size. `vocabLimit`
+    * is the explicit feature-dim budget: this is feature SELECTION
+    * (engine-portable, oracle-checkable), chosen over feature
+    * HASHING (JVM-hash-dependent) because the selected path verifies
+    * cross-engine; at an unbounded vocabulary swap the selection for
+    * a hashed dim without changing the downstream kernels. */
+  def tfidfVectors(docs: DataFrame, id: Column, text: Column,
+                   vocabLimit: Int): DataFrame = {
+    require(vocabLimit >= 1, s"vocabLimit must be >= 1, got $vocabLimit")
+    val toks = docs.select(id.cast("long").as("doc_id"),
+                           split(text, " ").as("__toks"))
+    val n = toks.count().toDouble
+    require(n > 0, "tfidfVectors: empty corpus")
+    val vocab = toks
+      .select(explode(array_distinct(col("__toks"))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+      .orderBy(col("__df").desc, col("__t").asc).limit(vocabLimit)
+      .collect().map(r => (r.getString(0), math.log(n / r.getLong(1))))
+    val vArr = array(vocab.map(v => lit(v._1)).toIndexedSeq: _*)
+    val idfArr = array(vocab.map(v => lit(v._2)).toIndexedSeq: _*)
+    toks
+      .select(col("doc_id"),
+        zip_with(vArr, idfArr,
+          (t, w) => size(filter(col("__toks"), x => x === t)).cast("double") * w)
+          .as("__w"))
+      .select(col("doc_id"),
+        sqrt(aggregate(col("__w"), lit(0.0), (a, b) => a + b * b)).as("__n"),
+        col("__w"))
+      .select(col("doc_id"),
+        when(col("__n") > 0, transform(col("__w"), x => x / col("__n")))
+          .otherwise(col("__w")).as("vec"))
+  }
+
   /** Portable order-independent table fingerprint — the
     * pipeline-integrity op ("did the copy/migration/rewrite lose or
     * mutate rows?"): ONE row (n_rows, xor_sig, sum_sig) from a pure

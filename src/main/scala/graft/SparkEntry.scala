@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 113 query ids; 105 with DuckDB oracles. The
+  * and §3.1 (entry points). 114 query ids; 106 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -87,6 +87,7 @@ object SparkEntry {
     "q_knn_join"       -> TextOps.q_knn_join _,
     "q_knn_centroid"   -> TextOps.q_knn_centroid _,
     "q_knn_classify"   -> TextOps.q_knn_classify _,
+    "q_sim_sparse"     -> TextOps.q_sim_sparse _,
     // §2.12 training-data-pipeline extensions
     "q_dedup_ngram"    -> PipelineOps.q_dedup_ngram _,
     "q_dedup_ngram_capped" -> PipelineOps.q_dedup_ngram_capped _,

@@ -823,6 +823,33 @@ object Oracle {
         |SELECT vec_a, vec_b, cosine FROM p ORDER BY cosine DESC, vec_a, vec_b
         |LIMIT 20""".stripMargin,
 
+    // sparse tf-idf cosine pairs: tf-idf recomputed from scratch in
+    // SQL (vocab = top-64 df, ties by token; idf = ln(N/df); L2
+    // normalize; zero weights dropped — they add exactly 0.0 to any
+    // dot), then the same ROUND-3 + id tie-break ranking contract as
+    // q_dedup_embed
+    "q_sim_sparse" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+        |dfs AS (SELECT u.t AS tok, COUNT(DISTINCT doc_id) AS df
+        |        FROM t, unnest(list_distinct(toks)) u(t) GROUP BY 1),
+        |voc AS (SELECT tok, ln(n.n / df) AS idf FROM dfs, n
+        |        ORDER BY df DESC, tok LIMIT 64),
+        |w AS (SELECT t.doc_id, v.tok,
+        |             CAST(len(list_filter(t.toks, x -> x = v.tok)) AS DOUBLE)
+        |               * v.idf AS w
+        |      FROM t, voc v),
+        |nr AS (SELECT doc_id, sqrt(SUM(w*w)) AS nn FROM w GROUP BY 1),
+        |wn AS (SELECT w.doc_id, w.tok,
+        |              CASE WHEN nr.nn > 0 THEN w.w / nr.nn ELSE w.w END AS w
+        |       FROM w JOIN nr USING (doc_id) WHERE w.w <> 0),
+        |p AS (SELECT a.doc_id AS vec_a, b.doc_id AS vec_b,
+        |             ROUND(SUM(a.w * b.w), 3) AS cosine
+        |      FROM wn a JOIN wn b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, cosine FROM p
+        |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+
     "q_range_join" ->
       """WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
         |p AS (SELECT event_id, us, us // 10000000 AS bucket FROM ev WHERE event_type = 'purchase'),

@@ -160,6 +160,25 @@ object TextOps {
       .orderBy("probe_id")
   }
 
+  /** Sparse-text cosine similarity (added round 8): top-20 document
+    * pairs by tf-idf cosine — the SPARSE sibling of q_dedup_embed's
+    * dense-embedding pairs, composing [[graft.Graft.tfidfVectors]]
+    * (one df aggregate + O(vocab) driver state + row-local
+    * featurization) into the same custom DotTopKJoinExec kernel
+    * (bounded per-partition heaps, ≤ k rows out per partition). The
+    * oracle recomputes tf-idf from scratch in SQL — featurization AND
+    * ranking verify cross-engine. At an unbounded vocabulary the
+    * selection featurizer swaps for a hashed dim; at an unbounded
+    * corpus the all-pairs kernel swaps for the prefix-filtered
+    * candidate path (q_jaccard_prefix's AllPairs machinery, weighted).
+    * Rounded-3 ranking with id tie-breaks (the q_dedup_embed
+    * contract) keeps the cut cross-engine stable. */
+  def q_sim_sparse(s: SparkSession, d: String): DataFrame =
+    graft.Graft.topkCosinePairs(
+      graft.Graft.tfidfVectors(Tables.documents(s, d),
+        col("doc_id"), col("text"), vocabLimit = 64),
+      col("doc_id"), col("vec"), k = 20)
+
   /** Shannon token entropy per source (added round 8): the
     * corpus-diversity metric — a source whose entropy collapses
     * relative to its volume is templated/boilerplate text. This query

@@ -1590,6 +1590,45 @@ class GraftSpec extends SparkSpecBase {
     assert(guarded == expected)
   }
 
+  test("tfidfVectors: hand-computed weights, unit norm, deterministic vocab cut") {
+    // 4 docs, vocab by df: a(4), b(3), c(2), d(1), e(1) — limit 4 keeps
+    // a,b,c and the df-1 tie (d,e) breaks by token asc → d
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a a b"),
+      (3L, "a b c d"),
+      (4L, "a e")).toDF("id", "t")
+    val out = Graft.tfidfVectors(docs, $"id", $"t", vocabLimit = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val n = 4.0
+    val idf = Map("a" -> math.log(n / 4), "b" -> math.log(n / 3),
+                  "c" -> math.log(n / 2), "d" -> math.log(n / 1))
+    // expected raw weights in vocab order (a, b, c, d), then L2-normalize
+    def norm(w: Seq[Double]): Seq[Double] = {
+      val nn = math.sqrt(w.map(x => x * x).sum)
+      if (nn > 0) w.map(_ / nn) else w
+    }
+    val expect = Map(
+      1L -> norm(Seq(idf("a"), idf("b"), idf("c"), 0.0)),
+      2L -> norm(Seq(2 * idf("a"), idf("b"), 0.0, 0.0)),
+      3L -> norm(Seq(idf("a"), idf("b"), idf("c"), idf("d"))),
+      // doc 4: only 'a' in vocab, and idf(a) = ln(1) = 0 → zero vector
+      4L -> Seq(0.0, 0.0, 0.0, 0.0))
+    out.foreach { r =>
+      val got = r.getSeq[Double](1)
+      val want = expect(r.getLong(0))
+      assert(got.size == 4)
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-12, s"doc ${r.getLong(0)}: $got vs $want") }
+    }
+    // partitioning does not change the vectors
+    val out2 = Graft.tfidfVectors(docs.repartition(3), $"id", $"t", vocabLimit = 4)
+      .orderBy("doc_id").collect()
+    out.zip(out2).foreach { case (a, b) =>
+      assert(a.getSeq[Double](1) == b.getSeq[Double](1)) }
+  }
+
   test("tableChecksum: partitioning-invariant, row-sensitive, NULL-stable") {
     val rows = (1L to 500L).map(i => (i, i * 7 % 97, if (i % 13 == 0) null else s"$i"))
     val df = rows.toDF("a", "b", "s")
