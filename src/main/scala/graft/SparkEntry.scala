@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 114 query ids; 106 with DuckDB oracles. The
+  * and §3.1 (entry points). 115 query ids; 107 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -114,6 +114,7 @@ object SparkEntry {
     "q_range_join"     -> Events.q_range_join _,
     "q_sample_det"     -> PipelineOps.q_sample_det _,
     "q_pps_sample"     -> PipelineOps.q_pps_sample _,
+    "q_weighted_sample" -> PipelineOps.q_weighted_sample _,
     "q_stratified_sample" -> PipelineOps.q_stratified_sample _,
     "q_shuffle_det"    -> PipelineOps.q_shuffle_det _,
     "q_pack_chunks"    -> PipelineOps.q_pack_chunks _,

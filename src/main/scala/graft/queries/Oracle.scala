@@ -1195,6 +1195,19 @@ object Oracle {
         |        * 2654435761) % 1000000007 AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin,
 
+    // exact-k weighted sample: same integer scramble as
+    // q_shuffle_det (seed 20260813), u = (h+1)/(P+1), A-ES key =
+    // ln(u)/weight, top-100 cut, float key not emitted
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         ln((((((doc_id % 1000000007) + 20260813) % 1000000007)
+        |              * 2654435761) % 1000000007 + 1) / 1000000008.0)
+        |           / n_chars AS key
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY key DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
     // exact-count stratified sampling: the n smallest seeded shuffle
     // keys per stratum (bijection of ids — no ties possible)
     "q_stratified_sample" ->

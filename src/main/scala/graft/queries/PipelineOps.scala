@@ -262,6 +262,23 @@ object PipelineOps {
            round(sum("inv_p"), 2).as("est_total_docs"))
       .orderBy("lang")
 
+  /** Exact-k weighted sample (added round 8): exactly 100 documents
+    * drawn WITHOUT replacement with inclusion probability ∝ n_chars —
+    * Efraimidis–Spirakis A-ES, [[q_pps_sample]]'s fixed-size sibling
+    * (Poisson sampling can't promise a sample size; an eval-split or
+    * byte-budget cut usually must). The query IS
+    * [[graft.Graft.weightedSampleExact]], so the oracle verifies the
+    * public API: the uniform is the integer scramble both engines
+    * compute bit-identically, ln enters on a well-separated key
+    * (measured rank-cut gaps ≥ 1.3e-7 vs ~1e-19 libm ulps), and the
+    * float key itself is NOT emitted. TakeOrderedAndProject — ≤ k
+    * rows per partition to the driver merge, no shuffle. */
+  def q_weighted_sample(s: SparkSession, d: String): DataFrame =
+    graft.Graft.weightedSampleExact(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        col("doc_id"), col("n_chars"), k = 100, seed = 20260813L)
+      .orderBy("doc_id")
+
   /** Repetition-ratio quality signals (the Gopher-style "fraction of
     * duplicate n-grams" family): per document, the permille of
     * duplicate tokens, duplicate word-2-grams and duplicate
