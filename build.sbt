@@ -26,8 +26,5 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // events.parquet carries TIMESTAMP(NANOS); Spark 4 needs this to read
-  // it (as long epoch-nanos). Also set at runtime in Tables.events.
-  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

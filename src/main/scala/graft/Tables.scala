@@ -6,14 +6,13 @@ import org.apache.spark.sql.functions._
 /** Readers for the driver-generated parquet tables (TESTDATA.md).
   *
   * Every engine query reads exclusively through here so per-table read
-  * quirks live in exactly one place. The one real quirk: `events.ts` is
-  * physical parquet TIMESTAMP(NANOS), which Spark 4.x refuses to read
-  * (`[PARQUET_TYPE_ILLEGAL]`) unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true`; with the flag it reads
-  * as LongType epoch-nanoseconds at full precision (SURVEY.md §1.3).
-  * The flag is a runtime SQLConf — set defensively before every events
-  * read (build.sbt additionally passes it as a `-D` system property so
-  * harness-created sessions absorb it at construction time).
+  * quirks live in exactly one place. Timestamp note: all time columns
+  * (including `events.ts`, regenerated 2026-08-13 from its earlier
+  * TIMESTAMP(NANOS) encoding) are physical parquet `timestamp[us]`
+  * without UTC adjustment, which Spark 4 reads as `TimestampNTZType`.
+  * Event-time arithmetic runs on epoch-microsecond longs via [[tsUs]]
+  * so every bucket/lag/frame computation is exact integer math shared
+  * with DuckDB's `epoch_us(ts)` (SURVEY.md §7.4 rule T).
   *
   * Scale note: each table is a single parquet file at test scale, but
   * nothing here assumes that — `spark.read.parquet(dir)` works the same
@@ -34,15 +33,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events.ts arrives as LongType epoch-NANOSECONDS (see scaladoc above). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-  }
+  /** events.ts arrives as TIMESTAMP_NTZ at microsecond precision
+    * (see scaladoc above). */
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
 
-  /** Epoch-microseconds from the epoch-nanos `ts` long. Integer `div`,
-    * never `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer
-    * range, so float division would corrupt low-order digits. Matches
-    * DuckDB `epoch_us(ts)` exactly (SURVEY.md §7.4 rule T). */
-  val tsUs: Column = expr("ts div 1000")
+  /** SQL fragment turning the TIMESTAMP_NTZ `ts` into exact
+    * epoch-microseconds. The NTZ→TIMESTAMP cast interprets the wall
+    * time in the session timezone, which the harness pins to UTC
+    * (build.sbt `-Dspark.sql.session.timeZone=UTC`, Verify/Bench/spec
+    * session builders) — so this equals DuckDB's `epoch_us(ts)`
+    * exactly, with no float step anywhere (SURVEY.md §7.4 rule T). */
+  val tsUsSql: String = "unix_micros(cast(ts as timestamp))"
+
+  /** Epoch-microseconds column from `ts` — see [[tsUsSql]]. */
+  val tsUs: Column = expr(tsUsSql)
 }

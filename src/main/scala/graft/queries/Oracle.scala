@@ -7,7 +7,7 @@ package graft.queries
   *   O: identical ORDER BY on a unique key;
   *   F: ROUND every float aggregate identically; vector math in DOUBLE
   *      (never DuckDB's float32 list_dot_product);
-  *   T: event time via epoch_us(ts) == Spark `ts div 1000`;
+  *   T: event time via epoch_us(ts) == Spark `unix_micros(cast(ts as timestamp))` at UTC;
   *   I: CAST(SUM(int) AS BIGINT) — DuckDB sums integers to HUGEINT;
   *      CAST year/quarter/length/row_number to INT to match Spark;
   *   N: identical output aliases;

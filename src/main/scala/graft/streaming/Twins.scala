@@ -12,19 +12,20 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * contract and these prove the same logic runs as
   * `readStream → watermark → window → sink`.
   *
-  * Event time: `ts` is epoch-nanos (long); `timestamp_micros(ts div
-  * 1000)` rebuilds a proper event-time column for watermarking —
-  * exactly the µs granularity the batch forms bucket on.
+  * Event time: `ts` is TIMESTAMP_NTZ at µs precision; the NTZ→LTZ
+  * cast (session timezone pinned UTC) yields the event-time column
+  * watermarking needs, at exactly the µs granularity the batch forms
+  * bucket on.
   */
 object Twins {
 
   private def src(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = Tables.events(spark, sfDir).schema // also sets nanosAsLong
+    val schema = Tables.events(spark, sfDir).schema
     // The path must be a GLOB: for a plain path FileStreamSource pins
     // option basePath to the path itself, which for a single .parquet
     // file fails "Option 'basePath' must be a directory".
     spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet*")
-      .select(expr("timestamp_micros(ts div 1000)").as("etime"),
+      .select(expr("cast(ts as timestamp)").as("etime"),
               col("user_id"), col("event_type"), col("value"))
   }
 
@@ -66,7 +67,7 @@ object Twins {
   private def srcWithId(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = Tables.events(spark, sfDir).schema
     spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet*")
-      .select(expr("timestamp_micros(ts div 1000)").as("etime"),
+      .select(expr("cast(ts as timestamp)").as("etime"),
               col("event_id"), col("user_id"), col("event_type"))
   }
 
@@ -116,7 +117,7 @@ object Twins {
     val schema = Tables.events(spark, sfDir).schema
     spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet*")
       .select(col("user_id"), col("event_id"),
-              expr("ts div 1000").as("us"), col("event_type"))
+              expr(Tables.tsUsSql).as("us"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .transformWithState(new AsOfStateProcessor, TimeMode.None(), OutputMode.Append())

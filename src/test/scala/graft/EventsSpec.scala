@@ -21,6 +21,7 @@ class EventsSpec extends SparkSpecBase {
       (3L, t0 + 50 * min, 1L, "view", 1.0, "{}"),
       (4L, t0, 2L, "view", 1.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Events.q_session_window(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
@@ -51,6 +52,7 @@ class EventsSpec extends SparkSpecBase {
       (12L, t0 + 70 * min, 1L, "view"), (13L, t0 + 71 * min, 1L, "purchase")
     ).map { case (id, ts, u, et) => (id, ts, u, et, 1.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Events.q_funnel(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -70,6 +72,7 @@ class EventsSpec extends SparkSpecBase {
       (7L, t0 + week, 3L), (8L, t0 + 2 * week, 3L)
     ).map { case (id, ts, u) => (id, ts, u, "view", 1.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Events.q_retention(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -91,6 +94,7 @@ class EventsSpec extends SparkSpecBase {
       (3L, t0 + 2 * hr, 2L, "view")
     ).map { case (id, ts, u, et) => (id, ts, u, et, 1.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Events.q_gapfill(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -117,12 +121,12 @@ class EventsSpec extends SparkSpecBase {
     // reconstruct tumbling 15-min counts two ways on the real table
     val us = Tables.tsUs
     val slot = Tables.events(spark, sf)
-      .select((expr("(ts div 1000) div 900000000") * 900000000L).as("win_start"),
+      .select((expr("unix_micros(cast(ts as timestamp)) div 900000000") * 900000000L).as("win_start"),
               col("event_type"))
       .groupBy("win_start", "event_type").agg(count(lit(1)).as("n"))
     // sliding-form with k=0 only (slide == width == 15 min)
     val slide = Tables.events(spark, sf)
-      .select(expr("(ts div 1000) div 900000000").as("slot"), col("event_type"))
+      .select(expr("unix_micros(cast(ts as timestamp)) div 900000000").as("slot"), col("event_type"))
       .select((col("slot") * 900000000L).as("win_start"), col("event_type"))
       .groupBy("win_start", "event_type").agg(count(lit(1)).as("n"))
     assert(slot.except(slide).count() == 0 && slide.except(slot).count() == 0)
@@ -135,6 +139,7 @@ class EventsSpec extends SparkSpecBase {
     // event_ids ordered by ts => running max == own ts => never late
     Seq.tabulate(50)(i => (i.toLong, t0 + i * 60L * 1000000000L, 1L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val late = Events.q_late_data(spark, dir)
       .agg(sum("n_late")).collect().head.getLong(0)
@@ -152,6 +157,7 @@ class EventsSpec extends SparkSpecBase {
       (3L, t0 + 20 * min, 1L, "click", 1.0, "{}"), // 10 min behind max -> late
       (4L, t0 + 31 * min, 1L, "view", 1.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val byType = Events.q_late_data(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -186,6 +192,7 @@ class EventsSpec extends SparkSpecBase {
       (5L, t0, 2L, "purchase", 7.0)
     ).map { case (id, ts, u, et, v) => (id, ts, u, et, v, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Events.q_scd2(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3), r.getLong(4), r.getInt(5)))
@@ -226,6 +233,7 @@ class EventsSpec extends SparkSpecBase {
           (11L, t0, 2L, "view", 5.0, "{}"), (12L, t0 + 1000000000L, 2L, "view", 5.0, "{}"),
           (13L, t0, 3L, "error", 42.0, "{}"))
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Events.q_anomaly(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
