@@ -347,6 +347,51 @@ object Graft {
     }: _*)
   }
 
+  /** Exponentially-weighted moving average over bucketed series
+    * (round 9): per `keys` tuple, the rows ordered by `bucket` form
+    * the series and s_1 = x_1, s_t = α·x_t + (1−α)·s_{t−1} — the
+    * classic smoother (decay per OBSERVED step; densify first for
+    * per-bucket decay over gaps). Returns keys + bucket + `ewma`.
+    * `bucket` must be unique per key tuple or the fold order is
+    * engine-arbitrary.
+    *
+    * EWMA is inherently sequential, so the shape exploits the same
+    * fact [[densify]] does: the input is a pre-aggregated SERIES
+    * (one row per (keys, bucket)), whose per-key length grows with
+    * the time span, not the fact count. Each key's series collapses
+    * into one array via a map-side-combinable sorted collect, the
+    * recurrence runs as a row-local HOF fold (one IEEE multiply-add
+    * chain in deterministic order — reproducible on any
+    * partitioning), and the result re-explodes. No window, no
+    * per-row shuffle; a series too long for one array is a time span
+    * measured in millennia of hours. */
+  def ewma(df: DataFrame, keys: Seq[String], bucket: String, value: Column,
+           alpha: Double): DataFrame = {
+    require(keys.nonEmpty,
+      "keys must be non-empty — a deliberately global series can pass a constant key")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require((bucket +: keys).forall(df.columns.contains),
+      s"columns must exist in ${df.columns.mkString(",")}")
+    require(!keys.contains("ewma") && bucket != "ewma",
+      "the output column ewma is reserved")
+    val series = df
+      .select(keys.map(col) :+ col(bucket).as("o") :+ value.cast("double").as("x"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("o"), col("x")))).as("__hx"))
+    // zero = slice(..., 1, 0): an EMPTY array of the fold's element
+    // type inferred from the input — no hand-written cast to keep in
+    // sync with the bucket column's type
+    val folded = series.withColumn("__sm", expr(
+      s"""aggregate(__hx,
+         |  slice(transform(__hx, e -> named_struct('o', e.o, 's', e.x)), 1, 0),
+         |  (acc, e) -> array_append(acc, named_struct('o', e.o, 's',
+         |      case when size(acc) = 0 then e.x
+         |           else $alpha * e.x + (1 - $alpha) * element_at(acc, -1).s end)))""".stripMargin))
+    folded
+      .select(keys.map(col) :+ explode(col("__sm")).as("__e"): _*)
+      .select(keys.map(col) :+ col("__e.o").as(bucket) :+ col("__e.s").as("ewma"): _*)
+  }
+
   /** SCD-2 intervalization of ANY change-log DataFrame: per `keyCols`
     * tuple ordered by (`time`, `tieBreak`...), each change row becomes
     * a dimension version valid from its own `time` (inclusive) until
@@ -430,6 +475,40 @@ object Graft {
       .withColumn("z", (value - col("__mean")) / col("__sd"))
       .filter(col("__sd") > 0 && abs(col("z")) > threshold)
       .drop("__mean", "__sd")
+  }
+
+  /** Welch's unequal-variance t-test between every pair of groups
+    * (round 9) — the A/B-test primitive: for each unordered group
+    * pair (a < b by group value), the t statistic
+    * (m_a − m_b) / √(v_a/n_a + v_b/n_b) and the Welch–Satterthwaite
+    * degrees of freedom. Output: (group_a, group_b, n_a, n_b, t,
+    * dof), unrounded doubles — callers round per their precision
+    * contract. Pairs where either group has n < 2, or whose pooled
+    * standard error is 0 (both sides constant), are dropped: the
+    * statistic is undefined there, not zero.
+    *
+    * Scale shape: ONE partial+final aggregate folds the fact table
+    * to |groups| rows of (n, mean, var_samp) sufficient statistics;
+    * the pairwise formula runs on the self-joined |groups|² table,
+    * which is metadata-scale. The fact side is never shuffled twice
+    * and never joined. */
+  def welchTTest(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val stats = df.groupBy(group.as("g"))
+      .agg(count(value).as("n"), avg(value).as("m"), var_samp(value).as("v"))
+    val a = stats.select(col("g").as("group_a"), col("n").as("n_a"),
+                         col("m").as("m_a"), col("v").as("v_a"))
+    val b = stats.select(col("g").as("group_b"), col("n").as("n_b"),
+                         col("m").as("m_b"), col("v").as("v_b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("__se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+      .filter(col("__se2") > 0)
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        ((col("m_a") - col("m_b")) / sqrt(col("__se2"))).as("t"),
+        (col("__se2") * col("__se2") /
+          ((col("v_a") / col("n_a")) * (col("v_a") / col("n_a")) / (col("n_a") - 1) +
+           (col("v_b") / col("n_b")) * (col("v_b") / col("n_b")) / (col("n_b") - 1)))
+          .as("dof"))
   }
 
   /** Winsorized (robust) mean per group over ANY (groups, value)
@@ -597,6 +676,42 @@ object Graft {
            count(lit(1)).as("n_distinct"),
            (log(sum("ge_cnt")) -
              sum(col("ge_cnt") * log(col("ge_cnt"))) / sum("ge_cnt")).as("entropy"))
+  }
+
+  /** Pairwise Kullback–Leibler divergence between per-group item
+    * distributions over ANY (group, item) DataFrame (round 9) — the
+    * drift/contrast metric between corpus slices ([[groupEntropy]]'s
+    * two-sample sibling): KL(a‖b) = Σ_w p_a(w)·ln(p_a(w)/p_b(w))
+    * with add-one smoothing over the shared vocabulary,
+    * p_g(w) = (c_g(w)+1)/(n_g+|V|), so q > 0 everywhere and the sum
+    * is finite. Output: one row per ORDERED pair (group_a ≠ group_b
+    * — KL is asymmetric), kl UNROUNDED; callers round.
+    *
+    * Scale shape: ONE vocabulary-scale (group, item) count shuffle,
+    * then everything lives on the |V|·|groups| smoothed grid — the
+    * dense grid is the |V|-bounded object, built like [[densify]]'s
+    * spine (per-group totals × distinct-item list, both broadcast);
+    * the pair sum is a grid self-join on item, |V|·|groups|² work.
+    * An unbounded open vocabulary at 100 TB gets the
+    * [[tfidfVectors]] treatment first — cap to the top-K
+    * document-frequency items and smooth over that closed V. */
+  def klDivergences(df: DataFrame, group: Column, item: Column): DataFrame = {
+    val counts = df.select(group.as("g"), item.as("w"))
+      .filter(col("g").isNotNull && col("w").isNotNull)
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("g").agg(sum("c").as("n"))
+    val vocab = counts.select("w").distinct()
+    val nv = vocab.agg(count(lit(1)).as("nv"))
+    val grid = totals.crossJoin(broadcast(vocab))
+      .join(counts, Seq("g", "w"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("g"), col("w"),
+        ((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("n") + col("nv"))).as("p"))
+    val a = grid.select(col("g").as("group_a"), col("w"), col("p").as("p_a"))
+    val b = grid.select(col("g").as("group_b"), col("w"), col("p").as("p_b"))
+    a.join(b, Seq("w")).filter(col("group_a") =!= col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(sum(col("p_a") * log(col("p_a") / col("p_b"))).as("kl"))
   }
 
   /** EXACT dense global rank 1..n of ANY (key, tie) pair under
@@ -845,6 +960,65 @@ object Graft {
       if (i % 8 == 0 && i < iters) rank = rank.localCheckpoint()
     }
     rank
+  }
+
+  /** The k-core of an undirected edge list (first two columns = long
+    * endpoint ids): the maximal subgraph in which every node has
+    * degree ≥ k, found by iterative peeling — drop nodes with degree
+    * < k, restrict edges to survivors, repeat until nothing changes
+    * (round 9). Returns (node, core_deg) with core_deg = the node's
+    * degree WITHIN the core (≥ k by construction); nodes peeled away
+    * do not appear. The classic graph-densification primitive: the
+    * 2-core strips pendant trees (leaving only cycles), higher k
+    * isolates genuinely dense regions — on the near-dup pair graph
+    * this separates "chained" duplicate clusters from tight cliques.
+    *
+    * Distributed shape: each round is one degree aggregate
+    * (partial+final count keyed by node) plus two LEFT SEMI joins
+    * restricting the edge list — shuffle-bounded by |E|, shrinking
+    * every round. The driver loop reads only per-round convergence
+    * METADATA — the (count, xor-of-hash) edge-set signature
+    * [[connectedComponents]]' alternatingStar uses, same collision
+    * argument — never data; lineage is truncated per round with
+    * localCheckpoint (swap for reliable `checkpoint` on a DFS at
+    * cluster scale). Peeling depth is data-dependent but each round
+    * strictly removes ≥ 1 node until fixpoint; rounds cap loudly at
+    * `maxRounds` instead of returning an unconverged core. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e0 = edges
+      .select(col(edges.columns(0)).cast("long").as("a"),
+              col(edges.columns(1)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+    var e = e0.localCheckpoint()
+    var last = sig(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val alive = degrees(e).filter(col("deg") >= k)
+      e = e
+        .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      val cur = sig(e)
+      converged = cur == last
+      last = cur
+    }
+    require(converged,
+      s"kcore(k=$k) did not converge in $maxRounds peeling rounds — raise maxRounds")
+    degrees(e).select(col("v").as("node"), col("deg").as("core_deg"))
   }
 
   /** Association rules over ANY (basket, item) DataFrame — classic
@@ -2335,6 +2509,40 @@ object Graft {
       .select(col("__s.column").as("column"), col("__rows").as("n_rows"),
               col("__s.n_null").as("n_null"),
               col("__s.n_distinct").as("n_distinct"))
+  }
+
+  /** Pairwise Pearson correlation matrix over named numeric columns
+    * in ONE scan (round 9) — [[profile]]'s numeric sibling, the
+    * feature-redundancy check before a model ingests a wide table.
+    * Output: one long-format row per unordered pair (var_a, var_b in
+    * `cols` order, a before b), corr UNROUNDED; callers round.
+    *
+    * All k·(k−1)/2 `corr` measures fold in a SINGLE partial+final
+    * aggregate — Spark's Pearson aggregate keeps O(1) co-moment
+    * state per pair and combines map-side, so the fact table is
+    * scanned once and the shuffle carries one row per partition.
+    * The melt to long format runs on the one-row result
+    * (metadata-scale). Quadratic in k only in aggregate-buffer
+    * width: fine for the tens-of-columns feature tables this serves;
+    * a thousands-wide embedding matrix wants
+    * [[topPrincipalComponent]]'s vector kernel instead. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(cols.forall(df.columns.contains),
+      s"columns must exist in ${df.columns.mkString(",")}")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val measures = pairs.map { case (a, b) =>
+      corr(col(a), col(b)).as(s"__corr_${a}__$b")
+    }
+    df.agg(measures.head, measures.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("var_a"), lit(b).as("var_b"),
+               col(s"__corr_${a}__$b").as("corr"))
+      }: _*)).as("__s"))
+      .select(col("__s.var_a").as("var_a"), col("__s.var_b").as("var_b"),
+              col("__s.corr").as("corr"))
   }
 
   /** Deterministic epoch-shuffle key: a seeded bijective scramble of

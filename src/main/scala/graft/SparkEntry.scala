@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 115 query ids; 107 with DuckDB oracles. The
+  * and §3.1 (entry points). 120 query ids; 112 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -45,6 +45,7 @@ object SparkEntry {
     "q_listagg"        -> Relational.q_listagg _,
     "q_percentile"     -> Relational.q_percentile _,
     "q_stats_agg"      -> Relational.q_stats_agg _,
+    "q_corr_matrix"    -> Relational.q_corr_matrix _,
     "q_winsorize"      -> Relational.q_winsorize _,
     "q_pivot"          -> Relational.q_pivot _,
     "q_unpivot"        -> Relational.q_unpivot _,
@@ -79,6 +80,7 @@ object SparkEntry {
     "q_text_stats"     -> TextOps.q_text_stats _,
     "q_tfidf"          -> TextOps.q_tfidf _,
     "q_entropy"        -> TextOps.q_entropy _,
+    "q_kl_source"      -> TextOps.q_kl_source _,
     "q_zipf_slope"     -> TextOps.q_zipf_slope _,
     "q_collocations"   -> TextOps.q_collocations _,
     "q_dedup_exact"    -> TextOps.q_dedup_exact _,
@@ -141,11 +143,14 @@ object SparkEntry {
     "q_outlier_mad"     -> Events.q_outlier_mad _,
     "q_hourly_delta"    -> Events.q_hourly_delta _,
     "q_dedup_latest"    -> Events.q_dedup_latest _,
+    "q_ewma"            -> Events.q_ewma _,
+    "q_welch_ttest"     -> Events.q_welch_ttest _,
     // §2.14 graph analytics
     "q_triangle_count"  -> GraphOps.q_triangle_count _,
     "q_pagerank"        -> GraphOps.q_pagerank _,
     "q_degree_dist"     -> GraphOps.q_degree_dist _,
     "q_basket_rules"    -> GraphOps.q_basket_rules _,
+    "q_kcore"           -> GraphOps.q_kcore _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -410,4 +410,48 @@ object Events {
               col("event_type").as("last_type"),
               round(col("value"), 2).as("last_value"))
       .orderBy("user_id")
+
+  /** Exponential smoothing (added round 9): per event type, the
+    * hourly mean value series smoothed with α = 0.25 — the
+    * trend-vs-noise dashboard line and the simplest online
+    * forecaster. This query IS [[graft.Graft.ewma]] applied to the
+    * hourly aggregate, so the oracle verifies the public API against
+    * DuckDB's recursive-CTE form of the same recurrence.
+    *
+    * Cross-engine float contract: the hourly mean (one float divide
+    * whose inputs' sum order differs across engines) is rounded to
+    * 6dp FIRST, so both engines feed bit-identical x_t into the
+    * recurrence; the fold itself is one deterministic IEEE
+    * multiply-add chain written with the same literals (0.25,
+    * (1 - 0.25)) on both sides, and only the final s_t is rounded
+    * for display (rule F). */
+  def q_ewma(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .select(expr(s"${Tables.tsUsSql} div $US_PER_HOUR").as("hour"),
+              col("event_type"), col("value"))
+      .groupBy("event_type", "hour")
+      .agg(round(avg("value"), 6).as("x"))
+    graft.Graft.ewma(hourly, keys = Seq("event_type"), bucket = "hour",
+        value = col("x"), alpha = 0.25)
+      .select(col("event_type"), col("hour"), round(col("ewma"), 4).as("ewma"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** Welch's t-test between every pair of event types (added round
+    * 9): the A/B-test read — is the mean `value` of purchases
+    * distinguishable from clicks? This query IS
+    * [[graft.Graft.welchTTest]] applied to events, so the oracle
+    * verifies the public API: one sufficient-statistics aggregate
+    * folds the fact table to |types| rows, the t statistic and
+    * Welch–Satterthwaite dof compute on the metadata-scale pair
+    * table. t/dof rounded (rule F); the formula is written with the
+    * identical operation tree on both engines. */
+  def q_welch_ttest(s: SparkSession, d: String): DataFrame =
+    graft.Graft.welchTTest(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        group = col("event_type"), value = col("value"))
+      .select(col("group_a").as("type_a"), col("group_b").as("type_b"),
+              col("n_a"), col("n_b"),
+              round(col("t"), 4).as("t"), round(col("dof"), 2).as("dof"))
+      .orderBy("type_a", "type_b")
 }

@@ -84,6 +84,31 @@ object Oracle {
        |SELECT node AS part, ROUND(rank, 7) AS rank FROM r10 ORDER BY part""".stripMargin
   }
 
+  /** q_kcore's oracle: peeling removes rows, which a (monotone,
+    * append-only) recursive CTE cannot express, so 10 peel rounds are
+    * UNROLLED — each the exact twin of one Spark round (degree filter
+    * + edge restriction). The Spark facade requires convergence
+    * within the same 10 rounds (loud failure), and rounds past the
+    * fixpoint are no-ops, so equality is exact. */
+  private val kcoreSql: String = {
+    // AS MATERIALIZED is load-bearing: every round references the
+    // previous edge set THREE times (degree union ×2 + restriction),
+    // so plain inlined CTEs expand 3^10 ways and exhaust file handles
+    // re-opening the parquet scan
+    val rounds = (1 to 10).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |       GROUP BY v HAVING COUNT(*) >= 2),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |       WHERE a IN (SELECT v FROM d$i) AND b IN (SELECT v FROM d$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coPurchaseCtes,
+       |e0 AS MATERIALIZED (SELECT a, b FROM e),
+       |$rounds
+       |SELECT v AS part, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM (SELECT a AS v FROM e10 UNION ALL SELECT b FROM e10)
+       |GROUP BY v ORDER BY part""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "q_scan_project" ->
@@ -1350,6 +1375,8 @@ object Oracle {
 
     "q_pagerank" -> pagerankSql,
 
+    "q_kcore" -> kcoreSql,
+
     // association rules: all three measures in exact integer permille
     // (// ≡ Spark div on non-negative counts); b is the DISTINCT
     // (basket, item) incidence, N the distinct basket count
@@ -1361,6 +1388,75 @@ object Oracle {
          |        GROUP BY v)
          |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
          |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+
+    // EWMA: the recurrence runs as a recursive CTE over per-type
+    // row-numbered hourly means; inputs pre-rounded to 6dp so both
+    // engines feed bit-identical x_t, constants written 0.25 /
+    // (1 - 0.25) to match the Spark fold literally
+    "q_ewma" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |         ROUND(AVG(value), 6) AS x
+        |  FROM events GROUP BY 1, 2),
+        |o AS (SELECT event_type, hour, x,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+        |      FROM h),
+        |r AS (
+        |  SELECT event_type, hour, rn, x AS s FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.hour, o.rn, 0.25 * o.x + (1 - 0.25) * r.s
+        |  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+        |SELECT event_type, hour, ROUND(s, 4) AS ewma FROM r
+        |ORDER BY event_type, hour""".stripMargin,
+
+    // Welch's t: identical operation tree as the Spark facade
+    "q_welch_ttest" ->
+      """WITH s AS (SELECT event_type AS g, COUNT(value) AS n, AVG(value) AS m,
+        |                  VAR_SAMP(value) AS v
+        |           FROM events GROUP BY 1)
+        |SELECT a.g AS type_a, b.g AS type_b, a.n AS n_a, b.n AS n_b,
+        |       ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t,
+        |       ROUND((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
+        |             ((a.v / a.n) * (a.v / a.n) / (a.n - 1) +
+        |              (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 2) AS dof
+        |FROM s a JOIN s b ON a.g < b.g
+        |WHERE a.n >= 2 AND b.n >= 2 AND (a.v / a.n + b.v / b.n) > 0
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // pairwise KL over add-one-smoothed source unigram distributions;
+    // totals cast BIGINT (DuckDB SUM(int) is HUGEINT) so the smoothed
+    // p divides double/bigint exactly like Spark's double/long
+    "q_kl_source" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT source AS g, w, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS nv FROM c),
+        |vw AS (SELECT DISTINCT w FROM c),
+        |p AS (SELECT n.g, vw.w, (COALESCE(c.c, 0) + 1.0) / (n.n + v.nv) AS p
+        |      FROM n CROSS JOIN vw CROSS JOIN v
+        |      LEFT JOIN c ON c.g = n.g AND c.w = vw.w)
+        |SELECT a.g AS src_a, b.g AS src_b, ROUND(SUM(a.p * ln(a.p / b.p)), 6) AS kl
+        |FROM p a JOIN p b ON a.w = b.w AND a.g <> b.g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // correlation matrix: one aggregate row melted long — pair order
+    // is the Spark cols order, final sort lexicographic on both sides
+    "q_corr_matrix" ->
+      """WITH c AS (SELECT corr(l_quantity, l_extendedprice) AS qp,
+        |                  corr(l_quantity, l_discount) AS qd,
+        |                  corr(l_quantity, l_tax) AS qt,
+        |                  corr(l_extendedprice, l_discount) AS pd,
+        |                  corr(l_extendedprice, l_tax) AS pt,
+        |                  corr(l_discount, l_tax) AS dt
+        |           FROM lineitem)
+        |SELECT var_a, var_b, corr FROM (
+        |  SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b, ROUND(qp, 4) AS corr FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(qd, 4) FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(qt, 4) FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(pd, 4) FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(pt, 4) FROM c
+        |  UNION ALL SELECT 'l_discount', 'l_tax', ROUND(dt, 4) FROM c)
+        |ORDER BY var_a, var_b""".stripMargin,
 
     "q_basket_rules" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),

@@ -303,6 +303,20 @@ object Relational {
            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
       .orderBy("l_returnflag")
 
+  /** Pearson correlation matrix (added round 9): all pairwise
+    * correlations of the four lineitem measures in ONE scan — the
+    * feature-redundancy profile before a model ingests the table.
+    * This query IS [[graft.Graft.corrMatrix]] on lineitem, so the
+    * oracle verifies the public API: a single partial+final
+    * aggregate holds every pair's O(1) co-moment state, the melt to
+    * long format runs on the one-row result. corr rounded 4dp (the
+    * q_stats_agg precedent for the same aggregate). */
+  def q_corr_matrix(s: SparkSession, d: String): DataFrame =
+    graft.Graft.corrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .select(col("var_a"), col("var_b"), round(col("corr"), 4).as("corr"))
+      .orderBy("var_a", "var_b")
+
   /** Winsorized mean: per-priority order totals clamped at the
     * group's exact interpolated [p05, p95] before averaging, plus the
     * clamp counts — [[graft.Graft.winsorizedMean]] applied to orders,

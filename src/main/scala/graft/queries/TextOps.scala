@@ -230,6 +230,25 @@ object TextOps {
     graft.Graft.collocations(Tables.documents(s, d), col("text"),
                              minCount = 5L, k = 50)
 
+  /** Pairwise KL divergence between source token distributions
+    * (added round 9): for every ordered source pair, KL(a‖b) over
+    * add-one-smoothed unigram distributions — the slice-drift metric
+    * (which sources' language differs, and asymmetrically from
+    * whom). This query IS [[graft.Graft.klDivergences]] over the
+    * exploded token stream, so the oracle verifies the public API:
+    * one vocabulary-scale count shuffle, then everything lives on
+    * the |V|·|sources| smoothed grid and its metadata-scale pair
+    * join. kl rounded per rule F (the Σ p·ln(p/q) float sum is
+    * order-dependent only at ~1e-15 relative). */
+  def q_kl_source(s: SparkSession, d: String): DataFrame =
+    graft.Graft.klDivergences(
+        Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok")),
+        group = col("source"), item = col("tok"))
+      .select(col("group_a").as("src_a"), col("group_b").as("src_b"),
+              round(col("kl"), 6).as("kl"))
+      .orderBy("src_a", "src_b")
+
   /** Per-class centroid: posexplode to (label, dim, value), average per
     * cell, then fold dims back to the centroid's L2 norm. Two shuffles,
     * both on small keys — shuffle-bounded at any scale. */

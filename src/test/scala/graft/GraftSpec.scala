@@ -1733,4 +1733,83 @@ class GraftSpec extends SparkSpecBase {
       Graft.compactLatest(df.withColumnRenamed("s", "__s"), Seq("k"), Seq("v1"))
     }
   }
+
+  test("kcore: pendant chain peels away, the cycle backbone survives with in-core degrees") {
+    // triangle 1-2-3 plus chain 3-4-5: round 1 peels 5 (deg 1),
+    // round 2 peels the now-pendant 4, the triangle is the 2-core
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graft.kcore(e, k = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kcore: 3-core strips a degree-2 appendage from a 4-clique; k above density empties") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val e = (k4 ++ Seq((1L, 5L), (2L, 5L))).toDF("a", "b")
+    val core3 = Graft.kcore(e, k = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core3.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // a path has no 2-core: everything peels to empty (and converges)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Graft.kcore(path, k = 2).isEmpty)
+  }
+
+  test("ewma: hand-computed recurrence per key; reserved output name throws") {
+    val series = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 40.0),
+                     ("b", 1L, 7.0)).toDF("g", "h", "x")
+    val got = Graft.ewma(series, keys = Seq("g"), bucket = "h", value = $"x", alpha = 0.5)
+      .orderBy("g", "h").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // s1 = 10, s2 = .5*20 + .5*10 = 15, s3 = .5*40 + .5*15 = 27.5
+    assert(got.toSeq == Seq(("a", 1L, 10.0), ("a", 2L, 15.0), ("a", 3L, 27.5),
+                            ("b", 1L, 7.0)))
+    intercept[IllegalArgumentException] {
+      Graft.ewma(series.withColumnRenamed("g", "ewma"), Seq("ewma"), "h", $"x", 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.ewma(series, Seq("g"), "h", $"x", alpha = 0.0)
+    }
+  }
+
+  test("welchTTest: hand-computed t/dof; degenerate groups drop") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+              Seq(2.0, 4.0, 6.0, 8.0).map(("b", _)) ++
+              Seq(9.0).map(("c", _))).toDF("g", "v")
+    val got = Graft.welchTTest(df, $"g", $"v").orderBy("group_a", "group_b")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+                           (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // a: n=4 m=2.5 v=5/3; b: n=4 m=5 v=20/3; se2 = 25/12
+    // t = -2.5/sqrt(25/12); dof = (25/12)^2 / (((5/12)^2 + (20/12)^2)/3) = 1875/425
+    assert(got.keySet == Set(("a", "b"))) // c has n=1 -> dropped from all pairs
+    val (na, nb, t, dof) = got(("a", "b"))
+    assert(na == 4 && nb == 4)
+    assert(math.abs(t - (-2.5 / math.sqrt(25.0 / 12))) < 1e-12)
+    assert(math.abs(dof - 1875.0 / 425) < 1e-12)
+  }
+
+  test("klDivergences: hand-computed smoothed divergences, asymmetric, both directions") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")).toDF("g", "w")
+    val got = Graft.klDivergences(df, $"g", $"w").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // V = {x,y}; p_a = (3/5, 2/5); p_b = (1/3, 2/3) after add-one
+    val klAb = 0.6 * math.log(0.6 / (1.0 / 3)) + 0.4 * math.log(0.4 / (2.0 / 3))
+    val klBa = (1.0 / 3) * math.log((1.0 / 3) / 0.6) + (2.0 / 3) * math.log((2.0 / 3) / 0.4)
+    assert(got.keySet == Set(("a", "b"), ("b", "a")))
+    assert(math.abs(got(("a", "b")) - klAb) < 1e-12)
+    assert(math.abs(got(("b", "a")) - klBa) < 1e-12)
+    assert(got(("a", "b")) > 0 && got(("b", "a")) > 0 &&
+           got(("a", "b")) != got(("b", "a")))
+  }
+
+  test("corrMatrix: exact ±1 on linear columns, pairs in declared order") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map(x => (x, 2 * x + 1, -x)).toDF("x", "y", "z")
+    val got = Graft.corrMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(math.abs(got(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(got(("x", "z")) + 1.0) < 1e-12)
+    assert(math.abs(got(("y", "z")) + 1.0) < 1e-12)
+    intercept[IllegalArgumentException] { Graft.corrMatrix(df, Seq("x")) }
+    intercept[IllegalArgumentException] { Graft.corrMatrix(df, Seq("x", "nope")) }
+  }
 }
