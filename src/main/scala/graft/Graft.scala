@@ -511,6 +511,64 @@ object Graft {
           .as("dof"))
   }
 
+  /** Pearson χ² test of independence between two categorical columns
+    * (round 9) — [[welchTTest]]'s categorical sibling, the
+    * segmentation sanity check (is event mix independent of weekday?).
+    * Output: ONE row (chisq, dof, n), unrounded; callers round.
+    * χ² = Σ_cells (O−E)²/E over the DENSE contingency grid — absent
+    * cells carry O = 0 but E > 0 and must contribute, so the grid is
+    * the row-totals × column-totals cross, not just observed cells.
+    * dof = (|a|−1)(|b|−1). E is computed double-first
+    * (CAST(ra)·cb/n) so row·column total products cannot overflow at
+    * any scale.
+    *
+    * Scale shape: ONE partial+final fact aggregate to the observed
+    * |a|·|b| cell table; totals and the dense grid are metadata-scale
+    * broadcasts; the fact side is never rescanned. */
+  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("a"), b.as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("a").agg(sum("o").as("ra"))
+    val colT = cells.groupBy("b").agg(sum("o").as("cb"))
+    val nT = cells.agg(sum("o").as("n"))
+    rowT.crossJoin(broadcast(colT)).crossJoin(broadcast(nT))
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("o"), lit(0L)).as("o"),
+              (col("ra").cast("double") * col("cb") / col("n")).as("e"))
+      .agg(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("chisq"),
+           ((countDistinct("a") - 1) * (countDistinct("b") - 1)).as("dof"),
+           sum("o").cast("long").as("n"))
+  }
+
+  /** Gini coefficient of a value distribution (round 9) — the
+    * inequality/concentration metric (how skewed is revenue across
+    * customers, tokens across documents, load across keys): ONE row
+    * (n, gini) with G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the values
+    * in ascending order, i = 1..n. `tie` must be unique (it totalizes
+    * the order among equal values — G is invariant to which, since
+    * equal values commute in the sum). Values must be non-negative
+    * for G's [0, 1) reading. Unrounded; callers round.
+    *
+    * Scale shape: the ascending index comes from [[globalRankDesc]]'s
+    * two-pass distributed rank (i = n+1−rank_desc) — NO
+    * single-partition window at any corpus size; the Σ i·x and Σx
+    * folds cast to double BEFORE summing (Spark sum(long) wraps and
+    * DuckDB widens to HUGEINT — double-first is the one form both
+    * engines agree on, exact while ever i·x < 2^53 per term). */
+  def gini(df: DataFrame, value: Column, tie: Column): DataFrame = {
+    val ranked = globalRankDesc(
+      df.select(value.as("__v"), tie.as("__t")), col("__v"), col("__t"))
+    val nTot = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(nTot))
+      .select(col("key"), (col("__n") + 1L - col("rank")).cast("double").as("i"),
+              col("__n"))
+      .agg(max("__n").as("n"),
+           (lit(2.0) * sum(col("i") * col("key")) /
+              (max("__n") * sum(col("key"))) -
+            (max("__n") + lit(1.0)) / max("__n")).as("gini"))
+  }
+
   /** Winsorized (robust) mean per group over ANY (groups, value)
     * DataFrame: values clamped at the group's EXACT interpolated
     * [pLo, pHi] percentiles before averaging, plus how many rows each

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 120 query ids; 112 with DuckDB oracles. The
+  * and §3.1 (entry points). 124 query ids; 116 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -46,6 +46,7 @@ object SparkEntry {
     "q_percentile"     -> Relational.q_percentile _,
     "q_stats_agg"      -> Relational.q_stats_agg _,
     "q_corr_matrix"    -> Relational.q_corr_matrix _,
+    "q_gini"           -> Relational.q_gini _,
     "q_winsorize"      -> Relational.q_winsorize _,
     "q_pivot"          -> Relational.q_pivot _,
     "q_unpivot"        -> Relational.q_unpivot _,
@@ -145,6 +146,9 @@ object SparkEntry {
     "q_dedup_latest"    -> Events.q_dedup_latest _,
     "q_ewma"            -> Events.q_ewma _,
     "q_welch_ttest"     -> Events.q_welch_ttest _,
+    "q_chisq"           -> Events.q_chisq _,
+    "q_rolling"         -> Events.q_rolling _,
+    "q_autocorr"        -> Events.q_autocorr _,
     // §2.14 graph analytics
     "q_triangle_count"  -> GraphOps.q_triangle_count _,
     "q_pagerank"        -> GraphOps.q_pagerank _,

@@ -454,4 +454,67 @@ object Events {
               col("n_a"), col("n_b"),
               round(col("t"), 4).as("t"), round(col("dof"), 2).as("dof"))
       .orderBy("type_a", "type_b")
+
+  /** χ² independence test (added round 9): is the event-type mix
+    * independent of the weekday? ONE row — the χ² statistic over the
+    * dense 5×7 contingency grid, its dof, and N. This query IS
+    * [[graft.Graft.chiSquare]] on (event_type, weekday), so the
+    * oracle verifies the public API. Weekday = (µs-day + 4) mod 7
+    * (1970-01-01 was a Thursday) — pure integer arithmetic in both
+    * engines. chisq rounded (rule F; the 35-cell float sum is
+    * order-dependent only at ~1e-14). */
+  def q_chisq(s: SparkSession, d: String): DataFrame =
+    graft.Graft.chiSquare(
+        Tables.events(s, d)
+          .select(col("event_type"),
+                  expr(s"(${Tables.tsUsSql} div $US_PER_DAY + 4) % 7").as("dow")),
+        a = col("event_type"), b = col("dow"))
+      .select(round(col("chisq"), 4).as("chisq"), col("dof"), col("n"))
+      .orderBy("n")
+
+  /** Trailing moving average (added round 9): hourly event counts per
+    * type on the DENSE spine, each with its mean over the current +
+    * two preceding hours — the rolling smoother every metrics
+    * dashboard draws (q_hourly_delta's frame-aggregate sibling; a
+    * rolling window on a SPARSE series silently averages non-adjacent
+    * hours, so densify first). Counts are exact integers in both
+    * engines, so avg = one identical IEEE division; rounded per
+    * rule F convention. Composes [[graft.Graft.densify]] + one lag
+    * frame PARTITIONED per type (a type's spine is metadata-scale). */
+  def q_rolling(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d)
+      .select(expr(s"${Tables.tsUsSql} div $US_PER_HOUR").as("hour"), col("event_type"))
+      .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    val dense = graft.Graft.densify(hourly, "hour", Seq("event_type"),
+      Map("n" -> lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-2, 0)
+    dense.select(col("hour"), col("event_type"), col("n"),
+                 round(avg("n").over(w), 4).as("ma3"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Lag-1 autocorrelation (added round 9): per event type, the
+    * Pearson correlation of the dense hourly count series with itself
+    * shifted one hour — the burstiness/periodicity scalar (white
+    * noise ≈ 0, trending or hourly-periodic load ≠ 0) and the
+    * time-series sibling of q_corr_matrix's column pairs. Densify
+    * first (a lag over a sparse series correlates non-adjacent
+    * hours); one lag window per type over the metadata-scale spine,
+    * then ONE corr aggregate per type. Rounded 4dp (the q_stats_agg
+    * corr precedent). */
+  def q_autocorr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d)
+      .select(expr(s"${Tables.tsUsSql} div $US_PER_HOUR").as("hour"), col("event_type"))
+      .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    val dense = graft.Graft.densify(hourly, "hour", Seq("event_type"),
+      Map("n" -> lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    dense.select(col("event_type"), col("n"), lag("n", 1).over(w).as("n_prev"))
+      .filter(col("n_prev").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), round(corr("n", "n_prev"), 4).as("ac1"))
+      .orderBy("event_type")
+  }
 }

@@ -1458,6 +1458,76 @@ object Oracle {
         |  UNION ALL SELECT 'l_discount', 'l_tax', ROUND(dt, 4) FROM c)
         |ORDER BY var_a, var_b""".stripMargin,
 
+    // χ²: dense contingency grid (absent cells O=0, E>0), E computed
+    // double-first exactly like the facade
+    "q_chisq" ->
+      """WITH e AS (SELECT event_type AS a,
+        |                  (epoch_us(ts) // 86400000000 + 4) % 7 AS b
+        |           FROM events),
+        |cells AS (SELECT a, b, COUNT(*) AS o FROM e GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |grid AS (SELECT rt.a, ct.b, COALESCE(cells.o, 0) AS o,
+        |                CAST(rt.ra AS DOUBLE) * ct.cb / n.n AS e
+        |         FROM rt CROSS JOIN ct CROSS JOIN n
+        |         LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b)
+        |SELECT ROUND(SUM((o - e) * (o - e) / e), 4) AS chisq,
+        |       CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT) AS dof,
+        |       CAST(SUM(o) AS BIGINT) AS n
+        |FROM grid ORDER BY n""".stripMargin,
+
+    // trailing 3-hour moving average on the dense spine (the
+    // q_hourly_delta spine construction)
+    "q_rolling" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type FROM events),
+        |b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM e),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS hour FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |a AS (SELECT hour, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |dense AS (SELECT s.hour, t.event_type, CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+        |          FROM spine s CROSS JOIN t
+        |          LEFT JOIN a ON a.hour = s.hour AND a.event_type = t.event_type)
+        |SELECT hour, event_type, n,
+        |       ROUND(AVG(n) OVER (PARTITION BY event_type ORDER BY hour
+        |                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+        |FROM dense ORDER BY hour, event_type""".stripMargin,
+
+    // lag-1 autocorrelation of the dense hourly count series per type
+    "q_autocorr" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type FROM events),
+        |b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM e),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS hour FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |a AS (SELECT hour, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |dense AS (SELECT s.hour, t.event_type, CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+        |          FROM spine s CROSS JOIN t
+        |          LEFT JOIN a ON a.hour = s.hour AND a.event_type = t.event_type),
+        |lagged AS (SELECT event_type, n,
+        |                  LAG(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS n_prev
+        |           FROM dense)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |       ROUND(corr(n, n_prev), 4) AS ac1
+        |FROM lagged WHERE n_prev IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Gini over exact per-customer floor-cents; the ROW_NUMBER form
+    // states the same (cents ASC, custkey DESC) total order the
+    // facade's two-pass distributed rank produces; both Σ folds cast
+    // double BEFORE summing (Spark sum(long) wraps, DuckDB widens to
+    // HUGEINT — double-first is the one shared form)
+    "q_gini" ->
+      """WITH rev AS (SELECT o_custkey AS c,
+        |                    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |             FROM orders GROUP BY 1),
+        |r AS (SELECT CAST(cents AS DOUBLE) AS x,
+        |             CAST(ROW_NUMBER() OVER (ORDER BY cents ASC, c DESC) AS DOUBLE) AS i,
+        |             COUNT(*) OVER () AS n
+        |      FROM rev)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+        |       ROUND(2.0 * SUM(i * x) / (MAX(n) * SUM(x)) - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+        |FROM r ORDER BY n_customers""".stripMargin,
+
     "q_basket_rules" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
         |n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM b),

@@ -317,6 +317,25 @@ object Relational {
       .select(col("var_a"), col("var_b"), round(col("corr"), 4).as("corr"))
       .orderBy("var_a", "var_b")
 
+  /** Gini coefficient of customer revenue (added round 9): how
+    * concentrated is order revenue across customers — the
+    * inequality scalar (0 = equal, →1 = one customer holds all).
+    * This query IS [[graft.Graft.gini]] over per-customer totals, so
+    * the oracle verifies the public API (its ROW_NUMBER window form
+    * states the same (cents ASC, custkey DESC) total order the
+    * distributed two-pass rank produces). Revenue enters as exact
+    * floor-cents (the q_checksum convention) so per-customer totals
+    * are integer-identical across engines and the rank order cannot
+    * flap on float-sum ulps; gini rounded (rule F). */
+  def q_gini(s: SparkSession, d: String): DataFrame =
+    graft.Graft.gini(
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("cents")),
+        value = col("cents"), tie = col("o_custkey"))
+      .select(col("n").as("n_customers"), round(col("gini"), 6).as("gini"))
+      .orderBy("n_customers")
+
   /** Winsorized mean: per-priority order totals clamped at the
     * group's exact interpolated [p05, p95] before averaging, plus the
     * clamp counts — [[graft.Graft.winsorizedMean]] applied to orders,

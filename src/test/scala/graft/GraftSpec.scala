@@ -1801,6 +1801,30 @@ class GraftSpec extends SparkSpecBase {
            got(("a", "b")) != got(("b", "a")))
   }
 
+  test("gini: hand-computed inequality; zero on equal values; (n-1)/n at full concentration") {
+    def g(xs: Seq[Long]): Double =
+      Graft.gini(xs.zipWithIndex.map { case (x, i) => (x, i.toLong) }.toDF("x", "id"),
+                 $"x", $"id").head().getDouble(1)
+    // [1,2,3,4]: G = 2*30/(4*10) - 5/4 = 0.25
+    assert(math.abs(g(Seq(1L, 2L, 3L, 4L)) - 0.25) < 1e-12)
+    assert(math.abs(g(Seq(5L, 5L, 5L))) < 1e-12)
+    // one holder of everything: G = (n-1)/n = 2/3
+    assert(math.abs(g(Seq(0L, 0L, 10L)) - 2.0 / 3) < 1e-12)
+  }
+
+  test("chiSquare: zero on independence; dense grid counts absent cells") {
+    val indep = (Seq.fill(10)(("p", 0)) ++ Seq.fill(10)(("p", 1)) ++
+                 Seq.fill(10)(("q", 0)) ++ Seq.fill(10)(("q", 1))).toDF("a", "b")
+    val r1 = Graft.chiSquare(indep, $"a", $"b").head()
+    assert(math.abs(r1.getDouble(0)) < 1e-12 && r1.getLong(1) == 1L && r1.getLong(2) == 40L)
+    // perfect association with two ABSENT cells: each of the four
+    // cells contributes (O-10)^2/10 = 10 -> chisq = 40; dropping the
+    // O=0 cells would halve it, so this pins the dense grid
+    val assoc = (Seq.fill(20)(("p", 0)) ++ Seq.fill(20)(("q", 1))).toDF("a", "b")
+    val r2 = Graft.chiSquare(assoc, $"a", $"b").head()
+    assert(math.abs(r2.getDouble(0) - 40.0) < 1e-12 && r2.getLong(1) == 1L)
+  }
+
   test("corrMatrix: exact ±1 on linear columns, pairs in declared order") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).map(x => (x, 2 * x + 1, -x)).toDF("x", "y", "z")
     val got = Graft.corrMatrix(df, Seq("x", "y", "z")).collect()

@@ -37,7 +37,16 @@ class PlanGuardSpec extends SparkSpecBase {
     // q_equidepth crosses the 1-row octile-boundary aggregate
     "q_triangle_count", "q_zipf_slope", "q_forward_fill",
     "q_collocations", "q_dedup_sorted", "q_basket_rules",
-    "q_knn_classify", "q_equidepth")
+    "q_knn_classify", "q_equidepth",
+    // round 9: q_welch_ttest self-joins its |types|-row stats table
+    // under the a<b inequality; q_kl_source crosses the broadcast
+    // ≤|V|-row vocab and the 1-row |V| scalar; q_chisq crosses the
+    // metadata-scale row/column totals and the 1-row N; q_gini
+    // crosses the 1-row count (and its rank pass broadcasts 1-row
+    // quantile bounds); q_rolling / q_autocorr compose the q_gapfill
+    // densify spine cross
+    "q_welch_ttest", "q_kl_source", "q_chisq", "q_gini",
+    "q_rolling", "q_autocorr")
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
   // no longer get the exemption)
