@@ -736,6 +736,50 @@ object Graft {
              sum(col("ge_cnt") * log(col("ge_cnt"))) / sum("ge_cnt")).as("entropy"))
   }
 
+  /** BM25 relevance scoring of every document against a fixed term
+    * list (round 9) — the retrieval-ranking canon (Robertson–Spärck
+    * Jones): score = Σ_t idf(t)·tf_t·(k1+1) / (tf_t + k1·(1−b+b·len/avgdl))
+    * with idf(t) = ln(1 + (N−df_t+0.5)/(df_t+0.5)). Returns
+    * (doc_id, score), UNROUNDED; callers round and cut.
+    *
+    * Determinism by construction: every input (tf, df, len, N, Σlen)
+    * is an exact integer and the score is ONE fixed expression tree —
+    * per-term components are added in the terms' declared order, not
+    * by a float aggregate whose fold order varies — so the value is
+    * bit-identical on any engine/partitioning (the collocations
+    * rank-key discipline, applied to a whole scoring function).
+    *
+    * Scale shape: per-term tf is a row-local array filter on the one
+    * tokenize; corpus stats (N, Σlen, per-term df) fold in ONE
+    * 1-row partial+final aggregate broadcast back; scoring is
+    * row-local, so `bm25(...).orderBy(desc).limit(k)` plans a
+    * TakeOrderedAndProject — one scan, no shuffle of facts. The
+    * fixed-term design is the point: a free-text query binds terms at
+    * plan time (≤ 16; an open-vocabulary scorer is [[tfidfVectors]]'
+    * join-shaped problem instead). */
+  def bm25(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16,
+      s"terms must be 1..16 fixed tokens, got ${terms.size}")
+    require(terms.forall(t => t.nonEmpty && !t.exists(c => c == '\'' || c.isWhitespace)),
+      "terms must be plain single tokens (no quotes/whitespace)")
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0 and b in [0,1], got ($k1, $b)")
+    val withTf = docs.select(id.as("doc_id"), split(text, " ").as("__tk"))
+      .select(col("doc_id") +: expr("cast(size(__tk) as bigint)").as("len") +:
+        terms.indices.map(i =>
+          expr(s"cast(size(filter(__tk, x -> x = '${terms(i)}')) as bigint)")
+            .as(s"tf_$i")): _*)
+    val aggs = count(lit(1)).as("n") +: sum("len").as("sl") +:
+      terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.map { i =>
+      s"ln(1 + (n - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * ($k1 + 1)) / " +
+        s"(tf_$i + $k1 * (1 - $b + $b * len / (cast(sl as double) / n)))"
+    }.mkString(" + ")
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(score).as("score"))
+  }
+
   /** Pairwise Kullback–Leibler divergence between per-group item
     * distributions over ANY (group, item) DataFrame (round 9) — the
     * drift/contrast metric between corpus slices ([[groupEntropy]]'s

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 124 query ids; 116 with DuckDB oracles. The
+  * and §3.1 (entry points). 125 query ids; 117 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -82,6 +82,7 @@ object SparkEntry {
     "q_tfidf"          -> TextOps.q_tfidf _,
     "q_entropy"        -> TextOps.q_entropy _,
     "q_kl_source"      -> TextOps.q_kl_source _,
+    "q_bm25"           -> TextOps.q_bm25 _,
     "q_zipf_slope"     -> TextOps.q_zipf_slope _,
     "q_collocations"   -> TextOps.q_collocations _,
     "q_dedup_exact"    -> TextOps.q_dedup_exact _,

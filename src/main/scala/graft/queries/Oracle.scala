@@ -1458,6 +1458,33 @@ object Oracle {
         |  UNION ALL SELECT 'l_discount', 'l_tax', ROUND(dt, 4) FROM c)
         |ORDER BY var_a, var_b""".stripMargin,
 
+    // BM25 at (k1=1.2, b=0.75) over exact-integer tf/df/len stats —
+    // the score expression mirrors Graft.bm25's tree term by term
+    // (terms added in declared order, constants written (1.2 + 1) /
+    // (1 - 0.75) identically), so the unrounded score is
+    // bit-identical and the rounded cut cannot flap
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len,
+        |             CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_0,
+        |             CAST(len(list_filter(tk, x -> x = 'scan')) AS BIGINT) AS tf_1,
+        |             CAST(len(list_filter(tk, x -> x = 'dup')) AS BIGINT) AS tf_2
+        |      FROM t),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS sl,
+        |             CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+        |             CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+        |             CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+        |      FROM d)
+        |SELECT doc_id,
+        |       ROUND(ln(1 + (n - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * (1.2 + 1)) /
+        |               (tf_0 + 1.2 * (1 - 0.75 + 0.75 * len / (CAST(sl AS DOUBLE) / n)))
+        |           + ln(1 + (n - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * (1.2 + 1)) /
+        |               (tf_1 + 1.2 * (1 - 0.75 + 0.75 * len / (CAST(sl AS DOUBLE) / n)))
+        |           + ln(1 + (n - df_2 + 0.5) / (df_2 + 0.5)) * (tf_2 * (1.2 + 1)) /
+        |               (tf_2 + 1.2 * (1 - 0.75 + 0.75 * len / (CAST(sl AS DOUBLE) / n))), 6) AS score
+        |FROM d, s
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     // χ²: dense contingency grid (absent cells O=0, E>0), E computed
     // double-first exactly like the facade
     "q_chisq" ->

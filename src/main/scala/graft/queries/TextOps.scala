@@ -249,6 +249,23 @@ object TextOps {
               round(col("kl"), 6).as("kl"))
       .orderBy("src_a", "src_b")
 
+  /** BM25 retrieval ranking (added round 9): top-20 documents for the
+    * fixed query (hash, scan, dup) — two common terms and one rare
+    * high-idf term, so the ranking genuinely mixes tf saturation and
+    * idf weighting. This query IS [[graft.Graft.bm25]] at the
+    * canonical (k1 = 1.2, b = 0.75), so the oracle verifies the
+    * public API. Every score input is an exact integer and the score
+    * is one fixed expression tree (terms added in declared order, no
+    * float aggregate) — bit-identical across engines BEFORE the
+    * display rounding; the cut orders by the rounded score with
+    * doc_id tiebreak, and plans as TakeOrderedAndProject. */
+  def q_bm25(s: SparkSession, d: String): DataFrame =
+    graft.Graft.bm25(Tables.documents(s, d), col("doc_id"), col("text"),
+        terms = Seq("hash", "scan", "dup"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
   /** Per-class centroid: posexplode to (label, dim, value), average per
     * cell, then fold dims back to the centroid's L2 norm. Two shuffles,
     * both on small keys — shuffle-bounded at any scale. */

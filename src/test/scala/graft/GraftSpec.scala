@@ -1801,6 +1801,23 @@ class GraftSpec extends SparkSpecBase {
            got(("a", "b")) != got(("b", "a")))
   }
 
+  test("bm25: hand-computed scores on a tiny corpus; zero-tf terms contribute nothing") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c")).toDF("id", "txt")
+    val got = Graft.bm25(docs, $"id", $"txt", Seq("a", "c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = 3.0; val avgdl = 8.0 / 3
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def sat(tf: Double, len: Double) = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))
+    def s(tfA: Double, tfC: Double, len: Double) =
+      idf(1) * sat(tfA, len) + idf(2) * sat(tfC, len)
+    assert(math.abs(got(1L) - s(2, 0, 3)) < 1e-12)
+    assert(math.abs(got(2L) - s(0, 1, 2)) < 1e-12)
+    assert(math.abs(got(3L) - s(0, 3, 3)) < 1e-12)
+    assert(got(1L) > got(3L)) // rare 'a' outweighs saturated common 'c'
+    intercept[IllegalArgumentException] { Graft.bm25(docs, $"id", $"txt", Seq.empty) }
+    intercept[IllegalArgumentException] { Graft.bm25(docs, $"id", $"txt", Seq("a b")) }
+  }
+
   test("gini: hand-computed inequality; zero on equal values; (n-1)/n at full concentration") {
     def g(xs: Seq[Long]): Double =
       Graft.gini(xs.zipWithIndex.map { case (x, i) => (x, i.toLong) }.toDF("x", "id"),

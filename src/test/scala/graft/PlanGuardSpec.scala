@@ -46,7 +46,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // quantile bounds); q_rolling / q_autocorr compose the q_gapfill
     // densify spine cross
     "q_welch_ttest", "q_kl_source", "q_chisq", "q_gini",
-    "q_rolling", "q_autocorr")
+    "q_rolling", "q_autocorr",
+    // q_bm25 crosses the 1-row (N, Σlen, df...) stats aggregate
+    "q_bm25")
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
   // no longer get the exemption)
