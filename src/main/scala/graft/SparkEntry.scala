@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 125 query ids; 117 with DuckDB oracles. The
+  * and §3.1 (entry points). 126 query ids; 118 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -61,6 +61,7 @@ object SparkEntry {
     "q_sort_multicol"  -> Relational.q_sort_multicol _,
     // §2.6 windows
     "q_window_rank"    -> Relational.q_window_rank _,
+    "q_rank_dense"     -> Relational.q_rank_dense _,
     "q_window_running" -> Relational.q_window_running _,
     "q_window_lag"     -> Relational.q_window_lag _,
     "q_window_range"   -> Relational.q_window_range _,

@@ -417,6 +417,19 @@ object Oracle {
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
+    // rank/dense_rank over the tied year key alone (tie semantics are
+    // the point); row_number's window adds the orderkey tiebreak for
+    // a total order
+    "q_rank_dense" ->
+      """SELECT o_custkey, o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(RANK() OVER (PARTITION BY o_custkey
+        |                         ORDER BY year(o_orderdate) DESC) AS INT) AS rk,
+        |       CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+        |                               ORDER BY year(o_orderdate) DESC) AS INT) AS drk,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                               ORDER BY year(o_orderdate) DESC, o_orderkey) AS INT) AS rn
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey

@@ -533,6 +533,28 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Rank-family completion (added round 9): rank / dense_rank /
+    * row_number side by side per customer over the order YEAR (a
+    * deliberately coarse key, so ties are guaranteed and the three
+    * functions genuinely diverge: rank gaps after ties, dense_rank
+    * does not). rank/dense_rank order by the tied key alone (their
+    * tie semantics ARE the point and are well-defined); row_number
+    * needs a TOTAL order to be deterministic, so its window adds the
+    * orderkey tiebreak — same discipline as every window query here
+    * (§7.4 rule O). One shuffle: all three windows share the
+    * partitioning, and the year sort prefix is shared too. */
+  def q_rank_dense(s: SparkSession, d: String): DataFrame = {
+    val tied = Window.partitionBy("o_custkey").orderBy(col("yr").desc)
+    val total = Window.partitionBy("o_custkey").orderBy(col("yr").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+      .select(col("o_custkey"), col("o_orderkey"), col("yr"),
+              rank().over(tied).as("rk"),
+              dense_rank().over(tied).as("drk"),
+              row_number().over(total).as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Cumulative frame: running sum of totalprice per customer. */
   def q_window_running(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

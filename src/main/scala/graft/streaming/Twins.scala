@@ -173,6 +173,39 @@ private[graft] class OnlineZScoreProcessor(threshold: Double)
   }
 }
 
+/** Streaming face of [[graft.Graft.ewma]] (q_ewma): the ONLINE
+  * exponential smoother. The batch form folds a completed series;
+  * the streaming analogue emits each arrival's smoothed value as it
+  * lands and carries s forward — per-key state is ONE double (the
+  * last s), the minimal forecaster state. In: (key, event_id, value)
+  * keyed by key; out: (key, event_id, s) with s_1 = x_1,
+  * s_t = α·x_t + (1−α)·s_{t−1} — the identical recurrence and
+  * literal form the batch fold uses, so a replayed stream reproduces
+  * the batch series exactly. Rows fold in event_id order so replays
+  * are deterministic. Top-level (shipped to tasks; must not capture
+  * a test class). */
+private[graft] class OnlineEwmaProcessor(alpha: Double)
+  extends StatefulProcessor[String, (String, Long, Double), (String, Long, Double)] {
+  @transient private var last: ValueState[Double] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[Double]("ewma", Encoders.scalaDouble, TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[(String, Long, Double)],
+                               timerValues: TimerValues): Iterator[(String, Long, Double)] = {
+    var s = if (last.exists()) Some(last.get()) else None
+    val out = Seq.newBuilder[(String, Long, Double)]
+    rows.toSeq.sortBy(_._2).foreach { case (_, eid, x) =>
+      val next = s match {
+        case None       => x
+        case Some(prev) => alpha * x + (1 - alpha) * prev
+      }
+      out += ((key, eid, next))
+      s = Some(next)
+    }
+    s.foreach(last.update)
+    out.result().iterator
+  }
+}
+
 /** Top-level (shipped to tasks; must not capture a test/suite class):
   * per-user as-of state = the greatest click time seen, folded in
   * (us, event_id) order within each batch. In: (user, event_id, us,

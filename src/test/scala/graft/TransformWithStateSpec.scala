@@ -91,4 +91,32 @@ class TransformWithStateSpec extends SparkSpecBase {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("online EWMA: recurrence matches the batch fold exactly across batch boundaries") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(String, Long, Double)]
+      val smoothed = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.OnlineEwmaProcessor(alpha = 0.25),
+          TimeMode.None(), OutputMode.Update())
+      val q = smoothed.toDF("k", "eid", "s").writeStream
+        .format("memory").queryName("ews").outputMode(OutputMode.Update()).start()
+      try {
+        // the series splits across two batches — state must carry s
+        input.addData(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 1L, 7.0))
+        q.processAllAvailable()
+        input.addData(("a", 3L, 40.0))
+        q.processAllAvailable()
+        val got = spark.table("ews").collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        // the exact batch recurrence: s1=10, s2=.25*20+.75*10=12.5,
+        // s3=.25*40+.75*12.5=19.375; key b: single 7
+        assert(got == Map(("a", 1L) -> 10.0, ("a", 2L) -> 12.5,
+                          ("a", 3L) -> 19.375, ("b", 1L) -> 7.0), got.toString)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
