@@ -1123,6 +1123,55 @@ object Graft {
     degrees(e).select(col("v").as("node"), col("deg").as("core_deg"))
   }
 
+  /** Single-source shortest hop distances over an undirected edge
+    * list (round 9) — BFS by frontier expansion: (node, dist) for
+    * every node reachable from `source` within `maxDepth` hops,
+    * dist 0 at the source. The reachability/radius primitive
+    * ([[kcore]]'s traversal sibling; connected components answers
+    * "same component?", this answers "how far?").
+    *
+    * Distributed shape: each round joins the CURRENT FRONTIER onto
+    * the adjacency (shuffle ∝ frontier's incident edges, not |E|),
+    * anti-joins the visited set, and unions the new layer in —
+    * classic frontier BFS, O(eccentricity) rounds. The driver loop
+    * reads only one per-round emptiness flag; lineage truncates per
+    * round with localCheckpoint. Rounds past `maxDepth` fail LOUDLY
+    * (a silently-truncated distance table would be wrong, not
+    * partial): raise maxDepth for high-diameter graphs — each round
+    * is cheap, the cap exists to match a bounded SQL twin. */
+  def shortestPaths(edges: DataFrame, source: Long, maxDepth: Int = 20): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val e = edges
+      .select(col(edges.columns(0)).cast("long").as("a"),
+              col(edges.columns(1)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val dir = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0)).toDF("node", "dist").localCheckpoint()
+    var frontier = dist
+    var depth = 0
+    var done = false
+    while (!done) {
+      depth += 1
+      val next = dir.join(frontier.select(col("node").as("a")), Seq("a"), "left_semi")
+        .select(col("b").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(depth).as("dist"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        require(depth <= maxDepth,
+          s"shortestPaths did not exhaust the component within maxDepth=$maxDepth " +
+            "hops — raise maxDepth")
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    dist
+  }
+
   /** Association rules over ANY (basket, item) DataFrame — classic
     * market-basket mining (Agrawal–Srikant), pair rules only: for
     * every item pair co-occurring in ≥ `minBoth` baskets, the three

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 126 query ids; 118 with DuckDB oracles. The
+  * and §3.1 (entry points). 127 query ids; 119 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -157,6 +157,7 @@ object SparkEntry {
     "q_degree_dist"     -> GraphOps.q_degree_dist _,
     "q_basket_rules"    -> GraphOps.q_basket_rules _,
     "q_kcore"           -> GraphOps.q_kcore _,
+    "q_shortest_path"   -> GraphOps.q_shortest_path _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

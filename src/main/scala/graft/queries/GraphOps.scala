@@ -151,4 +151,24 @@ object GraphOps {
     graft.Graft.kcore(coPurchaseEdges(s, d), k = 2, maxRounds = 10)
       .select(col("node").as("part"), col("core_deg"))
       .orderBy("part")
+
+  /** Single-source shortest paths (added round 9): hop distance from
+    * the smallest part in the co-purchase graph to every part
+    * reachable from it — the BFS/radius primitive (components answer
+    * "same cluster?", this answers "how far?"). This query IS
+    * [[graft.Graft.shortestPaths]] on the shared edge table, so the
+    * oracle verifies the public API against a bounded MONOTONE
+    * recursive CTE (BFS only ever ADDS (node, dist) facts, so —
+    * unlike q_kcore's peeling — a recursive UNION expresses it
+    * directly; the dist < 20 bound guarantees CTE termination on
+    * cycles and the facade requires exhaustion within the same 20
+    * loudly, so truncation can never silently diverge; MIN(dist) per
+    * node collapses the walk to BFS distances). */
+  def q_shortest_path(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val src = e.agg(min("a")).head.getLong(0)
+    graft.Graft.shortestPaths(e, src, maxDepth = 20)
+      .select(col("node").as("part"), col("dist"))
+      .orderBy("part")
+  }
 }

@@ -1390,6 +1390,23 @@ object Oracle {
 
     "q_kcore" -> kcoreSql,
 
+    // BFS distances via a bounded MONOTONE recursive CTE: UNION
+    // dedups (node, dist) pairs so cycles terminate under the
+    // dist < 20 bound; MIN(dist) per node collapses the walk to the
+    // BFS distance; the Spark facade requires exhaustion within the
+    // same 20 hops loudly
+    "q_shortest_path" ->
+      s"""WITH RECURSIVE $coPurchaseCtes,
+         |dir AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |src AS (SELECT MIN(a) AS m FROM e),
+         |walk(node, dist) AS (
+         |  SELECT m, 0 FROM src
+         |  UNION
+         |  SELECT dir.b, walk.dist + 1 FROM walk JOIN dir ON dir.a = walk.node
+         |  WHERE walk.dist < 20)
+         |SELECT node AS part, CAST(MIN(dist) AS INT) AS dist
+         |FROM walk GROUP BY node ORDER BY part""".stripMargin,
+
     // association rules: all three measures in exact integer permille
     // (// ≡ Spark div on non-negative counts); b is the DISTINCT
     // (basket, item) incidence, N the distinct basket count

@@ -1754,6 +1754,18 @@ class GraftSpec extends SparkSpecBase {
     assert(Graft.kcore(path, k = 2).isEmpty)
   }
 
+  test("shortestPaths: BFS distances on a cycle; unreachable absent; loud depth cap") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Graft.shortestPaths(e, source = 1L)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getInt(1)))
+    // the 1-3 chord makes dist(3) = 1, so dist(4) = 2; 5/6 unreachable
+    assert(got.toSeq == Seq((1L, 0), (2L, 1), (3L, 1), (4L, 2)))
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Graft.shortestPaths(chain, source = 1L, maxDepth = 2).collect()
+    }
+  }
+
   test("ewma: hand-computed recurrence per key; reserved output name throws") {
     val series = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 40.0),
                      ("b", 1L, 7.0)).toDF("g", "h", "x")
