@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 127 query ids; 119 with DuckDB oracles. The
+  * and §3.1 (entry points). 128 query ids; 120 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -45,6 +45,7 @@ object SparkEntry {
     "q_listagg"        -> Relational.q_listagg _,
     "q_percentile"     -> Relational.q_percentile _,
     "q_stats_agg"      -> Relational.q_stats_agg _,
+    "q_bool_bit_agg"   -> Relational.q_bool_bit_agg _,
     "q_corr_matrix"    -> Relational.q_corr_matrix _,
     "q_gini"           -> Relational.q_gini _,
     "q_winsorize"      -> Relational.q_winsorize _,

@@ -245,6 +245,15 @@ object Oracle {
         |       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q_bool_bit_agg" ->
+      """SELECT o_orderpriority,
+        |       bool_and(o_totalprice > 1000) AS all_over_1k,
+        |       bool_or(o_totalprice > 400000) AS any_over_400k,
+        |       CAST(bit_and(o_custkey) AS BIGINT) AS key_and,
+        |       CAST(bit_or(o_custkey) AS BIGINT) AS key_or,
+        |       CAST(bit_xor(o_custkey) AS BIGINT) AS key_xor
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_stats_agg" ->
       """SELECT l_returnflag,
         |       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,

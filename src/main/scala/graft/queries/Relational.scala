@@ -291,6 +291,25 @@ object Relational {
            round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))
       .orderBy("o_orderpriority")
 
+  /** Boolean & bitwise aggregate family (added round 9): per
+    * priority — bool_and / bool_or over a price predicate and
+    * bit_and / bit_or / bit_xor folds of the customer key. ALL
+    * outputs exact (booleans and integer bit-folds; XOR/AND/OR are
+    * commutative-associative, so partial aggregation combines
+    * map-side and the result is partitioning-independent — the same
+    * property the connectedComponents convergence checksum relies
+    * on). Completes §2.4's aggregate surface alongside the
+    * numeric/statistical families. */
+  def q_bool_bit_agg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+           bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+           bit_and(col("o_custkey")).as("key_and"),
+           bit_or(col("o_custkey")).as("key_or"),
+           bit_xor(col("o_custkey")).as("key_xor"))
+      .orderBy("o_orderpriority")
+
   /** Statistical aggregates: stddev / variance / correlation /
     * covariance per returnflag (rounded — sums of products differ in
     * last-ulp across engines' partial-aggregation orders). */
