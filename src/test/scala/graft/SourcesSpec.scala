@@ -48,4 +48,26 @@ class SourcesSpec extends SparkSpecBase {
     assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)"),
            s"no ORC pushdown:\n$scan")
   }
+
+  test("partitionBy sink: hive-style layout, partition PRUNING on read (MultipleOutputs analog)") {
+    // SURVEY §1.1: df.write.partitionBy is the Spark face of the
+    // paradigm's MultipleOutputs — and at 100 TB the point is the
+    // read side: a partition filter must prune directories in the
+    // scan, not filter rows after reading everything
+    val dir = java.nio.file.Files.createTempDirectory("srcpart").toString
+    docs.write.partitionBy("lang").parquet(s"$dir/bylang")
+    val langs = new java.io.File(s"$dir/bylang").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(langs.forall(_.startsWith("lang=")) && langs.size >= 2,
+           s"no hive-style partition dirs: $langs")
+    val back = spark.read.parquet(s"$dir/bylang")
+    val pruned = back.filter($"lang" === "en")
+    // row parity vs the unpartitioned table
+    assert(pruned.count() == docs.filter($"lang" === "en").count())
+    // the partition predicate must land in PartitionFilters (dir
+    // pruning), NOT PushedFilters (row-group filtering)
+    val plan = pruned.queryExecution.sparkPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+           s"partition filter not pruning directories:\n$plan")
+  }
 }
