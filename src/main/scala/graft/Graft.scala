@@ -374,10 +374,17 @@ object Graft {
       s"columns must exist in ${df.columns.mkString(",")}")
     require(!keys.contains("ewma") && bucket != "ewma",
       "the output column ewma is reserved")
+    require(!keys.exists(k => k.startsWith("__") || k == "o"),
+      "key names starting with __ (and the working name o) are reserved")
+    // null observations are SKIPPED (the SQL aggregate convention) —
+    // folding a null x_t would null s_t and silently truncate the
+    // whole tail of the series
     val series = df
-      .select(keys.map(col) :+ col(bucket).as("o") :+ value.cast("double").as("x"): _*)
+      .select(keys.map(col) :+ col(bucket).as("__o") :+ value.cast("double").as("__x"): _*)
+      .filter(col("__o").isNotNull && col("__x").isNotNull)
       .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(struct(col("o"), col("x")))).as("__hx"))
+      .agg(sort_array(collect_list(struct(col("__o").as("o"), col("__x").as("x"))))
+        .as("__hx"))
     // zero = slice(..., 1, 0): an EMPTY array of the fold's element
     // type inferred from the input — no hand-written cast to keep in
     // sync with the bucket column's type
@@ -559,7 +566,10 @@ object Graft {
   def gini(df: DataFrame, value: Column, tie: Column): DataFrame = {
     val ranked = globalRankDesc(
       df.select(value.as("__v"), tie.as("__t")), col("__v"), col("__t"))
-    val nTot = ranked.agg(count(lit(1)).as("__n"))
+    // count the INPUT, not the ranked output: globalRankDesc is
+    // row-preserving, and counting its output would re-execute the
+    // whole two-pass rank pipeline just for n
+    val nTot = df.agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(nTot))
       .select(col("key"), (col("__n") + 1L - col("rank")).cast("double").as("i"),
               col("__n"))
@@ -761,8 +771,10 @@ object Graft {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.size <= 16,
       s"terms must be 1..16 fixed tokens, got ${terms.size}")
-    require(terms.forall(t => t.nonEmpty && !t.exists(c => c == '\'' || c.isWhitespace)),
-      "terms must be plain single tokens (no quotes/whitespace)")
+    require(terms.forall(t =>
+        t.nonEmpty && !t.exists(c => c == '\'' || c == '\\' || c.isWhitespace)),
+      "terms must be plain single tokens (no quotes, backslashes or whitespace — " +
+        "they interpolate into a SQL string literal)")
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0 and b in [0,1], got ($k1, $b)")
     val withTf = docs.select(id.as("doc_id"), split(text, " ").as("__tk"))
       .select(col("doc_id") +: expr("cast(size(__tk) as bigint)").as("len") +:

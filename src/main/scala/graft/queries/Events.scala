@@ -24,7 +24,7 @@ object Events {
   /** Tumbling 1-hour window aggregation (bucket = µs div 1h). */
   def q_tumbling_window(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .select(expr(s"unix_micros(cast(ts as timestamp)) div $US_PER_HOUR").as("hour_bucket"),
+      .select(expr(s"${Tables.tsUsSql} div $US_PER_HOUR").as("hour_bucket"),
               col("event_type"), col("value"))
       .groupBy("hour_bucket", "event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
@@ -36,7 +36,7 @@ object Events {
     * the window's start in epoch-µs. */
   def q_sliding_window(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .select(expr(s"unix_micros(cast(ts as timestamp)) div $US_PER_15MIN").as("slot"), col("event_type"))
+      .select(expr(s"${Tables.tsUsSql} div $US_PER_15MIN").as("slot"), col("event_type"))
       .select(col("slot"), col("event_type"),
               explode(sequence(lit(0), lit(3))).as("k"))
       .select(((col("slot") - col("k")) * US_PER_15MIN).as("win_start"), col("event_type"))
@@ -197,7 +197,7 @@ object Events {
         Tables.events(s, d)
           .select(col("user_id"), col("event_id"), col("event_type"),
                   Tables.tsUs.as("us"),
-                  expr(s"unix_micros(cast(ts as timestamp)) div $US_PER_HOUR").as("hour")),
+                  expr(s"${Tables.tsUsSql} div $US_PER_HOUR").as("hour")),
         groupCols = Seq(col("user_id"), col("hour")),
         eventType = col("event_type"),
         orderBy = Seq(col("us"), col("event_id")),
@@ -228,7 +228,7 @@ object Events {
     * (hour, event_type, n), empty cells n = 0. */
   def q_gapfill(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.events(s, d)
-      .select(expr(s"unix_micros(cast(ts as timestamp)) div $US_PER_HOUR").as("hour"), col("event_type"))
+      .select(expr(s"${Tables.tsUsSql} div $US_PER_HOUR").as("hour"), col("event_type"))
       .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
     graft.Graft.densify(hourly, "hour", Seq("event_type"), Map("n" -> lit(0L)))
       .orderBy("hour", "event_type")
@@ -246,7 +246,7 @@ object Events {
     * First hour's delta = its own count (lag default 0). */
   def q_hourly_delta(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.events(s, d)
-      .select(expr(s"unix_micros(cast(ts as timestamp)) div $US_PER_HOUR").as("hour"), col("event_type"))
+      .select(expr(s"${Tables.tsUsSql} div $US_PER_HOUR").as("hour"), col("event_type"))
       .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type").orderBy("hour")
     graft.Graft.densify(hourly, "hour", Seq("event_type"), Map("n" -> lit(0L)))
@@ -275,7 +275,7 @@ object Events {
     * on this data; a signed-value variant would add an offset.) */
   def q_forward_fill(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.events(s, d)
-      .select(expr(s"unix_micros(cast(ts as timestamp)) div $US_PER_HOUR").as("hour"),
+      .select(expr(s"${Tables.tsUsSql} div $US_PER_HOUR").as("hour"),
               col("event_type"), col("value"))
       .groupBy("hour", "event_type")
       .agg(count(lit(1)).as("n"), round(sum("value") * 100).cast("long").as("sc"))

@@ -45,10 +45,29 @@ object GraphOps {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root))
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+  }
+
+  private def evict(key: (SparkSession, String)): Unit =
+    edgeCache.remove(key).foreach(deleteRecursively)
+
+  // evicted/stale entries delete their temp dir (the in-memory
+  // PipelineOps caches have nothing on disk; this one does); a JVM
+  // shutdown hook sweeps whatever is left so repeated runs don't
+  // accumulate /tmp parquet dirs
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    edgeCache.keys.foreach(evict)))
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    edgeCache.keys.filter(_._1.sparkContext.isStopped).foreach(edgeCache.remove)
+    edgeCache.keys.filter(_._1.sparkContext.isStopped).foreach(evict)
     if (edgeCache.size > 8)
-      edgeCache.keys.filter(_ != ((s, d))).foreach(edgeCache.remove)
+      edgeCache.keys.filter(_ != ((s, d))).foreach(evict)
     val path = edgeCache.getOrElseUpdate((s, d), {
       val p = java.nio.file.Files.createTempDirectory("graft_copurchase_edges").toString
       Tables.lineitem(s, d)
@@ -166,7 +185,11 @@ object GraphOps {
     * node collapses the walk to BFS distances). */
   def q_shortest_path(s: SparkSession, d: String): DataFrame = {
     val e = coPurchaseEdges(s, d)
-    val src = e.agg(min("a")).head.getLong(0)
+    val srcRow = e.agg(min("a")).head
+    require(!srcRow.isNullAt(0),
+      "co-purchase graph is empty (no part pair co-occurs in >= 2 orders) — " +
+        "q_shortest_path has no source to walk from")
+    val src = srcRow.getLong(0)
     graft.Graft.shortestPaths(e, src, maxDepth = 20)
       .select(col("node").as("part"), col("dist"))
       .orderBy("part")

@@ -180,10 +180,13 @@ private[graft] class OnlineZScoreProcessor(threshold: Double)
   * last s), the minimal forecaster state. In: (key, event_id, value)
   * keyed by key; out: (key, event_id, s) with s_1 = x_1,
   * s_t = α·x_t + (1−α)·s_{t−1} — the identical recurrence and
-  * literal form the batch fold uses, so a replayed stream reproduces
-  * the batch series exactly. Rows fold in event_id order so replays
-  * are deterministic. Top-level (shipped to tasks; must not capture
-  * a test class). */
+  * literal form the batch fold uses. Rows fold in event_id order
+  * WITHIN each micro-batch; across batches the carried state equals
+  * the batch fold exactly as long as batches respect per-key event
+  * order (true for AvailableNow file replay — the caveat
+  * [[AsOfStateProcessor]] documents; a production out-of-order
+  * stream would add a watermark-buffered reorder in front).
+  * Top-level (shipped to tasks; must not capture a test class). */
 private[graft] class OnlineEwmaProcessor(alpha: Double)
   extends StatefulProcessor[String, (String, Long, Double), (String, Long, Double)] {
   @transient private var last: ValueState[Double] = _

@@ -119,14 +119,13 @@ class EventsSpec extends SparkSpecBase {
 
   test("sliding at slide=width degenerates to tumbling (property)") {
     // reconstruct tumbling 15-min counts two ways on the real table
-    val us = Tables.tsUs
     val slot = Tables.events(spark, sf)
-      .select((expr("unix_micros(cast(ts as timestamp)) div 900000000") * 900000000L).as("win_start"),
+      .select((expr(s"${Tables.tsUsSql} div 900000000") * 900000000L).as("win_start"),
               col("event_type"))
       .groupBy("win_start", "event_type").agg(count(lit(1)).as("n"))
     // sliding-form with k=0 only (slide == width == 15 min)
     val slide = Tables.events(spark, sf)
-      .select(expr("unix_micros(cast(ts as timestamp)) div 900000000").as("slot"), col("event_type"))
+      .select(expr(s"${Tables.tsUsSql} div 900000000").as("slot"), col("event_type"))
       .select((col("slot") * 900000000L).as("win_start"), col("event_type"))
       .groupBy("win_start", "event_type").agg(count(lit(1)).as("n"))
     assert(slot.except(slide).count() == 0 && slide.except(slot).count() == 0)
