@@ -147,6 +147,11 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
   }
 
+  test("q_bm25's k-cut compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = planString(queries.TextOps.q_bm25(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
+  }
+
   test("q_agg_pricing aggregates partially before the shuffle (combiner)") {
     val plan = planString(Relational.q_agg_pricing(spark, sf))
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan)
