@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+import scala.util.Using
+
+/** Temp-parquet materialization for shared or repeatedly-consumed
+  * subtrees — the project's ONE sanctioned "cache a DataFrame" tool
+  * for anything a downstream JOIN consumes.
+  *
+  * Why parquet and not localCheckpoint/persist: a downstream join's
+  * broadcast decision needs relation STATS. An RDD-backed checkpoint
+  * reports `defaultSizeInBytes` (= treat as huge → sort-merge join
+  * everywhere), and a not-yet-materialized InMemoryRelation is no
+  * better on first touch — both measured as multi-second regressions
+  * on the §2.14 edge consumers (BASELINE.md round 9: +4 s / +8 s on
+  * q_triangle_count). A parquet round-trip keeps file-size stats, so
+  * a metadata-scale table broadcasts and a big one shuffles, exactly
+  * as the planner should choose. At cluster scale this is the
+  * ordinary "write the shared table once, read it N times" pattern
+  * (a real pipeline would point it at the warehouse instead of
+  * java.io.tmpdir). localCheckpoint remains correct ONLY for
+  * iterative-loop lineage truncation (pageRank/kcore/BFS/CC), where
+  * the checkpointed side is metadata-scale and re-planned each round.
+  *
+  * Eviction discipline (round-7 ADVICE): sweeps remove ONLY entries
+  * keyed by STOPPED sessions — a live session may still hold a lazy
+  * reader over the path, and deleting under it surfaces later as
+  * FileNotFoundException. Entry count is bounded in practice by
+  * |live sessions| × |sf dirs|; a JVM shutdown hook sweeps whatever
+  * remains so repeated runs don't accumulate tmp dirs.
+  */
+object TempTables {
+
+  private val cache = TrieMap.empty[(SparkSession, String), String]
+  private val anon = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(path: String): Unit = {
+    val root = Paths.get(path)
+    if (Files.exists(root))
+      Using.resource(Files.walk(root)) { walk =>
+        walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+  }
+
+  private def evict(key: (SparkSession, String)): Unit =
+    cache.remove(key).foreach(deleteRecursively)
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    cache.keys.foreach(evict)
+    anon.forEach(p => deleteRecursively(p))
+  }))
+
+  /** Build-once keyed cache: the first call per (session, key) runs
+    * `build`, writes the result to a temp parquet dir, and every call
+    * (including the first) returns a fresh parquet-backed reader over
+    * it — file-size stats intact. The WRITE is eager (it runs a job
+    * at construction time, like the localCheckpoint it replaces);
+    * consumers stay lazy. */
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(evict)
+    val path = cache.getOrElseUpdate((s, key), {
+      val p = Files.createTempDirectory("graft_tt_").toString
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Uncached per-call materialization, for facade-internal shared
+    * subtrees over ARBITRARY caller DataFrames (no stable cache key
+    * exists). Each call writes one temp dir, registered for the
+    * shutdown sweep — never deleted mid-JVM, because the returned
+    * reader is lazy and may be consumed much later. */
+  def materialize(df: DataFrame, tag: String): DataFrame = {
+    val p = Files.createTempDirectory(s"graft_${tag}_").toString
+    anon.add(p)
+    df.write.mode("overwrite").parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
+}

@@ -30,46 +30,15 @@ object GraphOps {
     * 2× slower at sf0.1 for the same 3,573 edges.
     *
     * Built ONCE per (session, sfDir) and materialized AS A PARQUET
-    * TABLE in a temp dir (round 9) — five §2.14 queries consume the
-    * same edge list and the build subtree (~1.9 s at sf0.1)
-    * dominated each of them. A table, not localCheckpoint/persist:
-    * the consumers' degree-join broadcast decisions need relation
-    * STATS, which an RDD-backed checkpoint (default sizeInBytes) and
-    * a not-yet-materialized InMemoryRelation both lose — measured
-    * first-touch regressions of +4 s / +8 s on q_triangle_count
-    * respectively, while the parquet round-trip keeps file-size
-    * stats and costs ~0.1 s to write at this edge count. Same
-    * eviction discipline as the PipelineOps pair-graph cache. At
-    * cluster scale this is exactly "materialize the edge table once,
-    * read it five times". */
-  private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-
-  private def deleteRecursively(path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(path)
-    if (Files.exists(root))
-      Files.walk(root).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => Files.deleteIfExists(p))
-  }
-
-  private def evict(key: (SparkSession, String)): Unit =
-    edgeCache.remove(key).foreach(deleteRecursively)
-
-  // evicted/stale entries delete their temp dir (the in-memory
-  // PipelineOps caches have nothing on disk; this one does); a JVM
-  // shutdown hook sweeps whatever is left so repeated runs don't
-  // accumulate /tmp parquet dirs
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    edgeCache.keys.foreach(evict)))
-
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    edgeCache.keys.filter(_._1.sparkContext.isStopped).foreach(evict)
-    if (edgeCache.size > 8)
-      edgeCache.keys.filter(_ != ((s, d))).foreach(evict)
-    val path = edgeCache.getOrElseUpdate((s, d), {
-      val p = java.nio.file.Files.createTempDirectory("graft_copurchase_edges").toString
+    * TABLE via [[graft.TempTables.cached]] (round 9; shared utility
+    * since round 10) — five §2.14 queries consume the same edge list
+    * and the build subtree (~1.9 s at sf0.1) dominated each of them.
+    * A table, not localCheckpoint/persist: the consumers' degree-join
+    * broadcast decisions need relation STATS — see TempTables'
+    * scaladoc for the measured evidence. At cluster scale this is
+    * exactly "materialize the edge table once, read it five times". */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    graft.TempTables.cached(s, s"copurchase_edges:$d") {
       Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
@@ -80,11 +49,7 @@ object GraphOps {
         .filter(col("cnt") >= MIN_COPURCHASE)
         .select("a", "b")
         .coalesce(1)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+    }
 
   /** Exact triangle census of the co-purchase graph (added round 8):
     * ONE row — nodes, edges, wedges, triangles, global clustering
