@@ -21,7 +21,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "value" LAST: the driver's artifact capture keeps only the tail
+    // of this line, so the headline total must sit after the ~128
+    // per-query entries to survive truncation (round-8 verdict #5)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
     spark.stop()
   }
 }

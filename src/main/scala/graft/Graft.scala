@@ -1570,21 +1570,25 @@ object Graft {
     // struct sort on (gdf, gram) is the same total order the old
     // per-doc window ranked by), the set size, and the prefix slice —
     // prefix bound in pure integers: n − ceil(p·n/1000) + 1 =
-    // n − (p·n + 999) div 1000 + 1. localCheckpoint materializes the
-    // ≤|docs|-row table ONCE (pageRank's lineage-truncation
-    // precedent): without it the tokenize→gram-explode→rarity subtree
-    // re-ran once per consumer — index, and the twice-joined verify —
-    // measured 4.5 s → the checkpoint collapses the recomputation
-    val docGrams = grams.join(rarity, "gram")
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("gdf"), col("gram")))).as("sg"))
-      .select(col("doc_id"),
-              transform(col("sg"), s => s.getField("gram")).as("gs"),
-              size(col("sg")).as("na"))
-      .withColumn("prefix",
-        slice(col("gs"), lit(1),
-              (col("na") - expr(s"(na * $p + 999) div 1000") + 1).cast("int")))
-      .localCheckpoint()
+    // n − (p·n + 999) div 1000 + 1. TempTables.materialize writes the
+    // ≤|docs|-row table ONCE as temp parquet: without it the
+    // tokenize→gram-explode→rarity subtree re-ran once per consumer —
+    // index, and the twice-joined verify — measured 4.5 s. Parquet
+    // rather than localCheckpoint because THREE joins consume this
+    // table and an RDD-backed scan's defaultSizeInBytes would cost
+    // them their broadcast option (q_jaccard_prefix ran 2.7–2.9×
+    // over its median for two rounds on exactly that stats loss).
+    val docGrams = TempTables.materialize(
+      grams.join(rarity, "gram")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("gdf"), col("gram")))).as("sg"))
+        .select(col("doc_id"),
+                transform(col("sg"), s => s.getField("gram")).as("gs"),
+                size(col("sg")).as("na"))
+        .withColumn("prefix",
+          slice(col("gs"), lit(1),
+                (col("na") - expr(s"(na * $p + 999) div 1000") + 1).cast("int"))),
+      "jacc_grams")
     val prefix = docGrams.select(col("doc_id"), explode(col("prefix")).as("gram"),
                                  col("na"))
     val cand = operators.SkewJoin.blockedSelfPairs(prefix, Seq("gram"), "doc_id", maxBucket)

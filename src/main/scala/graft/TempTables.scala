@@ -62,11 +62,18 @@ object TempTables {
     * consumers stay lazy. */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(evict)
-    val path = cache.getOrElseUpdate((s, key), {
+    val path = cache.get((s, key)).getOrElse {
+      // build OUTSIDE any map lock (it runs Spark jobs); the candidate
+      // dir sits in `anon` while unowned so a racing loser — or a crash
+      // mid-build — still gets swept at shutdown instead of leaking
       val p = Files.createTempDirectory("graft_tt_").toString
+      anon.add(p)
       build.write.mode("overwrite").parquet(p)
-      p
-    })
+      cache.putIfAbsent((s, key), p) match {
+        case None         => anon.remove(p); p
+        case Some(winner) => anon.remove(p); deleteRecursively(p); winner
+      }
+    }
     s.read.parquet(path)
   }
 

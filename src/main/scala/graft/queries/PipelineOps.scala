@@ -18,50 +18,29 @@ object PipelineOps {
   /** The word-3-gram Jaccard pair graph (doc_a, doc_b, na, nb, common)
     * at J ≥ 0.8 — the shared input of [[q_dedup_ngram]] (pair list) and
     * [[q_dedup_cluster]] (components over it). Computed ONCE per
-    * (session, sfDir) and materialized with localCheckpoint so a
-    * Verify/Bench run never recomputes the expensive inverted-index
-    * join; the cache key holds the session so nothing leaks across
-    * sessions. At cluster scale this is "write the pair graph to a
-    * table once, read it twice" — identical shape. */
-  private val pairGraphCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  private def ngramPairGraph(s: SparkSession, d: String): DataFrame = {
-    // evict entries keyed by STOPPED sessions on each access — they
-    // would otherwise pin their checkpointed blocks and session
-    // objects for the life of the JVM; a blanket size-triggered clear
-    // would also drop the LIVE session's entries
-    pairGraphCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(pairGraphCache.remove)
-    // backstop bound for a single runaway session over many sfDirs:
-    // drop other-directory entries, never the one being requested
-    if (pairGraphCache.size > 8)
-      pairGraphCache.keys.filter(_ != ((s, d))).foreach(pairGraphCache.remove)
-    pairGraphCache.getOrElseUpdate((s, d),
+    * (session, sfDir) via [[graft.TempTables.cached]] — temp PARQUET,
+    * not localCheckpoint: the CC loop and q_dedup_drop's anti-join
+    * consume this table, and an RDD-backed scan would report
+    * `defaultSizeInBytes` and cost them their broadcast plans (the
+    * §2.14 edge-table lesson, TempTables scaladoc). At cluster scale
+    * this is "write the pair graph to a table once, read it twice" —
+    * identical shape. */
+  private def ngramPairGraph(s: SparkSession, d: String): DataFrame =
+    graft.TempTables.cached(s, s"ngram_pairs:$d")(
       graft.Graft.nearDupPairsNgram(Tables.documents(s, d),
-          col("doc_id"), col("text"), thresholdPermille = 800, n = 3)
-        .localCheckpoint())
-  }
+        col("doc_id"), col("text"), thresholdPermille = 800, n = 3))
 
   /** Component labels over [[ngramPairGraph]], computed ONCE per
     * (session, sfDir) and shared by [[q_dedup_cluster]] (membership
     * accounting) and [[q_dedup_drop]] (removal) — the "write the
     * labeling once, read it twice" shape of a real pipeline; without
-    * it each consumer re-runs the O(log n) components loop. Same
-    * eviction discipline as the pair-graph cache. */
-  private val ccLabelsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  private def ngramCcLabels(s: SparkSession, d: String): DataFrame = {
-    ccLabelsCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(ccLabelsCache.remove)
-    if (ccLabelsCache.size > 8)
-      ccLabelsCache.keys.filter(_ != ((s, d))).foreach(ccLabelsCache.remove)
-    ccLabelsCache.getOrElseUpdate((s, d),
+    * it each consumer re-runs the O(log n) components loop. Temp
+    * parquet for the same stats reason: q_dedup_drop joins documents
+    * against these metadata-scale labels and should broadcast them. */
+  private def ngramCcLabels(s: SparkSession, d: String): DataFrame =
+    graft.TempTables.cached(s, s"ngram_cc:$d")(
       graft.operators.ConnectedComponents
-        .alternatingStar(ngramPairGraph(s, d).select(col("doc_a"), col("doc_b")))
-        .localCheckpoint())
-  }
+        .alternatingStar(ngramPairGraph(s, d).select(col("doc_a"), col("doc_b"))))
 
   /** Word-3-gram Jaccard near-dup pairs at ≥ 0.8, via an INVERTED
     * INDEX join (docs sharing ≥1 gram), never all-pairs: explode

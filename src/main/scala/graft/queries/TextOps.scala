@@ -175,8 +175,15 @@ object TextOps {
     * contract) keeps the cut cross-engine stable. */
   def q_sim_sparse(s: SparkSession, d: String): DataFrame =
     graft.Graft.topkCosinePairs(
-      graft.Graft.tfidfVectors(Tables.documents(s, d),
-        col("doc_id"), col("text"), vocabLimit = 64),
+      // temp-parquet the featurized vectors ([[graft.TempTables]]):
+      // DotTopKJoinExec evaluates its input once per broadcast chunk
+      // AND once per probe side, so an unmaterialized tf-idf subtree
+      // (tokenize → df-aggregate → featurize) re-ran ~2·ceil(n/chunk)
+      // times; a 500-row×65-col parquet table reads back in
+      // milliseconds and keeps stats for the kernel's size planning
+      graft.TempTables.cached(s, s"tfidf_sparse64:$d")(
+        graft.Graft.tfidfVectors(Tables.documents(s, d),
+          col("doc_id"), col("text"), vocabLimit = 64)),
       col("doc_id"), col("vec"), k = 20)
 
   /** Shannon token entropy per source (added round 8): the
