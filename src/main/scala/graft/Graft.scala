@@ -987,18 +987,21 @@ object Graft {
     * [[operators.SkewJoin.blockedSelfPairs]], so one residual hot hub
     * still cannot serialize a task; closure is one equi-join of the
     * id-normalized wedge pairs against the canonical edge list. The
-    * canonical edge list is localCheckpoint-ed — it feeds degrees,
-    * orientation, and closure; at real cluster scale swap for
-    * reliable `checkpoint` on a DFS (the [[connectedComponents]]
-    * note). */
+    * canonical edge list is materialized ONCE as temp parquet
+    * ([[TempTables.materialize]]) — it feeds degrees, orientation,
+    * and the closure semi-join, and those joins' broadcast decisions
+    * need file-size stats, which an RDD-backed checkpoint cannot
+    * supply (PlanGuardSpec's stats-loss guard). At real cluster
+    * scale the same write targets the warehouse. */
   def triangleStats(edges: DataFrame, maxBucket: Int = 4096): DataFrame = {
-    val e = edges
-      .select(col(edges.columns(0)).cast("long").as("a"),
-              col(edges.columns(1)).cast("long").as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-      .localCheckpoint()
+    val e = TempTables.materialize(
+      edges
+        .select(col(edges.columns(0)).cast("long").as("a"),
+                col(edges.columns(1)).cast("long").as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct(),
+      "tri_edges")
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val oriented = e

@@ -369,17 +369,18 @@ object Events {
     * |types|-row stats broadcast back, a second grouped percentile
     * for the MAD, and a map-side-collapsing rollup. Each percentile
     * is a partial+final ObjectHashAggregate keyed by type; at 100 TB
-    * both swap for `approx_percentile` with no plan-shape change
-    * (the q_equidepth trade — exact is chosen because the oracle gate
-    * demands cross-engine equality). */
+    * both swap for `approx_percentile` with no plan-shape change —
+    * [[Relational.pctl]] makes that swap the `graft.percentile.approx`
+    * session toggle, tested in ApproxPathSpec (exact stays the
+    * default because the oracle gate demands cross-engine equality). */
   def q_outlier_mad(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"), col("value"))
     val med = ev.groupBy("event_type")
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
+      .agg(Relational.pctl(s, col("value"), lit(0.5)).as("med"))
     val dev = ev.join(med, "event_type")
       .select(col("event_type"), abs(col("value") - col("med")).as("ad"), col("med"))
     val mad = dev.groupBy("event_type")
-      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+      .agg(Relational.pctl(s, col("ad"), lit(0.5)).as("mad"))
     dev.join(mad, "event_type")
       .filter(col("mad") > 0 && col("ad") > col("mad") * 4.4478)
       .groupBy("event_type")

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The declared multimodal query (SURVEY.md §2.12 "multimodal
+  * columns"): drives the REAL plumbing — opaque binary payload +
+  * typed metadata through the partition-batched
+  * [[graft.multimodal.Multimodal.extractFeatures]] stage (the
+  * `mapInPandas` analogue) — over a media table synthesized
+  * deterministically from documents, since the testdata ships no
+  * binary table. The decode step inside is the documented stub
+  * (byte histogram); everything measurable here (schema, typed
+  * Dataset encoding, per-partition batch execution, frame-sampling
+  * arithmetic, byte accounting) is the production path.
+  */
+object MediaOps {
+
+  /** Per-kind media corpus profile: media count, total payload bytes,
+    * total sampled frames (frameSize 64 / stride 4 — every 4th
+    * 64-byte frame, the video-keyframe shape), and total bytes in
+    * histogram bin 2 (0x20–0x2F: space/punctuation — on this ASCII
+    * corpus, exactly the separator bytes).
+    *
+    * Cross-engine parity: payload = UTF-8 bytes of `text` (pure
+    * ASCII corpus — byte count ≡ char count, asserted by the oracle
+    * gate itself), kind = doc_id mod 3 → image/audio/video, all
+    * outputs integers (rule I: the oracle CASTs its HUGEINT sums).
+    * The oracle recomputes frames as ((len+63) div 64 + 3) div 4 —
+    * the closed form of "ceil(len/64) frames, keep every 4th
+    * starting at 0" — and bin-2 bytes via a [ -/] character-class
+    * strip, blind to the Scala histogram implementation.
+    *
+    * Scale shape: one documents scan → mapPartitions (no shuffle;
+    * codec init amortized per partition, not per row) → one 3-group
+    * map-side-combinable aggregate. At 100 TB the identical plan
+    * streams the payload column partition-by-partition; only the
+    * 3-row aggregate ever moves. */
+  def q_media_stats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+              element_at(array(lit("image"), lit("audio"), lit("video")),
+                         (col("doc_id") % 3).cast("int") + 1).as("kind"),
+              col("text").cast("binary").as("payload"),
+              (col("doc_id") % 640).cast("int").as("width"),
+              (col("doc_id") % 480).cast("int").as("height"),
+              lit(16000).as("sample_rate"))
+      .as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(media, frameSize = 64, stride = 4).toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+           sum(col("n_bytes")).as("total_bytes"),
+           sum(col("frames_sampled")).as("total_frames"),
+           sum(element_at(col("histogram"), 3)).as("sep_bytes"))
+      .orderBy("kind")
+  }
+}

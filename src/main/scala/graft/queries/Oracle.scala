@@ -1607,6 +1607,28 @@ object Oracle {
         |       (p.n_both * n.nb * 1000) // (ia.n_item * ib.n_item) AS lift_permille
         |FROM p JOIN ic ia ON p.item_a = ia.it
         |       JOIN ic ib ON p.item_b = ib.it, n
-        |ORDER BY item_a, item_b""".stripMargin
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    /** q_media_stats' oracle recomputes every feature from first
+      * principles, blind to the Scala stub: payload bytes via
+      * octet_length(encode(text)) (UTF-8, ≡ Spark's binary cast),
+      * sampled frames by the closed form of "ceil(len/64) frames,
+      * every 4th from index 0", separator bytes by stripping the
+      * [ -/] class (0x20–0x2F — histogram bin 2) — exact on this
+      * all-ASCII corpus where chars ≡ bytes. Rule I casts the
+      * HUGEINT sums; kind is a unique 3-row sort key (rule O). */
+    "q_media_stats" ->
+      """WITH media AS (
+        |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         octet_length(encode(text)) AS n_bytes,
+        |         ((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS frames_sampled,
+        |         length(text) - length(regexp_replace(text, '[ -/]', '', 'g')) AS sep
+        |  FROM documents)
+        |SELECT kind, COUNT(*) AS n_media,
+        |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(SUM(frames_sampled) AS BIGINT) AS total_frames,
+        |       CAST(SUM(sep) AS BIGINT) AS sep_bytes
+        |FROM media GROUP BY kind ORDER BY kind""".stripMargin
   )
 }

@@ -17,6 +17,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
+  /** The executed 100 TB percentile path: when the session sets
+    * `graft.percentile.approx` to true, every `percentile` in
+    * q_equidepth / q_outlier_mad swaps for `approx_percentile` at
+    * accuracy 10000 — the bounded-memory KLL-style sketch that
+    * composes partially instead of buffering the value set, with an
+    * IDENTICAL plan shape (partial+final ObjectHashAggregate). Exact
+    * stays the default because the DuckDB oracle gate demands
+    * cross-engine equality; ApproxPathSpec exercises the toggle and
+    * pins its boundary tolerance so the swap is tested code, not a
+    * scaladoc promise. */
+  private[queries] def pctl(s: SparkSession,
+                            c: org.apache.spark.sql.Column,
+                            p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (s.conf.getOption("graft.percentile.approx").exists(_.toBoolean))
+      approx_percentile(c, p, lit(10000))
+    else percentile(c, p)
+
   // ---- §2.1 scans ---------------------------------------------------
 
   /** Columnar scan + projection + limit. Column pruning reaches the
@@ -436,12 +453,14 @@ object Relational {
     * row-local HOF count and the final rollup collapses map-side to
     * O(buckets) rows. At 100 TB the exact `percentile` (an
     * ObjectHashAggregate that buffers values) swaps for
-    * `approx_percentile` with no plan-shape change — exact is chosen
-    * here because the oracle gate demands cross-engine equality. */
+    * `approx_percentile` with no plan-shape change — [[pctl]] makes
+    * that swap a session toggle (`graft.percentile.approx`), tested
+    * in ApproxPathSpec; exact stays the default because the oracle
+    * gate demands cross-engine equality. */
   def q_equidepth(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_totalprice").as("v"))
     val bounds = o.agg(
-      percentile(col("v"), lit((1 to 7).map(_ / 8.0).toArray)).as("bs"))
+      pctl(s, col("v"), lit((1 to 7).map(_ / 8.0).toArray)).as("bs"))
     o.crossJoin(broadcast(bounds))
       .select(col("v"),
               (size(filter(col("bs"), b => col("v") > b)) + 1).cast("long").as("bucket"))

@@ -69,6 +69,40 @@ class PlanGuardSpec extends SparkSpecBase {
     }
   }
 
+  // reviewed: joins whose RDD-backed side is the metadata-scale state
+  // of an iterative loop (lineage truncation is localCheckpoint's ONE
+  // sanctioned use — TempTables scaladoc). q_pagerank/q_kcore/
+  // q_shortest_path join their per-round rank/degree/frontier state
+  // (≤|nodes| rows) against the parquet-backed edge table;
+  // q_ivf_build/q_sim_ivf join the ≤k-row checkpointed centroid
+  // table; q_pca_power's deflation joins the ≤dim-row component
+  // state. Anything ELSE joining an RDD-backed scan is the stats-loss
+  // class that cost the dedup family its broadcasts (rounds 7-8).
+  private val allowedRddJoin = Set(
+    "q_pagerank", "q_kcore", "q_shortest_path",
+    "q_ivf_build", "q_sim_ivf", "q_pca_power")
+
+  test("no join consumes an RDD-backed scan (stats-loss guard)") {
+    // an RDD-backed side (LogicalRDD, e.g. from localCheckpoint)
+    // carries at best the ORIGIN plan's estimated stats — never
+    // file-size stats — so a downstream join can silently lose its
+    // broadcast option (measured: q_jaccard_prefix 2.7-2.9x over its
+    // median for two rounds). Shared subtrees consumed by joins must
+    // round-trip through TempTables (parquet) instead.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    for ((name, fn) <- SparkEntry.queries) {
+      val rddJoinSides = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case j: Join if j.children.exists(
+          _.collectLeaves().exists(_.nodeName == "LogicalRDD")) => j
+      }
+      if (rddJoinSides.nonEmpty)
+        assert(allowedRddJoin.contains(name),
+          s"$name joins against an RDD-backed scan — materialize the " +
+            "shared subtree via TempTables (parquet keeps stats) instead " +
+            "of localCheckpoint/persist")
+    }
+  }
+
   test("unpartitioned windows only where semantics are inherently global") {
     // structural, not textual: a WindowExec with an empty partitionSpec
     // moves ALL rows to one task (the earlier string heuristic
