@@ -1581,17 +1581,20 @@ object Graft {
     // table and an RDD-backed scan's defaultSizeInBytes would cost
     // them their broadcast option (q_jaccard_prefix ran 2.7–2.9×
     // over its median for two rounds on exactly that stats loss).
+    // the materialized table carries only (doc_id, gs, na) — the
+    // prefix is a row-local slice of gs, cheaper to re-derive on read
+    // than to duplicate ~30% of every gram array into the write
     val docGrams = TempTables.materialize(
       grams.join(rarity, "gram")
         .groupBy("doc_id")
         .agg(array_sort(collect_list(struct(col("gdf"), col("gram")))).as("sg"))
         .select(col("doc_id"),
                 transform(col("sg"), s => s.getField("gram")).as("gs"),
-                size(col("sg")).as("na"))
-        .withColumn("prefix",
-          slice(col("gs"), lit(1),
-                (col("na") - expr(s"(na * $p + 999) div 1000") + 1).cast("int"))),
+                size(col("sg")).as("na")),
       "jacc_grams")
+      .withColumn("prefix",
+        slice(col("gs"), lit(1),
+              (col("na") - expr(s"(na * $p + 999) div 1000") + 1).cast("int")))
     val prefix = docGrams.select(col("doc_id"), explode(col("prefix")).as("gram"),
                                  col("na"))
     val cand = operators.SkewJoin.blockedSelfPairs(prefix, Seq("gram"), "doc_id", maxBucket)

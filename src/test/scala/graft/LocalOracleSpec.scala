@@ -8,10 +8,11 @@ import scala.sys.process._
   * Verify.dump swallows per-query throws, so this spec first asserts
   * that every declared query produced output, then that every oracle pair
   * hash-match (via tools/preflight.py — duckdb is available to the dev
-  * environment; the shipped engine itself is pure Scala/Spark). The 6
+  * environment; the shipped engine itself is pure Scala/Spark). The 8
   * oracle-less ids (q_approx_distinct, q_dedup_minhash,
-  * q_dedup_simhash, q_doc_fingerprint, q_sim_ivf, q_sim_srp) get
-  * rows-only checks here plus dedicated unit/property suites. */
+  * q_dedup_simhash, q_doc_fingerprint, q_ivf_build, q_sim_ivf,
+  * q_sim_srp, q_pca_power) get rows-only checks here plus dedicated
+  * unit/property suites. */
 class LocalOracleSpec extends SparkSpecBase {
 
   test("all declared queries run and all oracle pairs match DuckDB on sf0.001") {

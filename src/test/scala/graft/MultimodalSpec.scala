@@ -50,6 +50,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(small.sum == hist.sum)
   }
 
+  test("q_media_stats: no shuffle before extraction, hand-checked per-kind totals") {
+    val df = graft.queries.MediaOps.q_media_stats(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the extraction stage is map-side: scan → typed MapPartitions →
+    // partial agg; the ONLY exchanges are the 3-group final aggregate
+    // and the 3-row output sort
+    assert(plan.contains("MapPartitions"))
+    assert("Exchange".r.findAllMatchIn(plan).size <= 2,
+      s"extraction stage must not shuffle the payload:\n$plan")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    assert(rows.map(_.getLong(1)).sum == 500) // every doc becomes one media row
+    // cross-check one kind from first principles on the driver
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(r => r.getLong(0) % 3 == 1) // kind 'audio'
+    val expBytes = docs.map(_.getString(1).getBytes("UTF-8").length.toLong).sum
+    val expFrames = docs.map { r =>
+      val n = (r.getString(1).getBytes("UTF-8").length + 63) / 64
+      ((n + 3) / 4).toLong
+    }.sum
+    val audio = rows.find(_.getString(0) == "audio").get
+    assert(audio.getLong(2) == expBytes, "total_bytes")
+    assert(audio.getLong(3) == expFrames, "total_frames")
+  }
+
   test("payload stays opaque: metadata-only query never deserializes bytes") {
     // column pruning must drop the payload from the scan when only
     // metadata is selected — the property that makes opaque-binary
