@@ -80,12 +80,24 @@ object TempTables {
   /** Uncached per-call materialization, for facade-internal shared
     * subtrees over ARBITRARY caller DataFrames (no stable cache key
     * exists). Each call writes one temp dir, registered for the
-    * shutdown sweep — never deleted mid-JVM, because the returned
-    * reader is lazy and may be consumed much later. */
+    * shutdown sweep — never deleted mid-JVM automatically, because
+    * the returned reader is lazy and may be consumed much later. A
+    * long-lived service JVM calling materialize-backed facades in a
+    * loop should call [[sweepAnon]] at its own quiescent points. */
   def materialize(df: DataFrame, tag: String): DataFrame = {
     val p = Files.createTempDirectory(s"graft_${tag}_").toString
     anon.add(p)
     df.write.mode("overwrite").parquet(p)
     df.sparkSession.read.parquet(p)
+  }
+
+  /** Deletes every [[materialize]]-created dir now instead of at JVM
+    * shutdown — the /tmp bound for long-lived JVMs. CALLER asserts
+    * quiescence: any still-lazy reader over a materialized facade
+    * result surfaces later as FileNotFoundException, exactly like
+    * dropping a warehouse temp table under a running reader. */
+  def sweepAnon(): Unit = {
+    val it = anon.iterator()
+    while (it.hasNext) { deleteRecursively(it.next()); it.remove() }
   }
 }
