@@ -868,6 +868,100 @@ object Graft {
               (col("off") + row_number().over(wLocal)).as("rank"))
   }
 
+  /** [[globalRankDesc]] PER GROUP: exact dense rank 1..n_g of (key,
+    * tie) under (key DESC, tie ASC) within each `group` — again with
+    * NO single-partition (or single-group-partition) window. Same
+    * two-pass scheme, with every stage keyed by group: per-group
+    * approx-quantile bounds split each group's key range into
+    * `buckets` range buckets, pass 1 counts per (group, bucket) and
+    * prefix-sums the ≤`buckets`-entry array PER GROUP with array HOFs,
+    * pass 2 ranks under a window partitioned by (group, bucket) and
+    * adds the group-local offset. A hot group degrades to `buckets`
+    * window partitions, never one — the per-lang/per-domain rank a
+    * stratified pipeline stage needs (CCNet buckets per language,
+    * per-domain quality tiers). `group` must be METADATA-SCALE (the
+    * bounds/offset tables carry ≤ |groups|·buckets rows and are
+    * broadcast); `tie` must be unique within a group for the order to
+    * be total. Output: (group, key double, tie, rank long). */
+  def groupedRankDesc(df: DataFrame, group: Column, key: Column,
+                      tie: Column, buckets: Int = 32): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val base = df.select(group.as("group"), key.cast("double").as("key"),
+                         tie.as("tie"))
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = base.groupBy("group").agg(
+      percentile_approx(col("key"), typedlit(qs), lit(1000)).as("bounds"))
+    // bucket 0 = highest keys in the group … buckets-1 = lowest
+    val bucketed = base.join(broadcast(bounds), "group")
+      .select(col("group"), col("key"), col("tie"),
+              (lit(buckets - 1) -
+               size(filter(col("bounds"), b => col("key") > b))).as("bucket"))
+    val offsets = bucketed.groupBy("group", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("group")
+      .agg(array_sort(collect_list(struct(col("bucket"), col("cnt")))).as("arr"))
+      .select(col("group"), explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("bucket").as("bucket"),
+               aggregate(slice(col("arr"), lit(1), i), lit(0L),
+                         (a, y) => a + y.getField("cnt")).as("off")))).as("s"))
+      .select(col("group"), col("s.bucket").as("bucket"), col("s.off").as("off"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("group", "bucket")
+      .orderBy(col("key").desc, col("tie").asc)
+    bucketed.join(broadcast(offsets), Seq("group", "bucket"))
+      .select(col("group"), col("key"), col("tie"),
+              (col("off") + row_number().over(wLocal)).as("rank"))
+  }
+
+  /** Exact SUBSTRING-level (span) cross-document dedup accounting —
+    * the chunk-hash flavor of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al. 2022): the token stream of
+    * each document is cut into DISJOINT `spanTokens`-token spans
+    * (trailing partial span dropped), a span is duplicated iff its
+    * exact text occurs in ≥ 2 DISTINCT documents (intra-doc repetition
+    * is [[repetitionScores]]' job, not this one's), and each document
+    * reports how much of it is covered by duplicated spans. The
+    * document-level dedup family ([[nearDupPairsNgram]] etc.) misses
+    * exactly this case — a boilerplate paragraph embedded in otherwise
+    * distinct pages — which is why substring dedup is its own pipeline
+    * stage.
+    *
+    * Output: (id, n_spans, dup_spans, dup_permille) per document with
+    * ≥ 1 full span, `dup_permille` = floor(1000·dup/n) (integer —
+    * rule F). Scale shape: the span explode is row-local and LINEAR
+    * (≈ n_tokens/spanTokens rows/doc); the duplicate decision is ONE
+    * map-side-combinable groupBy on the span key (the classic
+    * shuffle-on-content-hash dedup join — at 100 TB swap the raw span
+    * text for a 128-bit hash of it as the join key and keep the text
+    * only for an optional verify pass); the mark-back is an equi-join
+    * against the (typically tiny, planner-broadcastable) duplicated
+    * span set; the per-doc rollup re-shuffles on the doc id. Never
+    * all-pairs, no driver state. */
+  def duplicatedSpanStats(docs: DataFrame, id: Column, text: Column,
+                          spanTokens: Int = 16): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val t = split(text, " ")
+    // sequence(0, n/span - 1) is only safe when n >= span (a negative
+    // stop would count DOWN); the filter also defines the output set
+    val spans = docs
+      .select(id.as("id"), t.as("t"))
+      .filter(size(col("t")) >= spanTokens)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), floor(size(col("t")) / spanTokens).cast("int") - 1),
+        i => array_join(slice(col("t"), i * spanTokens + 1, lit(spanTokens)), " ")))
+        .as("span"))
+    val dup = spans.groupBy("span")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("span"), lit(1).as("is_dup"))
+    spans.join(dup, Seq("span"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+           count(col("is_dup")).as("dup_spans"))
+      .select(col("id"), col("n_spans"), col("dup_spans"),
+              floor(col("dup_spans") * 1000 / col("n_spans")).as("dup_permille"))
+  }
+
   /** Deterministic Poisson/PPS sample (probability proportional to
     * size — classic survey sampling, Hájek/Horvitz–Thompson): keeps
     * each row independently with probability

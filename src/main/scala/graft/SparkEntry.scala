@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, MediaOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 129 query ids; 121 with DuckDB oracles. The
+  * and §3.1 (entry points). 132 query ids; 124 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -101,6 +101,7 @@ object SparkEntry {
     "q_dedup_fuzzy"    -> PipelineOps.q_dedup_fuzzy _,
     "q_dedup_sorted"   -> PipelineOps.q_dedup_sorted _,
     "q_dedup_incremental" -> PipelineOps.q_dedup_incremental _,
+    "q_span_dedup"     -> PipelineOps.q_span_dedup _,
     "q_heavy_hitters"  -> PipelineOps.q_heavy_hitters _,
     "q_dedup_cluster"  -> PipelineOps.q_dedup_cluster _,
     "q_text_quality"   -> PipelineOps.q_text_quality _,
@@ -112,6 +113,7 @@ object SparkEntry {
     "q_dedup_simhash"  -> HashOps.q_dedup_simhash _,
     "q_doc_fingerprint" -> HashOps.q_doc_fingerprint _,
     "q_dedup_embed"    -> HashOps.q_dedup_embed _,
+    "q_embed_stats"    -> HashOps.q_embed_stats _,
     "q_ivf_build"      -> HashOps.q_ivf_build _,
     "q_sim_ivf"        -> HashOps.q_sim_ivf _,
     "q_sim_srp"        -> HashOps.q_sim_srp _,
@@ -129,6 +131,7 @@ object SparkEntry {
     "q_unigram_ppl"    -> PipelineOps.q_unigram_ppl _,
     "q_unigram_open"   -> PipelineOps.q_unigram_open _,
     "q_bigram_ppl"     -> PipelineOps.q_bigram_ppl _,
+    "q_ppl_bucket"     -> PipelineOps.q_ppl_bucket _,
     "q_dedup_drop"     -> PipelineOps.q_dedup_drop _,
     "q_repetition"     -> PipelineOps.q_repetition _,
     "q_mixture_sample" -> PipelineOps.q_mixture_sample _,

@@ -68,6 +68,37 @@ object HashOps {
     graft.Graft.topkCosinePairs(Tables.embeddings(s, d),
       col("vec_id"), col("embedding").cast("array<double>"), k = 20)
 
+  /** Embedding-space QC profile — the sanity pass a pipeline runs on a
+    * vector corpus BEFORE building ANN indexes over it: per dimension
+    * (1-based, matching SQL array indexing) the population count, mean,
+    * population stddev, min and max, all in DOUBLE (rule F: float
+    * arrays widened before any arithmetic, ROUND(.,4) on everything
+    * inexact). Catches the classic embedding-corpus defects — a dead
+    * dimension (std ≈ 0), a mean far off 0 (unnormalized batch), a
+    * clipped range — each visible in exactly one output column.
+    *
+    * Scale shape: the explode is row-local (×dim linear), and the
+    * per-dim rollup is ONE map-side-combinable groupBy whose shuffle
+    * carries ≤ dim rows per task regardless of corpus size — the same
+    * metadata-scale-shuffle argument as q_knn_centroid. (The VecSum
+    * one-pass form would avoid the explode entirely but loses min/max;
+    * the explode keeps whole-stage codegen and costs one linear map.) */
+  def q_embed_stats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("int").as("dim"),
+              col("v").cast("double").as("v"))
+      .groupBy("dim")
+      // + 0.0 after every round: a mean a hair below zero rounds to
+      // IEEE −0.0, which DuckDB prints "-0" and Spark "0" — adding
+      // +0.0 canonicalizes the sign in BOTH engines (rule F)
+      .agg(count(lit(1)).as("n"),
+           (round(avg("v"), 4) + 0.0).as("mean_v"),
+           (round(stddev_pop("v"), 4) + 0.0).as("std_v"),
+           (round(min("v"), 4) + 0.0).as("min_v"),
+           (round(max("v"), 4) + 0.0).as("max_v"))
+      .orderBy("dim")
+
   /** Sign-random-projection LSH approximate NN — the LSH sibling of
     * [[q_sim_ivf]]. The query IS [[graft.Graft.srpSearch]] applied to
     * the embeddings table (probe = vec_id 0): 16 hyperplane sign bits

@@ -616,6 +616,43 @@ object Oracle {
         |SELECT vec_id, label, ROUND(SUM(prod), 3) AS score FROM ex
         |GROUP BY vec_id, label ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
+    // substring-level dedup: disjoint 16-token spans, duplicated iff
+    // the exact span text occurs in >= 2 distinct docs; dup_permille
+    // is integer floor-div (rule F — no floats anywhere). DuckDB list
+    // slicing t[a:b] is 1-based inclusive == Spark slice(t, a, 16).
+    "q_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |               unnest(generate_series(0, len(t)//16 - 1)) AS i
+        |        FROM toks WHERE len(t) >= 16),
+        |spans AS (SELECT doc_id,
+        |                 array_to_string(t[i*16+1 : i*16+16], ' ') AS span
+        |          FROM idx),
+        |dup AS (SELECT span FROM spans
+        |        GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(COUNT(d.span) AS BIGINT) AS dup_spans,
+        |       CAST(COUNT(d.span) * 1000 // COUNT(*) AS BIGINT) AS dup_permille
+        |FROM spans s LEFT JOIN dup d ON s.span = d.span
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // per-dim embedding QC: the q_knn_centroid widen-to-DOUBLE unnest,
+    // rolled up per dimension. ROUND(.,4) margins measured: min
+    // distance of any mean/std/min/max from a round-4 boundary is
+    // ~1e-7 in value terms vs ~1e-13 cross-engine aggregation noise.
+    // `+ 0` after ROUND: canonicalizes IEEE −0.0 (which DuckDB prints
+    // "-0" but Spark prints "0") — hit live at sf0.1 on two near-zero
+    // dimension means (rule F addendum)
+    "q_embed_stats" ->
+      """WITH ex AS (SELECT vec_id, CAST(t.i AS INT) AS dim,
+        |                   CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+        |            FROM embeddings, range(1, 65) t(i))
+        |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(AVG(v), 4) + 0 AS mean_v,
+        |       ROUND(STDDEV_POP(v), 4) + 0 AS std_v,
+        |       ROUND(MIN(v), 4) + 0 AS min_v, ROUND(MAX(v), 4) + 0 AS max_v
+        |FROM ex GROUP BY dim ORDER BY dim""".stripMargin,
+
     "q_knn_centroid" ->
       """WITH ex AS (SELECT label, CAST(t.i AS INT) AS pos,
         |                   CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
@@ -1185,6 +1222,28 @@ object Oracle {
     // sits 2.3e-5 milli-units away at sf0.1 (4.9e-4 at sf0.01), vs a
     // worst-case summation-order delta of ~4e-11 milli-units
     // (n≈128 terms, |term|≤~5, double eps) — six orders of safety.
+    // CCNet tertiles: the q_unigram_ppl score CTE verbatim + native
+    // NTILE(3) per language over the round-3 score (the Spark side's
+    // integer NTILE formula over the grouped two-pass rank must land
+    // every doc in the same tile). Round-3 tie margin measured at
+    // 8.5e-7 vs ~1e-13 summation-order noise — rule F safe, and the
+    // ordering key is the SAME rounded value the q_unigram_ppl hash
+    // already proves cross-engine-equal.
+    "q_ppl_bucket" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM cnt),
+        |sc AS (SELECT t.doc_id, COUNT(*) AS n,
+        |              SUM(-LN(CAST(c.c AS DOUBLE) / tot.total)) AS s
+        |       FROM tok t JOIN cnt c ON t.token = c.token CROSS JOIN tot
+        |       GROUP BY t.doc_id),
+        |scored AS (SELECT d.doc_id, d.lang, ROUND(sc.s / sc.n, 3) AS mean_nll
+        |           FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+        |SELECT doc_id, lang, mean_nll,
+        |       CAST(NTILE(3) OVER (PARTITION BY lang
+        |                           ORDER BY mean_nll, doc_id) AS INT) AS bucket
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
     "q_unigram_ppl" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),

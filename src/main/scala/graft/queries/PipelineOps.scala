@@ -281,6 +281,63 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Exact substring-level (span) cross-document dedup accounting —
+    * the Lee-et-al-2022 chunk-dedup stage the document-level family
+    * cannot express: each document's token stream cut into disjoint
+    * 16-token spans, a span "duplicated" iff its exact text occurs in
+    * ≥ 2 distinct documents, per-doc duplicated-span counts and
+    * coverage permille. The query IS [[graft.Graft.duplicatedSpanStats]]
+    * on the documents table, so the oracle verifies the public facade.
+    * Linear span explode → ONE map-side-combinable span groupBy →
+    * mark-back join → per-doc rollup; never all-pairs (scale notes on
+    * the facade). */
+  def q_span_dedup(s: SparkSession, d: String): DataFrame =
+    graft.Graft.duplicatedSpanStats(Tables.documents(s, d),
+        col("doc_id"), col("text"), spanTokens = 16)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** CCNet-style perplexity bucketing: every document scored by the
+    * corpus's own unigram LM ([[q_unigram_ppl]]'s exact scores, round-3
+    * — the hash-proven cross-engine-stable form), then cut into
+    * per-LANGUAGE quality tertiles (bucket 1 = lowest perplexity =
+    * "head", 3 = "tail") with exact SQL-NTILE semantics. This is the
+    * stage CCNet/RedPajama run between scoring and sampling: keep the
+    * head, downsample the tail, PER LANGUAGE so high-resource langs
+    * don't set the bar for low-resource ones.
+    *
+    * Scale shape: the per-lang rank comes from
+    * [[graft.Graft.groupedRankDesc]] — the two-pass range-bucket
+    * scheme partitioned by (lang, bucket), so a hot language degrades
+    * to `buckets` window partitions, never one; the NTILE arithmetic
+    * is a pure integer formula over (rank, n_lang) with n_lang
+    * broadcast from a metadata-scale per-lang count. */
+  def q_ppl_bucket(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = graft.Graft.unigramLogProb(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), round(col("mean_nll"), 3).as("mean_nll"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    // groupedRankDesc ranks key DESC; negate for ascending-nll order
+    val ranked = graft.Graft.groupedRankDesc(
+        scored, col("lang"), -col("mean_nll"), col("doc_id"), buckets = 8)
+      .select(col("group").as("lang"), (-col("key")).as("mean_nll"),
+              col("tie").as("doc_id"), col("rank"))
+    val nLang = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    // SQL NTILE(3): q = n div 3 tiles, the first n%3 take q+1 rows;
+    // the q=0 degenerate case never reaches the else branch (then
+    // rank <= n = rem·1 always), so the `div q` is never div-by-zero
+    ranked.join(broadcast(nLang), "lang")
+      .withColumn("q", expr("n_lang div 3"))
+      .withColumn("rem", col("n_lang") % 3)
+      .withColumn("bucket",
+        when(col("rank") <= (col("q") + 1) * col("rem"),
+             expr("(rank + q) div (q + 1)"))
+          .otherwise(col("rem") + expr("(rank - (q + 1) * rem + q - 1) div q")))
+      .select(col("doc_id"), col("lang"), col("mean_nll"),
+              col("bucket").cast("int").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-mixture sampling: each source gets a deterministic keep
     * rate (its numeric suffix mod 4, mapped to 50/100/150/200 permille
     * — the "mixture weights" a training run assigns per data source),

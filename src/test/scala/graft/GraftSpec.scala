@@ -1453,6 +1453,56 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("groupedRankDesc equals the per-group sorted reference") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // 3 groups of very different sizes (one smaller than `buckets`),
+    // heavy duplicate keys: ranks must be total per group via the tie
+    val rows = (1L to 400L).map { i =>
+      val g = if (i <= 3) "tiny" else if (i <= 100) "mid" else "big"
+      (g, s"t$i", (math.abs(rng(i)) % 15).toDouble)
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy { case (_, t, k) => (-k, t) }.zipWithIndex
+        .map { case ((_, t, _), i) => (g, t) -> (i + 1L) }
+    }
+    for (buckets <- Seq(2, 8, 32)) {
+      val got = Graft.groupedRankDesc(rows.toDF("g", "t", "k"),
+          $"g", $"k", $"t", buckets)
+        .collect().map(r => (r.getString(0), r.getString(2)) -> r.getLong(3)).toMap
+      assert(got == expected, s"buckets=$buckets")
+    }
+  }
+
+  test("duplicatedSpanStats: hand-built cross-doc span duplication") {
+    def words(seed: Int, n: Int): String =
+      (1 to n).map(i => s"w${seed}_$i").mkString(" ")
+    val shared = (1 to 4).map(i => s"s_$i").mkString(" ") // one 4-token span
+    // span=4: doc 1 = [shared][A]; doc 2 = [B][shared]; doc 3 = [C] only;
+    // doc 4 = shared twice (both spans dup'd — against docs 1/2, and
+    // counted once each); doc 5 = 3 tokens -> no full span, no output row
+    val docs = Seq(
+      (1L, s"$shared ${words(1, 4)}"),
+      (2L, s"${words(2, 4)} $shared"),
+      (3L, words(3, 8)),
+      (4L, s"$shared $shared"),
+      (5L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = Graft.duplicatedSpanStats(docs, $"doc_id", $"text", spanTokens = 4)
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 500L), (2L, 2L, 1L, 500L), (3L, 2L, 0L, 0L),
+      (4L, 2L, 2L, 1000L)))
+    // intra-doc-only repetition is NOT duplication: one doc repeating
+    // a span that no other doc has stays clean
+    val solo = Seq((9L, s"$shared $shared")).toDF("doc_id", "text")
+    val soloStats = Graft.duplicatedSpanStats(solo, $"doc_id", $"text", 4)
+      .collect()
+    assert(soloStats.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 0L)))
+  }
+
   test("zipfFit equals the closed-form least-squares reference") {
     def rng(seed: Long): Long = {
       var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x

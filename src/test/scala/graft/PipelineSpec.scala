@@ -247,4 +247,72 @@ class PipelineSpec extends SparkSpecBase {
     // float-order assignment flips
     assert(shared.size >= 3, s"IVF recall ${shared.size}/10 below floor 3/10")
   }
+
+  test("ppl_bucket: equals native NTILE(3) per language on the corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val scored = Graft.unigramLogProb(docs, $"doc_id", $"text")
+      .select($"doc_id", round($"mean_nll", 3).as("mean_nll"))
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val ref = scored.select($"doc_id",
+        ntile(3).over(Window.partitionBy($"lang")
+          .orderBy($"mean_nll", $"doc_id")).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = PipelineOps.q_ppl_bucket(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got == ref)
+    // every (lang) has all 3 buckets when |lang| >= 3, sizes within 1
+    val sizes = PipelineOps.q_ppl_bucket(spark, sf)
+      .groupBy("lang", "bucket").count()
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2))).toMap
+    sizes.foreach { case (lang, ns) =>
+      if (ns.sum >= 3) {
+        assert(ns.length == 3, s"$lang missing a tertile")
+        assert(ns.max - ns.min <= 1, s"$lang tertile sizes $ns")
+      }
+    }
+  }
+
+  test("span_dedup: exact-duplicate docs share every span; stats consistent") {
+    val out = PipelineOps.q_span_dedup(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // only docs with >= 16 tokens appear, and permille is the floor-div
+    out.values.foreach { case (n, dup, pm) =>
+      assert(n >= 1 && dup <= n && pm == dup * 1000 / n)
+    }
+    // exact duplicate docs (same text, >= 16 tokens) must have every
+    // span flagged on BOTH sides; sf0.001 has no >=16-token exact dups
+    // (checked), so this leg runs on a crafted fixture
+    val t32 = (1 to 32).map(i => s"w$i").mkString(" ")
+    val dir = mkDocs(Seq(
+      (1L, t32, "en"), (2L, t32, "en"),
+      (3L, (1 to 32).map(i => s"z$i").mkString(" "), "en")
+    ), java.nio.file.Files.createTempDirectory("spand").toString)
+    val crafted = PipelineOps.q_span_dedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(crafted(1L) == ((2L, 2L)) && crafted(2L) == ((2L, 2L)) &&
+           crafted(3L) == ((2L, 0L)))
+  }
+
+  test("embed_stats: per-dim profile equals a driver-side reference") {
+    val got = HashOps.q_embed_stats(spark, sf).collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    assert(got.length == 64 && vecs.nonEmpty)
+    got.foreach { r =>
+      val dim = r.getInt(0); val col = vecs.map(_(dim - 1))
+      val mean = col.sum / col.length
+      val varP = col.map(x => (x - mean) * (x - mean)).sum / col.length
+      assert(r.getLong(1) == vecs.length)
+      assert(math.abs(r.getDouble(2) - mean) < 5e-4, s"dim $dim mean")
+      assert(math.abs(r.getDouble(3) - math.sqrt(varP)) < 5e-4, s"dim $dim std")
+      assert(r.getDouble(4) == BigDecimal(col.min)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"dim $dim min")
+      assert(r.getDouble(5) == BigDecimal(col.max)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"dim $dim max")
+    }
+  }
 }

@@ -70,4 +70,42 @@ class SourcesSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"),
            s"partition filter not pruning directories:\n$plan")
   }
+
+  test("bucketed tables: co-located join plans ZERO shuffles (the 100 TB join layout)") {
+    // The big-fact-join-big-fact answer at scale is LAYOUT, not
+    // runtime: write both sides bucketed by the join key and the
+    // sort-merge join consumes the bucket files' distribution directly
+    // — no Exchange on either side, on any later query, forever.
+    // Bucketed writes need a warehouse-backed saveAsTable (hive-style
+    // bucket metadata lives in the catalog, not in the files).
+    val wh = java.nio.file.Files.createTempDirectory("srcbuck").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS buckdemo LOCATION '$wh'")
+    // sf0.001 tables are broadcast-sized; kill broadcast so the test
+    // exercises the big-big regime bucketing exists for
+    val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("buckdemo.docs_b")
+      docs.select($"doc_id", length($"text").as("len"))
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("buckdemo.lens_b")
+      val joined = spark.table("buckdemo.docs_b")
+        .join(spark.table("buckdemo.lens_b"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+             s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == docs.count())
+      // the layout survives aggregation too: groupBy the bucket key
+      // reuses the distribution — no shuffle before the final agg
+      val agg = spark.table("buckdemo.docs_b").groupBy("doc_id")
+        .agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(!agg.contains("Exchange hashpartitioning"),
+             s"bucketed groupBy still shuffles:\n$agg")
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS buckdemo CASCADE")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBjt)
+    }
+  }
 }
