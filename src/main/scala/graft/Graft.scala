@@ -926,29 +926,41 @@ object Graft {
     * distinct pages — which is why substring dedup is its own pipeline
     * stage.
     *
+    * `stride` trades cost for alignment sensitivity: the default
+    * (stride = spanTokens) cuts DISJOINT spans — ~n/span rows/doc,
+    * but a duplicated region only registers when both docs cut it at
+    * the same offsets; stride = 1 slides the window one token at a
+    * time — EVERY duplicated `spanTokens`-token substring registers
+    * at every alignment (the exact substring-dedup semantics of the
+    * suffix-array approach), for ~n rows/doc. Both are linear; the
+    * denominators (n_spans) follow the chosen stride.
+    *
     * Output: (id, n_spans, dup_spans, dup_permille) per document with
     * ≥ 1 full span, `dup_permille` = floor(1000·dup/n) (integer —
-    * rule F). Scale shape: the span explode is row-local and LINEAR
-    * (≈ n_tokens/spanTokens rows/doc); the duplicate decision is ONE
-    * map-side-combinable groupBy on the span key (the classic
-    * shuffle-on-content-hash dedup join — at 100 TB swap the raw span
-    * text for a 128-bit hash of it as the join key and keep the text
-    * only for an optional verify pass); the mark-back is an equi-join
-    * against the (typically tiny, planner-broadcastable) duplicated
-    * span set; the per-doc rollup re-shuffles on the doc id. Never
-    * all-pairs, no driver state. */
+    * rule F). Scale shape: the span explode is row-local and LINEAR;
+    * the duplicate decision is ONE map-side-combinable groupBy on the
+    * span key (the classic shuffle-on-content-hash dedup join — at
+    * 100 TB swap the raw span text for a 128-bit hash of it as the
+    * join key and keep the text only for an optional verify pass);
+    * the mark-back is an equi-join against the (typically tiny,
+    * planner-broadcastable) duplicated span set; the per-doc rollup
+    * re-shuffles on the doc id. Never all-pairs, no driver state. */
   def duplicatedSpanStats(docs: DataFrame, id: Column, text: Column,
-                          spanTokens: Int = 16): DataFrame = {
+                          spanTokens: Int = 16,
+                          stride: Int = 0): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val st = if (stride == 0) spanTokens else stride
+    require(st >= 1, s"stride must be >= 1 (or 0 = spanTokens), got $stride")
     val t = split(text, " ")
-    // sequence(0, n/span - 1) is only safe when n >= span (a negative
-    // stop would count DOWN); the filter also defines the output set
+    // window starts 0, st, 2·st … while start + span <= n; the filter
+    // keeps sequence() from a negative stop (which would count DOWN)
     val spans = docs
       .select(id.as("id"), t.as("t"))
       .filter(size(col("t")) >= spanTokens)
       .select(col("id"), explode(transform(
-        sequence(lit(0), floor(size(col("t")) / spanTokens).cast("int") - 1),
-        i => array_join(slice(col("t"), i * spanTokens + 1, lit(spanTokens)), " ")))
+        sequence(lit(0),
+          floor((size(col("t")) - spanTokens) / st).cast("int")),
+        i => array_join(slice(col("t"), i * st + 1, lit(spanTokens)), " ")))
         .as("span"))
     val dup = spans.groupBy("span")
       .agg(count_distinct(col("id")).as("nd"))
@@ -1515,6 +1527,49 @@ object Graft {
       .filter(col("common") * (1000 + p) >= (col("na") + col("nb")) * p)
       .select(col("doc_a"), col("doc_b"),
               round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
+  }
+
+  /** ASYMMETRIC near-dup pairs by n-gram CONTAINMENT — the doc-in-doc
+    * case Jaccard structurally misses: a short document embedded in a
+    * much longer one has tiny Jaccard (union is dominated by the long
+    * doc) but containment |A∩B| / min(|A|,|B|) ≈ 1. This is the
+    * quote/wrapper/boilerplate-page detector a corpus pipeline runs
+    * NEXT TO [[nearDupPairsNgram]], not instead of it.
+    *
+    * Same inverted-index candidate join (docs sharing ≥ 1 word-n-gram,
+    * [[operators.SkewJoin.blockedSelfPairs]] hot-gram guard, never
+    * all-pairs) — but deliberately WITHOUT the Jaccard size-ratio
+    * prune: the asymmetric pairs that prune exists to discard are
+    * exactly this operator's positives. Work stays ∝ Σ bucket²,
+    * bounded by gram selectivity (use `maxGramDocFreq`-style stop-gram
+    * capping upstream if the gram df distribution is heavy-tailed).
+    * Output: (doc_a, doc_b, na, nb, common, containment_permille) at
+    * containment ≥ thresholdPermille/1000 — all-integer (rule F),
+    * permille = floor(1000·common / min(na, nb)). */
+  def containmentPairsNgram(docs: DataFrame, id: Column, text: Column,
+                            thresholdPermille: Int = 800, n: Int = 3,
+                            maxBucket: Int = 1024): DataFrame = {
+    require(thresholdPermille > 0 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val p = thresholdPermille
+    val t = split(text, " ")
+    val grams = docs
+      .select(id.cast("long").as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+              explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val sized = grams.join(broadcast(sizes), "doc_id")
+    operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
+      .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
+              col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") * 1000 >= least(col("na"), col("nb")) * p)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("common"),
+              floor(col("common") * 1000 / least(col("na"), col("nb")))
+                .as("containment_permille"))
   }
 
   /** Sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM) — the

@@ -616,6 +616,28 @@ object Oracle {
         |SELECT vec_id, label, ROUND(SUM(prod), 3) AS score FROM ex
         |GROUP BY vec_id, label ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
+    // asymmetric containment near-dup: the q_dedup_ngram gram/size
+    // CTEs but thresholding common/min(na,nb) with NO size-ratio
+    // prune; doc_a < doc_b canonical pair order, all-integer (// is
+    // DuckDB floor-div == Spark floor(/))
+    "q_dedup_contain" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |          FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, sa.ng AS na, sb.ng AS nb, p.common,
+        |       p.common * 1000 // LEAST(sa.ng, sb.ng) AS containment_permille
+        |FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
+        |             JOIN sizes sb ON p.doc_b = sb.doc_id
+        |WHERE p.common * 1000 >= 800 * LEAST(sa.ng, sb.ng)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // substring-level dedup: disjoint 16-token spans, duplicated iff
     // the exact span text occurs in >= 2 distinct docs; dup_permille
     // is integer floor-div (rule F — no floats anywhere). DuckDB list

@@ -297,6 +297,21 @@ object PipelineOps {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Asymmetric containment near-dup: pairs where the SMALLER doc's
+    * 3-gram set is ≥ 80% contained in the other's — the doc-in-doc /
+    * quote / boilerplate-wrapper case [[q_dedup_ngram]]'s Jaccard
+    * threshold structurally misses (a short doc inside a long one has
+    * tiny Jaccard but containment ≈ 1), run NEXT TO Jaccard dedup in
+    * a real pipeline. The query IS
+    * [[graft.Graft.containmentPairsNgram]] on the documents table, so
+    * the oracle verifies the public facade: same inverted-index
+    * candidate join, deliberately NO size-ratio prune (those
+    * asymmetric pairs are the positives here), all-integer output. */
+  def q_dedup_contain(s: SparkSession, d: String): DataFrame =
+    graft.Graft.containmentPairsNgram(Tables.documents(s, d),
+        col("doc_id"), col("text"), thresholdPermille = 800, n = 3)
+      .orderBy("doc_a", "doc_b")
+
   /** CCNet-style perplexity bucketing: every document scored by the
     * corpus's own unigram LM ([[q_unigram_ppl]]'s exact scores, round-3
     * — the hash-proven cross-engine-stable form), then cut into

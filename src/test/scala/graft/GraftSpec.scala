@@ -1503,6 +1503,44 @@ class GraftSpec extends SparkSpecBase {
     assert(soloStats.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 0L)))
   }
 
+  test("duplicatedSpanStats stride=1 catches MISALIGNED duplication disjoint misses") {
+    val shared = (1 to 4).map(i => s"s_$i").mkString(" ")
+    // doc 2 shifts the shared region by ONE token: its disjoint 4-token
+    // cut never isolates the shared span, a sliding cut always does
+    val docs = Seq(
+      (1L, s"$shared a1 a2 a3 a4"),
+      (2L, s"b0 $shared b1 b2 b3")
+    ).toDF("doc_id", "text")
+    val disjoint = Graft.duplicatedSpanStats(docs, $"doc_id", $"text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(disjoint.values.forall(_ == 0L), s"disjoint cut should miss: $disjoint")
+    val sliding = Graft.duplicatedSpanStats(docs, $"doc_id", $"text", 4, stride = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 8 tokens -> 5 sliding spans each; exactly one (the shared region,
+    // at offset 0 in doc 1 and offset 1 in doc 2) matches cross-doc
+    assert(sliding == Map(1L -> ((5L, 1L)), 2L -> ((5L, 1L))), s"$sliding")
+  }
+
+  test("containmentPairsNgram catches doc-in-doc pairs Jaccard misses") {
+    val inner = (1 to 8).map(i => s"c_$i").mkString(" ")     // 6 grams
+    val filler = (1 to 40).map(i => s"f_$i").mkString(" ")   // disjoint grams
+    val docs = Seq(
+      (1L, inner),                  // the short doc: all 6 grams
+      (2L, s"$inner $filler"),      // contains doc 1 verbatim + 40 tokens more
+      (3L, (1 to 12).map(i => s"z_$i").mkString(" "))        // unrelated
+    ).toDF("doc_id", "text")
+    val contain = Graft.containmentPairsNgram(docs, $"doc_id", $"text",
+        thresholdPermille = 800, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    // doc 1's grams all appear in doc 2 -> containment 1000
+    assert(contain.toSeq == Seq((1L, 2L, 6L, 1000L)), s"${contain.toSeq}")
+    // the same pair is INVISIBLE to the Jaccard facade at 0.8 (union
+    // is dominated by doc 2) — the reason this operator exists
+    val jacc = Graft.nearDupPairsNgram(docs, $"doc_id", $"text",
+        thresholdPermille = 800, n = 3).collect()
+    assert(jacc.isEmpty, s"Jaccard unexpectedly caught: ${jacc.toSeq}")
+  }
+
   test("zipfFit equals the closed-form least-squares reference") {
     def rng(seed: Long): Long = {
       var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
