@@ -329,9 +329,16 @@ object PipelineOps {
     * broadcast from a metadata-scale per-lang count. */
   def q_ppl_bucket(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val scored = graft.Graft.unigramLogProb(docs, col("doc_id"), col("text"))
-      .select(col("doc_id"), round(col("mean_nll"), 3).as("mean_nll"))
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    // temp-parquet the scored table: groupedRankDesc's two-pass scheme
+    // evaluates its input ≥ 3× (quantile bounds, bucket counts, the
+    // ranked pass) and the per-lang count once more — without this the
+    // whole unigram-scoring subtree (explode + model join) re-runs per
+    // consumer (the q_sim_sparse featurize-recompute lesson). At 100 TB
+    // this is "write the scores once, rank from the table".
+    val scored = graft.TempTables.cached(s, s"ppl_scored:$d")(
+      graft.Graft.unigramLogProb(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), round(col("mean_nll"), 3).as("mean_nll"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id"))
     // groupedRankDesc ranks key DESC; negate for ascending-nll order
     val ranked = graft.Graft.groupedRankDesc(
         scored, col("lang"), -col("mean_nll"), col("doc_id"), buckets = 8)

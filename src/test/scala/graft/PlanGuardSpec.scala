@@ -48,10 +48,10 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_welch_ttest", "q_kl_source", "q_chisq", "q_gini",
     "q_rolling", "q_autocorr",
     // q_bm25 crosses the 1-row (N, Σlen, df...) stats aggregate
-    "q_bm25",
-    // q_ppl_bucket composes q_unigram_ppl's 1-row model-total cross
-    // (its own rank/offset/n_lang joins are all broadcast-hash)
-    "q_ppl_bucket")
+    "q_bm25")
+  // (q_ppl_bucket needs no BNLJ exemption: its scored table is
+  // temp-parquet-cached, so the declared plan ranks from a file scan
+  // and the 1-row model cross lives only inside the one-time build)
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
   // no longer get the exemption)
