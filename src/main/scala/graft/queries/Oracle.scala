@@ -616,6 +616,56 @@ object Oracle {
         |SELECT vec_id, label, ROUND(SUM(prod), 3) AS score FROM ex
         |GROUP BY vec_id, label ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
+    // keep-first span removal: q_span_dedup's span universe with
+    // ownership = MIN(doc_id*1e6 + span_idx) per cross-doc-duplicated
+    // span; the trailing partial span (n_tok % 16 tokens) always
+    // survives. All-integer (rule F/I).
+    "q_span_drop" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |               unnest(generate_series(0, len(t)//16 - 1)) AS i
+        |        FROM toks WHERE len(t) >= 16),
+        |spans AS (SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+        |                 CAST(len(t) AS BIGINT) AS n_tok,
+        |                 array_to_string(t[i*16+1 : i*16+16], ' ') AS span
+        |          FROM idx),
+        |dup AS (SELECT span, MIN(doc_id * 1000000 + span_idx) AS owner_key
+        |        FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(CASE WHEN d.span IS NULL
+        |                     OR s.doc_id * 1000000 + s.span_idx = d.owner_key
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+        |       CAST(SUM(CASE WHEN d.span IS NULL
+        |                     OR s.doc_id * 1000000 + s.span_idx = d.owner_key
+        |                THEN 16 ELSE 0 END) + MAX(s.n_tok) % 16 AS BIGINT) AS tokens_kept
+        |FROM spans s LEFT JOIN dup d ON s.span = d.span
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // near-dup provenance matrix: the q_dedup_ngram pair CTEs labeled
+    // with each side's source, rolled up per canonical (least,
+    // greatest) source pair — lexicographic order agrees cross-engine
+    "q_dedup_matrix" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |          FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |           FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM common
+        |          JOIN sizes sa ON doc_a = sa.doc_id
+        |          JOIN sizes sb ON doc_b = sb.doc_id
+        |          WHERE common * 9 >= 4 * (sa.n_grams + sb.n_grams)),
+        |lab AS (SELECT da.source AS sa, db.source AS sb
+        |        FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+        |                     JOIN documents db ON p.doc_b = db.doc_id)
+        |SELECT LEAST(sa, sb) AS src_a, GREATEST(sa, sb) AS src_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM lab GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
     // asymmetric containment near-dup: the q_dedup_ngram gram/size
     // CTEs but thresholding common/min(na,nb) with NO size-ratio
     // prune; doc_a < doc_b canonical pair order, all-integer (// is

@@ -297,6 +297,73 @@ object PipelineOps {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** The REMOVAL stage [[q_span_dedup]]'s accounting exists for — the
+    * Lee-et-al-2022 step that actually cuts duplicated text: every
+    * cross-document duplicated 16-token span keeps its globally FIRST
+    * occurrence (min over the integer key doc_id·10⁶ + span_idx — a
+    * total order, so ownership is deterministic on any engine or
+    * partitioning; requires span_idx < 10⁶, i.e. docs under 16M
+    * tokens) and is dropped everywhere else. Per doc: spans before,
+    * spans kept, and the surviving token budget (16·kept + the
+    * trailing partial span, which no span covers and always survives).
+    *
+    * Scale shape: q_span_dedup's linear explode + ONE
+    * map-side-combinable span groupBy (min-key + distinct-doc count),
+    * dup-owner set broadcast back, per-doc rollup. The keep-first rule
+    * needs no sort and no window — ownership is a single min
+    * aggregate. */
+  def q_span_drop(s: SparkSession, d: String): DataFrame = {
+    val spanT = 16
+    val t = split(col("text"), " ")
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= spanT)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+              posexplode(transform(
+                sequence(lit(0), floor((size(col("t")) - spanT) / spanT).cast("int")),
+                i => array_join(slice(col("t"), i * spanT + 1, lit(spanT)), " "))))
+      .withColumnRenamed("pos", "span_idx")
+      .withColumnRenamed("col", "span")
+    val dup = spans.groupBy("span")
+      .agg(min(col("doc_id") * 1000000L + col("span_idx")).as("owner_key"),
+           count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("span", "owner_key")
+    val kept = when(col("owner_key").isNull ||
+                    col("doc_id") * 1000000L + col("span_idx") === col("owner_key"),
+                    1L).otherwise(0L)
+    spans.join(dup, Seq("span"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(kept).as("kept_spans"),
+           (sum(kept * 16) + max(col("n_tok")) % 16).as("tokens_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup provenance matrix — the ingest diagnostic that tells you
+    * WHICH SOURCES COPY FROM WHICH: every [[q_dedup_ngram]] pair
+    * (J ≥ 0.8) labeled with its two documents' sources, rolled up per
+    * unordered source pair (canonical least/greatest order). A heavy
+    * (src_i, src_j) cell means mirrored/syndicated content between the
+    * two feeds; a heavy diagonal means a feed re-publishes itself —
+    * each prescribing a different pipeline remedy. Reads the SHARED
+    * temp-parquet pair graph ([[ngramPairGraph]] — the third consumer
+    * after q_dedup_cluster/q_dedup_drop), so the marginal cost is two
+    * broadcast label joins and a metadata-scale rollup: the
+    * write-once-read-many shape a real pipeline runs. */
+  def q_dedup_matrix(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    ngramPairGraph(s, d)
+      .select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+              greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Asymmetric containment near-dup: pairs where the SMALLER doc's
     * 3-gram set is ≥ 80% contained in the other's — the doc-in-doc /
     * quote / boilerplate-wrapper case [[q_dedup_ngram]]'s Jaccard

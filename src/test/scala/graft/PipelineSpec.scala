@@ -296,6 +296,46 @@ class PipelineSpec extends SparkSpecBase {
            crafted(3L) == ((2L, 0L)))
   }
 
+  test("span_drop: keep-first ownership on crafted duplicates") {
+    val t32 = (1 to 32).map(i => s"w$i").mkString(" ")
+    val dir = mkDocs(Seq(
+      (1L, t32, "en"), (2L, t32, "en"),
+      (3L, (1 to 35).map(i => s"z$i").mkString(" "), "en")
+    ), java.nio.file.Files.createTempDirectory("spandrop").toString)
+    val got = PipelineOps.q_span_drop(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 owns both duplicated spans (lowest doc_id); doc 2 loses
+    // everything; doc 3 is untouched and keeps its 3-token tail
+    assert(got(1L) == ((2L, 2L, 32L)), s"${got(1L)}")
+    assert(got(2L) == ((2L, 0L, 0L)), s"${got(2L)}")
+    assert(got(3L) == ((2L, 2L, 35L)), s"${got(3L)}")
+  }
+
+  test("span_drop + span_dedup agree on the corpus span universe") {
+    val drop = PipelineOps.q_span_drop(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dedup = PipelineOps.q_span_dedup(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(drop.keySet == dedup.keySet)
+    drop.foreach { case (id, (n, kept)) =>
+      val (n2, dup) = dedup(id)
+      assert(n == n2, s"doc $id span count drifted")
+      // a doc keeps at least its non-duplicated spans, and dropping
+      // only ever removes duplicated ones
+      assert(kept >= n - dup && kept <= n, s"doc $id kept=$kept n=$n dup=$dup")
+    }
+  }
+
+  test("dedup_matrix: cell sum equals the q_dedup_ngram pair count") {
+    val cells = PipelineOps.q_dedup_matrix(spark, sf).collect()
+    val total = cells.map(_.getLong(2)).sum
+    val pairs = PipelineOps.q_dedup_ngram(spark, sf).count()
+    assert(total == pairs, s"matrix total $total != pair count $pairs")
+    assert(cells.forall(r => r.getString(0) <= r.getString(1)),
+      "matrix cells not in canonical (least, greatest) source order")
+  }
+
   test("embed_stats: per-dim profile equals a driver-side reference") {
     val got = HashOps.q_embed_stats(spark, sf).collect()
     val vecs = Tables.embeddings(spark, sf)
