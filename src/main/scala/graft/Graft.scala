@@ -882,7 +882,14 @@ object Graft {
     * per-domain quality tiers). `group` must be METADATA-SCALE (the
     * bounds/offset tables carry ≤ |groups|·buckets rows and are
     * broadcast); `tie` must be unique within a group for the order to
-    * be total. Output: (group, key double, tie, rank long). */
+    * be total. Output: (group, key double, tie, rank long).
+    *
+    * Deliberately NOT unified with [[globalRankDesc]] (= the
+    * constant-group case): the global form's 1-row bounds CROSS is a
+    * cheaper plan than an equi-join on a constant group key, and the
+    * global form's plan shape is pinned by several recorded
+    * benchmarks — the ~25 shared lines are the price of keeping both
+    * plans optimal. Changes to the scheme must be applied to BOTH. */
   def groupedRankDesc(df: DataFrame, group: Column, key: Column,
                       tie: Column, buckets: Int = 32): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
@@ -952,16 +959,11 @@ object Graft {
     val st = if (stride == 0) spanTokens else stride
     require(st >= 1, s"stride must be >= 1 (or 0 = spanTokens), got $stride")
     val t = split(text, " ")
-    // window starts 0, st, 2·st … while start + span <= n; the filter
-    // keeps sequence() from a negative stop (which would count DOWN)
     val spans = docs
       .select(id.as("id"), t.as("t"))
       .filter(size(col("t")) >= spanTokens)
-      .select(col("id"), explode(transform(
-        sequence(lit(0),
-          floor((size(col("t")) - spanTokens) / st).cast("int")),
-        i => array_join(slice(col("t"), i * st + 1, lit(spanTokens)), " ")))
-        .as("span"))
+      .select(col("id"),
+              explode(tokenSpans(col("t"), spanTokens, st)).as("span"))
     val dup = spans.groupBy("span")
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -1528,6 +1530,18 @@ object Graft {
       .select(col("doc_a"), col("doc_b"),
               round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
   }
+
+  /** The span-cutting expression shared by [[duplicatedSpanStats]]
+    * and PipelineOps.q_span_drop — ONE definition of what a "span"
+    * is, so the accounting and removal stages can never drift: the
+    * array of `spanTokens`-token span strings cut from token array
+    * `t` at starts 0, stride, 2·stride … while start + span ≤ n.
+    * Row-local; the CALLER must pre-filter `size(t) >= spanTokens`
+    * (a negative sequence() stop would count down). */
+  def tokenSpans(t: Column, spanTokens: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0), floor((size(t) - spanTokens) / stride).cast("int")),
+      i => array_join(slice(t, i * stride + 1, lit(spanTokens)), " "))
 
   /** ASYMMETRIC near-dup pairs by n-gram CONTAINMENT — the doc-in-doc
     * case Jaccard structurally misses: a short document embedded in a

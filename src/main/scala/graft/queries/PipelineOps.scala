@@ -315,17 +315,23 @@ object PipelineOps {
   def q_span_drop(s: SparkSession, d: String): DataFrame = {
     val spanT = 16
     val t = split(col("text"), " ")
+    // the packed ownership key needs span_idx < 10⁶ (docs under 16M
+    // tokens); enforce LOUDLY per row rather than silently mis-owning
+    // — widen the packing constant if a corpus ever trips this
+    val safeIdx = when(col("span_idx") < 1000000, col("span_idx"))
+      .otherwise(raise_error(concat(
+        lit("q_span_drop: span_idx "), col("span_idx").cast("string"),
+        lit(" >= 1e6 — ownership key would overflow; widen the packing")))
+        .cast("int"))
     val spans = Tables.documents(s, d)
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= spanT)
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
-              posexplode(transform(
-                sequence(lit(0), floor((size(col("t")) - spanT) / spanT).cast("int")),
-                i => array_join(slice(col("t"), i * spanT + 1, lit(spanT)), " "))))
+              posexplode(graft.Graft.tokenSpans(col("t"), spanT, spanT)))
       .withColumnRenamed("pos", "span_idx")
       .withColumnRenamed("col", "span")
     val dup = spans.groupBy("span")
-      .agg(min(col("doc_id") * 1000000L + col("span_idx")).as("owner_key"),
+      .agg(min(col("doc_id") * 1000000L + safeIdx).as("owner_key"),
            count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select("span", "owner_key")
@@ -349,8 +355,11 @@ object PipelineOps {
     * each prescribing a different pipeline remedy. Reads the SHARED
     * temp-parquet pair graph ([[ngramPairGraph]] — the third consumer
     * after q_dedup_cluster/q_dedup_drop), so the marginal cost is two
-    * broadcast label joins and a metadata-scale rollup: the
-    * write-once-read-many shape a real pipeline runs. */
+    * label equi-joins (the PLANNER picks the build side from the
+    * parquet file stats — here it broadcasts the small pair graph; at
+    * a scale where both sides are big it falls back to a shuffle
+    * join, which is the right answer there) and a metadata-scale
+    * rollup: the write-once-read-many shape a real pipeline runs. */
   def q_dedup_matrix(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
     ngramPairGraph(s, d)
