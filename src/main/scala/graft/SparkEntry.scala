@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, MediaOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 135 query ids; 127 with DuckDB oracles. The
+  * and §3.1 (entry points). 136 query ids; 128 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -113,6 +113,7 @@ object SparkEntry {
     "q_pipeline_e2e"   -> PipelineOps.q_pipeline_e2e _,
     "q_pipeline_layout" -> PipelineOps.q_pipeline_layout _,
     "q_media_stats"    -> MediaOps.q_media_stats _,
+    "q_media_dedup"    -> MediaOps.q_media_dedup _,
     "q_dedup_simhash"  -> HashOps.q_dedup_simhash _,
     "q_doc_fingerprint" -> HashOps.q_doc_fingerprint _,
     "q_dedup_embed"    -> HashOps.q_dedup_embed _,

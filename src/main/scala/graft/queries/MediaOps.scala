@@ -38,9 +38,13 @@ object MediaOps {
     * map-side-combinable aggregate. At 100 TB the identical plan
     * streams the payload column partition-by-partition; only the
     * 3-row aggregate ever moves. */
-  def q_media_stats(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = Tables.documents(s, d)
+  /** The synthesized media table both declared multimodal queries
+    * share — ONE definition of the synthesis contract (payload =
+    * UTF-8 bytes of `text`, kind = doc_id mod 3 → image/audio/video,
+    * typed width/height/sample_rate), so the queries and their
+    * oracles can never disagree about what a "media row" is. */
+  private def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id").as("media_id"),
               element_at(array(lit("image"), lit("audio"), lit("video")),
                          (col("doc_id") % 3).cast("int") + 1).as("kind"),
@@ -48,7 +52,10 @@ object MediaOps {
               (col("doc_id") % 640).cast("int").as("width"),
               (col("doc_id") % 480).cast("int").as("height"),
               lit(16000).as("sample_rate"))
-      .as[Multimodal.MediaRow]
+
+  def q_media_stats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, d).as[Multimodal.MediaRow]
     Multimodal.extractFeatures(media, frameSize = 64, stride = 4).toDF()
       .groupBy("kind")
       .agg(count(lit(1)).as("n_media"),
@@ -57,4 +64,34 @@ object MediaOps {
            sum(element_at(col("histogram"), 3)).as("sep_bytes"))
       .orderBy("kind")
   }
+
+  /** Exact media-asset dedup per kind — the content-addressed-storage
+    * step of a multimodal ingest (identical images/clips re-uploaded
+    * under different ids stored ONCE): assets grouped by the MD5 of
+    * their payload bytes, per kind the asset count, distinct-content
+    * count, duplicate count, raw byte total and the bytes a
+    * dedup-by-hash store saves. All integers (rule I).
+    *
+    * MD5 is the cross-engine-portable content key (Spark `md5(binary)`
+    * ≡ DuckDB `md5(text)` because the payload IS the UTF-8 bytes of
+    * the pure-ASCII text — the q_media_stats oracle gates on that
+    * purity); at 100 TB the same hash IS the storage key, and the
+    * grouping shuffles 16-byte digests + int lengths, never payloads.
+    *
+    * Scale shape: one scan → per-(kind, digest) map-side-combinable
+    * count (payload bytes never cross the wire; only digest rows do)
+    * → per-kind metadata-scale rollup. */
+  def q_media_dedup(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(col("kind"), md5(col("payload")).as("digest"),
+              octet_length(col("payload")).cast("long").as("bytes"))
+      .groupBy("kind", "digest")
+      .agg(count(lit(1)).as("cnt"), max(col("bytes")).as("bytes"))
+      .groupBy("kind")
+      .agg(sum(col("cnt")).as("n_assets"),
+           count(lit(1)).as("uniq_assets"),
+           (sum(col("cnt")) - count(lit(1))).as("dup_assets"),
+           sum(col("bytes") * col("cnt")).as("bytes_total"),
+           (sum(col("bytes") * col("cnt")) - sum(col("bytes"))).as("bytes_saved"))
+      .orderBy("kind")
 }

@@ -1760,6 +1760,26 @@ object Oracle {
         |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |       CAST(SUM(frames_sampled) AS BIGINT) AS total_frames,
         |       CAST(SUM(sep) AS BIGINT) AS sep_bytes
-        |FROM media GROUP BY kind ORDER BY kind""".stripMargin
+        |FROM media GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // exact media-asset dedup: content key = md5 — DuckDB md5(text)
+    // hashes the string's UTF-8 bytes, Spark md5(payload) the binary
+    // cast of the same text, identical on this pure-ASCII corpus (the
+    // q_media_stats oracle gates purity); per-digest count + bytes,
+    // per-kind rollup, all integers (rule I)
+    "q_media_dedup" ->
+      """WITH m AS (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |                md5(text) AS digest,
+        |                octet_length(encode(text)) AS bytes
+        |           FROM documents),
+        |g AS (SELECT kind, digest, COUNT(*) AS cnt, MAX(bytes) AS bytes
+        |      FROM m GROUP BY kind, digest)
+        |SELECT kind, CAST(SUM(cnt) AS BIGINT) AS n_assets,
+        |       CAST(COUNT(*) AS BIGINT) AS uniq_assets,
+        |       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_assets,
+        |       CAST(SUM(bytes * cnt) AS BIGINT) AS bytes_total,
+        |       CAST(SUM(bytes * cnt) - SUM(bytes) AS BIGINT) AS bytes_saved
+        |FROM g GROUP BY kind ORDER BY kind""".stripMargin
   )
 }

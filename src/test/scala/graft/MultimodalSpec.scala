@@ -76,6 +76,45 @@ class MultimodalSpec extends SparkSpecBase {
     assert(audio.getLong(3) == expFrames, "total_frames")
   }
 
+  test("q_media_dedup: per-kind accounting from first principles + crafted dups") {
+    // corpus leg: reference computed on the driver (sf0.001 has no
+    // raw-text duplicates — the zeros are themselves the assertion;
+    // the positive path is cross-engine-verified at sf0.1 where the
+    // corpus has 8 duplicate-text groups, and crafted below)
+    val rows = queries.MediaOps.q_media_dedup(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    val byKind = docs.groupBy { r =>
+      (r.getLong(0) % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+    }
+    assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    rows.foreach { r =>
+      val texts = byKind(r.getString(0)).map(_.getString(1)).toSeq
+      val uniq = texts.distinct
+      val total = texts.map(_.getBytes("UTF-8").length.toLong).sum
+      val saved = total - uniq.map(_.getBytes("UTF-8").length.toLong).sum
+      assert(r.getLong(1) == texts.length && r.getLong(2) == uniq.length &&
+             r.getLong(3) == texts.length - uniq.length &&
+             r.getLong(4) == total && r.getLong(5) == saved, r.toString)
+    }
+    // crafted leg: two identical image payloads + one distinct
+    val dir = java.nio.file.Files.createTempDirectory("mediadedup").toString
+    import spark.implicits._
+    Seq((0L, "a b c"), (3L, "a b c"), (6L, "x y z w"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val crafted = queries.MediaOps.q_media_dedup(spark, dir).collect()
+    assert(crafted.length == 1 && crafted.head.getString(0) == "image")
+    // 3 assets, 2 distinct, 1 dup; bytes 5+5+7=17 total, 5 saved
+    assert(crafted.head.getLong(1) == 3 && crafted.head.getLong(2) == 2 &&
+           crafted.head.getLong(3) == 1 && crafted.head.getLong(4) == 17 &&
+           crafted.head.getLong(5) == 5, crafted.head.toString)
+  }
+
   test("payload stays opaque: metadata-only query never deserializes bytes") {
     // column pruning must drop the payload from the scan when only
     // metadata is selected — the property that makes opaque-binary
