@@ -1521,6 +1521,69 @@ class GraftSpec extends SparkSpecBase {
     assert(sliding == Map(1L -> ((5L, 1L)), 2L -> ((5L, 1L))), s"$sliding")
   }
 
+  test("containmentPairsNgram equals the brute-force pair scan (property)") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    // small vocab forces shared grams; mixed doc lengths force the
+    // asymmetric (short-in-long) regime the operator exists for
+    val vocab = (1 to 8).map("v" + _)
+    val docs = (1L to 30L).map { i =>
+      val len = 3 + (math.abs(rng(i)) % 20).toInt
+      val toks = (0 until len).map(j =>
+        vocab((math.abs(rng(i * 131 + j)) % vocab.size).toInt))
+      (i, toks.mkString(" "))
+    }
+    def gramSet(text: String): Set[String] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val p = 700
+    val brute = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      ga = gramSet(ta); gb = gramSet(tb)
+      common = (ga & gb).size
+      if common * 1000 >= p * math.min(ga.size, gb.size)
+    } yield (a, b, ga.size.toLong, gb.size.toLong, common.toLong,
+             common * 1000L / math.min(ga.size, gb.size))).toSet
+    val got = Graft.containmentPairsNgram(docs.toDF("doc_id", "text"),
+        $"doc_id", $"text", thresholdPermille = p, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "degenerate fixture: no containment pairs")
+  }
+
+  test("duplicatedSpanStats equals the brute-force span scan (property)") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val vocab = (1 to 5).map("u" + _)
+    val docs = (1L to 25L).map { i =>
+      val len = 2 + (math.abs(rng(i * 7)) % 15).toInt
+      (i, (0 until len).map(j =>
+        vocab((math.abs(rng(i * 37 + j)) % vocab.size).toInt)).mkString(" "))
+    }
+    for (span <- Seq(3, 4); stride <- Seq(0, 1, 2)) {
+      val st = if (stride == 0) span else stride
+      val universe = docs.flatMap { case (id, text) =>
+        val t = text.split(" ")
+        if (t.length < span) Seq.empty
+        else (0 to (t.length - span) / st).map(k =>
+          id -> t.slice(k * st, k * st + span).mkString(" "))
+      }
+      val dupSpans = universe.groupBy(_._2)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val brute = universe.groupBy(_._1).map { case (id, ss) =>
+        val dup = ss.count(s => dupSpans(s._2)).toLong
+        id -> (ss.size.toLong, dup, dup * 1000 / ss.size)
+      }
+      val got = Graft.duplicatedSpanStats(docs.toDF("doc_id", "text"),
+          $"doc_id", $"text", span, stride)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == brute, s"span=$span stride=$stride")
+    }
+  }
+
   test("containmentPairsNgram catches doc-in-doc pairs Jaccard misses") {
     val inner = (1 to 8).map(i => s"c_$i").mkString(" ")     // 6 grams
     val filler = (1 to 40).map(i => s"f_$i").mkString(" ")   // disjoint grams
