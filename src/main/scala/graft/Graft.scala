@@ -1555,24 +1555,32 @@ object Graft {
     * all-pairs) — but deliberately WITHOUT the Jaccard size-ratio
     * prune: the asymmetric pairs that prune exists to discard are
     * exactly this operator's positives. Work stays ∝ Σ bucket²,
-    * bounded by gram selectivity (use `maxGramDocFreq`-style stop-gram
-    * capping upstream if the gram df distribution is heavy-tailed).
+    * bounded by gram selectivity. A dense MUTUAL-containment cluster
+    * (boilerplate: every pair a true positive) makes the OUTPUT
+    * itself Θ(hot²) — no exact guard can beat work that IS the
+    * output, as the skew bench measures (max task equal guarded vs
+    * not) — so the remedy there is the LOSSY `maxGramDocFreq` cap
+    * ([[nearDupPairsNgram]]'s stop-gram knob, same semantics change:
+    * capped grams leave the universe before anything quadratic).
     * Output: (doc_a, doc_b, na, nb, common, containment_permille) at
     * containment ≥ thresholdPermille/1000 — all-integer (rule F),
     * permille = floor(1000·common / min(na, nb)). */
   def containmentPairsNgram(docs: DataFrame, id: Column, text: Column,
                             thresholdPermille: Int = 800, n: Int = 3,
-                            maxBucket: Int = 1024): DataFrame = {
+                            maxBucket: Int = 1024,
+                            maxGramDocFreq: Int = Int.MaxValue): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
+    require(maxGramDocFreq >= 1, s"maxGramDocFreq must be >= 1, got $maxGramDocFreq")
     val p = thresholdPermille
     val t = split(text, " ")
-    val grams = docs
+    val allGrams = docs
       .select(id.cast("long").as("doc_id"), t.as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"),
               explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
+    val grams = dropHotBuckets(allGrams, Seq("gram"), maxGramDocFreq)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val sized = grams.join(broadcast(sizes), "doc_id")
     operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)

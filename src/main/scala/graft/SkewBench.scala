@@ -157,6 +157,28 @@ object SkewBench {
       finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
 
+    // round 9: containment on the boilerplate corpus — the guard's
+    // worst case BY CONSTRUCTION, because containmentPairsNgram has
+    // no size-ratio prune (its positives are exactly the asymmetric
+    // pairs the Jaccard prune discards): ~18 shared template grams ×
+    // 2k-doc buckets, every candidate reaches the pair aggregate
+    def contain(mb: Int) = Graft
+      .containmentPairsNgram(boiler, $"doc_id", $"text", 800, 3,
+        maxBucket = mb).count()
+    // the LOSSY remedy for the dense-cluster regime: template grams
+    // (df = 2k) leave the universe at cap 64, deleting the cluster's
+    // quadratic output — the CCNet-style trade, semantics change
+    def containCapped() = Graft
+      .containmentPairsNgram(boiler, $"doc_id", $"text", 800, 3,
+        maxGramDocFreq = 64).count()
+    // round 9: span dedup on the same corpus — one span text shared
+    // by all 2k template docs (the hot-span case). NO guarded/
+    // unguarded axis exists: the operator has no quadratic stage at
+    // any skew (map-side-combined span groupBy + broadcast mark-back),
+    // so the measurement's claim is "max task bounded by construction"
+    def spanStats(stride: Int) = Graft
+      .duplicatedSpanStats(boiler, $"doc_id", $"text", 16, stride).count()
+
     // warm the session once so run 1 isn't charged for codegen warmup
     minhash(Unguarded)
 
@@ -182,7 +204,12 @@ object SkewBench {
       // rows, and the guard's signal is the block count (2k/256 = 8
       // blocks vs 2 at 1024) — the bound is on large-side task input
       "srp_batch_guarded" -> (() => srpBatch(256)),
-      "srp_batch_unguarded" -> (() => srpBatch(Unguarded)))
+      "srp_batch_unguarded" -> (() => srpBatch(Unguarded)),
+      "contain_guarded" -> (() => contain(1024)),
+      "contain_unguarded" -> (() => contain(Unguarded)),
+      "contain_df_capped" -> (() => containCapped()),
+      "span_hot_disjoint" -> (() => spanStats(0)),
+      "span_hot_sliding" -> (() => spanStats(1)))
     // optional variant filter: `runMain graft.SkewBench ngram` times only
     // labels containing "ngram" (for quick one-variant measurements)
     val picked = if (args.isEmpty) all
@@ -191,7 +218,7 @@ object SkewBench {
 
     // guarded and unguarded plans must agree before timings mean anything
     val byLabel = results.toMap
-    Seq("ngram", "minhash", "simhash", "srp_batch").foreach { fam =>
+    Seq("ngram", "minhash", "simhash", "srp_batch", "contain").foreach { fam =>
       (byLabel.get(s"${fam}_guarded"), byLabel.get(s"${fam}_unguarded")) match {
         case (Some(g), Some(u)) =>
           require(g._3 == u._3, s"$fam pair counts diverged")

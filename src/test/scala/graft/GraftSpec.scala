@@ -1584,6 +1584,26 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("containmentPairsNgram maxGramDocFreq: capped grams leave the universe") {
+    val inner = (1 to 8).map(i => s"c_$i").mkString(" ")
+    // three docs all containing `inner` verbatim -> its 6 grams have
+    // df = 3; at cap 2 they vanish BEFORE the join and with them every
+    // pair (the unique tails share nothing)
+    val docs = Seq(
+      (1L, inner),
+      (2L, s"$inner a1 a2 a3 a4"),
+      (3L, s"$inner b1 b2 b3 b4")
+    ).toDF("doc_id", "text")
+    // (1,2) and (1,3) at containment 1000; (2,3) only reaches 6/11
+    val full = Graft.containmentPairsNgram(docs, $"doc_id", $"text", 800, 3)
+      .collect()
+    assert(full.length == 2, s"expected pairs (1,2),(1,3), got ${full.length}")
+    val capped = Graft.containmentPairsNgram(docs, $"doc_id", $"text", 800, 3,
+        maxGramDocFreq = 2).collect()
+    assert(capped.isEmpty,
+      s"cap 2 should delete the df-3 grams and all pairs: ${capped.toSeq}")
+  }
+
   test("containmentPairsNgram catches doc-in-doc pairs Jaccard misses") {
     val inner = (1 to 8).map(i => s"c_$i").mkString(" ")     // 6 grams
     val filler = (1 to 40).map(i => s"f_$i").mkString(" ")   // disjoint grams
