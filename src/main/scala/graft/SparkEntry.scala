@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, MediaOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 136 query ids; 128 with DuckDB oracles. The
+  * and §3.1 (entry points). 137 query ids; 129 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -105,6 +105,7 @@ object SparkEntry {
     "q_span_drop"      -> PipelineOps.q_span_drop _,
     "q_dedup_contain"  -> PipelineOps.q_dedup_contain _,
     "q_dedup_matrix"   -> PipelineOps.q_dedup_matrix _,
+    "q_dedup_funnel"   -> PipelineOps.q_dedup_funnel _,
     "q_heavy_hitters"  -> PipelineOps.q_heavy_hitters _,
     "q_dedup_cluster"  -> PipelineOps.q_dedup_cluster _,
     "q_text_quality"   -> PipelineOps.q_text_quality _,

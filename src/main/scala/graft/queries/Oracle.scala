@@ -908,6 +908,34 @@ object Oracle {
         |SELECT cluster_rep, COUNT(*) AS size, CAST(SUM(node) AS BIGINT) AS member_id_sum
         |FROM cc GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
 
+    // the dedup funnel: exact-fingerprint distinct + the recursive-CTE
+    // CC over the ngram pair graph, folded to ONE row (no sort key
+    // needed); all counts BIGINT (rule I)
+    "q_dedup_funnel" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM scored
+        |          UNION ALL SELECT doc_b, doc_a FROM scored),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+        |),
+        |cc AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |e AS (SELECT COUNT(*) AS exact_unique FROM
+        |        (SELECT DISTINCT lang,
+        |                array_to_string(list_sort(string_split(text, ' ')), ' ')
+        |         FROM documents)),
+        |c AS (SELECT COUNT(DISTINCT label) AS ngram_clusters,
+        |             COUNT(*) AS clustered_docs,
+        |             CAST(SUM(CASE WHEN node <> label THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+        |      FROM cc)
+        |SELECT n.n_docs, e.exact_unique,
+        |       n.n_docs - e.exact_unique AS exact_dup_docs,
+        |       c.ngram_clusters, c.clustered_docs, c.dropped,
+        |       n.n_docs - c.dropped AS survivors
+        |FROM n, e, c""".stripMargin,
+
     "q_text_quality" ->
       """WITH q AS (SELECT doc_id, n_chars,
         |                  len(string_split(text, ' ')) AS n,

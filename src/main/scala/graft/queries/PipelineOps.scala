@@ -614,6 +614,35 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** The corpus dedup FUNNEL — the one-row report every dedup run
+    * ends with: how many documents entered, how many are exact
+    * duplicates (q_dedup_exact's (lang, sorted-token) fingerprint),
+    * how many near-dup clusters the n-gram pair graph forms, how many
+    * docs they cover, how many get dropped under keep-min-id
+    * (q_dedup_drop's rule), and how many survive. Composes the SHARED
+    * cached artifacts (pair graph + CC labels) with two metadata-scale
+    * aggregates, so the funnel costs three scans and three 1-row
+    * crosses regardless of corpus size — the report is the cheap part
+    * of the pipeline it summarizes. */
+  def q_dedup_funnel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val exact = docs
+      .select(col("lang"),
+              array_join(array_sort(split(col("text"), " ")), " ").as("fp"))
+      .distinct()
+      .agg(count(lit(1)).as("exact_unique"))
+    val ccAgg = ngramCcLabels(s, d).agg(
+      count_distinct(col("label")).as("ngram_clusters"),
+      count(lit(1)).as("clustered_docs"),
+      sum(when(col("node") =!= col("label"), 1L).otherwise(0L)).as("dropped"))
+    nDocs.crossJoin(exact).crossJoin(ccAgg)
+      .select(col("n_docs"), col("exact_unique"),
+              (col("n_docs") - col("exact_unique")).as("exact_dup_docs"),
+              col("ngram_clusters"), col("clustered_docs"), col("dropped"),
+              (col("n_docs") - col("dropped")).as("survivors"))
+  }
+
   /** Round-5 layout-pipeline composition — the sibling of
     * [[q_pipeline_e2e]] built from the round-5 operators: near-dup
     * REMOVAL (shared [[ngramCcLabels]]) → quality gate (the

@@ -336,6 +336,22 @@ class PipelineSpec extends SparkSpecBase {
       "matrix cells not in canonical (least, greatest) source order")
   }
 
+  test("dedup_funnel: one row consistent with its component queries") {
+    val f = PipelineOps.q_dedup_funnel(spark, sf).collect().head
+    val nDocs = Tables.documents(spark, sf).count()
+    val exactUnique = TextOps.q_dedup_exact(spark, sf)
+      .agg(sum("n_unique")).collect().head.getLong(0)
+    val clusters = PipelineOps.q_dedup_cluster(spark, sf).collect()
+    val survivors = PipelineOps.q_dedup_drop(spark, sf)
+      .agg(sum("n_kept")).collect().head.getLong(0)
+    assert(f.getLong(0) == nDocs)
+    assert(f.getLong(1) == exactUnique &&
+           f.getLong(2) == nDocs - exactUnique)
+    assert(f.getLong(3) == clusters.length)
+    assert(f.getLong(4) == clusters.map(_.getLong(1)).sum)
+    assert(f.getLong(6) == survivors && f.getLong(5) == nDocs - survivors)
+  }
+
   test("embed_stats: per-dim profile equals a driver-side reference") {
     val got = HashOps.q_embed_stats(spark, sf).collect()
     val vecs = Tables.embeddings(spark, sf)

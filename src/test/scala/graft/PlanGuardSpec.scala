@@ -48,7 +48,9 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_welch_ttest", "q_kl_source", "q_chisq", "q_gini",
     "q_rolling", "q_autocorr",
     // q_bm25 crosses the 1-row (N, Σlen, df...) stats aggregate
-    "q_bm25")
+    "q_bm25",
+    // q_dedup_funnel crosses its three 1-row stage aggregates
+    "q_dedup_funnel")
   // (q_ppl_bucket needs no BNLJ exemption: its scored table is
   // temp-parquet-cached, so the declared plan ranks from a file scan
   // and the 1-row model cross lives only inside the one-time build)
