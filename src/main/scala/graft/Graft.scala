@@ -1538,10 +1538,16 @@ object Graft {
     * `t` at starts 0, stride, 2·stride … while start + span ≤ n.
     * Row-local; the CALLER must pre-filter `size(t) >= spanTokens`
     * (a negative sequence() stop would count down). */
-  def tokenSpans(t: Column, spanTokens: Int, stride: Int): Column =
+  def tokenSpans(t: Column, spanTokens: Int, stride: Int): Column = {
+    // no 0-as-spanTokens sentinel HERE (that convenience lives in
+    // duplicatedSpanStats): a raw 0 would divide by zero into a NULL
+    // sequence and silently produce zero spans per row
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     transform(
       sequence(lit(0), floor((size(t) - spanTokens) / stride).cast("int")),
       i => array_join(slice(t, i * stride + 1, lit(spanTokens)), " "))
+  }
 
   /** ASYMMETRIC near-dup pairs by n-gram CONTAINMENT — the doc-in-doc
     * case Jaccard structurally misses: a short document embedded in a

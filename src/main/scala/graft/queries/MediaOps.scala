@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object MediaOps {
 
+  /** The synthesized media table both declared multimodal queries
+    * share — ONE definition of the synthesis contract (payload =
+    * UTF-8 bytes of `text`, kind = doc_id mod 3 → image/audio/video,
+    * typed width/height/sample_rate), so the queries and their
+    * oracles can never disagree about what a "media row" is. */
+  private def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+              element_at(array(lit("image"), lit("audio"), lit("video")),
+                         (col("doc_id") % 3).cast("int") + 1).as("kind"),
+              col("text").cast("binary").as("payload"),
+              (col("doc_id") % 640).cast("int").as("width"),
+              (col("doc_id") % 480).cast("int").as("height"),
+              lit(16000).as("sample_rate"))
+
   /** Per-kind media corpus profile: media count, total payload bytes,
     * total sampled frames (frameSize 64 / stride 4 — every 4th
     * 64-byte frame, the video-keyframe shape), and total bytes in
@@ -38,21 +53,6 @@ object MediaOps {
     * map-side-combinable aggregate. At 100 TB the identical plan
     * streams the payload column partition-by-partition; only the
     * 3-row aggregate ever moves. */
-  /** The synthesized media table both declared multimodal queries
-    * share — ONE definition of the synthesis contract (payload =
-    * UTF-8 bytes of `text`, kind = doc_id mod 3 → image/audio/video,
-    * typed width/height/sample_rate), so the queries and their
-    * oracles can never disagree about what a "media row" is. */
-  private def mediaTable(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id").as("media_id"),
-              element_at(array(lit("image"), lit("audio"), lit("video")),
-                         (col("doc_id") % 3).cast("int") + 1).as("kind"),
-              col("text").cast("binary").as("payload"),
-              (col("doc_id") % 640).cast("int").as("width"),
-              (col("doc_id") % 480).cast("int").as("height"),
-              lit(16000).as("sample_rate"))
-
   def q_media_stats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = mediaTable(s, d).as[Multimodal.MediaRow]

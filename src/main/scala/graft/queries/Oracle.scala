@@ -928,7 +928,7 @@ object Oracle {
         |         FROM documents)),
         |c AS (SELECT COUNT(DISTINCT label) AS ngram_clusters,
         |             COUNT(*) AS clustered_docs,
-        |             CAST(SUM(CASE WHEN node <> label THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+        |             CAST(COALESCE(SUM(CASE WHEN node <> label THEN 1 ELSE 0 END), 0) AS BIGINT) AS dropped
         |      FROM cc)
         |SELECT n.n_docs, e.exact_unique,
         |       n.n_docs - e.exact_unique AS exact_dup_docs,

@@ -626,17 +626,24 @@ object PipelineOps {
     * of the pipeline it summarizes. */
   def q_dedup_funnel(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val exact = docs
-      .select(col("lang"),
-              array_join(array_sort(split(col("text"), " ")), " ").as("fp"))
-      .distinct()
-      .agg(count(lit(1)).as("exact_unique"))
+    // ONE scan computes both corpus counts (the text column is read
+    // and fingerprinted once — at 100 TB the second full scan would
+    // be this query's dominant cost); lang/text are non-null, so the
+    // multi-column count_distinct drops no rows
+    val corpus = docs.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("lang"),
+        array_join(array_sort(split(col("text"), " ")), " "))
+        .as("exact_unique"))
+    // coalesce: a dedup-CLEAN corpus has an EMPTY pair graph, and
+    // sum() over zero rows is NULL — the funnel must report 0 dropped
+    // / n_docs survivors there, not NULL
     val ccAgg = ngramCcLabels(s, d).agg(
       count_distinct(col("label")).as("ngram_clusters"),
       count(lit(1)).as("clustered_docs"),
-      sum(when(col("node") =!= col("label"), 1L).otherwise(0L)).as("dropped"))
-    nDocs.crossJoin(exact).crossJoin(ccAgg)
+      coalesce(sum(when(col("node") =!= col("label"), 1L).otherwise(0L)),
+               lit(0L)).as("dropped"))
+    corpus.crossJoin(ccAgg)
       .select(col("n_docs"), col("exact_unique"),
               (col("n_docs") - col("exact_unique")).as("exact_dup_docs"),
               col("ngram_clusters"), col("clustered_docs"), col("dropped"),

@@ -352,6 +352,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(f.getLong(6) == survivors && f.getLong(5) == nDocs - survivors)
   }
 
+  test("dedup_funnel: dedup-CLEAN corpus reports 0 dropped, not NULL") {
+    // no shared 3-grams at all -> empty pair graph -> the sum() over
+    // zero CC rows must coalesce to 0 (and survivors to n_docs)
+    val dir = mkDocs(Seq(
+      (1L, "a1 a2 a3 a4 a5", "en"),
+      (2L, "b1 b2 b3 b4 b5", "en"),
+      (3L, "c1 c2 c3 c4 c5", "en")
+    ), java.nio.file.Files.createTempDirectory("cleanfunnel").toString)
+    val f = PipelineOps.q_dedup_funnel(spark, dir).collect().head
+    assert(!f.isNullAt(5) && !f.isNullAt(6), s"NULL funnel row: $f")
+    assert(f.getLong(0) == 3 && f.getLong(1) == 3 && f.getLong(2) == 0 &&
+           f.getLong(3) == 0 && f.getLong(4) == 0 && f.getLong(5) == 0 &&
+           f.getLong(6) == 3, f.toString)
+  }
+
   test("embed_stats: per-dim profile equals a driver-side reference") {
     val got = HashOps.q_embed_stats(spark, sf).collect()
     val vecs = Tables.embeddings(spark, sf)
