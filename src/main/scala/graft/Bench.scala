@@ -22,9 +22,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // "value" LAST: the driver's artifact capture keeps only the tail
-    // of this line, so the headline total must sit after the ~128
+    // of this line, so the headline total must sit after the ~137
     // per-query entries to survive truncation (round-8 verdict #5)
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
+    // second COMPACT line (round-9 verdict #4): total + the 20 slowest
+    // queries, ~700 chars — guaranteed to fit any 2,000-char artifact
+    // tail even when the full per-query line above is truncated
+    val slowest = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 100) / 100.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest20":$slowest,"value":$total}""")
     spark.stop()
   }
 }

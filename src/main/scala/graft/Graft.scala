@@ -943,15 +943,20 @@ object Graft {
     * denominators (n_spans) follow the chosen stride.
     *
     * Output: (id, n_spans, dup_spans, dup_permille) per document with
-    * ≥ 1 full span, `dup_permille` = floor(1000·dup/n) (integer —
-    * rule F). Scale shape: the span explode is row-local and LINEAR;
-    * the duplicate decision is ONE map-side-combinable groupBy on the
-    * span key (the classic shuffle-on-content-hash dedup join — at
-    * 100 TB swap the raw span text for a 128-bit hash of it as the
-    * join key and keep the text only for an optional verify pass);
-    * the mark-back is an equi-join against the (typically tiny,
-    * planner-broadcastable) duplicated span set; the per-doc rollup
-    * re-shuffles on the doc id. Never all-pairs, no driver state. */
+    * ≥ 1 full span, `dup_permille` = 1000·dup div n (pure INTEGER
+    * floor-division — rule F; a double divide inside floor() can
+    * cross the boundary once the numerator nears 2^53). Scale shape:
+    * the span explode is row-local and LINEAR; the duplicate decision
+    * is ONE map-side-combinable groupBy keyed on [[spanHash]] — a
+    * 128-bit hash pair computed row-locally, so the shuffle carries
+    * 16 bytes per span instead of `spanTokens` tokens of text (the
+    * classic shuffle-on-content-hash dedup join; at ~10¹³ spans a
+    * single 64-bit key would see birthday collisions, the pair makes
+    * them negligible, and a paranoid pipeline can re-verify survivors
+    * against text in a second pass); the mark-back is an equi-join
+    * against the (typically tiny, planner-broadcastable) duplicated
+    * span set; the per-doc rollup re-shuffles on the doc id. Never
+    * all-pairs, no driver state. */
   def duplicatedSpanStats(docs: DataFrame, id: Column, text: Column,
                           spanTokens: Int = 16,
                           stride: Int = 0): DataFrame = {
@@ -964,17 +969,28 @@ object Graft {
       .filter(size(col("t")) >= spanTokens)
       .select(col("id"),
               explode(tokenSpans(col("t"), spanTokens, st)).as("span"))
-    val dup = spans.groupBy("span")
+      .select(col("id") +: spanHash(col("span")): _*)
+    val dup = spans.groupBy("h1", "h2")
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("span"), lit(1).as("is_dup"))
-    spans.join(dup, Seq("span"), "left")
+      .select(col("h1"), col("h2"), lit(1).as("is_dup"))
+    spans.join(dup, Seq("h1", "h2"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_spans"),
            count(col("is_dup")).as("dup_spans"))
       .select(col("id"), col("n_spans"), col("dup_spans"),
-              floor(col("dup_spans") * 1000 / col("n_spans")).as("dup_permille"))
+              expr("dup_spans * 1000L div n_spans").as("dup_permille"))
   }
+
+  /** The 128-bit span shuffle key shared by [[duplicatedSpanStats]]
+    * and PipelineOps.q_span_drop — ONE definition so the accounting
+    * and removal stages group by the identical key. Two independent
+    * xxhash64 lanes: the salt lit sits FIRST in the second lane so it
+    * re-seeds the hash (`xxhash64(span, salt)` would chain — h2 would
+    * be a pure function of h1 and add zero collision resistance).
+    * Row-local, codegen'd; 16 bytes shuffle instead of span text. */
+  def spanHash(span: Column): Seq[Column] =
+    Seq(xxhash64(span).as("h1"), xxhash64(lit(1L), span).as("h2"))
 
   /** Deterministic Poisson/PPS sample (probability proportional to
     * size — classic survey sampling, Hájek/Horvitz–Thompson): keeps
@@ -1505,21 +1521,14 @@ object Graft {
   def nearDupPairsNgram(docs: DataFrame, id: Column, text: Column,
                         thresholdPermille: Int = 800, n: Int = 3,
                         maxBucket: Int = 1024,
-                        maxGramDocFreq: Int = Int.MaxValue): DataFrame = {
+                        maxGramDocFreq: Int = Int.MaxValue,
+                        gramDf: Option[DataFrame] = None): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
     require(maxGramDocFreq >= 1, s"maxGramDocFreq must be >= 1, got $maxGramDocFreq")
     val p = thresholdPermille
-    val t = split(text, " ")
-    val allGrams = docs
-      .select(id.cast("long").as("doc_id"), t.as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("doc_id"),
-              explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
-    val grams = dropHotBuckets(allGrams, Seq("gram"), maxGramDocFreq)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val sized = grams.join(broadcast(sizes), "doc_id")
+    val sized = sizedGrams(docs, id, text, n, maxGramDocFreq, gramDf)
     operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
       .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
               col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
@@ -1529,6 +1538,63 @@ object Graft {
       .filter(col("common") * (1000 + p) >= (col("na") + col("nb")) * p)
       .select(col("doc_a"), col("doc_b"),
               round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
+  }
+
+  /** The (doc_id, n_grams, gram) exploded-and-sized inverted-index
+    * input shared by [[nearDupPairsNgram]] and
+    * [[containmentPairsNgram]]. UNCAPPED, `n_grams` is ROW-LOCAL —
+    * size(array_distinct(ngrams)) computed before the explode, so the
+    * per-doc sizes need NO aggregate and NO join at all (the previous
+    * shape group-by-counted the exploded grams and broadcast-joined a
+    * one-row-per-doc table back — a per-doc-scale broadcast that
+    * could not fit at 100 TB). With the lossy stop-gram cap engaged
+    * the post-drop sizes genuinely require a recount; that recount
+    * round-trips through [[TempTables.materialize]] so the planner
+    * sees FILE stats and broadcasts it only when it truly is small.
+    * `gramDf`: optional precomputed (gram, gdf) document-frequency
+    * table for the SAME (docs, n) — the write-once warehouse sharing
+    * shape (PipelineOps caches one per sf dir); when absent and the
+    * cap is engaged, the df pass runs inline. */
+  private def sizedGrams(docs: DataFrame, id: Column, text: Column, n: Int,
+                         maxGramDocFreq: Int,
+                         gramDf: Option[DataFrame]): DataFrame = {
+    val t = split(text, " ")
+    val allGrams = docs
+      .select(id.cast("long").as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+              array_distinct(functions.TokenNGrams.ngrams(col("t"), n)).as("ga"))
+      .select(col("doc_id"), size(col("ga")).cast("long").as("n_grams"),
+              explode(col("ga")).as("gram"))
+    if (maxGramDocFreq == Int.MaxValue) allGrams
+    else {
+      val hot = gramDf
+        .map(_.filter(col("gdf") > maxGramDocFreq).select("gram"))
+        .getOrElse(allGrams.groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxGramDocFreq).select("gram"))
+      val kept = allGrams.drop("n_grams").join(broadcast(hot), Seq("gram"), "left_anti")
+      val sizes = TempTables.materialize(
+        kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams")), "ngram_sizes")
+      kept.join(sizes, "doc_id").select("doc_id", "n_grams", "gram")
+    }
+  }
+
+  /** Per-gram document frequency (gram, gdf) over the distinct
+    * word-n-grams of a corpus — the table the whole n-gram family
+    * prices candidates with ([[jaccardJoinPrefix]]'s rarity order,
+    * the stop-gram hot list of the capped facades). Public so a
+    * pipeline can compute it ONCE, write it to the warehouse, and
+    * hand it to every consumer (PipelineOps does exactly that via
+    * TempTables.cached per sf dir). One map-side-combinable groupBy;
+    * output is vocab-scale metadata. */
+  def gramDocFreq(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = split(text, " ")
+    docs.select(id.cast("long").as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+              explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
   }
 
   /** The span-cutting expression shared by [[duplicatedSpanStats]]
@@ -1570,25 +1636,19 @@ object Graft {
     * capped grams leave the universe before anything quadratic).
     * Output: (doc_a, doc_b, na, nb, common, containment_permille) at
     * containment ≥ thresholdPermille/1000 — all-integer (rule F),
-    * permille = floor(1000·common / min(na, nb)). */
+    * permille = 1000·common div min(na, nb) (pure integer floor-div,
+    * immune to the IEEE boundary-crossing a double divide risks). */
   def containmentPairsNgram(docs: DataFrame, id: Column, text: Column,
                             thresholdPermille: Int = 800, n: Int = 3,
                             maxBucket: Int = 1024,
-                            maxGramDocFreq: Int = Int.MaxValue): DataFrame = {
+                            maxGramDocFreq: Int = Int.MaxValue,
+                            gramDf: Option[DataFrame] = None): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
     require(maxGramDocFreq >= 1, s"maxGramDocFreq must be >= 1, got $maxGramDocFreq")
     val p = thresholdPermille
-    val t = split(text, " ")
-    val allGrams = docs
-      .select(id.cast("long").as("doc_id"), t.as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("doc_id"),
-              explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
-    val grams = dropHotBuckets(allGrams, Seq("gram"), maxGramDocFreq)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val sized = grams.join(broadcast(sizes), "doc_id")
+    val sized = sizedGrams(docs, id, text, n, maxGramDocFreq, gramDf)
     operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
       .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
               col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
@@ -1596,8 +1656,7 @@ object Graft {
       .agg(count(lit(1)).as("common"))
       .filter(col("common") * 1000 >= least(col("na"), col("nb")) * p)
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("common"),
-              floor(col("common") * 1000 / least(col("na"), col("nb")))
-                .as("containment_permille"))
+              expr("common * 1000L div least(na, nb)").as("containment_permille"))
   }
 
   /** Sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM) — the
@@ -1678,25 +1737,36 @@ object Graft {
     require(n >= 1, s"n must be >= 1, got $n")
     require(maxGramDocFreq >= 1, s"maxGramDocFreq must be >= 1, got $maxGramDocFreq")
     val p = thresholdPermille
-    def gramsOf(df: DataFrame, id: Column, text: Column, idName: String): DataFrame = {
+    // per-side sizes are ROW-LOCAL (size of the distinct-gram array
+    // before the explode) — no per-doc aggregate, no per-doc-scale
+    // broadcast join (which could not fit at 100 TB); only the capped
+    // path genuinely recounts, through a parquet round-trip so the
+    // planner broadcasts the recount only if it truly is small
+    def gramsOf(df: DataFrame, id: Column, text: Column,
+                idName: String, szName: String): DataFrame = {
       val t = split(text, " ")
       df.select(id.cast("long").as(idName), t.as("t"))
         .filter(size(col("t")) >= n)
         .select(col(idName),
-                explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
+                array_distinct(functions.TokenNGrams.ngrams(col("t"), n)).as("ga"))
+        .select(col(idName), size(col("ga")).cast("long").as(szName),
+                explode(col("ga")).as("gram"))
     }
-    val cg0 = gramsOf(corpus, corpusId, corpusText, "doc_a")
-    val ng0 = gramsOf(newDocs, newId, newText, "doc_b")
-    val (cg, ng) =
+    val cg0 = gramsOf(corpus, corpusId, corpusText, "doc_a", "na")
+    val ng0 = gramsOf(newDocs, newId, newText, "doc_b", "nb")
+    val (cSized, nSized) =
       if (maxGramDocFreq == Int.MaxValue) (cg0, ng0)
       else {
         val hot = cg0.groupBy("gram").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxGramDocFreq).select("gram")
-        (cg0.join(broadcast(hot), Seq("gram"), "left_anti"),
-         ng0.join(broadcast(hot), Seq("gram"), "left_anti"))
+        def recount(df: DataFrame, idName: String, szName: String) = {
+          val kept = df.drop(szName).join(broadcast(hot), Seq("gram"), "left_anti")
+          val sizes = TempTables.materialize(
+            kept.groupBy(idName).agg(count(lit(1)).as(szName)), "ngram_sizes")
+          kept.join(sizes, idName).select(idName, szName, "gram")
+        }
+        (recount(cg0, "doc_a", "na"), recount(ng0, "doc_b", "nb"))
       }
-    val cSized = cg.join(broadcast(cg.groupBy("doc_a").agg(count(lit(1)).as("na"))), "doc_a")
-    val nSized = ng.join(broadcast(ng.groupBy("doc_b").agg(count(lit(1)).as("nb"))), "doc_b")
     operators.SkewJoin.blockedBipartiteJoin(cSized, "doc_a", nSized, Seq("gram"), maxBucket)
       .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
       .groupBy("doc_a", "doc_b", "na", "nb")
@@ -1734,7 +1804,8 @@ object Graft {
     * have no n-gram and never pair. */
   def jaccardJoinPrefix(docs: DataFrame, id: Column, text: Column,
                         thresholdPermille: Int = 800, n: Int = 3,
-                        maxBucket: Int = 1024): DataFrame = {
+                        maxBucket: Int = 1024,
+                        gramDf: Option[DataFrame] = None): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
@@ -1745,7 +1816,12 @@ object Graft {
       .filter(size(col("t")) >= n)
       .select(col("doc_id"),
               explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
-    val rarity = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    // `gramDf`: the shared [[gramDocFreq]] table for the SAME
+    // (docs, n) — hands the rarity order to this facade for free and
+    // saves the second full gram scan (PipelineOps caches one per sf
+    // dir and feeds it to the whole n-gram family); when absent the
+    // df pass runs inline as before
+    val rarity = gramDf.getOrElse(grams.groupBy("gram").agg(count(lit(1)).as("gdf")))
     // ONE per-doc aggregate carries the rarity-SORTED gram array (the
     // struct sort on (gdf, gram) is the same total order the old
     // per-doc window ranked by), the set size, and the prefix slice —
@@ -1789,9 +1865,10 @@ object Graft {
   }
 
   /** Drops every `keyCols` bucket holding more than `cap` rows — the
-    * shared LOSSY hot-bucket remedy of the near-dup candidate joins
-    * (stop-gram cap for the inverted index, dense-band cap for the
-    * LSH joins). One map-side-combined count pass finds the hot keys;
+    * LOSSY dense-band cap of the LSH candidate joins (the inverted
+    * index's stop-gram cap lives in [[sizedGrams]], which must also
+    * recount per-doc sizes after the drop and can reuse a shared
+    * [[gramDocFreq]] table). One map-side-combined count pass finds the hot keys;
     * only keys ABOVE the cap ship (Zipf-bounded metadata) and the
     * input streams out through a broadcast anti-join.
     * `cap == Int.MaxValue` is the zero-cost identity. */

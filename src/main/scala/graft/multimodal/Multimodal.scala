@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * so per-batch setup like codec init happens once per partition, not
   * per row).
   *
-  * The DECODE STEP IS A STUB: this container ships no image/audio
-  * codecs, so [[Multimodal.decodeStub]] substitutes a deterministic
-  * fake (16-bin byte histogram). Everything around it — the schema,
-  * the partition-batched execution, frame sampling, resize, feature
-  * extraction signatures — is the real Spark-side plumbing a
-  * production pipeline would keep while swapping the stub for a codec.
+  * The IMAGE decode is REAL: payloads that carry a decodable image
+  * (BMP/PNG/anything the pure-JDK `javax.imageio` registry reads) go
+  * through [[Multimodal.decodeImage]] — actual pixel decode, 16-bin
+  * luminance histogram. Audio/video decode remains the documented
+  * STUB ([[Multimodal.decodeStub]], a deterministic 16-bin byte
+  * histogram): this container ships no audio/video codecs. The
+  * routing is per-row inside the same partition-batched stage, so
+  * the Spark-side plumbing — schema, batch shape, fallback on
+  * undecodable payloads — is exactly what a production pipeline
+  * keeps while swapping the remaining stub for real codecs.
   */
 object Multimodal {
 
@@ -28,13 +32,94 @@ object Multimodal {
                            histogram: Array[Long], frames_sampled: Int,
                            checksum: Long)
 
-  /** STUB — stands in for a codec decode (e.g. JPEG → pixel array).
-    * Deterministic: 16-bin histogram over payload bytes. */
+  /** STUB — stands in for the AUDIO/VIDEO codec decode (no such
+    * codecs ship in this container; images decode for real via
+    * [[decodeImage]]). Deterministic: 16-bin histogram over payload
+    * bytes. */
   def decodeStub(payload: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](16)
     var i = 0
     while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1L; i += 1 }
     hist
+  }
+
+  /** Cheap magic-byte gate so the per-row decode attempt touches only
+    * payloads that can possibly be images (BMP "BM", PNG signature) —
+    * at 100 TB you do not hand every text-shaped payload to a codec
+    * registry scan just to learn it is not an image. */
+  def looksLikeImage(p: Array[Byte]): Boolean =
+    (p.length > 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) ||
+    (p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte &&
+      p(2) == 'N'.toByte && p(3) == 'G'.toByte)
+
+  /** REAL image decode — pure JDK (`javax.imageio`, no external
+    * codec): parses the payload as an actual image (BMP/PNG/GIF —
+    * whatever the JDK registry reads) and histograms the DECODED
+    * PIXELS' luminance ((r+g+b)/3, 16 bins) — so the histogram sums
+    * to the pixel count, not the byte count, which is how a caller
+    * (and MultimodalSpec) can tell the real decode ran and not the
+    * byte-histogram stub. Returns None for payloads that are not a
+    * decodable image (wrong magic, truncated, corrupt) — the caller
+    * falls back to the stub, the production shape for a dirty corpus
+    * where a "jpg" column is 0.1% garbage. */
+  def decodeImage(payload: Array[Byte]): Option[Array[Long]] =
+    if (!looksLikeImage(payload)) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val hist = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              hist(lum >> 4) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          Some(hist)
+        }
+      } catch { case _: java.io.IOException => None }
+
+  /** Deterministic 24-bit uncompressed BMP encoder (pure JDK, no
+    * codec): `rgb` is row-major top-down 0xRRGGBB. Exists so tests
+    * and demo pipelines can synthesize REAL decodable image payloads
+    * from document bytes — the encode half of the decode path's
+    * round-trip proof. */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    require(rgb.length == width * height,
+      s"rgb length ${rgb.length} != ${width * height}")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataSize)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // BMP rows are stored bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val c = rgb(y * width + x)
+        buf.put((c & 0xff).toByte)
+          .put(((c >> 8) & 0xff).toByte)
+          .put(((c >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
   }
 
   /** Frame sampling: treat the payload as fixed-size frames, keep every
@@ -63,7 +148,12 @@ object Multimodal {
       // pipeline this is codec/context initialization
       rows.map { r =>
         val frames = sampleFrames(r.payload, frameSize, stride)
-        val hist = decodeStub(r.payload)
+        // images decode for REAL (pixel luminance histogram via the
+        // pure-JDK codec); undecodable payloads and audio/video fall
+        // back to the byte-histogram stub
+        val hist =
+          if (r.kind == "image") decodeImage(r.payload).getOrElse(decodeStub(r.payload))
+          else decodeStub(r.payload)
         MediaFeatures(r.media_id, r.kind, r.payload.length, hist,
                       frames.length,
                       java.util.Arrays.hashCode(r.payload).toLong)

@@ -72,10 +72,12 @@ object MediaOps {
     * count, duplicate count, raw byte total and the bytes a
     * dedup-by-hash store saves. All integers (rule I).
     *
-    * MD5 is the cross-engine-portable content key (Spark `md5(binary)`
-    * ≡ DuckDB `md5(text)` because the payload IS the UTF-8 bytes of
-    * the pure-ASCII text — the q_media_stats oracle gates on that
-    * purity); at 100 TB the same hash IS the storage key, and the
+    * MD5 is the cross-engine-portable content key: Spark `md5(binary)`
+    * ≡ DuckDB `md5(text)` for ANY UTF-8 text, because casting a string
+    * to binary yields exactly the UTF-8 bytes DuckDB's md5 also hashes
+    * (no ASCII-purity requirement — that gate belongs to q_media_stats'
+    * char≡byte count identity, not to this digest);
+    * at 100 TB the same hash IS the storage key, and the
     * grouping shuffles 16-byte digests + int lengths, never payloads.
     *
     * Scale shape: one scan → per-(kind, digest) map-side-combinable

@@ -30,6 +30,21 @@ object PipelineOps {
       graft.Graft.nearDupPairsNgram(Tables.documents(s, d),
         col("doc_id"), col("text"), thresholdPermille = 800, n = 3))
 
+  /** The word-3-gram document-frequency table (gram, gdf) over
+    * documents — [[graft.Graft.gramDocFreq]] computed ONCE per
+    * (session, sfDir) and shared by every n-gram-family consumer that
+    * prices grams by rarity: [[q_jaccard_prefix]]'s prefix order and
+    * [[q_dedup_ngram_capped]]'s stop-gram hot list both read this one
+    * vocab-scale parquet table instead of re-aggregating the full
+    * gram explode (the write-the-df-table-once warehouse shape; at
+    * sf0.1 it saved q_jaccard_prefix its second-most-expensive
+    * subtree). Temp parquet so the rarity join keeps file stats and
+    * broadcasts when small. */
+  private def gramDfTable(s: SparkSession, d: String): DataFrame =
+    graft.TempTables.cached(s, s"gram_df:$d")(
+      graft.Graft.gramDocFreq(Tables.documents(s, d),
+        col("doc_id"), col("text"), n = 3))
+
   /** Component labels over [[ngramPairGraph]], computed ONCE per
     * (session, sfDir) and shared by [[q_dedup_cluster]] (membership
     * accounting) and [[q_dedup_drop]] (removal) — the "write the
@@ -66,7 +81,8 @@ object PipelineOps {
     * what the cap is), so the oracle applies the same cap in SQL. */
   def q_dedup_ngram_capped(s: SparkSession, d: String): DataFrame =
     graft.Graft.nearDupPairsNgram(Tables.documents(s, d),
-        col("doc_id"), col("text"), maxGramDocFreq = 5)
+        col("doc_id"), col("text"), maxGramDocFreq = 5,
+        gramDf = Some(gramDfTable(s, d)))
       .orderBy("doc_a", "doc_b")
 
   /** EXACT prefix-filtered Jaccard pairs (AllPairs/PPJoin prefix
@@ -83,7 +99,8 @@ object PipelineOps {
     * sort last in rarity order and never enter a prefix). */
   def q_jaccard_prefix(s: SparkSession, d: String): DataFrame =
     graft.Graft.jaccardJoinPrefix(Tables.documents(s, d),
-        col("doc_id"), col("text"), thresholdPermille = 700)
+        col("doc_id"), col("text"), thresholdPermille = 700,
+        gramDf = Some(gramDfTable(s, d)))
       .orderBy("doc_a", "doc_b")
 
   /** Sorted-neighborhood near-dup pairs (added round 8): order docs
@@ -311,7 +328,10 @@ object PipelineOps {
     * map-side-combinable span groupBy (min-key + distinct-doc count),
     * dup-owner set broadcast back, per-doc rollup. The keep-first rule
     * needs no sort and no window — ownership is a single min
-    * aggregate. */
+    * aggregate. The groupBy/join key is [[graft.Graft.spanHash]]'s
+    * 128-bit hash pair, not the span text — 16 bytes per span cross
+    * the wire instead of 16 tokens (the 100 TB shuffle shape; the
+    * pair keeps birthday collisions negligible at ~10¹³ spans). */
   def q_span_drop(s: SparkSession, d: String): DataFrame = {
     val spanT = 16
     val t = split(col("text"), " ")
@@ -330,15 +350,17 @@ object PipelineOps {
               posexplode(graft.Graft.tokenSpans(col("t"), spanT, spanT)))
       .withColumnRenamed("pos", "span_idx")
       .withColumnRenamed("col", "span")
-    val dup = spans.groupBy("span")
+      .select(Seq(col("doc_id"), col("n_tok"), col("span_idx")) ++
+              graft.Graft.spanHash(col("span")): _*)
+    val dup = spans.groupBy("h1", "h2")
       .agg(min(col("doc_id") * 1000000L + safeIdx).as("owner_key"),
            count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select("span", "owner_key")
+      .select("h1", "h2", "owner_key")
     val kept = when(col("owner_key").isNull ||
                     col("doc_id") * 1000000L + col("span_idx") === col("owner_key"),
                     1L).otherwise(0L)
-    spans.join(dup, Seq("span"), "left")
+    spans.join(dup, Seq("h1", "h2"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
            sum(kept).as("kept_spans"),

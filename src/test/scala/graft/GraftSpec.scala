@@ -1584,6 +1584,54 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("duplicatedSpanStats: 128-bit hash key ≡ raw-text key on the real corpus") {
+    // the facade shuffles spanHash's (h1, h2) pair, never span text
+    // (the 100 TB shuffle shape); this replica groups by the RAW text
+    // — identical output proves the key swap is semantics-free here
+    val docs = Tables.documents(spark, sf)
+    val t = split($"text", " ")
+    val spans = docs.select($"doc_id".as("id"), t.as("t"))
+      .filter(size($"t") >= 16)
+      .select($"id", explode(Graft.tokenSpans($"t", 16, 16)).as("span"))
+    val dup = spans.groupBy("span").agg(count_distinct($"id").as("nd"))
+      .filter($"nd" >= 2).select($"span", lit(1).as("is_dup"))
+    val textKeyed = spans.join(dup, Seq("span"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"), count($"is_dup").as("dup_spans"))
+      .select($"id", $"n_spans", $"dup_spans",
+              expr("dup_spans * 1000L div n_spans").as("dup_permille"))
+    val got = Graft.duplicatedSpanStats(docs, $"doc_id", $"text", 16)
+    assert(got.count() > 0)
+    assert(rows(got.orderBy("id")) == rows(textKeyed.orderBy("id")))
+    // and the second hash lane must be the SALT-FIRST re-seeded form,
+    // not the chained xxhash64(span, salt): chaining makes h2 a pure
+    // function of h1 (h2 = H(salt, h1)) — zero added collision
+    // resistance. Distinguish the two constructions directly: on real
+    // spans the re-seeded lane disagrees with the chained form
+    // everywhere (equality only at 2^-64 per row).
+    val probe = spans.select(
+      Graft.spanHash($"span") :+ xxhash64($"span", lit(1L)).as("chained"): _*)
+    assert(probe.filter($"h2" === $"chained").count() == 0,
+      "h2 matches the chained construction — it adds no collision resistance")
+  }
+
+  test("jaccardJoinPrefix / capped ngram: shared gramDf table is pair-identical") {
+    val docs = Tables.documents(spark, sf)
+    val df = Graft.gramDocFreq(docs, $"doc_id", $"text", n = 3)
+    val inlinePrefix = Graft.jaccardJoinPrefix(docs, $"doc_id", $"text", 700)
+    val sharedPrefix = Graft.jaccardJoinPrefix(docs, $"doc_id", $"text", 700,
+      gramDf = Some(df))
+    assert(inlinePrefix.count() > 0)
+    assert(rows(inlinePrefix.orderBy("doc_a", "doc_b")) ==
+           rows(sharedPrefix.orderBy("doc_a", "doc_b")))
+    val inlineCapped = Graft.nearDupPairsNgram(docs, $"doc_id", $"text",
+      maxGramDocFreq = 5)
+    val sharedCapped = Graft.nearDupPairsNgram(docs, $"doc_id", $"text",
+      maxGramDocFreq = 5, gramDf = Some(df))
+    assert(rows(inlineCapped.orderBy("doc_a", "doc_b")) ==
+           rows(sharedCapped.orderBy("doc_a", "doc_b")))
+  }
+
   test("containmentPairsNgram maxGramDocFreq: capped grams leave the universe") {
     val inner = (1 to 8).map(i => s"c_$i").mkString(" ")
     // three docs all containing `inner` verbatim -> its 6 grams have

@@ -108,6 +108,42 @@ class PlanGuardSpec extends SparkSpecBase {
     }
   }
 
+  // round-10 verdict #5: the planned SHUFFLE count of the suite's
+  // most expensive queries is part of their performance contract —
+  // a refactor that silently adds an exchange (a lost broadcast, an
+  // extra aggregate pass, a stats regression) goes red HERE, not on
+  // the cluster. Counts are for the DECLARED plan (sparkPlan, pre-AQE;
+  // broadcast exchanges excluded — they are the cheap kind); the
+  // one-time TempTables builds behind the parquet reads carry their
+  // own shuffles and are priced by the bench, not this pin.
+  // measured 2026-08-14 at the round-10 HEAD over the PREPARED plan
+  // (executedPlan with AQE off — sparkPlan predates EnsureRequirements
+  // and would miss every planner-inserted exchange): the declared
+  // plans are lean because the heavy shared subtrees (pair graph, CC
+  // labels, docGrams, edge table, rank state) are parquet tables
+  // whose builds price their own shuffles once, in the bench
+  private val exchangeBudget = Map(
+    "q_jaccard_prefix" -> 5,
+    "q_dedup_ngram" -> 1,
+    "q_dedup_contain" -> 5,
+    "q_triangle_count" -> 8,
+    "q_pagerank" -> 3)
+
+  test("exchange-count budgets hold for the expensive queries") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val actual = exchangeBudget.keys.map { name =>
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+        name -> plan.collect { case e: ShuffleExchangeExec => e }.size
+      }.toMap
+      assert(actual == exchangeBudget,
+        s"shuffle-count drift — re-audit the plan before re-pinning: $actual")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("unpartitioned windows only where semantics are inherently global") {
     // structural, not textual: a WindowExec with an empty partitionSpec
     // moves ALL rows to one task (the earlier string heuristic
