@@ -982,15 +982,96 @@ object Graft {
               expr("dup_spans * 1000L div n_spans").as("dup_permille"))
   }
 
-  /** The 128-bit span shuffle key shared by [[duplicatedSpanStats]]
-    * and PipelineOps.q_span_drop — ONE definition so the accounting
-    * and removal stages group by the identical key. Two independent
-    * xxhash64 lanes: the salt lit sits FIRST in the second lane so it
-    * re-seeds the hash (`xxhash64(span, salt)` would chain — h2 would
-    * be a pure function of h1 and add zero collision resistance).
-    * Row-local, codegen'd; 16 bytes shuffle instead of span text. */
+  /** The 128-bit span shuffle key shared by [[duplicatedSpanStats]],
+    * [[spanContamination]] and PipelineOps.q_span_drop — ONE
+    * definition so the accounting, decontamination and removal stages
+    * group by the identical key. Two independent xxhash64 lanes: the
+    * salt lit sits FIRST in the second lane so it re-seeds the hash
+    * (`xxhash64(span, salt)` would chain — h2 would be a pure
+    * function of h1 and add zero collision resistance). Row-local,
+    * codegen'd; 16 bytes shuffle instead of span text. */
   def spanHash(span: Column): Seq[Column] =
     Seq(xxhash64(span).as("h1"), xxhash64(lit(1L), span).as("h2"))
+
+  /** SPAN-level eval-set decontamination — the exact-substring
+    * sibling of the n-gram-overlap contamination check: a corpus
+    * document is span-contaminated iff it shares a verbatim
+    * `spanTokens`-token span (disjoint cut, [[tokenSpans]] — the
+    * q_span_dedup contract) with an eval document. N-gram overlap
+    * catches paraphrase-adjacent leakage; a 16-token verbatim span is
+    * the smoking-gun "the benchmark text itself is in the training
+    * set" signal (the Lee-et-al-2022 substring regime applied to
+    * train/eval instead of train/train).
+    *
+    * Output: ONE row per eval doc with ≥ 1 full span — (eval_id,
+    * n_eval_spans, n_contaminated = corpus docs sharing ≥ 1 span,
+    * hit_spans = corpus span INSTANCES matching) — zeros when clean,
+    * so a clean corpus yields an explicit all-clear report, not an
+    * empty relation. Eval spans are de-duplicated per eval doc
+    * (repetition inside an eval doc must not double-count a hit).
+    *
+    * Scale shape: both sides cut row-locally and keyed by
+    * [[spanHash]]'s 128-bit pair (span text never shuffles); the eval
+    * side is tiny BY DEFINITION (an eval set, not a corpus) and is
+    * broadcast, so the corpus side streams map-side with NO shuffle
+    * of corpus spans at all — the per-eval rollup moves only
+    * (eval_id, counts) metadata. */
+  def spanContamination(docs: DataFrame, id: Column, text: Column,
+                        isEval: Column, spanTokens: Int = 16): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val t = split(text, " ")
+    val spans = docs
+      .select(id.as("id"), isEval.as("is_eval"), t.as("t"))
+      .filter(size(col("t")) >= spanTokens)
+      .select(col("id"), col("is_eval"),
+              explode(tokenSpans(col("t"), spanTokens, spanTokens)).as("span"))
+      .select(Seq(col("id"), col("is_eval")) ++ spanHash(col("span")): _*)
+    val evalSpans = spans.filter(col("is_eval"))
+      .select(col("id").as("eval_id"), col("h1"), col("h2")).distinct()
+    val evalSizes = evalSpans.groupBy("eval_id")
+      .agg(count(lit(1)).as("n_eval_spans"))
+    val hits = spans.filter(!col("is_eval"))
+      .join(broadcast(evalSpans), Seq("h1", "h2"))
+      .groupBy("eval_id")
+      .agg(count_distinct(col("id")).as("n_contaminated"),
+           count(lit(1)).as("hit_spans"))
+    evalSizes.join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_eval_spans"),
+              coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+              coalesce(col("hit_spans"), lit(0L)).as("hit_spans"))
+  }
+
+  /** Per-document n-gram NOVELTY — the inverse of boilerplate: the
+    * share of a document's distinct word-n-grams that occur NOWHERE
+    * else in the corpus (document frequency exactly 1). The standard
+    * curation signal next to dup-rate: high novelty = unique content
+    * worth keeping, near-zero novelty = assembled from corpus-common
+    * fragments even when no single pair-level duplicate exists (which
+    * is why it complements, not duplicates, the pair facades).
+    *
+    * Output: (doc_id, n_grams, novel_grams, novelty_permille =
+    * 1000·novel div n — pure integer floor-div, rule F) per doc with
+    * ≥ 1 n-gram. `gramDf`: the shared [[gramDocFreq]] table for the
+    * SAME (docs, n) — when passed (PipelineOps hands it the cached
+    * per-sfDir parquet table) the corpus-wide df aggregate is a
+    * vocab-scale file read and the join broadcasts off real stats.
+    *
+    * Scale shape: row-local distinct-gram explode with row-local
+    * sizes ([[sizedGrams]] uncapped — no per-doc aggregate), one join
+    * against the vocab-scale df table, one per-doc rollup. Never
+    * all-pairs; the only corpus-scale shuffle is the per-doc rollup
+    * on the doc id. */
+  def ngramNovelty(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+                   gramDf: Option[DataFrame] = None): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = sizedGrams(docs, id, text, n, Int.MaxValue, None)
+    val df = gramDf.getOrElse(gramDocFreq(docs, id, text, n))
+    grams.join(df, "gram")
+      .groupBy("doc_id", "n_grams")
+      .agg(sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+              expr("novel_grams * 1000L div n_grams").as("novelty_permille"))
+  }
 
   /** Deterministic Poisson/PPS sample (probability proportional to
     * size — classic survey sampling, Hájek/Horvitz–Thompson): keeps

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, MediaOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 137 query ids; 129 with DuckDB oracles. The
+  * and §3.1 (entry points). 141 query ids; 133 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -115,6 +115,7 @@ object SparkEntry {
     "q_pipeline_layout" -> PipelineOps.q_pipeline_layout _,
     "q_media_stats"    -> MediaOps.q_media_stats _,
     "q_media_dedup"    -> MediaOps.q_media_dedup _,
+    "q_media_decode"   -> MediaOps.q_media_decode _,
     "q_dedup_simhash"  -> HashOps.q_dedup_simhash _,
     "q_doc_fingerprint" -> HashOps.q_doc_fingerprint _,
     "q_dedup_embed"    -> HashOps.q_dedup_embed _,
@@ -141,6 +142,9 @@ object SparkEntry {
     "q_repetition"     -> PipelineOps.q_repetition _,
     "q_mixture_sample" -> PipelineOps.q_mixture_sample _,
     "q_contamination"  -> PipelineOps.q_contamination _,
+    "q_span_contamination" -> PipelineOps.q_span_contamination _,
+    "q_ngram_novelty"  -> PipelineOps.q_ngram_novelty _,
+    "q_boilerplate_grams" -> PipelineOps.q_boilerplate_grams _,
     // §2.10 event windows (batch forms)
     "q_tumbling_window" -> Events.q_tumbling_window _,
     "q_sliding_window"  -> Events.q_sliding_window _,

@@ -65,6 +65,50 @@ object MediaOps {
       .orderBy("kind")
   }
 
+  /** REAL image decode as an oracle-checked query (round 10): every
+    * document's UTF-8 bytes are rendered into a genuine width×1
+    * 24-bit BMP (one GRAY pixel per byte — `Multimodal.encodeBmp`,
+    * pure JDK), pushed through the partition-batched extraction, and
+    * DECODED BACK by `javax.imageio` inside
+    * [[graft.multimodal.Multimodal.decodeImage]]: the emitted counts
+    * are sums over the decoded PIXEL-luminance histogram, not over
+    * payload bytes (a stubbed byte histogram over the BMP would count
+    * the 54-byte header + row padding and fail the oracle). Gray
+    * pixels make luminance ≡ byte value, so the oracle can verify the
+    * whole encode→decode→histogram loop from first principles with
+    * character-class arithmetic on the TEXT — completely blind to
+    * BMP, ImageIO and the Scala histogram.
+    *
+    * Output per doc: n_pixels (decoded pixel count), sep_pixels
+    * (luminance 0x20–0x2F — bin 2: space/punctuation), lo_alpha
+    * (0x60–0x6F — bin 6: backtick, a–o), hi_alpha (0x70–0x7F —
+    * bin 7: p–z and beyond). All integers (rule I).
+    *
+    * Scale shape: one scan → row-local encode + decode inside ONE
+    * `mapPartitions` batch (codec init amortized per partition; no
+    * shuffle — payloads never cross the wire) → row-local histogram
+    * sums → the only exchange is the output sort. */
+  def q_media_decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= 1) // a 0-byte doc has no pixels to render
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val px = bytes.map { b => val v = b & 0xff; (v << 16) | (v << 8) | v }
+        Multimodal.MediaRow(id, "image",
+          Multimodal.encodeBmp(bytes.length, 1, px), bytes.length, 1, 0)
+      }
+    val pixelSum = aggregate(col("histogram"), lit(0L), (a, x) => a + x)
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id").as("doc_id"),
+              pixelSum.as("n_pixels"),
+              element_at(col("histogram"), 3).as("sep_pixels"),
+              element_at(col("histogram"), 7).as("lo_alpha"),
+              element_at(col("histogram"), 8).as("hi_alpha"))
+      .orderBy("doc_id")
+  }
+
   /** Exact media-asset dedup per kind — the content-addressed-storage
     * step of a multimodal ingest (identical images/clips re-uploaded
     * under different ids stored ONCE): assets grouped by the MD5 of

@@ -1089,6 +1089,65 @@ object Oracle {
         |WHERE common * 2 >= n_eval
         |GROUP BY s.eval_id ORDER BY s.eval_id""".stripMargin,
 
+    /** Span-level decontamination: the oracle cuts the SAME disjoint
+      * 16-token spans from text (list-slice arithmetic — blind to the
+      * Scala side's 128-bit hash keys and broadcast shape), dedups
+      * the eval side per eval doc, and left-joins so clean eval docs
+      * report explicit zeros. Rule I casts; eval_id unique (rule O). */
+    "q_span_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 16),
+        |spans AS (SELECT doc_id,
+        |          unnest(list_transform(generate_series(0, CAST(len(t) AS INT) // 16 - 1),
+        |                 i -> array_to_string(t[(i*16+1):(i*16+16)], ' '))) AS span
+        |          FROM toks),
+        |ev AS (SELECT DISTINCT doc_id AS eval_id, span FROM spans WHERE doc_id < 10),
+        |evsz AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_eval_spans
+        |         FROM ev GROUP BY eval_id),
+        |hits AS (SELECT e.eval_id,
+        |                CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_contaminated,
+        |                CAST(COUNT(*) AS BIGINT) AS hit_spans
+        |         FROM spans c JOIN ev e ON c.span = e.span
+        |         WHERE c.doc_id >= 10 GROUP BY e.eval_id)
+        |SELECT s.eval_id, s.n_eval_spans,
+        |       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |       CAST(COALESCE(h.hit_spans, 0) AS BIGINT) AS hit_spans
+        |FROM evsz s LEFT JOIN hits h ON s.eval_id = h.eval_id
+        |ORDER BY s.eval_id""".stripMargin,
+
+    /** Per-doc n-gram novelty: distinct grams with corpus df = 1,
+      * integer floor-div permille (rule F); blind to the Spark side's
+      * shared cached df table and row-local sizes. */
+    "q_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |          FROM toks),
+        |df AS (SELECT gram, COUNT(*) AS gdf FROM grams GROUP BY gram)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+        |       (CAST(SUM(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |         // CAST(COUNT(*) AS BIGINT) AS novelty_permille
+        |FROM grams g JOIN df d ON g.gram = d.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    /** Stop-gram report: top-25 grams by document frequency, tie
+      * broken by gram text (unique total order — rule O makes the
+      * LIMIT deterministic); integer floor-div df permille (rule F). */
+    "q_boilerplate_grams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |          FROM toks),
+        |df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS gdf FROM grams GROUP BY gram),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks)
+        |SELECT gram, gdf, (gdf * 1000) // n_docs AS df_permille
+        |FROM df, n ORDER BY gdf DESC, gram LIMIT 25""".stripMargin,
+
     "q_sample_det" ->
       """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < 100
@@ -1789,6 +1848,23 @@ object Oracle {
         |       CAST(SUM(frames_sampled) AS BIGINT) AS total_frames,
         |       CAST(SUM(sep) AS BIGINT) AS sep_bytes
         |FROM media GROUP BY kind ORDER BY kind""".stripMargin,
+
+    /** q_media_decode's oracle verifies the ENTIRE encode→ImageIO-
+      * decode→pixel-histogram loop from first principles: gray pixels
+      * make decoded luminance ≡ text byte value, so pixel counts per
+      * luminance class are character-class counts on the TEXT —
+      * n_pixels = UTF-8 byte count, bin 2 = [ -/] (0x20–0x2F), bin 6 =
+      * [\x60-\x6f], bin 7 = [\x70-\x7f]. If the Scala side had stubbed
+      * the decode (byte histogram over the BMP payload) every count
+      * would be off by the 54-byte header + row padding. Rule I casts;
+      * doc_id unique (rule O). */
+    "q_media_decode" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_pixels,
+        |       CAST(length(text) - length(regexp_replace(text, '[ -/]', '', 'g')) AS BIGINT) AS sep_pixels,
+        |       CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g')) AS BIGINT) AS lo_alpha,
+        |       CAST(length(text) - length(regexp_replace(text, '[\x70-\x7f]', '', 'g')) AS BIGINT) AS hi_alpha
+        |FROM documents WHERE length(text) >= 1 ORDER BY doc_id""".stripMargin,
 
     // exact media-asset dedup: content key = md5 — DuckDB md5(text)
     // hashes the string's UTF-8 bytes, Spark md5(payload) the binary

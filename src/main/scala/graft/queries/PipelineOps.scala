@@ -135,6 +135,58 @@ object PipelineOps {
       .select(col("doc_a"), col("doc_b"), col("edit_dist").cast("long").as("edit_dist"))
       .orderBy("doc_a", "doc_b")
 
+  /** Per-document word-3-gram NOVELTY (round 10) — share of a doc's
+    * distinct grams with corpus document frequency EXACTLY 1:
+    * [[graft.Graft.ngramNovelty]] on documents, fed the SHARED
+    * per-sfDir gram-df table ([[gramDfTable]] — third consumer after
+    * the prefix filter's rarity order and the stop-gram hot list), so
+    * the oracle verifies the public facade AND the sharing path. The
+    * curation signal complementing dup-rate: a doc can be pair-clean
+    * yet assembled entirely from corpus-common fragments (novelty ≈
+    * 0). Integer floor-div permille (rule F). */
+  def q_ngram_novelty(s: SparkSession, d: String): DataFrame =
+    graft.Graft.ngramNovelty(Tables.documents(s, d),
+        col("doc_id"), col("text"), n = 3,
+        gramDf = Some(gramDfTable(s, d)))
+      .orderBy("doc_id")
+
+  /** The corpus stop-gram report (round 10): top-25 word-3-grams by
+    * document frequency (ties broken by gram text — a unique total
+    * order, rule O) with integer floor-div df permille — the table an
+    * operator READS to pick `maxGramDocFreq` for the lossy capped
+    * dedup variants, now a first-class oracle-checked query over the
+    * same shared [[gramDfTable]] parquet (fourth consumer). Plan:
+    * vocab-scale file scan → TakeOrderedAndProject (per-partition
+    * top-k heaps, ≤ 25 rows to the driver merge — no global sort);
+    * the 1-row corpus count crosses via broadcast. */
+  def q_boilerplate_grams(s: SparkSession, d: String): DataFrame = {
+    val nDocs = Tables.documents(s, d)
+      .filter(size(toks) >= 3)
+      .agg(count(lit(1)).as("n_docs"))
+    gramDfTable(s, d)
+      .crossJoin(broadcast(nDocs))
+      .select(col("gram"), col("gdf"),
+              expr("gdf * 1000L div n_docs").as("df_permille"))
+      .orderBy(col("gdf").desc, col("gram"))
+      .limit(25)
+  }
+
+  /** SPAN-level eval decontamination (round 10) — verbatim 16-token
+    * span overlap between the eval slice (doc_id < 10, the
+    * q_contamination convention) and the corpus:
+    * [[graft.Graft.spanContamination]] on documents, so the oracle
+    * verifies the public facade. The exact-substring sibling of
+    * q_contamination's n-gram-overlap check: one row PER EVAL DOC
+    * (zeros = explicit all-clear, so a clean corpus still reports).
+    * Span text never shuffles — both sides key on the shared
+    * `Graft.spanHash` 128-bit pair and the tiny-by-definition eval
+    * span set broadcasts, so corpus spans stream map-side. */
+  def q_span_contamination(s: SparkSession, d: String): DataFrame =
+    graft.Graft.spanContamination(Tables.documents(s, d),
+        col("doc_id"), col("text"), isEval = col("doc_id") < 10,
+        spanTokens = 16)
+      .orderBy("eval_id")
+
   /** Per-document quality scoring: token count, mean token length
     * (exact from n_chars — the corpus is single-space separated),
     * stopword ratio, and a composite score. Ratios are emitted as

@@ -1632,6 +1632,105 @@ class GraftSpec extends SparkSpecBase {
            rows(sharedCapped.orderBy("doc_a", "doc_b")))
   }
 
+  test("spanContamination: crafted overlap — eval-side dedup, instance counts, zeros") {
+    val shared = (1 to 16).map(i => s"e_$i").mkString(" ")
+    // eval 1 holds `shared` TWICE (must dedup to ONE eval span);
+    // eval 2 is clean. corpus 10 holds shared once (1 hit instance),
+    // corpus 11 twice (2 instances), corpus 12 is clean. doc 10's
+    // trailing 4 tokens never form a span (disjoint cut, partial drop)
+    val docs = Seq(
+      (1L, s"$shared $shared"),
+      (2L, (1 to 16).map(i => s"u_$i").mkString(" ")),
+      (10L, s"$shared ${(1 to 4).map(i => s"a_$i").mkString(" ")}"),
+      (11L, s"$shared $shared"),
+      (12L, (1 to 16).map(i => s"v_$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Graft.spanContamination(docs, $"doc_id", $"text", $"doc_id" < 10, 16)
+      .orderBy("eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // eval 1: 1 deduped span, 2 contaminated docs, 1+2=3 hit instances;
+    // eval 2: explicit all-clear zeros, NOT a missing row
+    assert(got.toSeq == Seq((1L, 1L, 2L, 3L), (2L, 1L, 0L, 0L)))
+  }
+
+  test("ngramNovelty: hand-built df=1 accounting; shared-df path identical") {
+    val docs = Seq(
+      (1L, "a b c d"), // grams abc, bcd — abc shared with doc 2
+      (2L, "a b c e"), // grams abc, bce
+      (3L, "x y z")    // gram xyz, globally unique
+    ).toDF("doc_id", "text")
+    val got = Graft.ngramNovelty(docs, $"doc_id", $"text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 500L), (2L, 2L, 1L, 500L),
+                            (3L, 1L, 1L, 1000L)))
+    val df = Graft.gramDocFreq(docs, $"doc_id", $"text", 3)
+    assert(rows(Graft.ngramNovelty(docs, $"doc_id", $"text", 3, Some(df)).orderBy("doc_id")) ==
+           rows(Graft.ngramNovelty(docs, $"doc_id", $"text", 3).orderBy("doc_id")))
+  }
+
+  test("spanContamination equals the brute-force span scan (property)") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val vocab = (1 to 4).map("s" + _)
+    val docs = (0L until 30L).map { i =>
+      val len = 2 + (math.abs(rng(i * 11 + 3)) % 14).toInt
+      (i, (0 until len).map(j =>
+        vocab((math.abs(rng(i * 53 + j)) % vocab.size).toInt)).mkString(" "))
+    }
+    val span = 4
+    def spansOf(text: String): Seq[String] = {
+      val t = text.split(" ")
+      if (t.length < span) Seq.empty
+      else (0 to t.length / span - 1).map(k =>
+        t.slice(k * span, k * span + span).mkString(" "))
+    }
+    val evalCut = 10L
+    val brute = docs.filter(d => d._1 < evalCut && spansOf(d._2).nonEmpty).map { case (eid, etext) =>
+      val es = spansOf(etext).toSet
+      val corpus = docs.filter(_._1 >= evalCut)
+      val contaminated = corpus.count(c => spansOf(c._2).exists(es))
+      val hitInstances = corpus.map(c => spansOf(c._2).count(es)).sum
+      eid -> (es.size.toLong, contaminated.toLong, hitInstances.toLong)
+    }.toMap
+    val got = Graft.spanContamination(docs.toDF("doc_id", "text"),
+        $"doc_id", $"text", $"doc_id" < evalCut, span)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == brute)
+    assert(brute.values.exists(_._3 > 0), "degenerate fixture: no hits")
+  }
+
+  test("ngramNovelty equals the brute-force df scan (property)") {
+    def rng(seed: Long): Long = {
+      var x = seed; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    val vocab = (1 to 6).map("n" + _)
+    val docs = (1L to 25L).map { i =>
+      val len = 2 + (math.abs(rng(i * 19)) % 12).toInt
+      (i, (0 until len).map(j =>
+        vocab((math.abs(rng(i * 71 + j)) % vocab.size).toInt)).mkString(" "))
+    }
+    def gramSet(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < 3) Set.empty else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val df = docs.flatMap(d => gramSet(d._2).map(_ -> d._1))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    val brute = docs.map { case (i, t) => i -> gramSet(t) }
+      .filter(_._2.nonEmpty).map { case (i, gs) =>
+        val novel = gs.count(g => df(g) == 1).toLong
+        i -> (gs.size.toLong, novel, novel * 1000 / gs.size)
+      }.toMap
+    val got = Graft.ngramNovelty(docs.toDF("doc_id", "text"), $"doc_id", $"text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == brute)
+    assert(brute.values.exists(v => v._2 > 0 && v._2 < v._1),
+      "degenerate fixture: novelty all-0 or all-1")
+  }
+
   test("containmentPairsNgram maxGramDocFreq: capped grams leave the universe") {
     val inner = (1 to 8).map(i => s"c_$i").mkString(" ")
     // three docs all containing `inner` verbatim -> its 6 grams have

@@ -167,6 +167,23 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q_media_decode: decode in one map stage; only the output sort shuffles") {
+    val df = graft.queries.MediaOps.q_media_decode(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"))
+    assert("Exchange".r.findAllMatchIn(plan).size <= 1,
+      s"encode+decode must be one map stage:\n$plan")
+    // end-to-end spot check vs driver-computed truth on one doc: the
+    // decoded pixel count equals the text's byte count (gray pixels),
+    // which the stub over the BMP payload could never produce (header
+    // + padding bytes would inflate it)
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").head.getString(0)
+    val one = df.filter(col("doc_id") === 0).collect().head
+    assert(one.getLong(1) == text.getBytes("UTF-8").length)
+    assert(one.getLong(2) == text.count(c => c >= 0x20 && c <= 0x2f))
+  }
+
   test("payload stays opaque: metadata-only query never deserializes bytes") {
     // column pruning must drop the payload from the scan when only
     // metadata is selected — the property that makes opaque-binary

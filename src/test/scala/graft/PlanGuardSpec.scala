@@ -50,7 +50,10 @@ class PlanGuardSpec extends SparkSpecBase {
     // q_bm25 crosses the 1-row (N, Σlen, df...) stats aggregate
     "q_bm25",
     // q_dedup_funnel crosses its three 1-row stage aggregates
-    "q_dedup_funnel")
+    "q_dedup_funnel",
+    // round 10: q_boilerplate_grams crosses the vocab-scale gram-df
+    // scan with the broadcast 1-row corpus-count aggregate
+    "q_boilerplate_grams")
   // (q_ppl_bucket needs no BNLJ exemption: its scored table is
   // temp-parquet-cached, so the declared plan ranks from a file scan
   // and the 1-row model cross lives only inside the one-time build)
