@@ -963,13 +963,7 @@ object Graft {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     val st = if (stride == 0) spanTokens else stride
     require(st >= 1, s"stride must be >= 1 (or 0 = spanTokens), got $stride")
-    val t = split(text, " ")
-    val spans = docs
-      .select(id.as("id"), t.as("t"))
-      .filter(size(col("t")) >= spanTokens)
-      .select(col("id"),
-              explode(tokenSpans(col("t"), spanTokens, st)).as("span"))
-      .select(col("id") +: spanHash(col("span")): _*)
+    val spans = hashedSpans(docs, id, text, spanTokens, st)
     val dup = spans.groupBy("h1", "h2")
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -992,6 +986,51 @@ object Graft {
     * codegen'd; 16 bytes shuffle instead of span text. */
   def spanHash(span: Column): Seq[Column] =
     Seq(xxhash64(span).as("h1"), xxhash64(lit(1L), span).as("h2"))
+
+  /** The one cut-and-hash stage every span operator starts from:
+    * (id, h1, h2) — one row per `spanTokens`-token span at the given
+    * stride, text hashed away row-locally before anything shuffles. */
+  private def hashedSpans(docs: DataFrame, id: Column, text: Column,
+                          spanTokens: Int, stride: Int): DataFrame = {
+    val t = split(text, " ")
+    docs.select(id.as("id"), t.as("t"))
+      .filter(size(col("t")) >= spanTokens)
+      .select(col("id"),
+              explode(tokenSpans(col("t"), spanTokens, stride)).as("span"))
+      .select(col("id") +: spanHash(col("span")): _*)
+  }
+
+  /** INCREMENTAL substring-dedup accounting — the batch-vs-corpus
+    * face of [[duplicatedSpanStats]] (what [[nearDupPairsNgramAgainst]]
+    * is to the pair family): for each NEW-batch document, how much of
+    * it is covered by `spanTokens`-token spans ALREADY present in the
+    * standing corpus — the "how much of this crawl is actually new
+    * text" measure an ingest pipeline computes per batch. Same output
+    * contract as the self form: (id, n_spans, dup_spans, dup_permille
+    * — integer floor-div) per batch doc with ≥ 1 full span.
+    *
+    * Scale shape: the corpus side collapses to its DISTINCT
+    * [[spanHash]] pairs — the standing span INDEX, 16 bytes per
+    * unique span, built once and at 100 TB written to the warehouse
+    * and probed by every batch instead of recut (this facade recuts
+    * it only because it takes raw documents); the probe is one hash
+    * equi-join, work linear in the BATCH for a fixed index; span
+    * text never shuffles on either side. */
+  def duplicatedSpansAgainst(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                             batch: DataFrame, batchId: Column, batchText: Column,
+                             spanTokens: Int = 16): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val index = hashedSpans(corpus, corpusId, corpusText, spanTokens, spanTokens)
+      .select(col("h1"), col("h2")).distinct()
+      .withColumn("is_dup", lit(1))
+    hashedSpans(batch, batchId, batchText, spanTokens, spanTokens)
+      .join(index, Seq("h1", "h2"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+           count(col("is_dup")).as("dup_spans"))
+      .select(col("id"), col("n_spans"), col("dup_spans"),
+              expr("dup_spans * 1000L div n_spans").as("dup_permille"))
+  }
 
   /** SPAN-level eval-set decontamination — the exact-substring
     * sibling of the n-gram-overlap contamination check: a corpus
@@ -1019,18 +1058,15 @@ object Graft {
   def spanContamination(docs: DataFrame, id: Column, text: Column,
                         isEval: Column, spanTokens: Int = 16): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
-    val t = split(text, " ")
-    val spans = docs
-      .select(id.as("id"), isEval.as("is_eval"), t.as("t"))
-      .filter(size(col("t")) >= spanTokens)
-      .select(col("id"), col("is_eval"),
-              explode(tokenSpans(col("t"), spanTokens, spanTokens)).as("span"))
-      .select(Seq(col("id"), col("is_eval")) ++ spanHash(col("span")): _*)
-    val evalSpans = spans.filter(col("is_eval"))
+    // two pruned scans (the eval predicate pushes down to the source)
+    // rather than one scan dragging an is_eval flag through the cut —
+    // the eval slice is tiny by definition, the corpus scan dominates
+    // identically either way
+    val evalSpans = hashedSpans(docs.filter(isEval), id, text, spanTokens, spanTokens)
       .select(col("id").as("eval_id"), col("h1"), col("h2")).distinct()
     val evalSizes = evalSpans.groupBy("eval_id")
       .agg(count(lit(1)).as("n_eval_spans"))
-    val hits = spans.filter(!col("is_eval"))
+    val hits = hashedSpans(docs.filter(!isEval), id, text, spanTokens, spanTokens)
       .join(broadcast(evalSpans), Seq("h1", "h2"))
       .groupBy("eval_id")
       .agg(count_distinct(col("id")).as("n_contaminated"),

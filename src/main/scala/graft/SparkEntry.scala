@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, MediaOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 141 query ids; 133 with DuckDB oracles. The
+  * and §3.1 (entry points). 143 query ids; 135 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -102,6 +102,8 @@ object SparkEntry {
     "q_dedup_sorted"   -> PipelineOps.q_dedup_sorted _,
     "q_dedup_incremental" -> PipelineOps.q_dedup_incremental _,
     "q_span_dedup"     -> PipelineOps.q_span_dedup _,
+    "q_span_dedup_sliding" -> PipelineOps.q_span_dedup_sliding _,
+    "q_span_incremental" -> PipelineOps.q_span_incremental _,
     "q_span_drop"      -> PipelineOps.q_span_drop _,
     "q_dedup_contain"  -> PipelineOps.q_dedup_contain _,
     "q_dedup_matrix"   -> PipelineOps.q_dedup_matrix _,

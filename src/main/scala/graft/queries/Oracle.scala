@@ -708,6 +708,46 @@ object Oracle {
         |FROM spans s LEFT JOIN dup d ON s.span = d.span
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // the SLIDING-stride variant: spans start every 4 tokens while a
+    // full 16-token window fits (i in 0..(len-16)//4) — the identical
+    // overlapping cut the facade's stride=4 produces; same dup rule
+    // and integer floor-div permille
+    "q_span_dedup_sliding" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |               unnest(generate_series(0, (len(t)-16)//4)) AS i
+        |        FROM toks WHERE len(t) >= 16),
+        |spans AS (SELECT doc_id,
+        |                 array_to_string(t[i*4+1 : i*4+16], ' ') AS span
+        |          FROM idx),
+        |dup AS (SELECT span FROM spans
+        |        GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(COUNT(d.span) AS BIGINT) AS dup_spans,
+        |       CAST(COUNT(d.span) * 1000 // COUNT(*) AS BIGINT) AS dup_permille
+        |FROM spans s LEFT JOIN dup d ON s.span = d.span
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // incremental batch-vs-corpus span accounting: corpus = even ids'
+    // DISTINCT spans (the standing index), batch = odd ids; per batch
+    // doc the share of spans already in the corpus — blind to the
+    // Scala side's hash keys and index shape
+    "q_span_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |               unnest(generate_series(0, len(t)//16 - 1)) AS i
+        |        FROM toks WHERE len(t) >= 16),
+        |spans AS (SELECT doc_id,
+        |                 array_to_string(t[i*16+1 : i*16+16], ' ') AS span
+        |          FROM idx),
+        |corpus AS (SELECT DISTINCT span FROM spans WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, span FROM spans WHERE doc_id % 2 = 1)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(COUNT(c.span) AS BIGINT) AS dup_spans,
+        |       CAST(COUNT(c.span) * 1000 // COUNT(*) AS BIGINT) AS dup_permille
+        |FROM b LEFT JOIN corpus c ON b.span = c.span
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
     // per-dim embedding QC: the q_knn_centroid widen-to-DOUBLE unnest,
     // rolled up per dimension. ROUND(.,4) margins measured: min
     // distance of any mean/std/min/max from a round-4 boundary is

@@ -187,6 +187,37 @@ object PipelineOps {
         spanTokens = 16)
       .orderBy("eval_id")
 
+  /** Incremental span-dedup accounting (round 10) — the batch-vs-
+    * corpus face of q_span_dedup, mirroring q_dedup_incremental's
+    * even/odd split: corpus = even doc_id (the standing span index),
+    * batch = odd doc_id; per batch doc, the share of its disjoint
+    * 16-token spans already present in the corpus:
+    * [[graft.Graft.duplicatedSpansAgainst]], so the oracle verifies
+    * the public facade. At 100 TB the distinct-hash index is built
+    * once and probed per crawl — work linear in the batch. */
+  def q_span_incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.Graft.duplicatedSpansAgainst(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        spanTokens = 16)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** q_span_dedup's SLIDING-stride variant (round 10): spans cut
+    * every 4 tokens instead of disjointly, so a duplicated region
+    * registers at any alignment within 4 tokens (stride trades cost
+    * ×4 for the alignment-robustness the disjoint cut lacks — the
+    * facade documents the stride-1 exact-substring limit). Same
+    * linear shape, same hash-keyed shuffle; the oracle states the
+    * identical overlapping cut in list-slice arithmetic. */
+  def q_span_dedup_sliding(s: SparkSession, d: String): DataFrame =
+    graft.Graft.duplicatedSpanStats(Tables.documents(s, d),
+        col("doc_id"), col("text"), spanTokens = 16, stride = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Per-document quality scoring: token count, mean token length
     * (exact from n_chars — the corpus is single-space separated),
     * stopword ratio, and a composite score. Ratios are emitted as

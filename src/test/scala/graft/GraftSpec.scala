@@ -1632,6 +1632,29 @@ class GraftSpec extends SparkSpecBase {
            rows(sharedCapped.orderBy("doc_a", "doc_b")))
   }
 
+  test("duplicatedSpansAgainst: batch coverage vs the standing corpus index only") {
+    def w(seed: Int): String = (1 to 4).map(i => s"w${seed}_$i").mkString(" ")
+    val shared = (1 to 4).map(i => s"c_$i").mkString(" ")
+    val batchOnly = (1 to 4).map(i => s"b_$i").mkString(" ")
+    val corpus = Seq((2L, s"$shared ${w(2)}"), (4L, w(4))).toDF("doc_id", "text")
+    // batch doc 1: both spans in corpus (1000 permille); doc 3: none;
+    // docs 5 & 7 share `batchOnly` with EACH OTHER but not the corpus —
+    // intra-batch duplication must NOT count (the index is corpus-only,
+    // unlike the self form where any >=2-doc span is dup)
+    val batch = Seq(
+      (1L, s"$shared $shared"),
+      (3L, w(3)),
+      (5L, batchOnly),
+      (7L, s"$batchOnly ${w(7)}")
+    ).toDF("doc_id", "text")
+    val got = Graft.duplicatedSpansAgainst(corpus, $"doc_id", $"text",
+        batch, $"doc_id", $"text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> ((2L, 2L, 1000L)), 3L -> ((1L, 0L, 0L)),
+                      5L -> ((1L, 0L, 0L)), 7L -> ((2L, 0L, 0L))))
+  }
+
   test("spanContamination: crafted overlap — eval-side dedup, instance counts, zeros") {
     val shared = (1 to 16).map(i => s"e_$i").mkString(" ")
     // eval 1 holds `shared` TWICE (must dedup to ONE eval span);
