@@ -178,6 +178,21 @@ object SkewBench {
     // so the measurement's claim is "max task bounded by construction"
     def spanStats(stride: Int) = Graft
       .duplicatedSpanStats(boiler, $"doc_id", $"text", 16, stride).count()
+    // round 10: the incremental and decontamination faces on the same
+    // hot-span corpus — both bounded by construction: the standing
+    // index is DISTINCT span hashes, so a batch span matches at most
+    // ONE index row (probe-join output ≤ batch spans at ANY skew);
+    // and the eval span set broadcasts, so corpus spans stream
+    // map-side (hits ≤ corpus span instances, no shuffle of them on
+    // a hot key). Splits keep both sides template-heavy: corpus =
+    // ids ≡ 0 (mod 4), batch = ids ≡ 2 (mod 4) — every batch span
+    // hits the index's ONE hot span hash.
+    def spanAgainst() = Graft.duplicatedSpansAgainst(
+        boiler.filter($"doc_id" % 4 === 0), $"doc_id", $"text",
+        boiler.filter($"doc_id" % 4 === 2), $"doc_id", $"text", 16).count()
+    def contamSpan() = Graft.spanContamination(
+        boiler, $"doc_id", $"text",
+        $"doc_id" < 40 && $"doc_id" % 2 === 0, 16).count()
 
     // warm the session once so run 1 isn't charged for codegen warmup
     minhash(Unguarded)
@@ -209,7 +224,9 @@ object SkewBench {
       "contain_unguarded" -> (() => contain(Unguarded)),
       "contain_df_capped" -> (() => containCapped()),
       "span_hot_disjoint" -> (() => spanStats(0)),
-      "span_hot_sliding" -> (() => spanStats(1)))
+      "span_hot_sliding" -> (() => spanStats(1)),
+      "span_against_hot" -> (() => spanAgainst()),
+      "span_contam_hot" -> (() => contamSpan()))
     // optional variant filter: `runMain graft.SkewBench ngram` times only
     // labels containing "ngram" (for quick one-variant measurements)
     val picked = if (args.isEmpty) all
