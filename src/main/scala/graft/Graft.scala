@@ -1032,6 +1032,74 @@ object Graft {
               expr("dup_spans * 1000L div n_spans").as("dup_permille"))
   }
 
+  /** Split-document STITCH detection: pairs (a, b) where the LAST
+    * `boundaryTokens` tokens of document a are verbatim the FIRST
+    * `boundaryTokens` tokens of document b — the signature of one
+    * source document split across two crawl records (pagination,
+    * chunked exports, truncated-and-continued posts). A reassembly
+    * pass chains these pairs; a dedup pass treats the shared boundary
+    * as overlap to cut. Emits (doc_a, doc_b, boundary) with the
+    * shared boundary text, a ≠ b (a self-pair just means a doc whose
+    * head equals its tail).
+    *
+    * Scale shape: two row-local boundary projections (suffix side,
+    * prefix side) keyed by [[spanHash]]'s 128-bit pair — ONE hash
+    * equi-join on 16-byte keys, never all-pairs; boundary text rides
+    * only the suffix side for the report. A boilerplate boundary
+    * shared by H suffixes and H prefixes makes the OUTPUT itself H²
+    * — the containment-family regime where no exact guard can beat
+    * work that is the output; cut such boundaries upstream (they are
+    * stop-gram-shaped) if a corpus exhibits it. */
+  def stitchPairs(docs: DataFrame, id: Column, text: Column,
+                  boundaryTokens: Int = 16): DataFrame = {
+    require(boundaryTokens >= 1, s"boundaryTokens must be >= 1, got $boundaryTokens")
+    val t = split(text, " ")
+    val base = docs.select(id.as("id"), t.as("t"))
+      .filter(size(col("t")) >= boundaryTokens)
+    val suf = base
+      .select(col("id").as("doc_a"),
+              array_join(slice(col("t"), -boundaryTokens, boundaryTokens), " ").as("boundary"))
+      .select(Seq(col("doc_a"), col("boundary")) ++ spanHash(col("boundary")): _*)
+    val pre = base
+      .select(col("id").as("doc_b"),
+              array_join(slice(col("t"), 1, boundaryTokens), " ").as("__p"))
+      .select(col("doc_b") +: spanHash(col("__p")): _*)
+    suf.join(pre, Seq("h1", "h2"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("boundary"))
+  }
+
+  /** Top-k vocabulary COVERAGE curve — the OOV-rate table a tokenizer
+    * or vocab-size decision reads: for each candidate vocabulary size
+    * k, how many token TYPES the top-k covers and what permille of
+    * the corpus's total token MASS they carry (tokens ranked by
+    * frequency desc, ties by token text — one total order both
+    * engines state). Output: (k, top_types, covered_permille) per
+    * requested k, all integers.
+    *
+    * Scale shape: one corpus scan → vocab-scale token counts (map-
+    * side combinable) → rank via the two-pass distributed
+    * [[globalRankDesc]] (range-bucketed; at 10⁸-type web vocabularies
+    * no single-partition window ever appears) → the k-explode and
+    * rollup touch only vocab-scale rows. */
+  def vocabCoverage(docs: DataFrame, text: Column,
+                    ks: Seq[Int] = Seq(1000, 10000, 100000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1, got $ks")
+    val counts = docs.select(explode(split(text, " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val ranked = globalRankDesc(counts, col("n"), col("tok"))
+      .select(col("tie").as("tok"), col("rank"))
+    counts.join(ranked, "tok")
+      .select(col("n"), col("rank"),
+              explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .groupBy("k")
+      .agg(sum(when(col("rank") <= col("k"), 1L).otherwise(0L)).as("top_types"),
+           sum(when(col("rank") <= col("k"), col("n")).otherwise(0L)).as("covered"),
+           sum(col("n")).as("total"))
+      .select(col("k"), col("top_types"),
+              expr("covered * 1000L div total").as("covered_permille"))
+  }
+
   /** SPAN-level eval-set decontamination — the exact-substring
     * sibling of the n-gram-overlap contamination check: a corpus
     * document is span-contaminated iff it shares a verbatim

@@ -1155,6 +1155,35 @@ object Oracle {
         |FROM evsz s LEFT JOIN hits h ON s.eval_id = h.eval_id
         |ORDER BY s.eval_id""".stripMargin,
 
+    /** Stitch pairs: suffix-of-a = prefix-of-b on the 4-token
+      * boundary, stated as a plain list-slice string join — blind to
+      * the Scala side's 128-bit hash keys. (doc_a, doc_b) is a unique
+      * sort key (rule O: at most one boundary per ordered pair). */
+    "q_stitch_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 4),
+        |sp AS (SELECT doc_id, array_to_string(t[-4:], ' ') AS suf,
+        |              array_to_string(t[1:4], ' ') AS pre FROM toks)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.suf AS boundary
+        |FROM sp x JOIN sp y ON x.suf = y.pre AND x.doc_id <> y.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    /** Vocabulary coverage curve: tokens ranked by (count DESC, token
+      * ASC) — the one total order both engines state; per k the
+      * covered type count and integer floor-div permille of total
+      * token mass. Blind to the Spark side's two-pass distributed
+      * rank. Rule I casts; k unique (rule O). */
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok),
+        |r AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk FROM c),
+        |ks AS (SELECT CAST(unnest([4, 8, 16, 24, 32]) AS BIGINT) AS k)
+        |SELECT ks.k,
+        |       CAST(SUM(CASE WHEN r.rnk <= ks.k THEN 1 ELSE 0 END) AS BIGINT) AS top_types,
+        |       (CAST(SUM(CASE WHEN r.rnk <= ks.k THEN n ELSE 0 END) AS BIGINT) * 1000)
+        |         // CAST(SUM(n) AS BIGINT) AS covered_permille
+        |FROM r, ks GROUP BY ks.k ORDER BY ks.k""".stripMargin,
+
     /** Per-doc n-gram novelty: distinct grams with corpus df = 1,
       * integer floor-div permille (rule F); blind to the Spark side's
       * shared cached df table and row-local sizes. */

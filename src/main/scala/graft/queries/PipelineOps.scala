@@ -218,6 +218,33 @@ object PipelineOps {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Split-document stitch detection (round 10):
+    * [[graft.Graft.stitchPairs]] at boundary 4 over documents — pairs
+    * whose 4-token tail/head match verbatim (the pagination /
+    * chunked-export / truncated-post reassembly signal; a production
+    * crawl would run 16-32, this corpus's vocabulary only produces
+    * boundary echoes at 4). One hash equi-join on the shared
+    * `Graft.spanHash` pair; oracle states the same suffix = prefix
+    * list-slice join, blind to hashing. */
+  def q_stitch_pairs(s: SparkSession, d: String): DataFrame =
+    graft.Graft.stitchPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), boundaryTokens = 4)
+      .orderBy("doc_a", "doc_b")
+
+  /** Top-k vocabulary coverage / OOV curve (round 10):
+    * [[graft.Graft.vocabCoverage]] at k ∈ {4, 8, 16, 24, 32} (sized
+    * to this corpus's 31-word vocabulary; a tokenizer decision would
+    * sweep 10³..10⁵) — per k the covered token-type count and the
+    * permille of total token mass the top-k carries, integer
+    * floor-div. Rank ties break on token text — the one total order
+    * both engines state — and ranking runs the two-pass distributed
+    * globalRankDesc, so a 10⁸-type web vocabulary never meets a
+    * single-partition window. */
+  def q_vocab_coverage(s: SparkSession, d: String): DataFrame =
+    graft.Graft.vocabCoverage(Tables.documents(s, d), col("text"),
+        ks = Seq(4, 8, 16, 24, 32))
+      .orderBy("k")
+
   /** Per-document quality scoring: token count, mean token length
     * (exact from n_chars — the corpus is single-space separated),
     * stopword ratio, and a composite score. Ratios are emitted as

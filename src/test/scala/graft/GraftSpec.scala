@@ -1632,6 +1632,35 @@ class GraftSpec extends SparkSpecBase {
            rows(sharedCapped.orderBy("doc_a", "doc_b")))
   }
 
+  test("stitchPairs: tail-head matches only, self-pairs excluded, boundary emitted") {
+    val b = "x1 x2 x3 x4"
+    val docs = Seq(
+      (1L, s"a1 a2 $b"),        // tail = b
+      (2L, s"$b c1 c2"),        // head = b  -> pair (1, 2)
+      (3L, s"$b d1 d2 $b"),     // head AND tail = b -> (1,3),(3,2),(3,3)? self excluded
+      (4L, "e1 e2 e3 e4 e5")    // unrelated
+    ).toDF("doc_id", "text")
+    val got = Graft.stitchPairs(docs, $"doc_id", $"text", boundaryTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // suffix side: docs 1 and 3 end in b; prefix side: docs 2 and 3
+    // start with b; cross = (1,2),(1,3),(3,2) — (3,3) is the excluded
+    // self-pair (a doc whose head equals its tail is not a split)
+    assert(got == Set((1L, 2L, b), (1L, 3L, b), (3L, 2L, b)))
+  }
+
+  test("vocabCoverage: hand-built mass curve with count-tie broken by token text") {
+    // counts: p=3, q=2, r=2, s=1 (total 8); rank: p(1), q(2), r(3), s(4)
+    val docs = Seq((1L, "p q r p"), (2L, "p q r s")).toDF("doc_id", "text")
+    val got = Graft.vocabCoverage(docs, $"text", ks = Seq(1, 2, 3, 4))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 375L),   // p: 3/8
+      (2L, 2L, 625L),   // +q: 5/8
+      (3L, 3L, 875L),   // +r: 7/8
+      (4L, 4L, 1000L)))
+  }
+
   test("duplicatedSpansAgainst: batch coverage vs the standing corpus index only") {
     def w(seed: Int): String = (1 to 4).map(i => s"w${seed}_$i").mkString(" ")
     val shared = (1 to 4).map(i => s"c_$i").mkString(" ")

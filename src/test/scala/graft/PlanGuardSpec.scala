@@ -52,8 +52,10 @@ class PlanGuardSpec extends SparkSpecBase {
     // q_dedup_funnel crosses its three 1-row stage aggregates
     "q_dedup_funnel",
     // round 10: q_boilerplate_grams crosses the vocab-scale gram-df
-    // scan with the broadcast 1-row corpus-count aggregate
-    "q_boilerplate_grams")
+    // scan with the broadcast 1-row corpus-count aggregate;
+    // q_vocab_coverage's rank pass broadcasts globalRankDesc's 1-row
+    // quantile bounds (the q_gini/q_zipf_slope pattern)
+    "q_boilerplate_grams", "q_vocab_coverage")
   // (q_ppl_bucket needs no BNLJ exemption: its scored table is
   // temp-parquet-cached, so the declared plan ranks from a file scan
   // and the 1-row model cross lives only inside the one-time build)
