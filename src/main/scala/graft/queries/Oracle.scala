@@ -1184,6 +1184,44 @@ object Oracle {
         |         // CAST(SUM(n) AS BIGINT) AS covered_permille
         |FROM r, ks GROUP BY ks.k ORDER BY ks.k""".stripMargin,
 
+    /** Vocabulary growth: four nested slices by doc_id mod 4; a type
+      * exists in slice s iff its MIN bucket < s (the windowless
+      * cumulative-distinct trick, stated identically here). Rule I
+      * casts; s unique (rule O). */
+    "q_vocab_growth" ->
+      """WITH d AS (SELECT doc_id % 4 AS b, text FROM documents),
+        |tok AS (SELECT b, unnest(string_split(text, ' ')) AS tok FROM d),
+        |fb AS (SELECT tok, MIN(b) AS fb FROM tok GROUP BY tok),
+        |ks AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS s),
+        |ty AS (SELECT ks.s, CAST(SUM(CASE WHEN fb < ks.s THEN 1 ELSE 0 END) AS BIGINT) AS vocab_types
+        |       FROM fb, ks GROUP BY ks.s),
+        |tt AS (SELECT ks.s, CAST(SUM(CASE WHEN b < ks.s THEN 1 ELSE 0 END) AS BIGINT) AS total_tokens
+        |       FROM tok, ks GROUP BY ks.s),
+        |dd AS (SELECT ks.s, CAST(SUM(CASE WHEN b < ks.s THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+        |       FROM d, ks GROUP BY ks.s)
+        |SELECT dd.s, dd.n_docs, ty.vocab_types, tt.total_tokens
+        |FROM dd JOIN ty ON dd.s = ty.s JOIN tt ON dd.s = tt.s
+        |ORDER BY dd.s""".stripMargin,
+
+    /** Bigram conditional entropy: all log arguments are integer
+      * counts and the algebraic form mirrors the Spark side
+      * factor-for-factor (the q_entropy ROUND-6 parity recipe). */
+    "q_bigram_entropy" ->
+      """WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT lang,
+        |              unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 1),
+        |                     i -> array_to_string(t[i:i+1], ' '))) AS g
+        |       FROM toks),
+        |c12 AS (SELECT lang, g, string_split(g, ' ')[1] AS w1, COUNT(*) AS n12
+        |        FROM bg GROUP BY 1, 2, 3),
+        |c1 AS (SELECT lang, w1, SUM(n12) AS n1 FROM c12 GROUP BY 1, 2)
+        |SELECT c12.lang, CAST(COUNT(*) AS BIGINT) AS bigram_types,
+        |       CAST(SUM(n12) AS BIGINT) AS total_bigrams,
+        |       ROUND((SUM(n12 * LN(n1)) - SUM(n12 * LN(n12))) / SUM(n12), 6) AS cond_entropy
+        |FROM c12 JOIN c1 ON c12.lang = c1.lang AND c12.w1 = c1.w1
+        |GROUP BY c12.lang ORDER BY c12.lang""".stripMargin,
+
     /** Per-doc n-gram novelty: distinct grams with corpus df = 1,
       * integer floor-div permille (rule F); blind to the Spark side's
       * shared cached df table and row-local sizes. */

@@ -245,6 +245,68 @@ object PipelineOps {
         ks = Seq(4, 8, 16, 24, 32))
       .orderBy("k")
 
+  /** Vocabulary GROWTH curve (round 10) — Heaps'-law points without
+    * any cumulative window: four NESTED corpus slices (docs with
+    * doc_id mod 4 < s, s = 1..4 — deterministic, engine-portable),
+    * per slice the doc count, distinct token-TYPE count and total
+    * token mass. The scaling-law companion to [[q_vocab_coverage]]:
+    * coverage asks "how big a vocab for THIS corpus", growth asks
+    * "what does the vocab do as the corpus grows". Distributed trick:
+    * a type exists in slice s iff its MINIMUM bucket < s, so one
+    * vocab-scale min-aggregate answers all four slices — no
+    * cumulative distinct-count window exists anywhere. */
+  def q_vocab_growth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select((col("doc_id") % 4).as("b"), col("text"))
+    val tokRows = docs.select(col("b"), explode(toks).as("tok"))
+    val slices = explode(array(lit(1L), lit(2L), lit(3L), lit(4L)))
+    val types = tokRows.groupBy("tok").agg(min(col("b")).as("fb"))
+      .select(slices.as("s"), col("fb"))
+      .groupBy("s")
+      .agg(sum(when(col("fb") < col("s"), 1L).otherwise(0L)).as("vocab_types"))
+    val tokTot = tokRows.groupBy("b").agg(count(lit(1)).as("n"))
+      .select(slices.as("s"), col("b"), col("n"))
+      .groupBy("s")
+      .agg(sum(when(col("b") < col("s"), col("n")).otherwise(0L)).as("total_tokens"))
+    val docTot = docs.groupBy("b").agg(count(lit(1)).as("nd"))
+      .select(slices.as("s"), col("b"), col("nd"))
+      .groupBy("s")
+      .agg(sum(when(col("b") < col("s"), col("nd")).otherwise(0L)).as("n_docs"))
+    docTot.join(types, "s").join(tokTot, "s")
+      .select("s", "n_docs", "vocab_types", "total_tokens")
+      .orderBy("s")
+  }
+
+  /** Corpus bigram CONDITIONAL entropy per language (round 10) —
+    * H(next | prev) = [Σ n₁₂·ln(n₁) − Σ n₁₂·ln(n₁₂)] / N in nats,
+    * the sequence-predictability signal: natural text sits well above
+    * templated/boilerplate text (whose next-token is near-determined),
+    * so this flags template-generated corpora that unigram entropy
+    * (q_entropy) cannot see — the unigram distribution can be normal
+    * while every transition is deterministic. All log arguments are
+    * INTEGER counts and the algebraic form mirrors the oracle's
+    * factor-for-factor (the q_entropy ROUND-6 parity recipe).
+    * Scale shape: one scan → bigram explode (row-local) → two
+    * vocab-scale map-side-combinable aggregates + one vocab-scale
+    * equi-join → per-lang metadata rollup. */
+  def q_bigram_entropy(s: SparkSession, d: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val bg = Tables.documents(s, d)
+      .select(col("lang"), t.as("t")).filter(size(col("t")) >= 2)
+      .select(col("lang"),
+              explode(graft.functions.TokenNGrams.ngrams(col("t"), 2)).as("g"))
+    val c12 = bg.groupBy("lang", "g").agg(count(lit(1)).as("n12"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val c1 = c12.groupBy("lang", "w1").agg(sum(col("n12")).as("n1"))
+    c12.join(c1, Seq("lang", "w1"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("bigram_types"),
+           sum(col("n12")).as("total_bigrams"),
+           round((sum(col("n12") * log(col("n1"))) - sum(col("n12") * log(col("n12"))))
+                   / sum(col("n12")), 6).as("cond_entropy"))
+      .orderBy("lang")
+  }
+
   /** Per-document quality scoring: token count, mean token length
     * (exact from n_chars — the corpus is single-space separated),
     * stopword ratio, and a composite score. Ratios are emitted as

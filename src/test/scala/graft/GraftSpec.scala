@@ -1632,6 +1632,27 @@ class GraftSpec extends SparkSpecBase {
            rows(sharedCapped.orderBy("doc_a", "doc_b")))
   }
 
+  test("q_bigram_entropy hand-computed on a crafted corpus; q_vocab_growth nesting") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeq").toString
+    // lang xx: "a a a a" — every transition determined, H = 0;
+    // lang yy: "a b a c" — after 'a' a fair coin, H = (2·ln2)/3
+    Seq((0L, "a a a a", "xx"), (1L, "a b a c", "yy"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val be = queries.PipelineOps.q_bigram_entropy(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(be("xx") == ((1L, 3L, 0.0)))
+    assert(be("yy")._1 == 3L && be("yy")._2 == 3L)
+    assert(math.abs(be("yy")._3 - 2 * math.log(2) / 3) < 1e-6)
+    // growth: doc 0 (bucket 0) alone in slice 1; doc 1 joins at 2
+    val vg = queries.PipelineOps.q_vocab_growth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(vg.toSeq == Seq((1L, 1L, 1L, 4L), (2L, 2L, 3L, 8L),
+                           (3L, 2L, 3L, 8L), (4L, 2L, 3L, 8L)))
+  }
+
   test("stitchPairs: tail-head matches only, self-pairs excluded, boundary emitted") {
     val b = "x1 x2 x3 x4"
     val docs = Seq(
