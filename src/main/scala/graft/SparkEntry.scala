@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, MediaOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 147 query ids; 139 with DuckDB oracles. The
+  * and §3.1 (entry points). 148 query ids; 140 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -151,6 +151,7 @@ object SparkEntry {
     "q_vocab_coverage" -> PipelineOps.q_vocab_coverage _,
     "q_vocab_growth"   -> PipelineOps.q_vocab_growth _,
     "q_bigram_entropy" -> PipelineOps.q_bigram_entropy _,
+    "q_split_leakage"  -> PipelineOps.q_split_leakage _,
     // §2.10 event windows (batch forms)
     "q_tumbling_window" -> Events.q_tumbling_window _,
     "q_sliding_window"  -> Events.q_sliding_window _,

@@ -805,6 +805,24 @@ object Oracle {
         |SELECT doc_a, doc_b, jaccard FROM scored
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    /** Cross-split leakage: the shared pair-graph CTEs + the
+      * q_sample_det integer split hash, rolled up by unordered split
+      * pair — blind to the Spark side's cached parquet pair graph.
+      * (split_a, split_b) unique (rule O); rule I cast. */
+    "q_split_leakage" ->
+      s"""WITH $ngramCtes,
+        |sp AS (SELECT doc_id,
+        |              CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 800 THEN 'train'
+        |                   WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 900 THEN 'valid'
+        |                   ELSE 'test' END AS split
+        |       FROM documents)
+        |SELECT LEAST(a.split, b.split) AS split_a,
+        |       GREATEST(a.split, b.split) AS split_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM scored JOIN sp a ON scored.doc_a = a.doc_id
+        |            JOIN sp b ON scored.doc_b = b.doc_id
+        |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+
     // prefix-filtered exact Jaccard at t = 0.7: the oracle is the
     // BRUTE-FORCE pair graph — deliberately blind to the prefix
     // pruning, so parity proves the filter loses nothing. The

@@ -245,6 +245,34 @@ object PipelineOps {
         ks = Seq(4, 8, 16, 24, 32))
       .orderBy("k")
 
+  /** Deterministic train/valid/test split + cross-split LEAKAGE
+    * report (round 10): docs split 80/10/10 by the suite's standard
+    * integer hash (the q_sample_det bijection — engine-portable, no
+    * floats), then every near-dup pair of the SHARED word-3-gram pair
+    * graph (fifth consumer) is rolled up by its endpoints' unordered
+    * split pair. Off-diagonal rows ARE the leakage: a train doc
+    * near-duplicating a test doc contaminates evaluation even though
+    * the split itself was clean by construction — the check every
+    * training-data pipeline must run BETWEEN splitting and training.
+    * Scale shape: split assignment is a row-local hash; the rollup
+    * joins the parquet-backed pair graph against the two metadata
+    * projections and moves ≤ 6 rows. */
+  def q_split_leakage(s: SparkSession, d: String): DataFrame = {
+    val h = col("doc_id") % 1000000007L * 2654435761L % 1000L
+    val splits = Tables.documents(s, d)
+      .select(col("doc_id"),
+              when(h < 800, "train").when(h < 900, "valid")
+                .otherwise("test").as("split"))
+    ngramPairGraph(s, d).select("doc_a", "doc_b")
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+              greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** Vocabulary GROWTH curve (round 10) — Heaps'-law points without
     * any cumulative window: four NESTED corpus slices (docs with
     * doc_id mod 4 < s, s = 1..4 — deterministic, engine-portable),

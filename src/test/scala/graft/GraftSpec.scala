@@ -1632,6 +1632,18 @@ class GraftSpec extends SparkSpecBase {
            rows(sharedCapped.orderBy("doc_a", "doc_b")))
   }
 
+  test("q_split_leakage conserves the pair graph and orders split pairs canonically") {
+    val rows = queries.PipelineOps.q_split_leakage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // every near-dup pair lands in exactly one split-pair bucket
+    val total = queries.PipelineOps.q_dedup_ngram(spark, sf).count()
+    assert(rows.map(_._3).sum == total)
+    val names = Set("train", "valid", "test")
+    rows.foreach { case (a, b, n) =>
+      assert(names(a) && names(b) && a <= b && n > 0, s"($a,$b,$n)")
+    }
+  }
+
   test("q_bigram_entropy hand-computed on a crafted corpus; q_vocab_growth nesting") {
     val dir = java.nio.file.Files.createTempDirectory("pipeq").toString
     // lang xx: "a a a a" — every transition determined, H = 0;
