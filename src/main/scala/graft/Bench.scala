@@ -32,7 +32,19 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 100) / 100.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest20":$slowest,"value":$total}""")
+    // per-table first-touch build ledger (round-10 verdict #2): the
+    // seconds and bytes each shared temp-parquet artifact cost THIS
+    // run — the measured attribution for any query whose reading
+    // includes a first-touch build (it is charged to whichever query
+    // touched the table first, in declaration order)
+    // top-10 by seconds so the compact line stays inside the 2,000-char
+    // artifact-tail guarantee alongside slowest20
+    val builds = TempTables.buildCosts.toSeq.sortBy(-_._2._1).take(10)
+      .map { case (k, (sec, bytes)) =>
+        s"\"" + k + "\":{\"sec\":" + math.round(sec * 100) / 100.0 +
+          ",\"mb\":" + math.round(bytes / 1e4) / 100.0 + "}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest20":$slowest,"temp_builds":$builds,"value":$total}""")
     spark.stop()
   }
 }

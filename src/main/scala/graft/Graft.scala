@@ -1085,13 +1085,18 @@ object Graft {
   def vocabCoverage(docs: DataFrame, text: Column,
                     ks: Seq[Int] = Seq(1000, 10000, 100000)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1, got $ks")
+    // dedupe: a repeated k would be exploded twice and MERGED by the
+    // groupBy("k"), doubling that row's top_types/covered/total
+    // (round-10 ADVICE) — one output row per requested size is the
+    // only sane reading of the request
+    val kList = ks.distinct
     val counts = docs.select(explode(split(text, " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
     val ranked = globalRankDesc(counts, col("n"), col("tok"))
       .select(col("tie").as("tok"), col("rank"))
     counts.join(ranked, "tok")
       .select(col("n"), col("rank"),
-              explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+              explode(array(kList.map(k => lit(k.toLong)): _*)).as("k"))
       .groupBy("k")
       .agg(sum(when(col("rank") <= col("k"), 1L).otherwise(0L)).as("top_types"),
            sum(when(col("rank") <= col("k"), col("n")).otherwise(0L)).as("covered"),
@@ -1166,10 +1171,12 @@ object Graft {
     * all-pairs; the only corpus-scale shuffle is the per-doc rollup
     * on the doc id. */
   def ngramNovelty(docs: DataFrame, id: Column, text: Column, n: Int = 3,
-                   gramDf: Option[DataFrame] = None): DataFrame = {
+                   gramDf: Option[DataFrame] = None,
+                   docGrams: Option[DataFrame] = None): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val grams = sizedGrams(docs, id, text, n, Int.MaxValue, None)
-    val df = gramDf.getOrElse(gramDocFreq(docs, id, text, n))
+    val grams = sizedGrams(docs, id, text, n, Int.MaxValue, None, docGrams)
+    val df = gramDf.map(validGramDf)
+      .getOrElse(gramDocFreq(docs, id, text, n, docGrams))
     grams.join(df, "gram")
       .groupBy("doc_id", "n_grams")
       .agg(sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("novel_grams"))
@@ -1707,13 +1714,14 @@ object Graft {
                         thresholdPermille: Int = 800, n: Int = 3,
                         maxBucket: Int = 1024,
                         maxGramDocFreq: Int = Int.MaxValue,
-                        gramDf: Option[DataFrame] = None): DataFrame = {
+                        gramDf: Option[DataFrame] = None,
+                        docGrams: Option[DataFrame] = None): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
     require(maxGramDocFreq >= 1, s"maxGramDocFreq must be >= 1, got $maxGramDocFreq")
     val p = thresholdPermille
-    val sized = sizedGrams(docs, id, text, n, maxGramDocFreq, gramDf)
+    val sized = sizedGrams(docs, id, text, n, maxGramDocFreq, gramDf, docGrams)
     operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
       .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
               col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
@@ -1742,18 +1750,14 @@ object Graft {
     * cap is engaged, the df pass runs inline. */
   private def sizedGrams(docs: DataFrame, id: Column, text: Column, n: Int,
                          maxGramDocFreq: Int,
-                         gramDf: Option[DataFrame]): DataFrame = {
-    val t = split(text, " ")
-    val allGrams = docs
-      .select(id.cast("long").as("doc_id"), t.as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("doc_id"),
-              array_distinct(functions.TokenNGrams.ngrams(col("t"), n)).as("ga"))
-      .select(col("doc_id"), size(col("ga")).cast("long").as("n_grams"),
-              explode(col("ga")).as("gram"))
+                         gramDf: Option[DataFrame],
+                         docGrams: Option[DataFrame] = None): DataFrame = {
+    val allGrams = docGrams.map(validDocGrams)
+      .getOrElse(docGramArrays(docs, id, text, n))
+      .select(col("doc_id"), col("na").as("n_grams"), explode(col("ga")).as("gram"))
     if (maxGramDocFreq == Int.MaxValue) allGrams
     else {
-      val hot = gramDf
+      val hot = gramDf.map(validGramDf)
         .map(_.filter(col("gdf") > maxGramDocFreq).select("gram"))
         .getOrElse(allGrams.groupBy("gram").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxGramDocFreq).select("gram"))
@@ -1764,6 +1768,46 @@ object Graft {
     }
   }
 
+  /** The per-document distinct word-n-gram ARRAY table
+    * (doc_id, na = |set|, ga = the distinct n-grams) — the ONE
+    * tokenize→n-gram→distinct pass the whole gram family derives
+    * from. Public so a pipeline computes it ONCE, writes it to the
+    * warehouse, and hands it to every `docGrams`-accepting facade
+    * ([[nearDupPairsNgram]], [[containmentPairsNgram]],
+    * [[jaccardJoinPrefix]], [[gramDocFreq]], [[ngramNovelty]]):
+    * before round 11 a cold session re-ran this corpus-scale pass
+    * once PER consumer family (pair graph, df table, prefix index —
+    * three full explodes; the measured bulk of the gram family's
+    * first-touch cost), now it runs once and every consumer reads a
+    * parquet column. Docs shorter than n tokens carry no row — the
+    * shared contract ("no n-gram → never pairs / never counted"). */
+  def docGramArrays(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = split(text, " ")
+    docs.select(id.cast("long").as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+              array_distinct(functions.TokenNGrams.ngrams(col("t"), n)).as("ga"))
+      .select(col("doc_id"), size(col("ga")).cast("long").as("na"), col("ga"))
+  }
+
+  /** Fail-fast schema gates for the two handed-table sharing params —
+    * a table built for a different (docs, n) or with renamed columns
+    * would otherwise silently drop grams via an inner join or
+    * mis-price rarity (round-10 ADVICE): the scaladoc contract alone
+    * is easy to violate, a missing-column error at plan time is not. */
+  private def validGramDf(df: DataFrame): DataFrame =
+    requireCols(df, Seq("gram", "gdf"), "gramDf")
+  private def validDocGrams(df: DataFrame): DataFrame =
+    requireCols(df, Seq("doc_id", "na", "ga"), "docGrams")
+  private def requireCols(df: DataFrame, need: Seq[String], what: String): DataFrame = {
+    val missing = need.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"handed $what table lacks column(s) ${missing.mkString(", ")} " +
+        s"(has: ${df.columns.mkString(", ")}) — was it built by the matching facade?")
+    df
+  }
+
   /** Per-gram document frequency (gram, gdf) over the distinct
     * word-n-grams of a corpus — the table the whole n-gram family
     * prices candidates with ([[jaccardJoinPrefix]]'s rarity order,
@@ -1772,13 +1816,14 @@ object Graft {
     * hand it to every consumer (PipelineOps does exactly that via
     * TempTables.cached per sf dir). One map-side-combinable groupBy;
     * output is vocab-scale metadata. */
-  def gramDocFreq(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+  def gramDocFreq(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+                  docGrams: Option[DataFrame] = None): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val t = split(text, " ")
-    docs.select(id.cast("long").as("doc_id"), t.as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("doc_id"),
-              explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
+    // `docGrams`: the shared [[docGramArrays]] table for the SAME
+    // (docs, n) — the df aggregate then explodes one parquet array
+    // column instead of re-running the corpus tokenize+n-gram pass
+    docGrams.map(validDocGrams).getOrElse(docGramArrays(docs, id, text, n))
+      .select(explode(col("ga")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("gdf"))
   }
 
@@ -1827,13 +1872,14 @@ object Graft {
                             thresholdPermille: Int = 800, n: Int = 3,
                             maxBucket: Int = 1024,
                             maxGramDocFreq: Int = Int.MaxValue,
-                            gramDf: Option[DataFrame] = None): DataFrame = {
+                            gramDf: Option[DataFrame] = None,
+                            docGrams: Option[DataFrame] = None): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
     require(maxGramDocFreq >= 1, s"maxGramDocFreq must be >= 1, got $maxGramDocFreq")
     val p = thresholdPermille
-    val sized = sizedGrams(docs, id, text, n, maxGramDocFreq, gramDf)
+    val sized = sizedGrams(docs, id, text, n, maxGramDocFreq, gramDf, docGrams)
     operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
       .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
               col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
@@ -1990,23 +2036,25 @@ object Graft {
   def jaccardJoinPrefix(docs: DataFrame, id: Column, text: Column,
                         thresholdPermille: Int = 800, n: Int = 3,
                         maxBucket: Int = 1024,
-                        gramDf: Option[DataFrame] = None): DataFrame = {
+                        gramDf: Option[DataFrame] = None,
+                        docGrams: Option[DataFrame] = None): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
     val p = thresholdPermille
-    val t = split(text, " ")
-    val grams = docs
-      .select(id.cast("long").as("doc_id"), t.as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("doc_id"),
-              explode(array_distinct(functions.TokenNGrams.ngrams(col("t"), n))).as("gram"))
+    // `docGrams`: the shared [[docGramArrays]] table for the SAME
+    // (docs, n) — the prefix index then explodes a parquet array
+    // column instead of re-running the corpus tokenize+n-gram pass
+    val grams = docGrams.map(validDocGrams)
+      .getOrElse(docGramArrays(docs, id, text, n))
+      .select(col("doc_id"), explode(col("ga")).as("gram"))
     // `gramDf`: the shared [[gramDocFreq]] table for the SAME
     // (docs, n) — hands the rarity order to this facade for free and
     // saves the second full gram scan (PipelineOps caches one per sf
     // dir and feeds it to the whole n-gram family); when absent the
     // df pass runs inline as before
-    val rarity = gramDf.getOrElse(grams.groupBy("gram").agg(count(lit(1)).as("gdf")))
+    val rarity = gramDf.map(validGramDf)
+      .getOrElse(grams.groupBy("gram").agg(count(lit(1)).as("gdf")))
     // ONE per-doc aggregate carries the rarity-SORTED gram array (the
     // struct sort on (gdf, gram) is the same total order the old
     // per-doc window ranked by), the set size, and the prefix slice —
@@ -2022,7 +2070,7 @@ object Graft {
     // the materialized table carries only (doc_id, gs, na) — the
     // prefix is a row-local slice of gs, cheaper to re-derive on read
     // than to duplicate ~30% of every gram array into the write
-    val docGrams = TempTables.materialize(
+    val sortedDocs = TempTables.materialize(
       grams.join(rarity, "gram")
         .groupBy("doc_id")
         .agg(array_sort(collect_list(struct(col("gdf"), col("gram")))).as("sg"))
@@ -2033,16 +2081,16 @@ object Graft {
       .withColumn("prefix",
         slice(col("gs"), lit(1),
               (col("na") - expr(s"(na * $p + 999) div 1000") + 1).cast("int")))
-    val prefix = docGrams.select(col("doc_id"), explode(col("prefix")).as("gram"),
-                                 col("na"))
+    val prefix = sortedDocs.select(col("doc_id"), explode(col("prefix")).as("gram"),
+                                   col("na"))
     val cand = operators.SkewJoin.blockedSelfPairs(prefix, Seq("gram"), "doc_id", maxBucket)
       .select(col("doc_id_a").as("doc_a"), col("na_a").as("na"),
               col("doc_id_b").as("doc_b"), col("na_b").as("nb"))
       .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
       .distinct()
     cand
-      .join(docGrams.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
-      .join(docGrams.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
+      .join(sortedDocs.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
+      .join(sortedDocs.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
       .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .filter(col("common") * (1000 + p) >= (col("na") + col("nb")) * p)
       .select(col("doc_a"), col("doc_b"),

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Events, GraphOps, HashOps, MediaOps, Oracle, PipelineOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding inventory)
-  * and §3.1 (entry points). 148 query ids; 140 with DuckDB oracles. The
+  * and §3.1 (entry points). 150 query ids; 142 with DuckDB oracles. The
   * 8 without (q_approx_distinct, q_dedup_minhash, q_dedup_simhash,
   * q_doc_fingerprint, q_ivf_build, q_sim_ivf, q_sim_srp, q_pca_power)
   * are not SQL-expressible (sketch/ANN internals, iterative float
@@ -118,6 +118,7 @@ object SparkEntry {
     "q_media_stats"    -> MediaOps.q_media_stats _,
     "q_media_dedup"    -> MediaOps.q_media_dedup _,
     "q_media_decode"   -> MediaOps.q_media_decode _,
+    "q_media_audio"    -> MediaOps.q_media_audio _,
     "q_dedup_simhash"  -> HashOps.q_dedup_simhash _,
     "q_doc_fingerprint" -> HashOps.q_doc_fingerprint _,
     "q_dedup_embed"    -> HashOps.q_dedup_embed _,
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_ngram_novelty"  -> PipelineOps.q_ngram_novelty _,
     "q_boilerplate_grams" -> PipelineOps.q_boilerplate_grams _,
     "q_stitch_pairs"   -> PipelineOps.q_stitch_pairs _,
+    "q_stitch_repair"  -> PipelineOps.q_stitch_repair _,
     "q_vocab_coverage" -> PipelineOps.q_vocab_coverage _,
     "q_vocab_growth"   -> PipelineOps.q_vocab_growth _,
     "q_bigram_entropy" -> PipelineOps.q_bigram_entropy _,

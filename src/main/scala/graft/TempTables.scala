@@ -37,6 +37,32 @@ object TempTables {
   private val cache = TrieMap.empty[(SparkSession, String), String]
   private val anon = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Every first-touch build this JVM has paid: key (or materialize
+    * tag) → (cumulative build seconds, cumulative bytes written).
+    * Round-11: the gram-family driver-bench inflation was localized
+    * to exactly these in-query first-touch builds, but the cost was
+    * an INFERENCE from query-time deltas — this ledger makes it a
+    * measurement Bench can print (`"temp_builds"` in the compact
+    * line), so attribution arguments are a one-line read. */
+  private val costs = TrieMap.empty[String, (Double, Long)]
+
+  private def recordBuild(key: String, secs: Double, path: String): Unit = {
+    val bytes =
+      try Using.resource(Files.walk(Paths.get(path)))(
+        _.filter(Files.isRegularFile(_)).mapToLong(Files.size).sum)
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    costs.updateWith(key) {
+      case Some((s, b)) => Some((s + secs, b + bytes))
+      case None         => Some((secs, bytes))
+    }
+  }
+
+  /** Snapshot of the per-key build ledger (seconds, bytes), keyed by
+    * the `cached` key's prefix before any ':' (the sf-dir suffix is
+    * per-run noise) or the `materialize` tag. */
+  def buildCosts: Map[String, (Double, Long)] =
+    costs.readOnlySnapshot().toMap
+
   private def deleteRecursively(path: String): Unit = {
     val root = Paths.get(path)
     if (Files.exists(root))
@@ -68,7 +94,9 @@ object TempTables {
       // mid-build — still gets swept at shutdown instead of leaking
       val p = Files.createTempDirectory("graft_tt_").toString
       anon.add(p)
+      val t0 = System.nanoTime()
       build.write.mode("overwrite").parquet(p)
+      recordBuild(key.takeWhile(_ != ':'), (System.nanoTime() - t0) / 1e9, p)
       cache.putIfAbsent((s, key), p) match {
         case None         => anon.remove(p); p
         case Some(winner) => anon.remove(p); deleteRecursively(p); winner
@@ -87,7 +115,9 @@ object TempTables {
   def materialize(df: DataFrame, tag: String): DataFrame = {
     val p = Files.createTempDirectory(s"graft_${tag}_").toString
     anon.add(p)
+    val t0 = System.nanoTime()
     df.write.mode("overwrite").parquet(p)
+    recordBuild(tag, (System.nanoTime() - t0) / 1e9, p)
     df.sparkSession.read.parquet(p)
   }
 

@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * so per-batch setup like codec init happens once per partition, not
   * per row).
   *
-  * The IMAGE decode is REAL: payloads that carry a decodable image
-  * (BMP/PNG/anything the pure-JDK `javax.imageio` registry reads) go
-  * through [[Multimodal.decodeImage]] — actual pixel decode, 16-bin
-  * luminance histogram. Audio/video decode remains the documented
-  * STUB ([[Multimodal.decodeStub]], a deterministic 16-bin byte
-  * histogram): this container ships no audio/video codecs. The
+  * The IMAGE and AUDIO decodes are REAL: payloads that carry a
+  * decodable image (BMP/PNG/anything the pure-JDK `javax.imageio`
+  * registry reads) go through [[Multimodal.decodeImage]] — actual
+  * pixel decode, 16-bin luminance histogram — and WAV payloads
+  * through [[Multimodal.decodeAudio]] (`javax.sound.sampled` PCM
+  * frame decode, 16-bin sample histogram). VIDEO decode remains the
+  * documented STUB ([[Multimodal.decodeStub]], a deterministic
+  * 16-bin byte histogram): this container ships no video codecs. The
   * routing is per-row inside the same partition-batched stage, so
   * the Spark-side plumbing — schema, batch shape, fallback on
   * undecodable payloads — is exactly what a production pipeline
@@ -32,10 +34,11 @@ object Multimodal {
                            histogram: Array[Long], frames_sampled: Int,
                            checksum: Long)
 
-  /** STUB — stands in for the AUDIO/VIDEO codec decode (no such
-    * codecs ship in this container; images decode for real via
-    * [[decodeImage]]). Deterministic: 16-bin histogram over payload
-    * bytes. */
+  /** STUB — stands in for the VIDEO codec decode (no video codec
+    * ships in this container; images decode for real via
+    * [[decodeImage]], WAV audio via [[decodeAudio]]) and is the
+    * fallback for undecodable payloads of any kind. Deterministic:
+    * 16-bin histogram over payload bytes. */
   def decodeStub(payload: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](16)
     var i = 0
@@ -96,14 +99,19 @@ object Multimodal {
                w >= 1 && h >= 1 && w.toLong * h <= MaxPixels }) None
     else
       try {
-        // no close of our own: ImageIO.read(ImageInputStream) closes
-        // the stream itself, and MemoryCacheImageInputStream throws
-        // IOException("closed") on a double close — a finally-close
-        // here would turn every SUCCESSFUL read into the stub fallback
-        val img = javax.imageio.ImageIO.read(
-          new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(payload)))
-        if (img == null) None
+        // ImageIO.read(ImageInputStream) closes the stream itself on
+        // success AND on reader throw — but NOT on the null return
+        // (no registered reader claims the payload), where the stream
+        // and its memory cache would otherwise sit until GC on a
+        // per-row hot path (round-10 ADVICE). Close it ourselves ONLY
+        // on that branch: a finally-close would double-close the
+        // successful path (MemoryCacheImageInputStream throws
+        // IOException("closed")) and turn every real decode into the
+        // stub fallback.
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val img = javax.imageio.ImageIO.read(iis)
+        if (img == null) { iis.close(); None }
         else {
           val hist = new Array[Long](16)
           var y = 0
@@ -158,6 +166,98 @@ object Multimodal {
     buf.array()
   }
 
+  /** Cheap magic-byte gate for WAV payloads (RIFF container, WAVE
+    * form type) — same role as [[looksLikeImage]]: only plausibly-WAV
+    * payloads reach the audio system's provider scan. */
+  def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length > 44 &&
+      p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+      p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+      p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
+  /** REAL audio decode — pure JDK (`javax.sound.sampled`, no external
+    * codec): parses the payload as a WAV, streams the decoded PCM
+    * frames, and histograms the SAMPLES (8-bit unsigned: sample value
+    * directly; 16-bit: the unsigned-shifted high byte) into 16 bins —
+    * so the histogram counts samples, not payload bytes, which is how
+    * a caller (and MultimodalSpec / the q_media_audio oracle) can
+    * tell the real decode ran and not the byte-histogram stub (the
+    * stub would also count the 44 RIFF header bytes). Returns None
+    * for anything that is not a decodable WAV — wrong magic, a
+    * declared data size exceeding the actual payload (the audio
+    * analogue of the dimension-bomb gate: the bound costs four byte
+    * reads and runs BEFORE any provider touches the stream),
+    * unsupported encodings, ANY reader failure — and the caller falls
+    * back to the stub, the dirty-corpus production shape. The read is
+    * stream-bounded: frames come off an AudioInputStream over the
+    * in-memory array, so a hostile header can never cause an
+    * allocation beyond the real payload. */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Long]] =
+    if (!looksLikeWav(payload)) None
+    else {
+      val declared = java.nio.ByteBuffer.wrap(payload, 40, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (declared < 0 || declared > payload.length - 44) None
+      else
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val f = ais.getFormat
+            val bytesPerSample = f.getSampleSizeInBits / 8
+            if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+                f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+            else if (bytesPerSample != 1 && bytesPerSample != 2) None
+            else {
+              val hist = new Array[Long](16)
+              val buf = new Array[Byte](4096 * bytesPerSample)
+              var n = ais.read(buf)
+              while (n > 0) {
+                var i = 0
+                while (i + bytesPerSample <= n) {
+                  // 8-bit WAV PCM is unsigned; 16-bit is signed
+                  // little-endian — shift its high byte to unsigned so
+                  // both land on the same 0..255 sample scale
+                  val v =
+                    if (bytesPerSample == 1) buf(i) & 0xff
+                    else (buf(i + 1) & 0xff) ^ 0x80
+                  hist(v >> 4) += 1L
+                  i += bytesPerSample
+                }
+                n = ais.read(buf)
+              }
+              Some(hist)
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Deterministic 8-bit unsigned PCM mono WAV encoder (pure JDK, no
+    * codec): each input byte becomes one sample, value = the byte
+    * read unsigned. Exists so tests and demo pipelines can synthesize
+    * REAL decodable audio payloads from document bytes — the encode
+    * half of [[decodeAudio]]'s round-trip proof, exactly the
+    * [[encodeBmp]] pattern for images. */
+  def encodeWav(samples: Array[Byte], sampleRate: Int = 16000): Array[Byte] = {
+    require(samples.nonEmpty, "empty sample array")
+    require(sampleRate >= 1, s"sampleRate must be >= 1, got $sampleRate")
+    val buf = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1)                    // PCM
+    buf.putShort(1)                    // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate)             // byte rate = rate × 1 × 1
+    buf.putShort(1)                    // block align
+    buf.putShort(8)                    // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(samples.length)
+    buf.put(samples)
+    buf.array()
+  }
+
   /** Frame sampling: treat the payload as fixed-size frames, keep every
     * `stride`-th — the shape of video keyframe extraction. */
   def sampleFrames(payload: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
@@ -184,12 +284,14 @@ object Multimodal {
       // pipeline this is codec/context initialization
       rows.map { r =>
         val frames = sampleFrames(r.payload, frameSize, stride)
-        // images decode for REAL (pixel luminance histogram via the
-        // pure-JDK codec); undecodable payloads and audio/video fall
-        // back to the byte-histogram stub
-        val hist =
-          if (r.kind == "image") decodeImage(r.payload).getOrElse(decodeStub(r.payload))
-          else decodeStub(r.payload)
+        // images and WAV audio decode for REAL (pixel-luminance /
+        // PCM-sample histograms via the pure-JDK codecs); undecodable
+        // payloads and video fall back to the byte-histogram stub
+        val hist = r.kind match {
+          case "image" => decodeImage(r.payload).getOrElse(decodeStub(r.payload))
+          case "audio" => decodeAudio(r.payload).getOrElse(decodeStub(r.payload))
+          case _       => decodeStub(r.payload)
+        }
         MediaFeatures(r.media_id, r.kind, r.payload.length, hist,
                       frames.length,
                       java.util.Arrays.hashCode(r.payload).toLong)

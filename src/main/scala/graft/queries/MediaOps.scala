@@ -114,6 +114,50 @@ object MediaOps {
       .orderBy("doc_id")
   }
 
+  /** REAL audio decode as an oracle-checked query (round 11 — the
+    * q_media_decode recipe applied to the second codec): every
+    * document's UTF-8 bytes become the samples of a genuine 8-bit
+    * unsigned PCM mono WAV (`Multimodal.encodeWav`, pure JDK), pushed
+    * through the partition-batched extraction, and DECODED BACK by
+    * `javax.sound.sampled` inside
+    * [[graft.multimodal.Multimodal.decodeAudio]]: the emitted counts
+    * are sums over the decoded PCM-SAMPLE histogram, not over payload
+    * bytes (a stubbed byte histogram over the WAV would count the
+    * 44-byte RIFF header and fail the oracle). 8-bit unsigned PCM
+    * makes sample value ≡ byte value, so the oracle verifies the
+    * whole encode→decode→histogram loop with character-class
+    * arithmetic on the TEXT — completely blind to WAV,
+    * javax.sound.sampled and the Scala histogram.
+    *
+    * Output per doc: n_samples (decoded sample count), sep_samples
+    * (sample 0x20–0x2F — bin 2: space/punctuation), lo_alpha
+    * (0x60–0x6F — bin 6), hi_alpha (0x70–0x7F — bin 7). All integers
+    * (rule I).
+    *
+    * Scale shape: identical to q_media_decode — one scan → row-local
+    * encode + decode inside ONE `mapPartitions` batch (no shuffle;
+    * payloads never cross the wire) → row-local histogram sums → the
+    * only exchange is the output sort. */
+  def q_media_audio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= 1) // a 0-byte doc has no samples
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        Multimodal.MediaRow(id, "audio", Multimodal.encodeWav(bytes, 16000),
+          0, 0, 16000)
+      }
+    val sampleSum = aggregate(col("histogram"), lit(0L), (a, x) => a + x)
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id").as("doc_id"),
+              sampleSum.as("n_samples"),
+              element_at(col("histogram"), 3).as("sep_samples"),
+              element_at(col("histogram"), 7).as("lo_alpha"),
+              element_at(col("histogram"), 8).as("hi_alpha"))
+      .orderBy("doc_id")
+  }
+
   /** Exact media-asset dedup per kind — the content-addressed-storage
     * step of a multimodal ingest (identical images/clips re-uploaded
     * under different ids stored ONCE): assets grouped by the MD5 of

@@ -1186,6 +1186,38 @@ object Oracle {
         |FROM sp x JOIN sp y ON x.suf = y.pre AND x.doc_id <> y.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    /** Stitch repair: the stitch pair graph (same list-slice join as
+      * q_stitch_pairs, blind to hashing) chained into reassembled
+      * documents via the recursive-CTE connected components (the
+      * q_dedup_cluster recipe), with per-chain repair accounting —
+      * stitched_tokens drops one copy of each 4-token shared
+      * boundary. chain_rep unique (rule O); rule I casts. */
+    "q_stitch_repair" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 4),
+        |sp AS (SELECT doc_id, array_to_string(t[-4:], ' ') AS suf,
+        |              array_to_string(t[1:4], ' ') AS pre FROM toks),
+        |pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |       FROM sp x JOIN sp y ON x.suf = y.pre AND x.doc_id <> y.doc_id),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+        |),
+        |cc AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node),
+        |tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |       FROM documents),
+        |m AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_fragments,
+        |             CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        |      FROM cc JOIN tk ON node = doc_id GROUP BY label),
+        |np AS (SELECT c.label, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |       FROM pr JOIN cc c ON pr.doc_a = c.node GROUP BY c.label)
+        |SELECT m.label AS chain_rep, m.n_fragments, np.n_pairs, m.total_tokens,
+        |       m.total_tokens - np.n_pairs * 4 AS stitched_tokens
+        |FROM m JOIN np ON m.label = np.label ORDER BY chain_rep""".stripMargin,
+
     /** Vocabulary coverage curve: tokens ranked by (count DESC, token
       * ASC) — the one total order both engines state; per k the
       * covered type count and integer floor-div permille of total
@@ -1987,6 +2019,21 @@ object Oracle {
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_pixels,
         |       CAST(length(text) - length(regexp_replace(text, '[ -/]', '', 'g')) AS BIGINT) AS sep_pixels,
+        |       CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g')) AS BIGINT) AS lo_alpha,
+        |       CAST(length(text) - length(regexp_replace(text, '[\x70-\x7f]', '', 'g')) AS BIGINT) AS hi_alpha
+        |FROM documents WHERE length(text) >= 1 ORDER BY doc_id""".stripMargin,
+
+    /** q_media_audio's oracle verifies the ENTIRE encode→WAV-decode→
+      * sample-histogram loop the same way q_media_decode's does for
+      * pixels: 8-bit unsigned PCM makes decoded sample ≡ text byte
+      * value, so sample counts per class are character-class counts
+      * on the TEXT. A stubbed byte histogram over the WAV payload
+      * would count the 44-byte RIFF header too and fail the hash.
+      * Rule I casts; doc_id unique (rule O). */
+    "q_media_audio" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+        |       CAST(length(text) - length(regexp_replace(text, '[ -/]', '', 'g')) AS BIGINT) AS sep_samples,
         |       CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g')) AS BIGINT) AS lo_alpha,
         |       CAST(length(text) - length(regexp_replace(text, '[\x70-\x7f]', '', 'g')) AS BIGINT) AS hi_alpha
         |FROM documents WHERE length(text) >= 1 ORDER BY doc_id""".stripMargin,

@@ -28,7 +28,25 @@ object PipelineOps {
   private def ngramPairGraph(s: SparkSession, d: String): DataFrame =
     graft.TempTables.cached(s, s"ngram_pairs:$d")(
       graft.Graft.nearDupPairsNgram(Tables.documents(s, d),
-        col("doc_id"), col("text"), thresholdPermille = 800, n = 3))
+        col("doc_id"), col("text"), thresholdPermille = 800, n = 3,
+        docGrams = Some(docGramsTable(s, d))))
+
+  /** The per-document distinct word-3-gram ARRAY table (doc_id, na,
+    * ga) — [[graft.Graft.docGramArrays]] computed ONCE per (session,
+    * sfDir) and fed to EVERY gram-family build: the pair graph, the
+    * gram-df table, the capped variant's filtered recount, the prefix
+    * index, novelty, containment. Before round 11 each of those
+    * re-ran the corpus tokenize→n-gram→distinct pass on a cold
+    * session (three-plus full explodes — the measured bulk of the
+    * family's first-touch cost, the round-10 `weak` flags); now the
+    * cold path pays ONE pass plus one parquet write, and every
+    * consumer explodes a stored array column. The warehouse shape at
+    * 100 TB: the tokenized intermediate is written once next to the
+    * corpus, exactly like the pair graph and df tables it feeds. */
+  private def docGramsTable(s: SparkSession, d: String): DataFrame =
+    graft.TempTables.cached(s, s"doc_grams3:$d")(
+      graft.Graft.docGramArrays(Tables.documents(s, d),
+        col("doc_id"), col("text"), n = 3))
 
   /** The word-3-gram document-frequency table (gram, gdf) over
     * documents — [[graft.Graft.gramDocFreq]] computed ONCE per
@@ -43,7 +61,8 @@ object PipelineOps {
   private def gramDfTable(s: SparkSession, d: String): DataFrame =
     graft.TempTables.cached(s, s"gram_df:$d")(
       graft.Graft.gramDocFreq(Tables.documents(s, d),
-        col("doc_id"), col("text"), n = 3))
+        col("doc_id"), col("text"), n = 3,
+        docGrams = Some(docGramsTable(s, d))))
 
   /** Component labels over [[ngramPairGraph]], computed ONCE per
     * (session, sfDir) and shared by [[q_dedup_cluster]] (membership
@@ -82,7 +101,8 @@ object PipelineOps {
   def q_dedup_ngram_capped(s: SparkSession, d: String): DataFrame =
     graft.Graft.nearDupPairsNgram(Tables.documents(s, d),
         col("doc_id"), col("text"), maxGramDocFreq = 5,
-        gramDf = Some(gramDfTable(s, d)))
+        gramDf = Some(gramDfTable(s, d)),
+        docGrams = Some(docGramsTable(s, d)))
       .orderBy("doc_a", "doc_b")
 
   /** EXACT prefix-filtered Jaccard pairs (AllPairs/PPJoin prefix
@@ -100,7 +120,8 @@ object PipelineOps {
   def q_jaccard_prefix(s: SparkSession, d: String): DataFrame =
     graft.Graft.jaccardJoinPrefix(Tables.documents(s, d),
         col("doc_id"), col("text"), thresholdPermille = 700,
-        gramDf = Some(gramDfTable(s, d)))
+        gramDf = Some(gramDfTable(s, d)),
+        docGrams = Some(docGramsTable(s, d)))
       .orderBy("doc_a", "doc_b")
 
   /** Sorted-neighborhood near-dup pairs (added round 8): order docs
@@ -147,7 +168,8 @@ object PipelineOps {
   def q_ngram_novelty(s: SparkSession, d: String): DataFrame =
     graft.Graft.ngramNovelty(Tables.documents(s, d),
         col("doc_id"), col("text"), n = 3,
-        gramDf = Some(gramDfTable(s, d)))
+        gramDf = Some(gramDfTable(s, d)),
+        docGrams = Some(docGramsTable(s, d)))
       .orderBy("doc_id")
 
   /** The corpus stop-gram report (round 10): top-25 word-3-grams by
@@ -230,6 +252,50 @@ object PipelineOps {
     graft.Graft.stitchPairs(Tables.documents(s, d),
         col("doc_id"), col("text"), boundaryTokens = 4)
       .orderBy("doc_a", "doc_b")
+
+  /** Split-document REASSEMBLY (round 11) — closes the loop from
+    * detection ([[q_stitch_pairs]]) to repair, the way q_span_drop
+    * closes it for span accounting: the stitch pairs become edges,
+    * [[graft.operators.ConnectedComponents.alternatingStar]] groups
+    * fragments into reassembled documents, and each chain reports its
+    * repair accounting — fragment count, stitch count, raw token
+    * total, and the stitched token total after dropping one copy of
+    * each 4-token shared boundary (each stitch welds two fragments
+    * over a boundary that exists verbatim in both). Output per chain:
+    * (chain_rep = min fragment id, n_fragments, n_pairs,
+    * total_tokens, stitched_tokens) — chain_rep unique (rule O), all
+    * integers (rule I).
+    *
+    * Scale shape: the corpus-scale work is stitchPairs' one hash
+    * equi-join (16-byte span-hash keys); the pair set is
+    * metadata-scale by construction and round-trips through temp
+    * parquet ONCE because the CC loop and the per-chain stitch count
+    * both consume it (the §2.14 edge-table stats lesson); the CC loop
+    * is O(log n) rounds over pair-scale edges; token sizes join
+    * row-local counts against pair-scale labels. */
+  def q_stitch_repair(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = graft.TempTables.materialize(
+      graft.Graft.stitchPairs(docs, col("doc_id"), col("text"), boundaryTokens = 4)
+        .select(col("doc_a"), col("doc_b")), "stitch_pairs")
+    // the CC loop's labeling is RDD-backed (localCheckpoint lineage
+    // truncation) and TWO joins consume it — parquet round-trip keeps
+    // relation stats so both stay broadcast-able (the §2.14 lesson)
+    val labels = graft.TempTables.materialize(
+      graft.operators.ConnectedComponents.alternatingStar(pairs), "stitch_cc")
+    val sizes = docs.select(col("doc_id"), size(toks).cast("long").as("n_toks"))
+    val members = labels.join(sizes, col("node") === col("doc_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_fragments"), sum("n_toks").as("total_tokens"))
+    val stitches = labels.select(col("node").as("doc_a"), col("label"))
+      .join(pairs, "doc_a")
+      .groupBy("label").agg(count(lit(1)).as("n_pairs"))
+    members.join(stitches, "label")
+      .select(col("label").as("chain_rep"), col("n_fragments"), col("n_pairs"),
+              col("total_tokens"),
+              (col("total_tokens") - col("n_pairs") * 4).as("stitched_tokens"))
+      .orderBy("chain_rep")
+  }
 
   /** Top-k vocabulary coverage / OOV curve (round 10):
     * [[graft.Graft.vocabCoverage]] at k ∈ {4, 8, 16, 24, 32} (sized
@@ -607,7 +673,8 @@ object PipelineOps {
     * asymmetric pairs are the positives here), all-integer output. */
   def q_dedup_contain(s: SparkSession, d: String): DataFrame =
     graft.Graft.containmentPairsNgram(Tables.documents(s, d),
-        col("doc_id"), col("text"), thresholdPermille = 800, n = 3)
+        col("doc_id"), col("text"), thresholdPermille = 800, n = 3,
+        docGrams = Some(docGramsTable(s, d)))
       .orderBy("doc_a", "doc_b")
 
   /** CCNet-style perplexity bucketing: every document scored by the

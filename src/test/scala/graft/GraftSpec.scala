@@ -1632,6 +1632,47 @@ class GraftSpec extends SparkSpecBase {
            rows(sharedCapped.orderBy("doc_a", "doc_b")))
   }
 
+  test("shared docGrams table: every consumer is result-identical to the inline pass") {
+    // the round-11 one-gram-explode sharing: a precomputed
+    // docGramArrays table handed to each facade must change NOTHING
+    // about results — only where the tokenize→n-gram pass runs
+    val docs = Tables.documents(spark, sf)
+    val dg = Graft.docGramArrays(docs, $"doc_id", $"text", n = 3)
+    val df = Graft.gramDocFreq(docs, $"doc_id", $"text", n = 3, docGrams = Some(dg))
+    assert(rows(df.orderBy("gram")) ==
+           rows(Graft.gramDocFreq(docs, $"doc_id", $"text", n = 3).orderBy("gram")))
+    def k(d: org.apache.spark.sql.DataFrame) = rows(d.orderBy("doc_a", "doc_b"))
+    assert(k(Graft.nearDupPairsNgram(docs, $"doc_id", $"text", docGrams = Some(dg))) ==
+           k(Graft.nearDupPairsNgram(docs, $"doc_id", $"text")))
+    assert(k(Graft.jaccardJoinPrefix(docs, $"doc_id", $"text", 700,
+             gramDf = Some(df), docGrams = Some(dg))) ==
+           k(Graft.jaccardJoinPrefix(docs, $"doc_id", $"text", 700)))
+    assert(k(Graft.nearDupPairsNgram(docs, $"doc_id", $"text", maxGramDocFreq = 5,
+             gramDf = Some(df), docGrams = Some(dg))) ==
+           k(Graft.nearDupPairsNgram(docs, $"doc_id", $"text", maxGramDocFreq = 5)))
+    assert(k(Graft.containmentPairsNgram(docs, $"doc_id", $"text", docGrams = Some(dg))) ==
+           k(Graft.containmentPairsNgram(docs, $"doc_id", $"text")))
+    assert(rows(Graft.ngramNovelty(docs, $"doc_id", $"text", 3,
+                  gramDf = Some(df), docGrams = Some(dg)).orderBy("doc_id")) ==
+           rows(Graft.ngramNovelty(docs, $"doc_id", $"text", 3).orderBy("doc_id")))
+  }
+
+  test("handed gramDf/docGrams tables fail fast on a wrong schema") {
+    // a table built by a different facade (or for different columns)
+    // must be rejected at plan time, not silently drop grams through
+    // an inner join (round-10 ADVICE)
+    val docs = Tables.documents(spark, sf)
+    val wrong = docs.select($"doc_id", $"text")
+    val eGram = intercept[IllegalArgumentException] {
+      Graft.jaccardJoinPrefix(docs, $"doc_id", $"text", gramDf = Some(wrong))
+    }
+    assert(eGram.getMessage.contains("gramDf"))
+    val eDoc = intercept[IllegalArgumentException] {
+      Graft.nearDupPairsNgram(docs, $"doc_id", $"text", docGrams = Some(wrong))
+    }
+    assert(eDoc.getMessage.contains("docGrams"))
+  }
+
   test("q_split_leakage conserves the pair graph and orders split pairs canonically") {
     val rows = queries.PipelineOps.q_split_leakage(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

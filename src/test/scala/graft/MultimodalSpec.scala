@@ -189,6 +189,70 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats(1L).histogram.sum == 64 && feats(2L).histogram.sum == 9)
   }
 
+  test("real audio decode: WAV payloads yield PCM-sample histograms") {
+    // round-trip: encode known samples → pure-JDK javax.sound.sampled
+    // decode → hand-computed sample histogram
+    val samples = Array.tabulate(300)(i => (i * 37 % 256).toByte)
+    val wav = Multimodal.encodeWav(samples, 16000)
+    val expected = new Array[Long](16)
+    samples.foreach(b => expected((b & 0xff) >> 4) += 1L)
+    assert(Multimodal.decodeAudio(wav).get.toSeq == expected.toSeq)
+    // the real decode histograms SAMPLES (300), not payload bytes
+    // (344 with the RIFF header) — the stub-vs-decode distinguisher
+    assert(Multimodal.decodeAudio(wav).get.sum == 300 && wav.length == 344)
+
+    // 16-bit signed PCM (hand-built header): the high byte shifted to
+    // unsigned is the sample class — one sample per 2 bytes
+    val s16 = Array[Short](0, Short.MinValue, Short.MaxValue, 0x1234)
+    val b16 = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b16.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+    s16.foreach(b16.putShort)
+    val h16 = Multimodal.decodeAudio(b16.array()).get
+    assert(h16.sum == 4)
+    // high bytes 0x00,0x80,0x7f,0x12 → unsigned 0x80,0x00,0xff,0x92
+    assert(h16(8) == 1 && h16(0) == 1 && h16(15) == 1 && h16(9) == 1)
+
+    // hostile payloads: RIFF magic with a data size exceeding the
+    // payload (the length-bomb gate), truncated header, garbage — all
+    // fall back; and through the Spark stage an audio-kind WAV row
+    // takes the REAL decode while a non-WAV audio row takes the stub
+    val bomb = wav.clone()
+    java.nio.ByteBuffer.wrap(bomb, 40, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue)
+    assert(Multimodal.decodeAudio(bomb).isEmpty)
+    assert(Multimodal.decodeAudio("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeAudio(samples).isEmpty)
+    val rows = Seq(MediaRow(1L, "audio", wav, 0, 0, 16000),
+                   MediaRow(2L, "audio", samples, 0, 0, 16000),
+                   MediaRow(3L, "video", wav, 0, 0, 0))
+    val feats = Multimodal.extractFeatures(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).histogram.toSeq == expected.toSeq)
+    assert(feats(2L).histogram.sum == samples.length)     // stub: byte count
+    assert(feats(3L).histogram.sum == wav.length)         // video stays stubbed
+  }
+
+  test("q_media_audio: decode in one map stage; only the output sort shuffles") {
+    val df = graft.queries.MediaOps.q_media_audio(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"))
+    assert("Exchange".r.findAllMatchIn(plan).size <= 1,
+      s"encode+decode must be one map stage:\n$plan")
+    // decoded sample count equals the text's byte count (8-bit PCM:
+    // sample ≡ byte) — the stub over the WAV payload would add the
+    // 44-byte RIFF header
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").head.getString(0)
+    val one = df.filter(col("doc_id") === 0).collect().head
+    assert(one.getLong(1) == text.getBytes("UTF-8").length)
+    assert(one.getLong(2) == text.count(c => c >= 0x20 && c <= 0x2f))
+  }
+
   test("q_media_decode: decode in one map stage; only the output sort shuffles") {
     val df = graft.queries.MediaOps.q_media_decode(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
