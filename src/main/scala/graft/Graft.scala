@@ -189,6 +189,86 @@ object Graft {
              .as("n_subword"))
   }
 
+  /** PII detection + redaction accounting for a text column — the
+    * scrub stage every production training-data pipeline runs before
+    * anything leaves the raw zone. Three detector classes as one
+    * struct: email addresses, phone-shaped numbers (the NANP
+    * 555-prefixed form this corpus synthesizes), dotted-quad IPs —
+    * counts per class plus `redacted_chars`, the characters a
+    * replace-with-empty redaction pass removes (the byte budget the
+    * scrub saves / the audit row a compliance report wants).
+    *
+    * Patterns are deliberately RE2-compatible (character classes,
+    * bounded repeats, no lookaround, no backtracking-dependent
+    * alternation) so Java regex (Spark) and RE2 (DuckDB, Go
+    * scrubbers) agree match-for-match — leftmost-greedy and
+    * leftmost-longest coincide on these shapes. Pure per-row
+    * computation: at 100 TB this is a mapper, zero shuffle. */
+  def piiSignals(text: Column): Column = {
+    val counts = PiiPatterns.all.map { case (name, p) =>
+      regexp_count(text, lit(p)).cast("long").as(s"n_$name")
+    }
+    val scrubbed = PiiPatterns.all.foldLeft(text) {
+      case (c, (_, p)) => regexp_replace(c, p, "")
+    }
+    struct(counts :+
+      (length(text) - length(scrubbed)).cast("long").as("redacted_chars"): _*)
+  }
+
+  /** The shared PII pattern registry — ONE definition so the scan,
+    * its tests, and any redaction stage can never drift. Order is the
+    * redaction order (fixed: a sequential replace in a different
+    * order could change `redacted_chars` if classes overlapped). */
+  private[graft] object PiiPatterns {
+    val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+    val phone = "555-[0-9]{4}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val all: Seq[(String, String)] =
+      Seq("emails" -> email, "phones" -> phone, "ips" -> ip)
+  }
+
+  /** Deterministic SOURCE-INTERLEAVED curriculum order — the data-
+    * layout stage between sampling and packing: within each source
+    * the docs take the seeded [[epochShuffleKey]] order (the
+    * q_shuffle_det bijection — engine-portable, no floats), and the
+    * global order interleaves sources round-robin by per-source
+    * position (all the src_pos=1 docs first, source-name order, then
+    * all src_pos=2 …). The guarantee a mixture-trained run wants: no
+    * long single-source run can appear in the stream regardless of
+    * how unbalanced the per-source volumes are, and the order is
+    * bit-reproducible on any engine and any partitioning.
+    *
+    * Output: (doc_id, source, src_pos, global_pos) — both positions
+    * 1-based longs. Scale shape: per-source rank via the two-pass
+    * distributed [[groupedRankDesc]] (a hot source degrades to
+    * `buckets` window partitions, never one) and the global position
+    * via [[globalRankDesc]] over (src_pos, source) — no
+    * single-partition window anywhere, no collect. */
+  def interleaveBySource(df: DataFrame, id: Column, source: Column,
+                         seed: Long): DataFrame = {
+    val keyed = df.select(id.cast("long").as("doc_id"), source.as("source"))
+      .select(col("doc_id"), col("source"),
+              epochShuffleKey(col("doc_id"), seed).as("__sk"))
+    // key = −shuffle-key: groupedRankDesc's (key DESC, tie ASC) order
+    // becomes (shuffle-key ASC, doc_id ASC) — the epoch order; the
+    // key is < 1e9+7 so the double cast is exact
+    val srcPos = groupedRankDesc(keyed, col("source"),
+        negate(col("__sk").cast("double")), col("doc_id"))
+      .select(col("group").as("source"), col("tie").cast("long").as("doc_id"),
+              col("rank").as("src_pos"))
+    // global interleave: rank (src_pos ASC, source ASC) — source is
+    // unique per src_pos, so the order is total
+    val globalPos = globalRankDesc(
+        srcPos.select(col("src_pos"), col("source")),
+        negate(col("src_pos").cast("double")), col("source"))
+      .select((-col("key")).cast("long").as("src_pos"),
+              col("tie").as("source"), col("rank").as("global_pos"))
+    keyed.select(col("doc_id"), col("source"))
+      .join(srcPos, Seq("source", "doc_id"))
+      .join(globalPos, Seq("src_pos", "source"))
+      .select(col("doc_id"), col("source"), col("src_pos"), col("global_pos"))
+  }
+
   /** Gopher-style repetition-quality signals for a whitespace-token
     * text column: (duplicate-token, duplicate-2-gram, duplicate-3-gram)
     * permilles as a struct. Pure per-row computation. A document with

@@ -1218,6 +1218,56 @@ object Oracle {
         |       m.total_tokens - np.n_pairs * 4 AS stitched_tokens
         |FROM m JOIN np ON m.label = np.label ORDER BY chain_rep""".stripMargin,
 
+    /** PII scan: the same deterministic synthesis (append email /
+      * 555-phone / dotted-quad IP by doc_id residue — pure integer
+      * string algebra) and the same RE2-compatible patterns, with
+      * counts via regexp_extract_all and redacted_chars via the
+      * 3-stage global replace in the SAME fixed order. Rule I casts;
+      * doc_id unique (rule O). */
+    "q_pii_scan" ->
+      """WITH t2 AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN ' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |            THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |                 || CAST((doc_id // 256) % 256 AS VARCHAR)
+        |            ELSE '' END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(txt, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(txt, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(length(txt) - length(
+        |    regexp_replace(regexp_replace(regexp_replace(txt,
+        |      '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '', 'g'),
+        |      '555-[0-9]{4}', '', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '', 'g')) AS BIGINT)
+        |    AS redacted_chars
+        |FROM t2 ORDER BY doc_id""".stripMargin,
+
+    /** Source-interleaved curriculum: the q_shuffle_det integer
+      * scramble (seed 20260814) per source, then the round-robin
+      * global order — both as plain ROW_NUMBER windows, blind to the
+      * Spark side's two-pass distributed rank. doc_id unique
+      * (rule O); rule I casts. */
+    "q_interleave" ->
+      """WITH k AS (SELECT doc_id, source,
+        |        ((((doc_id % 1000000007) + 20260814) % 1000000007)
+        |         * 2654435761) % 1000000007 AS sk
+        |      FROM documents),
+        |r AS (SELECT doc_id, source,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |                                ORDER BY sk, doc_id) AS src_pos
+        |      FROM k)
+        |SELECT doc_id, source, CAST(src_pos AS BIGINT) AS src_pos,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY src_pos, source) AS BIGINT)
+        |         AS global_pos
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     /** Vocabulary coverage curve: tokens ranked by (count DESC, token
       * ASC) — the one total order both engines state; per k the
       * covered type count and integer floor-div permille of total

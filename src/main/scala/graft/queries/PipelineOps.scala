@@ -297,6 +297,57 @@ object PipelineOps {
       .orderBy("chain_rep")
   }
 
+  /** PII scan + redaction accounting (round 11) — the scrub stage
+    * every production pipeline runs before data leaves the raw zone:
+    * per doc the email / phone / dotted-quad-IP hit counts and the
+    * characters a redaction pass removes, via
+    * [[graft.Graft.piiSignals]] (RE2-compatible patterns, so the
+    * oracle's RE2 engine and Spark's Java regex agree
+    * match-for-match). The corpus itself is synthetic words, so the
+    * query SYNTHESIZES deterministic PII first (the q_media_decode
+    * precedent: synthesize → process → verify blind): docs with
+    * doc_id ≡ 0 mod 5/7/11 get an appended email / 555-phone / IP
+    * built from pure integer arithmetic on doc_id — identical
+    * string algebra in both engines, and the UNTOUCHED docs assert
+    * the zero row explicitly. Row-local end to end: the only
+    * exchange at any scale is the output sort. */
+  def q_pii_scan(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" user"), col("doc_id").cast("string"),
+               lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" 555-"),
+               lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+               (expr("doc_id div 256") % 256).cast("string")))
+        .otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.Graft.piiSignals(injected).as("p"))
+      .select(col("doc_id"), col("p.n_emails"), col("p.n_phones"),
+              col("p.n_ips"), col("p.redacted_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic source-interleaved curriculum order (round 11) —
+    * the layout stage between sampling and packing:
+    * [[graft.Graft.interleaveBySource]] on documents (seed
+    * 20260814), so the oracle verifies the public facade. Within
+    * each source the docs take the seeded integer-bijection epoch
+    * order (the q_shuffle_det scramble); globally the sources
+    * round-robin by per-source position — no long single-source run
+    * can appear in the training stream, and the order is
+    * bit-reproducible on any engine/partitioning. Ranks run the
+    * two-pass distributed scheme both per-source and globally — no
+    * single-partition window at any corpus size. */
+  def q_interleave(s: SparkSession, d: String): DataFrame =
+    graft.Graft.interleaveBySource(Tables.documents(s, d),
+        col("doc_id"), col("source"), seed = 20260814L)
+      .orderBy("doc_id")
+
   /** Top-k vocabulary coverage / OOV curve (round 10):
     * [[graft.Graft.vocabCoverage]] at k ∈ {4, 8, 16, 24, 32} (sized
     * to this corpus's 31-word vocabulary; a tokenizer decision would

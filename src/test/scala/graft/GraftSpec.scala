@@ -1657,6 +1657,74 @@ class GraftSpec extends SparkSpecBase {
            rows(Graft.ngramNovelty(docs, $"doc_id", $"text", 3).orderBy("doc_id")))
   }
 
+  test("piiSignals: hand-computed hits and redaction on crafted strings") {
+    val rows = Seq(
+      (1L, "hello bob.smith@mail.example.com and 555-0142 at 10.0.0.1 ok"),
+      (2L, "two mails a@b.co c.d@e.org one 555-9999"),
+      (3L, "clean text with no pii at all"),
+      (4L, "ip only 192.168.001.255 end")).toDF("id", "t")
+    val byId = rows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def manual(s: String): (Long, Long, Long, Long) = {
+      val e = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+".r
+      val p = "555-[0-9]{4}".r
+      val i = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}".r
+      val scrubbed = i.replaceAllIn(p.replaceAllIn(e.replaceAllIn(s, ""), ""), "")
+      (e.findAllIn(s).size.toLong, p.findAllIn(s).size.toLong,
+       i.findAllIn(s).size.toLong, (s.length - scrubbed.length).toLong)
+    }
+    val gotFull = rows.select($"id", Graft.piiSignals($"t").as("p"))
+      .select($"id", $"p.n_emails", $"p.n_phones", $"p.n_ips", $"p.redacted_chars")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    byId.foreach { case (id, s) =>
+      assert(gotFull(id) == manual(s), s"id=$id text='$s'")
+    }
+    // and the crafted expectations, independent of the manual mirror
+    assert(gotFull(1L) == (1L, 1L, 1L,
+      "bob.smith@mail.example.com".length + "555-0142".length + "10.0.0.1".length))
+    assert(gotFull(3L) == (0L, 0L, 0L, 0L))
+  }
+
+  test("interleaveBySource: dense per-source ranks, round-robin global order, determinism") {
+    val docs = Tables.documents(spark, sf)
+    val got = Graft.interleaveBySource(docs, $"doc_id", $"source", seed = 20260814L)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = docs.count()
+    assert(rows.length == n)
+    // global_pos is a permutation of 1..n
+    assert(rows.map(_._4).sorted.toSeq == (1L to n).toSeq)
+    // src_pos is dense 1..n_s within each source
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, s"source $s")
+    }
+    // the global order IS the (src_pos, source) lexicographic order
+    val inGlobalOrder = rows.sortBy(_._4).map(r => (r._3, r._2))
+    assert(inGlobalOrder.toSeq == inGlobalOrder.sortBy(identity).toSeq)
+    // round-robin guarantee on this balanced corpus: each consecutive
+    // block of |sources| global positions touches every source once
+    val nSrc = rows.map(_._2).distinct.length
+    rows.sortBy(_._4).grouped(nSrc).foreach { block =>
+      if (block.length == nSrc)
+        assert(block.map(_._2).distinct.length == nSrc,
+          s"single-source run inside block ${block.map(_._4).head}")
+    }
+    // per-source order is the seeded epoch-shuffle order
+    val expected = docs.select($"doc_id", $"source",
+        Graft.epochShuffleKey($"doc_id", 20260814L).as("sk")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (s, rs) =>
+        rs.sortBy(r => (r._3, r._1)).zipWithIndex
+          .map { case (r, i) => (r._1, s) -> (i + 1).toLong }
+      }.toMap
+    rows.foreach { case (id, s, sp, _) => assert(expected((id, s)) == sp) }
+    // partitioning invariance
+    val re = Graft.interleaveBySource(docs.repartition(13), $"doc_id",
+        $"source", seed = 20260814L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(re.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
+
   test("handed gramDf/docGrams tables fail fast on a wrong schema") {
     // a table built by a different facade (or for different columns)
     // must be rejected at plan time, not silently drop grams through
