@@ -269,6 +269,61 @@ object Graft {
       .select(col("doc_id"), col("source"), col("src_pos"), col("global_pos"))
   }
 
+  /** Temperature-τ=½ mixture REWEIGHTING per group — the
+    * source-sampling stage between corpus accounting and the actual
+    * mixture draw (the flattened-distribution trick of multilingual /
+    * multi-domain training: raw token shares give hot sources too
+    * much of the schedule, uniform gives tail sources too much;
+    * share^½ sits between). Output per group: (group, n_docs,
+    * n_tokens, share_permille = 1000·tokens div total,
+    * weight_permille = 1000·isqrt(share) div Σ isqrt(share)).
+    *
+    * ALL-INTEGER pipeline (rule F): the only float op is
+    * sqrt(integer-permille), which IEEE defines as correctly rounded
+    * — identical on every engine — and its FLOOR is taken
+    * immediately, so no float ever enters a sum (a Σ of doubles
+    * is summation-order-dependent; a Σ of floored longs is not).
+    * Scale shape: one scan → per-group map-side-combinable aggregate
+    * (groups are metadata-scale by definition) → 1-row totals cross.
+    */
+  def mixtureWeights(df: DataFrame, group: Column, tokens: Column): DataFrame = {
+    val per = df.select(group.as("group"), tokens.cast("long").as("t"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total"))
+    val shared = per.crossJoin(broadcast(tot))
+      .select(col("group"), col("n_docs"), col("n_tokens"),
+              expr("n_tokens * 1000L div total").as("share_permille"))
+      .withColumn("isq", floor(sqrt(col("share_permille").cast("double"))).cast("long"))
+    val isqTot = shared.agg(sum(col("isq")).as("isq_total"))
+    shared.crossJoin(broadcast(isqTot))
+      .select(col("group"), col("n_docs"), col("n_tokens"), col("share_permille"),
+              expr("isq * 1000L div isq_total").as("weight_permille"))
+  }
+
+  /** Power-of-two LENGTH BUCKETS + padding-waste accounting — the
+    * batching-efficiency table a training loader reads: each doc is
+    * assigned the smallest power-of-two context ≥ its token count,
+    * and per bucket the report carries doc count, real token total,
+    * the padded total (n_docs·bucket) and the padding waste permille.
+    * The bucket is computed in PURE INTEGER via the binary-width
+    * identity 2^len(bin(n−1)) (no log2 float — an exact power of two
+    * on a float log boundary could round either way; a string length
+    * cannot). Row-local assignment, one metadata-scale rollup. */
+  def lengthBuckets(df: DataFrame, tokens: Column): DataFrame = {
+    val bucket = when(col("__n") <= 1, lit(1L))
+      .otherwise(expr("shiftleft(1L, length(bin(__n - 1)))"))
+    df.select(tokens.cast("long").as("__n"))
+      .select(bucket.as("bucket"), col("__n").as("t"))
+      .filter(col("t") >= 1)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+              (col("n_docs") * col("bucket")).as("padded_tokens"),
+              expr("(n_docs * bucket - n_tokens) * 1000L div (n_docs * bucket)")
+                .as("waste_permille"))
+  }
+
   /** Gopher-style repetition-quality signals for a whitespace-token
     * text column: (duplicate-token, duplicate-2-gram, duplicate-3-gram)
     * permilles as a struct. Pure per-row computation. A document with

@@ -1268,6 +1268,45 @@ object Oracle {
         |         AS global_pos
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    /** Mixture reweighting: per-source token shares and the τ=½
+      * temperature weights — the same integer permille → floored
+      * sqrt → integer permille pipeline (sqrt of an integer is
+      * IEEE-correctly-rounded in both engines, and its floor is
+      * taken before any sum). source unique (rule O); rule I casts. */
+    "q_mixture_weights" ->
+      """WITH per AS (SELECT source AS "group",
+        |        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per),
+        |sh AS (SELECT "group", n_docs, n_tokens,
+        |              n_tokens * 1000 // total AS share_permille,
+        |              CAST(FLOOR(SQRT(CAST(n_tokens * 1000 // total AS DOUBLE))) AS BIGINT) AS isq
+        |       FROM per, tot),
+        |st AS (SELECT CAST(SUM(isq) AS BIGINT) AS isq_total FROM sh)
+        |SELECT "group", n_docs, n_tokens,
+        |       CAST(share_permille AS BIGINT) AS share_permille,
+        |       isq * 1000 // isq_total AS weight_permille
+        |FROM sh, st ORDER BY "group" """.stripMargin,
+
+    /** Length buckets: the binary-width power-of-two identity
+      * 2^len(bin(n−1)) stated with the same string-length arithmetic
+      * (no float log2), then the per-bucket padding rollup. bucket
+      * unique (rule O); rule I casts. */
+    "q_length_buckets" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |b AS (SELECT n, CASE WHEN n <= 1 THEN 1
+        |                     ELSE 1 << length(bin(n - 1)) END AS bucket
+        |      FROM t WHERE n >= 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+        |       CAST((COUNT(*) * bucket - SUM(n)) * 1000 // (COUNT(*) * bucket) AS BIGINT)
+        |         AS waste_permille
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     /** Vocabulary coverage curve: tokens ranked by (count DESC, token
       * ASC) — the one total order both engines state; per k the
       * covered type count and integer floor-div permille of total

@@ -348,6 +348,29 @@ object PipelineOps {
         col("doc_id"), col("source"), seed = 20260814L)
       .orderBy("doc_id")
 
+  /** Temperature-τ=½ source mixture reweighting (round 11) — the
+    * flattened-distribution sampling table between corpus accounting
+    * and the mixture draw: [[graft.Graft.mixtureWeights]] over the
+    * per-source whitespace-token counts, so the oracle verifies the
+    * public facade. All-integer (rule F): the one sqrt is
+    * IEEE-correctly-rounded and floored immediately, so no float sum
+    * exists to be summation-order-dependent. source unique (rule O). */
+  def q_mixture_weights(s: SparkSession, d: String): DataFrame =
+    graft.Graft.mixtureWeights(Tables.documents(s, d),
+        col("source"), size(toks))
+      .orderBy("group")
+
+  /** Power-of-two length buckets + padding waste (round 11) — the
+    * batching-efficiency table a training loader reads:
+    * [[graft.Graft.lengthBuckets]] on the per-doc whitespace-token
+    * counts, so the oracle verifies the public facade. Bucket =
+    * 2^len(bin(n−1)) — pure integer, no float log2 to round the
+    * wrong way on an exact power of two. bucket unique (rule O),
+    * integers throughout (rule I). */
+  def q_length_buckets(s: SparkSession, d: String): DataFrame =
+    graft.Graft.lengthBuckets(Tables.documents(s, d), size(toks))
+      .orderBy("bucket")
+
   /** Top-k vocabulary coverage / OOV curve (round 10):
     * [[graft.Graft.vocabCoverage]] at k ∈ {4, 8, 16, 24, 32} (sized
     * to this corpus's 31-word vocabulary; a tokenizer decision would

@@ -1725,6 +1725,40 @@ class GraftSpec extends SparkSpecBase {
     assert(re.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
   }
 
+  test("mixtureWeights: hand-computed shares and τ=½ flattening") {
+    // tokens 900/90/10 → shares 900/90/10 permille; isqrt = 30/9/3
+    // (900 a perfect square — the IEEE-exact edge); weights
+    // 1000·isq div 42 = 714/214/71
+    val docs = Seq(("a", 900L), ("b", 90L), ("c", 10L)).toDF("src", "t")
+    val got = Graft.mixtureWeights(docs, $"src", $"t")
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 900L, 900L, 714L), ("b", 90L, 90L, 214L),
+                            ("c", 10L, 10L, 71L)))
+    // the flattening property: the hot source's weight share is
+    // strictly below its token share, the tail's strictly above
+    assert(714 < 900 && 71 > 10)
+    // weights sum to 1000 − (floor-div remainder only)
+    assert(got.map(_._4).sum <= 1000 && got.map(_._4).sum >= 997)
+  }
+
+  test("lengthBuckets: power-of-two assignment incl. exact-power edges, waste math") {
+    // n = 1 → 1; n = 2 → 2 (exact power stays); n = 3 → 4; n = 4 → 4;
+    // n = 5 → 8; n = 64 → 64; n = 65 → 128
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 64L, 65L).toDF("n")
+    val got = Graft.lengthBuckets(docs, $"n").orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 1L, 0L),          // n=1: no padding
+      (2L, 1L, 2L, 2L, 0L),          // n=2: exact power, no padding
+      (4L, 2L, 7L, 8L, 125L),        // n=3,4: 1 pad token of 8
+      (8L, 1L, 5L, 8L, 375L),
+      (64L, 1L, 64L, 64L, 0L),
+      (128L, 1L, 65L, 128L, 492L)))
+    // zero-token rows are excluded, not bucketed
+    assert(Graft.lengthBuckets(Seq(0L).toDF("n"), $"n").count() == 0)
+  }
+
   test("handed gramDf/docGrams tables fail fast on a wrong schema") {
     // a table built by a different facade (or for different columns)
     // must be rejected at plan time, not silently drop grams through

@@ -57,8 +57,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // quantile bounds (the q_gini/q_zipf_slope pattern)
     "q_boilerplate_grams", "q_vocab_coverage",
     // q_interleave's global pass broadcasts globalRankDesc's 1-row
-    // quantile bounds — the same reviewed pattern
-    "q_interleave")
+    // quantile bounds — the same reviewed pattern; q_mixture_weights
+    // crosses two 1-row totals (token sum, isqrt sum)
+    "q_interleave", "q_mixture_weights")
   // (q_ppl_bucket needs no BNLJ exemption: its scored table is
   // temp-parquet-cached, so the declared plan ranks from a file scan
   // and the 1-row model cross lives only inside the one-time build)
