@@ -2302,7 +2302,12 @@ object Graft {
     * [[MinHash.NumPerms]] permutations), doc_a < doc_b, unordered.
     * Scale shape (the one the oracle-verified q_dedup_minhash runs):
     * identical token SETS collapse to one representative before
-    * anything quadratic; one signature per distinct set (element-wise-
+    * anything quadratic, keyed by the 128-bit [[spanHash]] pair of
+    * the canonical sorted-token string (hashed row-locally — the
+    * canonical text never shuffles, and the within-group exact-dup
+    * pairs expand from the grouped member lists, so no corpus
+    * self-join on document text exists anywhere); one signature per
+    * distinct set (element-wise-
     * min merging Aggregator — combiner-safe); LSH band-bucket
     * candidate join on hashed band keys, never all-pairs, with band
     * buckets larger than `maxBucket` BLOCK-DECOMPOSED
@@ -2331,12 +2336,19 @@ object Graft {
     require(estPermille > 0 && estPermille <= 1000,
       s"estPermille must be in (0, 1000], got $estPermille")
     require(maxBandDocFreq >= 1, s"maxBandDocFreq must be >= 1, got $maxBandDocFreq")
+    // the set-collapse key is the 128-bit [[spanHash]] pair of the
+    // canonical sorted-token string, hashed ROW-LOCALLY — the
+    // canonical text itself never shuffles (round 11; previously the
+    // full sorted-text string was the groupBy AND self-join key, the
+    // same driver-condition exposure the span family shed in round
+    // 10: a 16-byte pair on the wire instead of whole documents)
     val base = docs.select(id.cast("long").as("doc_id"),
         array_sort(array_distinct(split(text, " "))).as("toks"))
-      .withColumn("fp", array_join(col("toks"), " "))
-    val groups = base.groupBy("fp")
+      .select(Seq(col("doc_id"), col("toks")) ++
+              spanHash(array_join(col("toks"), " ")): _*)
+    val groups = base.groupBy("h1", "h2")
       .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
-    val sigs = groups.select(col("rep"), col("fp"))
+    val sigs = groups.select(col("rep"))
       .join(base.select(col("doc_id"), col("toks")), col("rep") === col("doc_id"))
       .select(col("rep"), explode(col("toks")).as("token"))
       .groupBy("rep")
@@ -2365,8 +2377,15 @@ object Graft {
       .select(col("da"), explode(col("ms_b")).as("db"), col("est_jaccard"))
       .select(least(col("da"), col("db")).as("doc_a"),
               greatest(col("da"), col("db")).as("doc_b"), col("est_jaccard"))
-    val intraDocs = base.select(col("fp"), col("doc_id").as("doc_a"))
-      .join(base.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+    // within-group exact-dup pairs from the ALREADY-grouped member
+    // lists — no second corpus self-join at all (the previous shape
+    // equi-joined base with base on the full fp string): an array
+    // self-product of each metadata-scale member list, filtered to
+    // the ordered half
+    val intraDocs = groups.select(col("members"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), lit(1.0).as("est_jaccard"))
     crossDocs.union(intraDocs)
