@@ -2342,17 +2342,23 @@ object Graft {
     // full sorted-text string was the groupBy AND self-join key, the
     // same driver-condition exposure the span family shed in round
     // 10: a 16-byte pair on the wire instead of whole documents)
+    // the signature is ROW-LOCAL native codegen (round 11):
+    // [[functions.MinHashSig]] — the SAME 64 MurmurHash3 permutations
+    // as the [[MinHash]] Aggregator (bit-identical signatures,
+    // equivalence pinned in MinHashSpec), but computed in one fused
+    // loop over the token array on the row. Replaces the previous
+    // explode→groupBy(UDAF)+rep-join shape: one corpus-scale token
+    // shuffle and one join GONE; identical sets produce identical
+    // signatures by construction, so `first(sig)` per set-collapse
+    // group is deterministic.
     val base = docs.select(id.cast("long").as("doc_id"),
         array_sort(array_distinct(split(text, " "))).as("toks"))
-      .select(Seq(col("doc_id"), col("toks")) ++
+      .select(Seq(col("doc_id"), functions.MinHashSig.sig(col("toks")).as("sig")) ++
               spanHash(array_join(col("toks"), " ")): _*)
     val groups = base.groupBy("h1", "h2")
-      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
-    val sigs = groups.select(col("rep"))
-      .join(base.select(col("doc_id"), col("toks")), col("rep") === col("doc_id"))
-      .select(col("rep"), explode(col("toks")).as("token"))
-      .groupBy("rep")
-      .agg(udaf(MinHash.agg).apply(col("token")).as("sig"))
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"),
+           first("sig").as("sig"))
+    val sigs = groups.select(col("rep"), col("sig"))
     val bandedAll = sigs.select(col("rep"),
         posexplode(transform(sequence(lit(0), lit(MinHash.NumBands - 1)),
           b => slice(col("sig"), b * MinHash.RowsPerBand + 1, lit(MinHash.RowsPerBand)))))

@@ -21,6 +21,33 @@ class MinHashSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("native MinHashSig expression == Aggregator == reference, codegen and interpreted") {
+    // the row-local codegen'd signature must be BIT-IDENTICAL to both
+    // the streaming Aggregator and the plain Scala reference — same
+    // hash family, same min-fold — under whole-stage codegen AND the
+    // interpreted eval fallback
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 40L).map { i =>
+      (i, (1 to 1 + rnd.nextInt(30)).map(j => s"w${rnd.nextInt(50)}").distinct)
+    }
+    val df = rows.toDF("id", "toks")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val got = df.select($"id", functions.MinHashSig.sig($"toks").as("sig"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        rows.foreach { case (i, toks) =>
+          assert(got(i) == signature(toks.toSet), s"id=$i codegen=$codegen")
+        }
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // and the Aggregator (token-at-a-time arrival) agrees
+    val viaAgg = df.select($"id", explode($"toks").as("t"))
+      .groupBy("id").agg(udaf(MinHash.agg).apply($"t").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (i, toks) => assert(viaAgg(i) == signature(toks.toSet)) }
+  }
+
   test("disjoint token sets agree on ~no positions") {
     val a = signature((1 to 20).map("x" + _).toSet)
     val b = signature((1 to 20).map("y" + _).toSet)
