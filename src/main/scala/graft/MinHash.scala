@@ -8,10 +8,14 @@ import scala.util.hashing.MurmurHash3
 /** MinHash signature UDAF (SURVEY.md §2.11): aggregates the token rows
   * of one document into a 64-permutation MinHash signature.
   *
-  * Used by `q_dedup_minhash` as
-  * `explode(tokens) → groupBy(doc_id).agg(MinHash.udaf(token))` — the
-  * natural distributed form: partial buffers merge element-wise-min, so
-  * the combiner/partial-aggregation path works unchanged at 100 TB.
+  * This is the STREAMING / token-at-a-time merging variant: partial
+  * buffers merge element-wise-min, so the combiner/partial-aggregation
+  * path works unchanged at 100 TB and across streaming micro-batches.
+  * The batch pipeline (`nearDupPairsMinhash`) computes signatures
+  * row-locally instead via the native codegen'd
+  * [[graft.functions.MinHashSig]] — SAME seeded hash family
+  * ([[hashToken]]), bit-identical output, equivalence pinned in
+  * MinHashSpec.
   *
   * The "permutations" are 64 seeded MurmurHash3 string hashes — pure
   * JVM, deterministic across executors and runs. P[min-hash collision]

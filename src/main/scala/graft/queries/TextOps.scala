@@ -79,8 +79,12 @@ object TextOps {
   def q_dedup_minhash(s: SparkSession, d: String): DataFrame =
     // The query IS graft.Graft.nearDupPairsMinhash applied to the
     // documents table at est ≥ 0.9 — set-collapse before anything
-    // quadratic, one signature per distinct set (combiner-safe
-    // Aggregator), hashed band-bucket candidate join (never
+    // quadratic (keyed by the 128-bit hash pair of the canonical
+    // sorted-token string, hashed row-locally so the text never
+    // shuffles), one signature per distinct set via the native
+    // codegen'd graft_minhash_sig row-local expression (bit-identical
+    // to the streaming Aggregator — equivalence pinned in
+    // MinHashSpec), hashed band-bucket candidate join (never
     // all-pairs), signatures re-attached to survivors only, set-level
     // pairs expanded back to doc level. Property-tested vs exact
     // Jaccard in MinHashSpec; generality tested in GraftSpec.
