@@ -32,17 +32,18 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 100) / 100.0 }
       .mkString("{", ",", "}")
-    // per-table first-touch build ledger (round-10 verdict #2): the
-    // seconds and bytes each shared temp-parquet artifact cost THIS
-    // run — the measured attribution for any query whose reading
-    // includes a first-touch build (it is charged to whichever query
-    // touched the table first, in declaration order)
+    // per-table build ledger (round-10 verdict #2): the seconds and
+    // bytes each shared temp-parquet artifact cost THIS run, with the
+    // build COUNT n — cached tables build once (n=1: a first-touch
+    // figure, charged to whichever query touched the table first in
+    // declaration order); materialize-tagged tables rebuild per query
+    // invocation, so their seconds are n builds summed.
     // top-10 by seconds so the compact line stays inside the 2,000-char
     // artifact-tail guarantee alongside slowest20
     val builds = TempTables.buildCosts.toSeq.sortBy(-_._2._1).take(10)
-      .map { case (k, (sec, bytes)) =>
+      .map { case (k, (sec, bytes, n)) =>
         s"\"" + k + "\":{\"sec\":" + math.round(sec * 100) / 100.0 +
-          ",\"mb\":" + math.round(bytes / 1e4) / 100.0 + "}" }
+          ",\"mb\":" + math.round(bytes / 1e4) / 100.0 + ",\"n\":" + n + "}" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total_compact","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest20":$slowest,"temp_builds":$builds,"value":$total}""")
     spark.stop()

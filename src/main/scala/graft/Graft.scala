@@ -233,10 +233,15 @@ object Graft {
     * q_shuffle_det bijection — engine-portable, no floats), and the
     * global order interleaves sources round-robin by per-source
     * position (all the src_pos=1 docs first, source-name order, then
-    * all src_pos=2 …). The guarantee a mixture-trained run wants: no
-    * long single-source run can appear in the stream regardless of
-    * how unbalanced the per-source volumes are, and the order is
-    * bit-reproducible on any engine and any partitioning.
+    * all src_pos=2 …). The guarantee a mixture-trained run wants,
+    * stated precisely: WHILE every source still has docs remaining,
+    * each consecutive block of |sources| positions touches every
+    * source exactly once; once a source exhausts, the remaining
+    * stream round-robins over the surviving sources — so the tail of
+    * a severely unbalanced corpus is dominated by its biggest source
+    * (run a volume cap / [[mixtureWeights]] resample upstream if that
+    * matters). The order is bit-reproducible on any engine and any
+    * partitioning.
     *
     * Output: (doc_id, source, src_pos, global_pos) — both positions
     * 1-based longs. Scale shape: per-source rank via the two-pass

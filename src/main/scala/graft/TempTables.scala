@@ -37,14 +37,19 @@ object TempTables {
   private val cache = TrieMap.empty[(SparkSession, String), String]
   private val anon = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Every first-touch build this JVM has paid: key (or materialize
-    * tag) → (cumulative build seconds, cumulative bytes written).
-    * Round-11: the gram-family driver-bench inflation was localized
-    * to exactly these in-query first-touch builds, but the cost was
-    * an INFERENCE from query-time deltas — this ledger makes it a
+  /** Every build this JVM has paid: key (or materialize tag) →
+    * (cumulative build seconds, cumulative bytes written, build
+    * COUNT). Round-11: the gram-family driver-bench inflation was
+    * localized to in-query first-touch builds, but the cost was an
+    * INFERENCE from query-time deltas — this ledger makes it a
     * measurement Bench can print (`"temp_builds"` in the compact
-    * line), so attribution arguments are a one-line read. */
-  private val costs = TrieMap.empty[String, (Double, Long)]
+    * line). The count matters for attribution (review catch,
+    * round 11): `cached` keys build once per (session, sfDir) —
+    * n = first-touch count — but `materialize` tags rebuild on EVERY
+    * invocation of their query, so their seconds are N builds
+    * summed, not a first-touch figure; n says which reading you are
+    * looking at. */
+  private val costs = TrieMap.empty[String, (Double, Long, Long)]
 
   private def recordBuild(key: String, secs: Double, path: String): Unit = {
     val bytes =
@@ -52,15 +57,15 @@ object TempTables {
         _.filter(Files.isRegularFile(_)).mapToLong(Files.size).sum)
       catch { case scala.util.control.NonFatal(_) => 0L }
     costs.updateWith(key) {
-      case Some((s, b)) => Some((s + secs, b + bytes))
-      case None         => Some((secs, bytes))
+      case Some((s, b, n)) => Some((s + secs, b + bytes, n + 1))
+      case None            => Some((secs, bytes, 1L))
     }
   }
 
-  /** Snapshot of the per-key build ledger (seconds, bytes), keyed by
-    * the `cached` key's prefix before any ':' (the sf-dir suffix is
-    * per-run noise) or the `materialize` tag. */
-  def buildCosts: Map[String, (Double, Long)] =
+  /** Snapshot of the per-key build ledger (seconds, bytes, builds),
+    * keyed by the `cached` key's prefix before any ':' (the sf-dir
+    * suffix is per-run noise) or the `materialize` tag. */
+  def buildCosts: Map[String, (Double, Long, Long)] =
     costs.readOnlySnapshot().toMap
 
   private def deleteRecursively(path: String): Unit = {

@@ -185,20 +185,53 @@ object Multimodal {
     * tell the real decode ran and not the byte-histogram stub (the
     * stub would also count the 44 RIFF header bytes). Returns None
     * for anything that is not a decodable WAV — wrong magic, a
-    * declared data size exceeding the actual payload (the audio
-    * analogue of the dimension-bomb gate: the bound costs four byte
-    * reads and runs BEFORE any provider touches the stream),
+    * malformed RIFF chunk list, a declared data size exceeding the
+    * actual payload (the audio analogue of the dimension-bomb gate:
+    * a bounded chunk walk that runs BEFORE any provider touches the
+    * stream, and follows the real chunk structure so an 18-byte fmt
+    * or LIST chunk parses correctly),
     * unsupported encodings, ANY reader failure — and the caller falls
     * back to the stub, the dirty-corpus production shape. The read is
     * stream-bounded: frames come off an AudioInputStream over the
     * in-memory array, so a hostile header can never cause an
     * allocation beyond the real payload. */
+  /** Walks the RIFF chunk list to the `data` chunk and returns its
+    * declared size, or None when the chunk structure is malformed —
+    * a fixed offset-40 read would misparse standards-valid WAVs with
+    * an 18-byte fmt chunk or a LIST chunk before the data (review
+    * catch, round 11). Bounded to 16 chunks so a hostile chunk list
+    * cannot loop. */
+  private def riffDataSize(p: Array[Byte]): Option[Int] = {
+    // LONG cursor: a hostile declared size near Int.MaxValue would
+    // wrap an int cursor negative and index the array out of bounds
+    var pos = 12L
+    var hops = 0
+    while (pos + 8 <= p.length && hops < 16) {
+      val i = pos.toInt
+      val id = new String(p, i, 4, "US-ASCII")
+      val size = java.nio.ByteBuffer.wrap(p, i + 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (size < 0) return None
+      // the data chunk's declared size must fit inside the actual
+      // payload FROM ITS OWN OFFSET (not a fixed 44-byte header
+      // assumption — an 18-byte fmt chunk shifts it)
+      if (id == "data")
+        return if (pos + 8L + size <= p.length) Some(size) else None
+      // RIFF chunks are word-aligned: odd sizes carry one pad byte
+      pos += 8L + size + (size & 1)
+      hops += 1
+    }
+    None
+  }
+
   def decodeAudio(payload: Array[Byte]): Option[Array[Long]] =
     if (!looksLikeWav(payload)) None
     else {
-      val declared = java.nio.ByteBuffer.wrap(payload, 40, 4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-      if (declared < 0 || declared > payload.length - 44) None
+      // the declared-data-size bound is the audio analogue of the
+      // image dimension-bomb gate: it runs BEFORE any provider
+      // touches the stream, via a real chunk walk (size-vs-payload
+      // fit is checked at the data chunk's own offset)
+      if (riffDataSize(payload).isEmpty) None
       else
         try {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(

@@ -1190,8 +1190,10 @@ object Oracle {
       * q_stitch_pairs, blind to hashing) chained into reassembled
       * documents via the recursive-CTE connected components (the
       * q_dedup_cluster recipe), with per-chain repair accounting —
-      * stitched_tokens drops one copy of each 4-token shared
-      * boundary. chain_rep unique (rule O); rule I casts. */
+      * stitched_tokens drops one copy of the 4-token boundary per
+      * spanning-tree WELD (n_fragments − 1, not per pair —
+      * dense/cyclic pair sets carry more pairs than welds).
+      * chain_rep unique (rule O); rule I casts. */
     "q_stitch_repair" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |              WHERE len(string_split(text, ' ')) >= 4),
@@ -1215,7 +1217,7 @@ object Oracle {
         |np AS (SELECT c.label, CAST(COUNT(*) AS BIGINT) AS n_pairs
         |       FROM pr JOIN cc c ON pr.doc_a = c.node GROUP BY c.label)
         |SELECT m.label AS chain_rep, m.n_fragments, np.n_pairs, m.total_tokens,
-        |       m.total_tokens - np.n_pairs * 4 AS stitched_tokens
+        |       m.total_tokens - (m.n_fragments - 1) * 4 AS stitched_tokens
         |FROM m JOIN np ON m.label = np.label ORDER BY chain_rep""".stripMargin,
 
     /** PII scan: the same deterministic synthesis (append email /

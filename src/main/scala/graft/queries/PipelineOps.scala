@@ -258,13 +258,18 @@ object PipelineOps {
     * closes it for span accounting: the stitch pairs become edges,
     * [[graft.operators.ConnectedComponents.alternatingStar]] groups
     * fragments into reassembled documents, and each chain reports its
-    * repair accounting — fragment count, stitch count, raw token
+    * repair accounting — fragment count, stitch-pair count, raw token
     * total, and the stitched token total after dropping one copy of
-    * each 4-token shared boundary (each stitch welds two fragments
-    * over a boundary that exists verbatim in both). Output per chain:
-    * (chain_rep = min fragment id, n_fragments, n_pairs,
-    * total_tokens, stitched_tokens) — chain_rep unique (rule O), all
-    * integers (rule I).
+    * the 4-token shared boundary per WELD. Welds = n_fragments − 1
+    * (the spanning tree of the component), NOT n_pairs: a dense or
+    * cyclic pair set (identical fragments pair in both directions)
+    * carries more pairs than welds, and subtracting per pair would
+    * double-count boundaries into a negative token total (review
+    * catch, round 11); per spanning-tree weld the result is provably
+    * ≥ 4 (every fragment has ≥ 4 tokens or it has no boundary and
+    * never pairs). Output per chain: (chain_rep = min fragment id,
+    * n_fragments, n_pairs, total_tokens, stitched_tokens) —
+    * chain_rep unique (rule O), all integers (rule I).
     *
     * Scale shape: the corpus-scale work is stitchPairs' one hash
     * equi-join (16-byte span-hash keys); the pair set is
@@ -293,7 +298,8 @@ object PipelineOps {
     members.join(stitches, "label")
       .select(col("label").as("chain_rep"), col("n_fragments"), col("n_pairs"),
               col("total_tokens"),
-              (col("total_tokens") - col("n_pairs") * 4).as("stitched_tokens"))
+              (col("total_tokens") - (col("n_fragments") - 1) * 4)
+                .as("stitched_tokens"))
       .orderBy("chain_rep")
   }
 
@@ -338,9 +344,11 @@ object PipelineOps {
     * 20260814), so the oracle verifies the public facade. Within
     * each source the docs take the seeded integer-bijection epoch
     * order (the q_shuffle_det scramble); globally the sources
-    * round-robin by per-source position — no long single-source run
-    * can appear in the training stream, and the order is
-    * bit-reproducible on any engine/partitioning. Ranks run the
+    * round-robin by per-source position — while every source still
+    * has docs remaining, each |sources|-block touches every source
+    * exactly once (the facade scaladoc states the exhaustion
+    * behavior precisely), and the order is bit-reproducible on any
+    * engine/partitioning. Ranks run the
     * two-pass distributed scheme both per-source and globally — no
     * single-partition window at any corpus size. */
   def q_interleave(s: SparkSession, d: String): DataFrame =

@@ -1759,6 +1759,36 @@ class GraftSpec extends SparkSpecBase {
     assert(Graft.lengthBuckets(Seq(0L).toDF("n"), $"n").count() == 0)
   }
 
+  test("q_stitch_repair accounting survives dense/cyclic stitch components") {
+    // three IDENTICAL 4-token docs: every ordered pair stitches (tail
+    // == head everywhere) — 6 pairs but only 2 spanning-tree welds;
+    // per-pair subtraction would report 12 − 24 = −12 stitched tokens
+    // (round-11 review catch); per-weld it is 12 − 8 = 4
+    val dir = java.nio.file.Files.createTempDirectory("stitchq").toString
+    Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = queries.PipelineOps.q_stitch_repair(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((1L, 3L, 6L, 12L, 4L)))
+  }
+
+  test("interleaveBySource on an unbalanced corpus: round-robin while sources last") {
+    // source a: 6 docs, source b: 2 docs — the first 2 blocks of 2
+    // must alternate a/b; after b exhausts, the tail is all a (the
+    // documented exhaustion behavior, not a mixing violation)
+    val docs = ((1L to 6L).map(i => (i, "a")) ++ Seq((7L, "b"), (8L, "b")))
+      .toDF("doc_id", "source")
+    val rows = Graft.interleaveBySource(docs, $"doc_id", $"source", seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4)
+    assert(rows.map(_._2).take(4).toSeq == Seq("a", "b", "a", "b"))
+    assert(rows.map(_._2).drop(4).forall(_ == "a"))
+    assert(rows.map(_._4).toSeq == (1L to 8L).toSeq)
+  }
+
   test("handed gramDf/docGrams tables fail fast on a wrong schema") {
     // a table built by a different facade (or for different columns)
     // must be rejected at plan time, not silently drop grams through

@@ -237,6 +237,50 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats(3L).histogram.sum == wav.length)         // video stays stubbed
   }
 
+  test("WAV chunk walk: 18-byte fmt and LIST chunks decode for real; hostile lists rejected") {
+    // a standards-valid WAV whose fmt chunk carries the 18-byte
+    // cbSize=0 form — the data chunk sits at offset 38, NOT 36, so a
+    // fixed offset-40 size read would misparse it (round-11 review)
+    val samples = Array.tabulate(100)(i => (i * 31 % 256).toByte)
+    val b = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(4 + 26 + 8 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .putShort(0) // cbSize
+      .put("data".getBytes("US-ASCII")).putInt(samples.length)
+      .put(samples)
+    val expected = new Array[Long](16)
+    samples.foreach(s => expected((s & 0xff) >> 4) += 1L)
+    assert(Multimodal.decodeAudio(b.array()).map(_.toSeq) == Some(expected.toSeq))
+    // and with a LIST chunk BEFORE data (odd-size word-align padding)
+    val meta = "INFOabc".getBytes("US-ASCII") // 7 bytes, odd → 1 pad
+    val c = java.nio.ByteBuffer.allocate(12 + 8 + 16 + 8 + meta.length + 1 + 8 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    c.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 8 + meta.length + 1 + 8 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("LIST".getBytes("US-ASCII")).putInt(meta.length)
+      .put(meta).put(0.toByte)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length)
+      .put(samples)
+    assert(Multimodal.decodeAudio(c.array()).map(_.toSeq) == Some(expected.toSeq))
+    // hostile: a data size that fits a fixed-offset read but exceeds
+    // the payload at its true offset
+    val bomb = b.array().clone()
+    java.nio.ByteBuffer.wrap(bomb, 38 + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1 << 30)
+    assert(Multimodal.decodeAudio(bomb).isEmpty)
+    // hostile: an unterminated chunk list never reaches 'data'
+    val loop = b.array().clone()
+    System.arraycopy("LIST".getBytes("US-ASCII"), 0, loop, 38, 4)
+    java.nio.ByteBuffer.wrap(loop, 42, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0)
+    assert(Multimodal.decodeAudio(loop).isEmpty)
+  }
+
   test("q_media_audio: decode in one map stage; only the output sort shuffles") {
     val df = graft.queries.MediaOps.q_media_audio(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
