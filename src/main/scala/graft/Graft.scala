@@ -176,6 +176,48 @@ object Graft {
              .cast("long").as("quality_permille"))
   }
 
+  /** Quality-gate calibration over a BOUNDED integer score — the
+    * table a pipeline reads BEFORE turning a filter on, to see whether
+    * one global threshold is biased against a source/language (the
+    * CCNet/Gopher lesson: a single perplexity or quality cut tuned on
+    * English silently guts the tail languages). Per group: row count,
+    * the exact `pcts` percentiles of the score (percentile_disc lower
+    * semantics: the smallest score whose cumulative count reaches
+    * ceil(p·n/100), stated identically in both engines as
+    * `cum·100 ≥ n·p` — no float interpolation to disagree on), the
+    * rows a `score < gate` filter would drop, and the integer
+    * drop-permille.
+    *
+    * Scale shape — the reason this takes a BOUNDED score and not an
+    * arbitrary double: the first aggregate collapses the corpus to a
+    * per-(group, score) HISTOGRAM, map-side-combinable, at most
+    * (score range) rows per group REGARDLESS of corpus size — so the
+    * cumulative window that follows partitions metadata-scale rows
+    * (quality_permille: ≤ 1001 per group) and no corpus-scale
+    * single-partition window exists at any scale. An unbounded score
+    * would make the histogram corpus-scale and the window hot; feed
+    * such scores through a fixed-width bucketing first. */
+  def gateCalibration(df: DataFrame, group: Column, score: Column,
+                      gate: Long, pcts: Seq[Int] = Seq(25, 50, 90)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in 1..100, got $pcts")
+    require(pcts.distinct.size == pcts.size, s"pcts must be distinct, got $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(group.as("group"), score.cast("long").as("s"))
+      .groupBy("group", "s").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("group").orderBy("s")))
+      .withColumn("n_rows", sum("c").over(Window.partitionBy("group")))
+    val aggs =
+      pcts.map(p => min(when(col("cum") * 100 >= col("n_rows") * p, col("s")))
+                      .as(s"p$p")) :+
+      sum(when(col("s") < gate, col("c")).otherwise(lit(0L))).as("n_dropped")
+    cum.groupBy("group")
+      .agg(max("n_rows").as("n_rows"), aggs: _*)
+      .withColumn("drop_permille", expr("n_dropped * 1000 div n_rows"))
+  }
+
   /** Token counts for a text column, three ways: whitespace tokens, a
     * BPE-ish `[^a-z0-9]+` regex tokenization, and a subword estimate
     * (ceil(len/2) per token — the fixed-rate byte-level budget proxy).

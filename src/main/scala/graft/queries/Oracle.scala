@@ -1309,6 +1309,64 @@ object Oracle {
         |         AS waste_permille
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    /** Quality-gate calibration: the identical q_text_quality score
+      * expression, collapsed to a per-(source, score) histogram, then
+      * percentile_disc LOWER semantics stated as the same
+      * `cum·100 ≥ n·p` integer arithmetic the Spark facade uses (rule
+      * F — no engine's float interpolation in sight). Rule I casts
+      * everywhere a DuckDB SUM would widen to HUGEINT. */
+    "q_quality_gate" ->
+      """WITH qd AS (SELECT source, len(string_split(text, ' ')) AS n,
+        |                   len(list_filter(string_split(text, ' '),
+        |                                   t -> t = 'the' OR t = 'a')) AS stops
+        |            FROM documents),
+        |qs AS (SELECT source, LEAST(n, 50) * (n - stops) * 1000 // (50 * n) AS q
+        |       FROM qd),
+        |h AS (SELECT source, q, COUNT(*) AS c FROM qs GROUP BY 1, 2),
+        |cum AS (SELECT source, q, c,
+        |               SUM(c) OVER (PARTITION BY source ORDER BY q) AS cum,
+        |               SUM(c) OVER (PARTITION BY source) AS n
+        |        FROM h)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |       CAST(MIN(CASE WHEN cum * 100 >= n * 25 THEN q END) AS BIGINT) AS p25,
+        |       CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN q END) AS BIGINT) AS p50,
+        |       CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN q END) AS BIGINT) AS p90,
+        |       CAST(SUM(CASE WHEN q < 500 THEN c ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       CAST(SUM(CASE WHEN q < 500 THEN c ELSE 0 END) * 1000 // MAX(n) AS BIGINT)
+        |         AS drop_permille
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+
+    /** Quality-aware cluster representative: the q_dedup_cluster
+      * recursive-CTE components joined to the q_text_quality score,
+      * argmax per cluster via ROW_NUMBER over the stated total order
+      * (quality desc, doc_id asc) — blind to the Spark side's
+      * max(struct) aggregate. Rule I casts. */
+    "q_dedup_rep_quality" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM scored
+        |          UNION ALL SELECT doc_b, doc_a FROM scored),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+        |),
+        |cc AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node),
+        |qd AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+        |              len(list_filter(string_split(text, ' '),
+        |                              t -> t = 'the' OR t = 'a')) AS stops
+        |       FROM documents),
+        |qs AS (SELECT doc_id, LEAST(n, 50) * (n - stops) * 1000 // (50 * n) AS q
+        |       FROM qd),
+        |m AS (SELECT c.label, qs.doc_id, qs.q,
+        |             ROW_NUMBER() OVER (PARTITION BY c.label
+        |                                ORDER BY qs.q DESC, qs.doc_id) AS rn
+        |      FROM cc c JOIN qs ON c.node = qs.doc_id)
+        |SELECT label AS cluster_rep,
+        |       CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS best_doc,
+        |       CAST(MAX(CASE WHEN rn = 1 THEN q END) AS BIGINT) AS best_quality
+        |FROM m GROUP BY label ORDER BY cluster_rep""".stripMargin,
+
     /** Vocabulary coverage curve: tokens ranked by (count DESC, token
       * ASC) — the one total order both engines state; per k the
       * covered type count and integer floor-div permille of total

@@ -379,6 +379,63 @@ object PipelineOps {
     graft.Graft.lengthBuckets(Tables.documents(s, d), size(toks))
       .orderBy("bucket")
 
+  /** Per-source quality-gate calibration (round 11) — the table a
+    * pipeline reads BEFORE turning a quality filter on:
+    * [[graft.Graft.gateCalibration]] over the q_text_quality
+    * quality_permille score per source, so the oracle verifies the
+    * public facade. Per source the exact p25/p50/p90 of the score
+    * (percentile_disc lower semantics, stated as the identical
+    * `cum·100 ≥ n·p` arithmetic in both engines — rule F: no float
+    * interpolation) and the docs a global `quality < 500` gate would
+    * drop, with integer drop-permille — a skewed drop column is the
+    * CCNet/Gopher bias signal (one threshold tuned on the dominant
+    * source guts the tail). Scale shape: the corpus collapses to a
+    * per-(source, score) histogram FIRST (map-side-combinable, ≤ 1001
+    * rows per source at any corpus size because the score is bounded
+    * permille), so the cumulative window only ever partitions
+    * metadata-scale rows. source unique (rule O), integers (rule I). */
+  def q_quality_gate(s: SparkSession, d: String): DataFrame =
+    graft.Graft.gateCalibration(
+        Tables.documents(s, d), col("source"),
+        graft.Graft.qualitySignals(col("text"), col("n_chars"))
+          .getField("quality_permille"),
+        gate = 500L)
+      .select(col("group").as("source"), col("n_rows").as("n_docs"),
+              col("p25"), col("p50"), col("p90"),
+              col("n_dropped"), col("drop_permille"))
+      .orderBy("source")
+
+  /** Quality-aware near-dup representative selection (round 11) — the
+    * production refinement of [[q_dedup_drop]]'s keep-min-id rule: per
+    * near-dup cluster, keep the member with the HIGHEST
+    * quality_permille (tie → smallest doc_id, one stated total
+    * order), because the mirror of a page is often cleaner than the
+    * first-crawled copy and min-id throws that information away.
+    * Reads the SHARED connected-components labels ([[q_dedup_cluster]]'s
+    * temp-parquet table) and joins the row-local quality score on —
+    * the argmax is ONE map-side-combinable `max(struct(quality,
+    * -doc_id))` aggregate, no window over members, no per-cluster
+    * collect. Output per cluster: (cluster_rep = min member id — the
+    * stable cluster KEY, deliberately the same key q_dedup_cluster
+    * reports, independent of what quality says — n_members, best_doc,
+    * best_quality). At 100 TB the labels table is pair-scale and
+    * broadcasts against the corpus-scale quality scan. */
+  def q_dedup_rep_quality(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.documents(s, d)
+      .select(col("doc_id").as("node"),
+              graft.Graft.qualitySignals(col("text"), col("n_chars"))
+                .getField("quality_permille").as("q"))
+    ngramCcLabels(s, d)
+      .join(q, "node")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"),
+           max(struct(col("q"), (-col("node")).as("neg_id"))).as("best"))
+      .select(col("label").as("cluster_rep"), col("n_members"),
+              (-col("best.neg_id")).as("best_doc"),
+              col("best.q").as("best_quality"))
+      .orderBy("cluster_rep")
+  }
+
   /** Top-k vocabulary coverage / OOV curve (round 10):
     * [[graft.Graft.vocabCoverage]] at k ∈ {4, 8, 16, 24, 32} (sized
     * to this corpus's 31-word vocabulary; a tokenizer decision would

@@ -1759,6 +1759,31 @@ class GraftSpec extends SparkSpecBase {
     assert(Graft.lengthBuckets(Seq(0L).toDF("n"), $"n").count() == 0)
   }
 
+  test("gateCalibration: percentile_disc lower semantics, gate accounting, guards") {
+    // group g: scores 1..10 once each — p25 is the smallest score
+    // whose cumulative count reaches ceil(2.5) = 3, i.e. 3; p50 → 5;
+    // p90 → 9; gate 5 drops {1,2,3,4} = 400 permille
+    val df = (1L to 10L).map(s => ("g", s)).toDF("src", "s")
+    val got = Graft.gateCalibration(df, $"src", $"s", gate = 5L).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                         r.getLong(3), r.getLong(4), r.getLong(5),
+                         r.getLong(6))).toSeq ==
+           Seq(("g", 10L, 3L, 5L, 9L, 4L, 400L)))
+    // duplicate-heavy group: all mass on one value — every percentile
+    // IS that value (the histogram rollup must not split or re-count)
+    val dup = Seq.fill(4)(("d", 7L)).toDF("src", "s")
+    val d = Graft.gateCalibration(dup, $"src", $"s", gate = 5L).collect().head
+    assert((d.getLong(2), d.getLong(3), d.getLong(4), d.getLong(5)) ==
+           ((7L, 7L, 7L, 0L)))
+    // guards: out-of-range and duplicate percentiles fail fast
+    intercept[IllegalArgumentException] {
+      Graft.gateCalibration(df, $"src", $"s", 5L, pcts = Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Graft.gateCalibration(df, $"src", $"s", 5L, pcts = Seq(25, 25))
+    }
+  }
+
   test("q_stitch_repair accounting survives dense/cyclic stitch components") {
     // three IDENTICAL 4-token docs: every ordered pair stitches (tail
     // == head everywhere) — 6 pairs but only 2 spanning-tree welds;

@@ -205,6 +205,52 @@ class PipelineSpec extends SparkSpecBase {
     assert(got == Map(1L -> ((3L, 6L)), 7L -> ((2L, 15L))))
   }
 
+  test("dedup_rep_quality: argmax by quality beats min-id; ties fall to min-id") {
+    // docs 1 and 2 differ only in the LAST token (3-gram J = 9/11 ≥
+    // 0.8 → one cluster); doc 1 ends in the stopword "the" so its
+    // quality is LOWER (n=12, stops=1 → 220) than doc 2's (stops=0 →
+    // 240): the representative must be doc 2, which min-id would
+    // never pick. Docs 7/8 are identical (tie) → min-id 7 wins.
+    val stem = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    val dir = mkDocs(Seq(
+      (1L, s"$stem the", "en"), (2L, s"$stem zz", "en"),
+      (7L, "p1 p2 p3 p4 p5 p6 p7 p8", "en"), (8L, "p1 p2 p3 p4 p5 p6 p7 p8", "en"),
+      (9L, "lone doc with no near dup partner at all", "en")
+    ), java.nio.file.Files.createTempDirectory("repq").toString)
+    val got = PipelineOps.q_dedup_rep_quality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 240L), (7L, 2L, 7L, 160L)))
+  }
+
+  test("dedup_rep_quality: cluster keys and sizes agree with q_dedup_cluster on sf") {
+    val reps = PipelineOps.q_dedup_rep_quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = PipelineOps.q_dedup_cluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == clusters) // same stable keys, same membership counts
+  }
+
+  test("quality_gate: matches a driver-side percentile_disc reference on sf") {
+    val got = PipelineOps.q_quality_gate(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+                                    r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    def qual(text: String): Long = {
+      val t = text.split(" "); val n = t.length.toLong
+      val stops = t.count(x => x == "the" || x == "a").toLong
+      math.min(n, 50L) * (n - stops) * 1000L / (50L * n)
+    }
+    val ref = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .groupBy(_.getString(0)).map { case (src, rows) =>
+        val qs = rows.map(r => qual(r.getString(1))).sorted
+        val n = qs.length.toLong
+        def pct(p: Int): Long = qs(((n * p + 99) / 100 - 1).toInt) // ceil(n·p/100)-th
+        val dropped = qs.count(_ < 500L).toLong
+        src -> ((n, pct(25), pct(50), pct(90), dropped, dropped * 1000L / n))
+      }
+    assert(got == ref)
+  }
+
   test("contamination: half-overlap threshold on crafted eval/corpus docs") {
     val dir = mkDocs(Seq(
       (1L, "a b c d e", "en"),   // eval doc: grams {a b c, b c d, c d e}
