@@ -1784,6 +1784,27 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("gateCalibration: matches a brute-force reference on random bounded scores") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val rows = (1 to 200).map { _ =>
+        ("g" + rnd.nextInt(4), rnd.nextInt(1001).toLong) }
+      val got = Graft.gateCalibration(rows.toDF("src", "s"), $"src", $"s", gate = 500L)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+                                      r.getLong(4), r.getLong(5), r.getLong(6))))
+        .toMap
+      val ref = rows.groupBy(_._1).map { case (g, rs) =>
+        val qs = rs.map(_._2).sorted
+        val n = qs.size.toLong
+        def pct(p: Int) = qs(((n * p + 99) / 100 - 1).toInt)
+        val drop = qs.count(_ < 500L).toLong
+        g -> ((n, pct(25), pct(50), pct(90), drop, drop * 1000L / n))
+      }
+      assert(got == ref, s"random round $round")
+    }
+  }
+
   test("q_stitch_repair accounting survives dense/cyclic stitch components") {
     // three IDENTICAL 4-token docs: every ordered pair stitches (tail
     // == head everywhere) — 6 pairs but only 2 spanning-tree welds;

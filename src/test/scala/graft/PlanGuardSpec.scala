@@ -151,7 +151,14 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_dedup_ngram_capped" -> 5,
     "q_sim_sparse" -> 0,
     "q_ngram_novelty" -> 2,
-    "q_split_leakage" -> 2)
+    "q_split_leakage" -> 2,
+    // round-11 additions: the histogram-first calibration (corpus →
+    // per-(group, score) rollup → group repartition for the windows →
+    // output sort) and the CC-labels broadcast argmax (label
+    // aggregate + output sort; the labels table's own build shuffles
+    // are priced once by the bench, not here)
+    "q_quality_gate" -> 3,
+    "q_dedup_rep_quality" -> 2)
 
   test("exchange-count budgets hold for the expensive queries") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
