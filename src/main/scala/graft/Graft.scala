@@ -1915,6 +1915,54 @@ object Graft {
               round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
   }
 
+  /** Near-dup threshold SWEEP — the tuning table read before anyone
+    * picks [[nearDupPairsNgram]]'s threshold: per Jaccard-permille
+    * band of width `bandPermille` starting at `lowPermille`, the pair
+    * count (band_lo, n_pairs). A dedup threshold is a precision/
+    * volume trade and the right value is corpus-specific; sweeping by
+    * re-running the pair join once per candidate threshold is K full
+    * enumerations, so this facade enumerates candidates ONCE at the
+    * LOWEST threshold under consideration and buckets exact integer
+    * Jaccard permille — the shape a production pipeline runs (one
+    * candidate table at its most permissive cut, every stricter cut a
+    * band rollup over it).
+    *
+    * ALL-INTEGER (rule F): jp = common·1000 div union and
+    * band_lo = jp − jp mod bandPermille — no rounded float is ever
+    * banded, so a pair whose true Jaccard sits exactly on a band
+    * boundary (17/20 = 0.85) lands in its mathematically correct band
+    * on every engine (the rounded-double `floor(j·20)` form misbands
+    * exactly those pairs on BOTH engines — agreeing, but wrong).
+    *
+    * Scale shape: identical to [[nearDupPairsNgram]] — the shared
+    * [[docGramArrays]] table, row-local sizes, blocked inverted-index
+    * join (never all-pairs), the output-invariant size prune at the
+    * LOW threshold, one count aggregate — plus a ≤ (1000−low)/band +1
+    * row metadata rollup. */
+  def nearDupBands(docs: DataFrame, id: Column, text: Column,
+                   lowPermille: Int = 700, bandPermille: Int = 50,
+                   n: Int = 3, maxBucket: Int = 1024,
+                   docGrams: Option[DataFrame] = None): DataFrame = {
+    require(lowPermille > 0 && lowPermille <= 1000,
+      s"lowPermille must be in (0, 1000], got $lowPermille")
+    require(bandPermille >= 1 && bandPermille <= 1000,
+      s"bandPermille must be in [1, 1000], got $bandPermille")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val p = lowPermille
+    val sized = sizedGrams(docs, id, text, n, Int.MaxValue, None, docGrams)
+    operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
+      .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
+              col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
+      .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") * (1000 + p) >= (col("na") + col("nb")) * p)
+      .select(expr("common * 1000 div (na + nb - common)").as("jp"))
+      .select((col("jp") - (col("jp") % bandPermille)).as("band_lo"))
+      .groupBy("band_lo")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** The (doc_id, n_grams, gram) exploded-and-sized inverted-index
     * input shared by [[nearDupPairsNgram]] and
     * [[containmentPairsNgram]]. UNCAPPED, `n_grams` is ROW-LOCAL —

@@ -1367,6 +1367,51 @@ object Oracle {
         |       CAST(MAX(CASE WHEN rn = 1 THEN q END) AS BIGINT) AS best_quality
         |FROM m GROUP BY label ORDER BY cluster_rep""".stripMargin,
 
+    /** Threshold sweep: the ngram pair enumeration at the LOWEST
+      * candidate cut 0.7 (c·1700 ≥ 700(a+b) ⇔ 17c ≥ 7(a+b) — the
+      * same exact-integer threshold algebra as the 0.8 CTE's
+      * 9c ≥ 4(a+b)), then ALL-INTEGER permille banding: jp = c·1000
+      * // union, band = jp − jp % 50. No rounded float is banded on
+      * either engine (rule F). Rule I casts. */
+    "q_dedup_sweep" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |          FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |           FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |jp AS (SELECT common * 1000 // (sa.n_grams + sb.n_grams - common) AS jp
+        |       FROM common JOIN sizes sa ON doc_a = sa.doc_id
+        |                   JOIN sizes sb ON doc_b = sb.doc_id
+        |       WHERE common * 17 >= 7 * (sa.n_grams + sb.n_grams))
+        |SELECT CAST(jp - jp % 50 AS BIGINT) AS band_lo,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM jp GROUP BY 1 ORDER BY band_lo""".stripMargin,
+
+    /** Gram df histogram: the same distinct-gram universe as every
+      * ngram CTE, document frequency per gram, then the
+      * q_length_buckets binary-width bucket identity. Rule I casts
+      * (DuckDB SUM widens to HUGEINT). */
+    "q_gram_df_hist" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |          FROM toks),
+        |df AS (SELECT gram, COUNT(*) AS gdf FROM grams GROUP BY gram),
+        |b AS (SELECT gdf, CASE WHEN gdf <= 1 THEN 1
+        |                       ELSE 1 << length(bin(gdf - 1)) END AS bucket
+        |      FROM df)
+        |SELECT CAST(bucket AS BIGINT) AS df_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(gdf) AS BIGINT) AS total_df
+        |FROM b GROUP BY bucket ORDER BY df_bucket""".stripMargin,
+
     /** Vocabulary coverage curve: tokens ranked by (count DESC, token
       * ASC) — the one total order both engines state; per k the
       * covered type count and integer floor-div permille of total

@@ -405,6 +405,51 @@ object PipelineOps {
               col("n_dropped"), col("drop_permille"))
       .orderBy("source")
 
+  /** Near-dup threshold sweep (round 11) — the tuning table read
+    * BEFORE anyone picks q_dedup_ngram's 0.8: pair counts per exact
+    * integer Jaccard-permille band of 50, candidates enumerated ONCE
+    * at the most permissive cut (0.7) via
+    * [[graft.Graft.nearDupBands]], so the oracle verifies the public
+    * facade. All-integer banding (rule F): jp = common·1000 div union,
+    * band_lo = jp − jp mod 50 — a 17/20-Jaccard pair lands in 850, not
+    * a rounded double's 800. Deliberately its OWN enumeration, not a
+    * rider on the shared 0.8 pair graph: the sweep's whole point is
+    * the pairs BELOW the production threshold (at 100 TB a pipeline
+    * would instead build its one shared pair table at this lowest
+    * candidate cut and roll every stricter decision off it; here the
+    * 0.8 artifacts five queries share stay byte-stable). Reads the
+    * shared doc-grams table, so the marginal cost is the wider
+    * candidate join, not a re-tokenize. band_lo unique (rule O),
+    * integers throughout (rule I). */
+  def q_dedup_sweep(s: SparkSession, d: String): DataFrame =
+    graft.Graft.nearDupBands(Tables.documents(s, d),
+        col("doc_id"), col("text"), lowPermille = 700, bandPermille = 50,
+        n = 3, docGrams = Some(docGramsTable(s, d)))
+      .orderBy("band_lo")
+
+  /** Gram document-frequency histogram (round 11) — the
+    * boilerplate-tail profile: per power-of-two df bucket (the
+    * q_length_buckets binary-width identity — no float log2), how
+    * many distinct word-3-grams and how much total occurrence mass.
+    * The curve an operator reads NEXT TO [[q_boilerplate_grams]]'s
+    * top-25: the top list names the worst offenders, this histogram
+    * says whether they are 25 outliers or the visible tip of a heavy
+    * tail (and how much of the gram universe is df-1 singletons —
+    * the novelty mass [[q_ngram_novelty]] prices per doc). FIFTH
+    * consumer of the shared gram-df parquet: the query is one
+    * vocab-scale scan + a ≤ log₂(n_docs)-row rollup — no document is
+    * touched at all. Integers throughout (rule I); df_bucket unique
+    * (rule O). */
+  def q_gram_df_hist(s: SparkSession, d: String): DataFrame =
+    gramDfTable(s, d)
+      .select(when(col("gdf") <= 1, lit(1L))
+                .otherwise(expr("shiftleft(1L, length(bin(gdf - 1)))"))
+                .as("df_bucket"),
+              col("gdf"))
+      .groupBy("df_bucket")
+      .agg(count(lit(1)).as("n_grams"), sum("gdf").as("total_df"))
+      .orderBy("df_bucket")
+
   /** Quality-aware near-dup representative selection (round 11) — the
     * production refinement of [[q_dedup_drop]]'s keep-min-id rule: per
     * near-dup cluster, keep the member with the HIGHEST

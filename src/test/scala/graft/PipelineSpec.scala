@@ -251,6 +251,58 @@ class PipelineSpec extends SparkSpecBase {
     assert(got == ref)
   }
 
+  test("dedup_sweep: exact integer bands incl. the 0.85 boundary pair") {
+    // pair (1,2): 19 + 18 grams, 17 common → jp = 17000 div 20 = 850
+    // EXACTLY — the boundary a rounded-double floor(j·20) would
+    // misband into 800 (0.85's nearest double is below 0.85);
+    // pair (3,4): 10 + 9 grams, 8 common → jp = 8000 div 11 = 727;
+    // pair (7,8): identical → jp = 1000; doc 9 pairs with nothing
+    val t19 = (1 to 19).map("t" + _).mkString(" ")
+    val u12 = (1 to 12).map("u" + _).mkString(" ")
+    val u10 = (1 to 10).map("u" + _).mkString(" ")
+    val dir = mkDocs(Seq(
+      (1L, s"$t19 a20 a21", "en"), (2L, s"$t19 b20", "en"),
+      (3L, u12, "en"), (4L, s"$u10 z", "en"),
+      (7L, "p1 p2 p3 p4 p5 p6 p7 p8", "en"), (8L, "p1 p2 p3 p4 p5 p6 p7 p8", "en"),
+      (9L, "lone doc with no near dup partner at all", "en")
+    ), java.nio.file.Files.createTempDirectory("sweep").toString)
+    val got = PipelineOps.q_dedup_sweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((700L, 1L), (850L, 1L), (1000L, 1L)))
+  }
+
+  test("dedup_sweep on sf: bands at or above 800 sum to the q_dedup_ngram pair count") {
+    // jp ≥ 800 ⇔ 1000·c ≥ 800·union ⇔ 5c ≥ 4·union ⇔ J ≥ 0.8 — the
+    // sweep's stricter-cut rollup must reproduce the production query
+    val atOrAbove = PipelineOps.q_dedup_sweep(spark, sf).collect()
+      .filter(_.getLong(0) >= 800L).map(_.getLong(1)).sum
+    assert(atOrAbove == PipelineOps.q_dedup_ngram(spark, sf).count())
+  }
+
+  test("gram_df_hist: crafted buckets; sf masses reconcile with a direct df pass") {
+    val dir = mkDocs(Seq(
+      (1L, "a b c d", "en"), (2L, "a b c d", "en"), (3L, "a b c d", "en"),
+      (4L, "x y z", "en")
+    ), java.nio.file.Files.createTempDirectory("dfh").toString)
+    // grams "a b c"/"b c d" have df 3 → bucket 4; "x y z" df 1 → bucket 1
+    val got = PipelineOps.q_gram_df_hist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 1L), (4L, 2L, 6L)))
+    // sf: recompute the df histogram blind to the shared table
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+              explode(array_distinct(graft.functions.TokenNGrams.ngrams(col("t"), 3))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .collect().map(_.getLong(1))
+      .groupBy(d => if (d <= 1) 1L else java.lang.Long.highestOneBit(d - 1) * 2)
+      .map { case (b, ds) => (b, ds.size.toLong, ds.sum) }
+    val sfGot = PipelineOps.q_gram_df_hist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sfGot == direct.toSet)
+  }
+
   test("contamination: half-overlap threshold on crafted eval/corpus docs") {
     val dir = mkDocs(Seq(
       (1L, "a b c d e", "en"),   // eval doc: grams {a b c, b c d, c d e}
