@@ -196,14 +196,22 @@ object Graft {
     * (quality_permille: ≤ 1001 per group) and no corpus-scale
     * single-partition window exists at any scale. An unbounded score
     * would make the histogram corpus-scale and the window hot; feed
-    * such scores through a fixed-width bucketing first. */
+    * such scores through a fixed-width bucketing first. Rows whose
+    * score is NULL are excluded from every figure (the SQL aggregate
+    * convention) — pre-filter or coalesce if they must count. */
   def gateCalibration(df: DataFrame, group: Column, score: Column,
                       gate: Long, pcts: Seq[Int] = Seq(25, 50, 90)): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be in 1..100, got $pcts")
     require(pcts.distinct.size == pcts.size, s"pcts must be distinct, got $pcts")
     import org.apache.spark.sql.expressions.Window
+    // NULL scores are EXCLUDED from every figure (the SQL aggregate
+    // convention): left in, they would form their own histogram row
+    // that sorts first, inflating n_rows and every cum threshold while
+    // the percentile mins skip them — percentiles silently reported
+    // high and drop_permille inconsistent with n_rows
     val hist = df.select(group.as("group"), score.cast("long").as("s"))
+      .filter(col("s").isNotNull)
       .groupBy("group", "s").agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("cum", sum("c").over(
@@ -348,20 +356,27 @@ object Graft {
               expr("isq * 1000L div isq_total").as("weight_permille"))
   }
 
+  /** Smallest power of two ≥ n (n ≥ 1), in PURE INTEGER via the
+    * binary-width identity 2^len(bin(n−1)) — no float log2 to round
+    * the wrong way on an exact power of two. The ONE definition of
+    * the bucketing [[lengthBuckets]] and the gram-df histogram share
+    * (both oracles state the identical string-length arithmetic). */
+  def pow2Bucket(n: Column): Column =
+    // call_function: the DataFrame shiftleft() helper only takes a
+    // literal bit count; the SQL form accepts a column
+    when(n <= 1, lit(1L))
+      .otherwise(call_function("shiftleft", lit(1L), length(bin(n - 1))).cast("long"))
+
   /** Power-of-two LENGTH BUCKETS + padding-waste accounting — the
     * batching-efficiency table a training loader reads: each doc is
-    * assigned the smallest power-of-two context ≥ its token count,
-    * and per bucket the report carries doc count, real token total,
-    * the padded total (n_docs·bucket) and the padding waste permille.
-    * The bucket is computed in PURE INTEGER via the binary-width
-    * identity 2^len(bin(n−1)) (no log2 float — an exact power of two
-    * on a float log boundary could round either way; a string length
-    * cannot). Row-local assignment, one metadata-scale rollup. */
+    * assigned the smallest power-of-two context ≥ its token count
+    * ([[pow2Bucket]]), and per bucket the report carries doc count,
+    * real token total, the padded total (n_docs·bucket) and the
+    * padding waste permille. Row-local assignment, one metadata-scale
+    * rollup. */
   def lengthBuckets(df: DataFrame, tokens: Column): DataFrame = {
-    val bucket = when(col("__n") <= 1, lit(1L))
-      .otherwise(expr("shiftleft(1L, length(bin(__n - 1)))"))
     df.select(tokens.cast("long").as("__n"))
-      .select(bucket.as("bucket"), col("__n").as("t"))
+      .select(pow2Bucket(col("__n")).as("bucket"), col("__n").as("t"))
       .filter(col("t") >= 1)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
@@ -1902,7 +1917,27 @@ object Graft {
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
     require(maxGramDocFreq >= 1, s"maxGramDocFreq must be >= 1, got $maxGramDocFreq")
-    val p = thresholdPermille
+    ngramCandidatePairs(docs, id, text, thresholdPermille, n, maxBucket,
+        maxGramDocFreq, gramDf, docGrams)
+      .select(col("doc_a"), col("doc_b"),
+              round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
+  }
+
+  /** The ONE candidate-pair enumeration shared by [[nearDupPairsNgram]]
+    * and [[nearDupBands]]: blocked inverted-index self-join over
+    * [[sizedGrams]], the output-invariant integer size prune, the
+    * per-pair common count, and the exact integer threshold
+    * `common·(1000+p) ≥ p·(na+nb)` ⇔ J ≥ p/1000. Returns (doc_a,
+    * doc_b, na, nb, common) — callers derive their own Jaccard form.
+    * Extracted so a future tightening of the prune or the threshold
+    * algebra cannot drift between the two facades (their outputs are
+    * contractually tied: the sweep's ≥ 800 rollup must equal the 0.8
+    * pair count, pinned in PipelineSpec). */
+  private def ngramCandidatePairs(docs: DataFrame, id: Column, text: Column,
+                                  p: Int, n: Int, maxBucket: Int,
+                                  maxGramDocFreq: Int = Int.MaxValue,
+                                  gramDf: Option[DataFrame] = None,
+                                  docGrams: Option[DataFrame] = None): DataFrame = {
     val sized = sizedGrams(docs, id, text, n, maxGramDocFreq, gramDf, docGrams)
     operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
       .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
@@ -1911,8 +1946,6 @@ object Graft {
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("common"))
       .filter(col("common") * (1000 + p) >= (col("na") + col("nb")) * p)
-      .select(col("doc_a"), col("doc_b"),
-              round(col("common") / (col("na") + col("nb") - col("common")), 3).as("jaccard"))
   }
 
   /** Near-dup threshold SWEEP — the tuning table read before anyone
@@ -1933,6 +1966,9 @@ object Graft {
     * boundary (17/20 = 0.85) lands in its mathematically correct band
     * on every engine (the rounded-double `floor(j·20)` form misbands
     * exactly those pairs on BOTH engines — agreeing, but wrong).
+    * `lowPermille` must be a multiple of `bandPermille` (bands are
+    * absolute multiples of the width; a misaligned cut would truncate
+    * and mislabel its lowest band — rejected loudly, review catch).
     *
     * Scale shape: identical to [[nearDupPairsNgram]] — the shared
     * [[docGramArrays]] table, row-local sizes, blocked inverted-index
@@ -1947,16 +1983,15 @@ object Graft {
       s"lowPermille must be in (0, 1000], got $lowPermille")
     require(bandPermille >= 1 && bandPermille <= 1000,
       s"bandPermille must be in [1, 1000], got $bandPermille")
+    // bands are absolute multiples of bandPermille (jp − jp mod band),
+    // so a misaligned low cut would truncate and mislabel its lowest
+    // band (low 725, band 50: jp ∈ [725, 749] reported as "700" with
+    // half the band's range missing) — reject instead of under-count
+    require(lowPermille % bandPermille == 0,
+      s"lowPermille must be a multiple of bandPermille, got $lowPermille % $bandPermille")
     require(n >= 1, s"n must be >= 1, got $n")
-    val p = lowPermille
-    val sized = sizedGrams(docs, id, text, n, Int.MaxValue, None, docGrams)
-    operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
-      .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
-              col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
-      .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("common"))
-      .filter(col("common") * (1000 + p) >= (col("na") + col("nb")) * p)
+    ngramCandidatePairs(docs, id, text, lowPermille, n, maxBucket,
+        docGrams = docGrams)
       .select(expr("common * 1000 div (na + nb - common)").as("jp"))
       .select((col("jp") - (col("jp") % bandPermille)).as("band_lo"))
       .groupBy("band_lo")
@@ -2401,9 +2436,12 @@ object Graft {
     * the canonical sorted-token string (hashed row-locally — the
     * canonical text never shuffles, and the within-group exact-dup
     * pairs expand from the grouped member lists, so no corpus
-    * self-join on document text exists anywhere); one signature per
-    * distinct set (element-wise-
-    * min merging Aggregator — combiner-safe); LSH band-bucket
+    * self-join on document text exists anywhere); one ROW-LOCAL
+    * signature per document via the native codegen'd
+    * [[functions.MinHashSig]] expression (bit-identical to the
+    * streaming [[MinHash]] Aggregator, which remains the
+    * token-at-a-time arrival variant), deduped per distinct set by
+    * `first`; LSH band-bucket
     * candidate join on hashed band keys, never all-pairs, with band
     * buckets larger than `maxBucket` BLOCK-DECOMPOSED
     * ([[operators.SkewJoin.blockedSelfPairs]]) so a dense band at
@@ -2423,7 +2461,10 @@ object Graft {
     * was dropped; a bucket that dense is boilerplate whose pairs the
     * downstream drop stage would collapse anyway. Opt-in, never a
     * silent default. Exact-dup pairs (identical token sets) bypass
-    * banding entirely and always survive. */
+    * banding entirely and always survive. NULL-text rows are excluded
+    * (review catch: xxhash64 maps NULL input to its seed, so without
+    * the filter every null-text doc would share one collapse group
+    * and be reported as exact duplicates of each other). */
   def nearDupPairsMinhash(docs: DataFrame, id: Column, text: Column,
                           estPermille: Int = 900,
                           maxBucket: Int = 1024,
@@ -2446,7 +2487,8 @@ object Graft {
     // shuffle and one join GONE; identical sets produce identical
     // signatures by construction, so `first(sig)` per set-collapse
     // group is deterministic.
-    val base = docs.select(id.cast("long").as("doc_id"),
+    val base = docs.filter(text.isNotNull)
+      .select(id.cast("long").as("doc_id"),
         array_sort(array_distinct(split(text, " "))).as("toks"))
       .select(Seq(col("doc_id"), functions.MinHashSig.sig(col("toks")).as("sig")) ++
               spanHash(array_join(col("toks"), " ")): _*)

@@ -176,25 +176,6 @@ object Multimodal {
       p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
       p(10) == 'V'.toByte && p(11) == 'E'.toByte
 
-  /** REAL audio decode — pure JDK (`javax.sound.sampled`, no external
-    * codec): parses the payload as a WAV, streams the decoded PCM
-    * frames, and histograms the SAMPLES (8-bit unsigned: sample value
-    * directly; 16-bit: the unsigned-shifted high byte) into 16 bins —
-    * so the histogram counts samples, not payload bytes, which is how
-    * a caller (and MultimodalSpec / the q_media_audio oracle) can
-    * tell the real decode ran and not the byte-histogram stub (the
-    * stub would also count the 44 RIFF header bytes). Returns None
-    * for anything that is not a decodable WAV — wrong magic, a
-    * malformed RIFF chunk list, a declared data size exceeding the
-    * actual payload (the audio analogue of the dimension-bomb gate:
-    * a bounded chunk walk that runs BEFORE any provider touches the
-    * stream, and follows the real chunk structure so an 18-byte fmt
-    * or LIST chunk parses correctly),
-    * unsupported encodings, ANY reader failure — and the caller falls
-    * back to the stub, the dirty-corpus production shape. The read is
-    * stream-bounded: frames come off an AudioInputStream over the
-    * in-memory array, so a hostile header can never cause an
-    * allocation beyond the real payload. */
   /** Walks the RIFF chunk list to the `data` chunk and returns its
     * declared size, or None when the chunk structure is malformed —
     * a fixed offset-40 read would misparse standards-valid WAVs with
@@ -224,6 +205,25 @@ object Multimodal {
     None
   }
 
+  /** REAL audio decode — pure JDK (`javax.sound.sampled`, no external
+    * codec): parses the payload as a WAV, streams the decoded PCM
+    * frames, and histograms the SAMPLES (8-bit unsigned: sample value
+    * directly; 16-bit: the unsigned-shifted high byte) into 16 bins —
+    * so the histogram counts samples, not payload bytes, which is how
+    * a caller (and MultimodalSpec / the q_media_audio oracle) can
+    * tell the real decode ran and not the byte-histogram stub (the
+    * stub would also count the 44 RIFF header bytes). Returns None
+    * for anything that is not a decodable WAV — wrong magic, a
+    * malformed RIFF chunk list ([[riffDataSize]]), a declared data
+    * size exceeding the actual payload (the audio analogue of the
+    * dimension-bomb gate: a bounded chunk walk that runs BEFORE any
+    * provider touches the stream, and follows the real chunk
+    * structure so an 18-byte fmt or LIST chunk parses correctly),
+    * unsupported encodings, ANY reader failure — and the caller falls
+    * back to the stub, the dirty-corpus production shape. The read is
+    * stream-bounded: frames come off an AudioInputStream over the
+    * in-memory array, so a hostile header can never cause an
+    * allocation beyond the real payload. */
   def decodeAudio(payload: Array[Byte]): Option[Array[Long]] =
     if (!looksLikeWav(payload)) None
     else {

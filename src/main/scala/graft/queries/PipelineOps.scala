@@ -442,10 +442,7 @@ object PipelineOps {
     * (rule O). */
   def q_gram_df_hist(s: SparkSession, d: String): DataFrame =
     gramDfTable(s, d)
-      .select(when(col("gdf") <= 1, lit(1L))
-                .otherwise(expr("shiftleft(1L, length(bin(gdf - 1)))"))
-                .as("df_bucket"),
-              col("gdf"))
+      .select(graft.Graft.pow2Bucket(col("gdf")).as("df_bucket"), col("gdf"))
       .groupBy("df_bucket")
       .agg(count(lit(1)).as("n_grams"), sum("gdf").as("total_df"))
       .orderBy("df_bucket")

@@ -1782,6 +1782,16 @@ class GraftSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Graft.gateCalibration(df, $"src", $"s", 5L, pcts = Seq(25, 25))
     }
+    // NULL scores are excluded from every figure (review catch: left
+    // in, they inflate n_rows and skew every percentile upward) —
+    // identical output to the all-present frame above
+    val withNulls = ((1L to 10L).map(s => ("g", Some(s))) ++
+      Seq(("g", None), ("g", None))).toDF("src", "s")
+    val n = Graft.gateCalibration(withNulls, $"src", $"s", gate = 5L).collect()
+    assert(n.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                       r.getLong(3), r.getLong(4), r.getLong(5),
+                       r.getLong(6))).toSeq ==
+           Seq(("g", 10L, 3L, 5L, 9L, 4L, 400L)))
   }
 
   test("gateCalibration: matches a brute-force reference on random bounded scores") {

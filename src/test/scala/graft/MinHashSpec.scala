@@ -30,22 +30,53 @@ class MinHashSpec extends SparkSpecBase {
     val rows = (1L to 40L).map { i =>
       (i, (1 to 1 + rnd.nextInt(30)).map(j => s"w${rnd.nextInt(50)}").distinct)
     }
-    val df = rows.toDF("id", "toks")
-    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
-      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+    // parquet round-trip, NOT a LocalRelation: the optimizer folds
+    // Project-over-LocalRelation with an interpreted projection before
+    // planning, so the codegen branch of this loop would never reach
+    // doGenCode (review catch — the equivalence was vacuous for the
+    // generated-Java path)
+    val dir = java.nio.file.Files.createTempDirectory("mhsig").toString
+    rows.toDF("id", "toks").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    for ((wscg, factory) <- Seq(("true", "CODEGEN_ONLY"), ("false", "NO_CODEGEN"))) {
+      spark.conf.set("spark.sql.codegen.wholeStage", wscg)
+      spark.conf.set("spark.sql.codegen.factoryMode", factory)
       try {
-        val got = df.select($"id", functions.MinHashSig.sig($"toks").as("sig"))
-          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-        rows.foreach { case (i, toks) =>
-          assert(got(i) == signature(toks.toSet), s"id=$i codegen=$codegen")
+        val q = df.select($"id", functions.MinHashSig.sig($"toks").as("sig"))
+        // non-vacuousness: the codegen branch must actually plan
+        // whole-stage generated code over the scan (structural check —
+        // the plan STRING renders WSCG as the `*(n)` prefix only)
+        if (wscg == "true") {
+          import org.apache.spark.sql.execution.WholeStageCodegenExec
+          assert(q.queryExecution.executedPlan.collect {
+            case w: WholeStageCodegenExec => w }.nonEmpty,
+            "codegen branch did not plan WholeStageCodegen — equivalence would be vacuous")
         }
-      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+        val got = q.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        rows.foreach { case (i, toks) =>
+          assert(got(i) == signature(toks.toSet), s"id=$i codegen=$factory")
+        }
+      } finally {
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
     }
     // and the Aggregator (token-at-a-time arrival) agrees
     val viaAgg = df.select($"id", explode($"toks").as("t"))
       .groupBy("id").agg(udaf(MinHash.agg).apply($"t").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     rows.foreach { case (i, toks) => assert(viaAgg(i) == signature(toks.toSet)) }
+  }
+
+  test("null-text rows are excluded, not collapsed into one dup group") {
+    // xxhash64 maps a NULL input to its seed, so without the entry
+    // filter both null docs would share one set-collapse group and be
+    // reported as exact duplicates (review catch)
+    val df = Seq((1L, None), (2L, None), (3L, Some("a b c")), (4L, Some("a b c")))
+      .toDF("id", "txt")
+    val got = Graft.nearDupPairsMinhash(df, $"id", $"txt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((3L, 4L)))
   }
 
   test("disjoint token sets agree on ~no positions") {

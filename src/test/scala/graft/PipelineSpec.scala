@@ -269,6 +269,12 @@ class PipelineSpec extends SparkSpecBase {
     val got = PipelineOps.q_dedup_sweep(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((700L, 1L), (850L, 1L), (1000L, 1L)))
+    // a low cut that is not a band multiple would truncate and
+    // mislabel its lowest band — rejected loudly (review catch)
+    intercept[IllegalArgumentException] {
+      graft.Graft.nearDupBands(spark.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), lowPermille = 725, bandPermille = 50)
+    }
   }
 
   test("dedup_sweep on sf: bands at or above 800 sum to the q_dedup_ngram pair count") {
