@@ -318,9 +318,10 @@ object Graft {
         negate(col("src_pos").cast("double")), col("source"))
       .select((-col("key")).cast("long").as("src_pos"),
               col("tie").as("source"), col("rank").as("global_pos"))
-    keyed.select(col("doc_id"), col("source"))
-      .join(srcPos, Seq("source", "doc_id"))
-      .join(globalPos, Seq("src_pos", "source"))
+    // srcPos already carries one (source, doc_id, src_pos) row per
+    // doc — joining it back against `keyed` was a 1:1 identity join
+    // costing a full corpus-scale exchange for nothing (review catch)
+    srcPos.join(globalPos, Seq("src_pos", "source"))
       .select(col("doc_id"), col("source"), col("src_pos"), col("global_pos"))
   }
 
@@ -351,9 +352,20 @@ object Graft {
               expr("n_tokens * 1000L div total").as("share_permille"))
       .withColumn("isq", floor(sqrt(col("share_permille").cast("double"))).cast("long"))
     val isqTot = shared.agg(sum(col("isq")).as("isq_total"))
+    // a corpus with >1000 near-equal groups floors EVERY share to 0
+    // permille, so isq_total = 0 and the weight divisor vanishes —
+    // non-ANSI div would emit all-NULL weights, silently breaking the
+    // all-integer output contract (review catch); fail loudly instead
+    // (the q_span_drop overflow-guard posture): at that group count
+    // the permille grid itself is too coarse to carry the answer
+    val guarded = when(col("isq_total") > 0, expr("isq * 1000L div isq_total"))
+      .otherwise(raise_error(lit(
+        "mixtureWeights: isq_total = 0 — every group's token share floors below " +
+        "1 permille (more than ~1000 groups); coarsen the grouping or rescale"))
+        .cast("long"))
     shared.crossJoin(broadcast(isqTot))
       .select(col("group"), col("n_docs"), col("n_tokens"), col("share_permille"),
-              expr("isq * 1000L div isq_total").as("weight_permille"))
+              guarded.as("weight_permille"))
   }
 
   /** Smallest power of two ≥ n (n ≥ 1), in PURE INTEGER via the
@@ -384,6 +396,62 @@ object Graft {
               (col("n_docs") * col("bucket")).as("padded_tokens"),
               expr("(n_docs * bucket - n_tokens) * 1000L div (n_docs * bucket)")
                 .as("waste_permille"))
+  }
+
+  /** Corpus-wide BPE merge-candidate table — the first step of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"):
+    * per adjacent character pair inside whitespace tokens, how many
+    * times it occurs across every token OCCURRENCE of the corpus
+    * (not distinct tokens — BPE counts mass, so a stop word occurring
+    * 10⁶ times contributes 10⁶ to each of its pairs). The top pair IS
+    * the first merge a BPE trainer would take; a pipeline reads this
+    * table to seed tokenizer training on a corpus sample and as a
+    * drift check between corpus snapshots (a shifted pair table means
+    * the character statistics — language mix, boilerplate — moved).
+    *
+    * Scale shape: two generate stages (token explode, per-token
+    * pair explode) feed ONE partial+final count whose key universe is
+    * bounded by the symbol alphabet SQUARED (≤ ~10⁴ keys for ASCII
+    * text at any corpus size), so the aggregate collapses map-side
+    * and the only corpus-scale movement is the scan itself; the top-k
+    * is a TakeOrdered over the collapsed table — no global sort, no
+    * window. Ties break on the pair text (one stated total order,
+    * engine-portable). */
+  def bpePairStats(docs: DataFrame, text: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    docs.select(explode(split(text, " ")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** Unicode-normalization accounting per group — the
+    * canonicalization stage a multilingual pipeline runs BEFORE
+    * fingerprinting and dedup: two byte-wise-different spellings of
+    * the same canonical text (composed `é` vs `e` + COMBINING ACUTE)
+    * defeat exact dedup, span hashing and MinHash alike, so the
+    * pipeline must know how much of each source is non-NFC before
+    * deciding whether to pay the normalization pass. Per group:
+    * doc count, docs NOT in NFC form, and the code points NFC removes
+    * (composition strictly shrinks or preserves length). Uses the
+    * native codegen'd [[functions.NfcNormalize]] expression — Spark
+    * ships no normalization builtin and a Scala UDF would pay per-row
+    * serialization on a corpus scan. Row-local end to end: one scan,
+    * one metadata-scale rollup, integers throughout. */
+  def normalizationStats(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val t = col("__nfc_in")
+    val n = col("__nfc_out")
+    df.select(group.as("group"), text.as("__nfc_in"))
+      .withColumn("__nfc_out", functions.NfcNormalize.nfc(t))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(t =!= n, lit(1L)).otherwise(lit(0L))).as("n_denorm"),
+           sum((length(t) - length(n)).cast("long")).as("chars_saved"))
   }
 
   /** Gopher-style repetition-quality signals for a whitespace-token
@@ -1372,7 +1440,7 @@ object Graft {
                    docGrams: Option[DataFrame] = None): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val grams = sizedGrams(docs, id, text, n, Int.MaxValue, None, docGrams)
-    val df = gramDf.map(validGramDf)
+    val df = gramDf.map(validGramDf(_, n))
       .getOrElse(gramDocFreq(docs, id, text, n, docGrams))
     grams.join(df, "gram")
       .groupBy("doc_id", "n_grams")
@@ -2017,12 +2085,12 @@ object Graft {
                          maxGramDocFreq: Int,
                          gramDf: Option[DataFrame],
                          docGrams: Option[DataFrame] = None): DataFrame = {
-    val allGrams = docGrams.map(validDocGrams)
+    val allGrams = docGrams.map(validDocGrams(_, n))
       .getOrElse(docGramArrays(docs, id, text, n))
       .select(col("doc_id"), col("na").as("n_grams"), explode(col("ga")).as("gram"))
     if (maxGramDocFreq == Int.MaxValue) allGrams
     else {
-      val hot = gramDf.map(validGramDf)
+      val hot = gramDf.map(validGramDf(_, n))
         .map(_.filter(col("gdf") > maxGramDocFreq).select("gram"))
         .getOrElse(allGrams.groupBy("gram").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxGramDocFreq).select("gram"))
@@ -2053,23 +2121,49 @@ object Graft {
       .filter(size(col("t")) >= n)
       .select(col("doc_id"),
               array_distinct(functions.TokenNGrams.ngrams(col("t"), n)).as("ga"))
-      .select(col("doc_id"), size(col("ga")).cast("long").as("na"), col("ga"))
+      .select(col("doc_id"), size(col("ga")).cast("long").as("na"),
+              col("ga").as("ga", nMeta(n)))
   }
+
+  /** The gram size n, stamped as column METADATA on every shared gram
+    * table ([[docGramArrays]]'s `ga`, [[gramDocFreq]]'s `gram`) —
+    * survives the temp-parquet round trip (Spark stores field
+    * metadata in the parquet footer schema), so the handed-table
+    * validators can reject a table built for a DIFFERENT n at plan
+    * time instead of silently computing wrong pairs/df (review catch:
+    * the name-only schema gate could not see this). */
+  private def nMeta(n: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.ngram.n", n.toLong).build()
 
   /** Fail-fast schema gates for the two handed-table sharing params —
     * a table built for a different (docs, n) or with renamed columns
     * would otherwise silently drop grams via an inner join or
     * mis-price rarity (round-10 ADVICE): the scaladoc contract alone
-    * is easy to violate, a missing-column error at plan time is not. */
-  private def validGramDf(df: DataFrame): DataFrame =
-    requireCols(df, Seq("gram", "gdf"), "gramDf")
-  private def validDocGrams(df: DataFrame): DataFrame =
-    requireCols(df, Seq("doc_id", "na", "ga"), "docGrams")
+    * is easy to violate, a plan-time error is not. Column NAMES catch
+    * a foreign table; the [[nMeta]] stamp catches the subtler hazard
+    * (review catch) of the RIGHT table built for the WRONG n — a
+    * 4-gram table handed to a 3-gram consumer passes any name check
+    * and silently shifts every Jaccard/df it feeds. */
+  private def validGramDf(df: DataFrame, n: Int): DataFrame =
+    requireN(requireCols(df, Seq("gram", "gdf"), "gramDf"), "gram", n, "gramDf")
+  private def validDocGrams(df: DataFrame, n: Int): DataFrame =
+    requireN(requireCols(df, Seq("doc_id", "na", "ga"), "docGrams"), "ga", n, "docGrams")
   private def requireCols(df: DataFrame, need: Seq[String], what: String): DataFrame = {
     val missing = need.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"handed $what table lacks column(s) ${missing.mkString(", ")} " +
         s"(has: ${df.columns.mkString(", ")}) — was it built by the matching facade?")
+    df
+  }
+  private def requireN(df: DataFrame, field: String, n: Int, what: String): DataFrame = {
+    val md = df.schema(df.schema.fieldIndex(field)).metadata
+    val stamped =
+      if (md.contains("graft.ngram.n")) md.getLong("graft.ngram.n").toString
+      else "<unstamped — not built by the matching facade?>"
+    require(md.contains("graft.ngram.n") && md.getLong("graft.ngram.n") == n.toLong,
+      s"handed $what table was built for n=$stamped but this consumer needs n=$n " +
+        "— hand the table built by the matching facade at the same n")
     df
   }
 
@@ -2087,9 +2181,10 @@ object Graft {
     // `docGrams`: the shared [[docGramArrays]] table for the SAME
     // (docs, n) — the df aggregate then explodes one parquet array
     // column instead of re-running the corpus tokenize+n-gram pass
-    docGrams.map(validDocGrams).getOrElse(docGramArrays(docs, id, text, n))
+    docGrams.map(validDocGrams(_, n)).getOrElse(docGramArrays(docs, id, text, n))
       .select(explode(col("ga")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .select(col("gram").as("gram", nMeta(n)), col("gdf"))
   }
 
   /** The span-cutting expression shared by [[duplicatedSpanStats]]
@@ -2310,7 +2405,7 @@ object Graft {
     // `docGrams`: the shared [[docGramArrays]] table for the SAME
     // (docs, n) — the prefix index then explodes a parquet array
     // column instead of re-running the corpus tokenize+n-gram pass
-    val grams = docGrams.map(validDocGrams)
+    val grams = docGrams.map(validDocGrams(_, n))
       .getOrElse(docGramArrays(docs, id, text, n))
       .select(col("doc_id"), explode(col("ga")).as("gram"))
     // `gramDf`: the shared [[gramDocFreq]] table for the SAME
@@ -2318,7 +2413,7 @@ object Graft {
     // saves the second full gram scan (PipelineOps caches one per sf
     // dir and feeds it to the whole n-gram family); when absent the
     // df pass runs inline as before
-    val rarity = gramDf.map(validGramDf)
+    val rarity = gramDf.map(validGramDf(_, n))
       .getOrElse(grams.groupBy("gram").agg(count(lit(1)).as("gdf")))
     // ONE per-doc aggregate carries the rarity-SORTED gram array (the
     // struct sort on (gdf, gram) is the same total order the old

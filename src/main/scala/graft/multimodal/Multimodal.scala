@@ -239,9 +239,17 @@ object Multimodal {
           try {
             val f = ais.getFormat
             val bytesPerSample = f.getSampleSizeInBits / 8
-            if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
-                f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
-            else if (bytesPerSample != 1 && bytesPerSample != 2) None
+            // the sample conversion below hard-codes the two WAV PCM
+            // layouts (8-bit ⇒ unsigned, 16-bit ⇒ signed LE), so the
+            // gate must admit EXACTLY those pairs — admitting e.g. a
+            // PCM_UNSIGNED 16-bit stream would silently XOR its high
+            // byte into the wrong bin (review catch; unreachable via
+            // the JDK WaveFileReader today, rejected loudly anyway)
+            val unsigned8 = bytesPerSample == 1 &&
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            val signed16 = bytesPerSample == 2 &&
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!unsigned8 && !signed16) None
             else {
               val hist = new Array[Long](16)
               val buf = new Array[Byte](4096 * bytesPerSample)

@@ -1251,6 +1251,65 @@ object Oracle {
         |    AS redacted_chars
         |FROM t2 ORDER BY doc_id""".stripMargin,
 
+    /** Token-weighted dup inflation: the q_dedup_drop recursive-CTE
+      * components re-derived from scratch, then ONE per-source rollup
+      * splitting token mass by membership in the dropped set. All
+      * integer (rule I: floor `//` ≡ Spark `div`). */
+    "q_dup_tokens" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM scored
+        |          UNION ALL SELECT doc_b, doc_a FROM scored),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+        |),
+        |cc AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node),
+        |dropped AS (SELECT node FROM cc WHERE node <> rep),
+        |agg AS (SELECT source, COUNT(*) AS n_docs,
+        |          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |          CAST(SUM(CASE WHEN doc_id IN (SELECT node FROM dropped)
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |          CAST(SUM(CASE WHEN doc_id IN (SELECT node FROM dropped)
+        |                        THEN len(string_split(text, ' '))
+        |                        ELSE 0 END) AS BIGINT) AS dup_tokens
+        |        FROM documents GROUP BY source)
+        |SELECT source, n_docs, total_tokens, n_dup_docs, dup_tokens,
+        |       dup_tokens * 1000 // total_tokens AS dup_token_permille
+        |FROM agg ORDER BY source""".stripMargin,
+
+    /** BPE merge candidates: per-token character pairs via a
+      * list_transform over range(1, len) — DuckDB's twin of Spark's
+      * transform(sequence(...)) — counted over every token
+      * occurrence. The (n DESC, pair) order is total, so the top-20
+      * cut is deterministic (rule O). */
+    "q_bpe_pairs" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(t)),
+        |                    i -> substr(t, CAST(i AS INT), 2))) AS pair
+        |      FROM tk WHERE length(t) >= 2)
+        |SELECT pair, COUNT(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    /** NFC accounting: the same decomposed injections (chr(769) =
+      * U+0301 COMBINING ACUTE, chr(776) = U+0308 COMBINING
+      * DIAERESIS — spelled as chr() so no encoding pass can compose
+      * the SQL text itself), normalized by DuckDB's independent
+      * utf8proc `nfc_normalize` — the hash match pins cross-library
+      * NFC agreement. length() counts code points in BOTH engines. */
+    "q_unicode_norm" ->
+      """WITH t2 AS (SELECT source, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' cafe' || chr(769) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' u' || chr(776) || 'ber' ELSE '' END
+        |    AS txt
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN nfc_normalize(txt) <> txt THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_denorm,
+        |  CAST(SUM(length(txt) - length(nfc_normalize(txt))) AS BIGINT)
+        |    AS chars_saved
+        |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
+
     /** Source-interleaved curriculum: the q_shuffle_det integer
       * scramble (seed 20260814) per source, then the round-robin
       * global order — both as plain ROW_NUMBER windows, blind to the

@@ -1192,4 +1192,73 @@ object PipelineOps {
         col("tok"), k = 30)
       .select(col("item"), col("cnt"))
       .orderBy("item")
+
+  /** Token-weighted duplication inflation per source (round 11) —
+    * the accounting q_dedup_funnel's DOC counts cannot carry: dedup
+    * decisions cost documents, but training budgets are paid in
+    * TOKENS, and a source whose few duplicates are its longest docs
+    * inflates the corpus far more than its doc count says. Per
+    * source: docs, whitespace-token total, docs the keep-min-id rule
+    * would drop (non-representative members of the SHARED CC labels —
+    * the seventh pair-graph consumer), the tokens those docs carry,
+    * and the integer dup-token permille. Scale shape: the labels
+    * table is pair-scale and broadcasts against the corpus scan; ONE
+    * aggregate, no window, integers throughout (rule I). */
+  def q_dup_tokens(s: SparkSession, d: String): DataFrame = {
+    val dupIds = ngramCcLabels(s, d)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), lit(1L).as("is_dup"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n").as("total_tokens"),
+           sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"),
+           sum(when(col("is_dup").isNotNull, col("n")).otherwise(lit(0L)))
+             .as("dup_tokens"))
+      .withColumn("dup_token_permille",
+                  expr("dup_tokens * 1000L div total_tokens"))
+      .orderBy("source")
+  }
+
+  /** BPE merge-candidate table (round 11) — the first step of
+    * byte-pair-encoding tokenizer training, via
+    * [[graft.Graft.bpePairStats]] so the oracle verifies the public
+    * facade: the 20 most frequent adjacent character pairs inside
+    * whitespace tokens, counted over every token OCCURRENCE (BPE
+    * counts mass, not types). The key universe is alphabet², so the
+    * count collapses map-side and the top-k is a TakeOrdered — the
+    * only corpus-scale work is the scan. Ties break on pair text
+    * (rule O: the stated total order makes the top-20 cut itself
+    * deterministic across engines). */
+  def q_bpe_pairs(s: SparkSession, d: String): DataFrame =
+    graft.Graft.bpePairStats(Tables.documents(s, d), col("text"), topK = 20)
+      .orderBy(col("n").desc, col("pair"))
+
+  /** Unicode-normalization accounting per source (round 11) — the
+    * canonicalization stage run BEFORE any fingerprint/dedup pass,
+    * via [[graft.Graft.normalizationStats]] and the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression (Spark has no
+    * normalization builtin; DuckDB's `nfc_normalize` is the oracle's
+    * independent implementation, so the hash match pins JDK-vs-
+    * utf8proc NFC agreement on these sequences). The corpus itself is
+    * NFC-clean ASCII, so the query SYNTHESIZES deterministic
+    * decomposed sequences first (the q_pii_scan precedent): docs with
+    * doc_id ≡ 0 mod 5 get an appended `e`+COMBINING-ACUTE word, mod 7
+    * an `u`+COMBINING-DIAERESIS word — NFC composes each pair to one
+    * code point, and the untouched docs assert the zero rows. */
+  def q_unicode_norm(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      // DECOMPOSED sequences, spelled as \uXXXX escapes so no
+      // editor/encoding pass can silently compose them
+      when(col("doc_id") % 5 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" u\u0308ber")).otherwise(lit("")))
+    graft.Graft.normalizationStats(Tables.documents(s, d),
+        col("source"), injected)
+      .select(col("group").as("source"), col("n_docs"),
+              col("n_denorm"), col("chars_saved"))
+      .orderBy("source")
+  }
 }

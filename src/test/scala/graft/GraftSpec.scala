@@ -1742,6 +1742,47 @@ class GraftSpec extends SparkSpecBase {
     assert(got.map(_._4).sum <= 1000 && got.map(_._4).sum >= 997)
   }
 
+  test("bpePairStats: hand-computed pair mass, occurrence (not type) counting, guards") {
+    // "ab ab" contributes "ab" twice (mass, not types); "abc" adds
+    // ab + bc; the 1-char token and the empty split token contribute
+    // nothing
+    val docs = Seq("ab ab", "abc", "x  y").toDF("text")
+    val got = Graft.bpePairStats(docs, $"text", topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("ab", 3L), ("bc", 1L)))
+    // the top-k cut respects the (n DESC, pair ASC) total order
+    val top1 = Graft.bpePairStats(docs, $"text", topK = 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "ab")
+    intercept[IllegalArgumentException] {
+      Graft.bpePairStats(docs, $"text", topK = 0)
+    }
+  }
+
+  test("NfcNormalize + normalizationStats: composition, identity fast path, accounting") {
+    // decomposed e+U+0301 composes to é (one code point saved);
+    // already-NFC text (ASCII and precomposed é alike) is untouched
+    val docs = Seq(
+      ("s1", "cafe\u0301"),        // decomposed -> changes, saves 1
+      ("s1", "caf\u00e9"),         // precomposed -> already NFC
+      ("s1", "plain ascii"),
+      ("s2", "u\u0308ber u\u0308ber") // two decomposed umlauts -> saves 2
+    ).toDF("src", "text")
+    // expression level: NFC(decomposed) == precomposed, idempotent
+    val pair = Seq("cafe\u0301", "caf\u00e9").toDF("t")
+      .select(graft.functions.NfcNormalize.nfc($"t").as("n")).collect()
+    assert(pair.forall(_.getString(0) == "caf\u00e9"))
+    val got = Graft.normalizationStats(docs, $"src", $"text")
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("s1", 3L, 1L, 1L), ("s2", 1L, 1L, 2L)))
+    // NULL text flows through as NULL (no crash, counted in n_docs,
+    // not in n_denorm/chars_saved)
+    val withNull = Seq(("s3", Option.empty[String]), ("s3", Some("ok")))
+      .toDF("src", "text")
+    val g3 = Graft.normalizationStats(withNull, $"src", $"text").collect().head
+    assert(g3.getLong(1) == 2L && g3.getLong(2) == 0L && g3.getLong(3) == 0L)
+  }
+
   test("lengthBuckets: power-of-two assignment incl. exact-power edges, waste math") {
     // n = 1 → 1; n = 2 → 2 (exact power stays); n = 3 → 4; n = 4 → 4;
     // n = 5 → 8; n = 64 → 64; n = 65 → 128
@@ -1859,6 +1900,22 @@ class GraftSpec extends SparkSpecBase {
       Graft.nearDupPairsNgram(docs, $"doc_id", $"text", docGrams = Some(wrong))
     }
     assert(eDoc.getMessage.contains("docGrams"))
+    // the subtler hazard (round-11 review): the RIGHT table built for
+    // the WRONG n passes any name check — the metadata stamp rejects it
+    val g4 = Graft.docGramArrays(docs, $"doc_id", $"text", n = 4)
+    val eN = intercept[IllegalArgumentException] {
+      Graft.nearDupPairsNgram(docs, $"doc_id", $"text", n = 3, docGrams = Some(g4))
+    }
+    assert(eN.getMessage.contains("n=4") && eN.getMessage.contains("n=3"))
+    // and the stamp survives the temp-parquet round trip the shared
+    // tables actually take
+    val dir = java.nio.file.Files.createTempDirectory("nstamp").toString
+    Graft.docGramArrays(docs, $"doc_id", $"text", n = 3)
+      .write.mode("overwrite").parquet(dir)
+    val roundTripped = spark.read.parquet(dir)
+    assert(roundTripped.schema("ga").metadata.getLong("graft.ngram.n") == 3L)
+    assert(Graft.nearDupPairsNgram(docs, $"doc_id", $"text", n = 3,
+      docGrams = Some(roundTripped)).columns.nonEmpty)
   }
 
   test("q_split_leakage conserves the pair graph and orders split pairs canonically") {
