@@ -158,7 +158,16 @@ class PlanGuardSpec extends SparkSpecBase {
     // aggregate + output sort; the labels table's own build shuffles
     // are priced once by the bench, not here)
     "q_quality_gate" -> 3,
-    "q_dedup_rep_quality" -> 2)
+    "q_dedup_rep_quality" -> 2,
+    // round-11, second batch: dup-token accounting (CC labels
+    // broadcast against the corpus scan → source aggregate + output
+    // sort), BPE pairs (ONE alphabet²-bounded count exchange — the
+    // top-k is a TakeOrdered, no sort shuffle), NFC accounting
+    // (source aggregate + output sort; the normalize itself is
+    // row-local)
+    "q_dup_tokens" -> 2,
+    "q_bpe_pairs" -> 1,
+    "q_unicode_norm" -> 2)
 
   test("exchange-count budgets hold for the expensive queries") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
