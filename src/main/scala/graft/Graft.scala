@@ -3472,6 +3472,82 @@ object Graft {
             count(lit(1))).as("mean_nll"))
   }
 
+  /** Corpus bigram counts (bigram, c12) over adjacent whitespace
+    * tokens — the shared input of [[knBigramScores]]'s four model
+    * branches, public so a caller (PipelineOps does) can materialize
+    * it ONCE and hand it back rather than pay one corpus explode per
+    * branch. One codegen'd [[functions.TokenNGrams]] explode → one
+    * map-side-combinable count; docs shorter than 2 tokens have no
+    * bigram and are dropped. */
+  def bigramCounts(docs: DataFrame, text: Column): DataFrame = {
+    val t = split(text, " ")
+    docs.filter(size(t) >= 2)
+      .select(explode(functions.TokenNGrams.ngrams(t, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+  }
+
+  /** Interpolated Kneser–Ney bigram model table (Kneser & Ney 1995;
+    * the Chen & Goodman 1999 interpolated form) with the standard
+    * discount d = 3/4, in EXACT integer fixed point:
+    *
+    *   P(w2|w1) = (c12 − d)/c1 + d·N1+(w1·)/c1 · Pcont(w2)
+    *   Pcont(w2) = N1+(·w2)/N1+(··)
+    *
+    * where c12 = bigram count, c1 = Σ_w c(w1,w), N1+(w1·) = distinct
+    * continuations of w1, N1+(·w2) = distinct histories of w2,
+    * N1+(··) = total distinct bigram types. The continuation
+    * probability is THE Kneser–Ney idea: "francisco" is frequent but
+    * follows almost nothing except "san", so its unigram backoff mass
+    * should be tiny — N1+ counts TYPES, not tokens. This is the
+    * model a data pipeline fits to score corpus snapshots (the KN
+    * table shifting between crawls is a distribution-drift signal
+    * perplexity alone smears) and the classic n-gram LM baseline.
+    *
+    * With d = 3/4 every term is a ratio of integers scaled by 4, so
+    * the returned score is exact fixed point — kn_micro =
+    * ((4·c12−3)·10⁶) div (4·c1) + (3·N1+(w1·)·Pcont_micro) div (4·c1)
+    * with Pcont_micro = (N1+(·w2)·10⁶) div N1+(··) — engine-portable
+    * integer arithmetic end to end (rule F: no float ever enters the
+    * comparison; c12 ≥ 1 makes the max(·,0) clamp vacuous). The two
+    * nested integer divisions ARE the stated contract: this is a
+    * fixed-point evaluation order, bit-identical everywhere.
+    *
+    * Scale shape: one codegen'd [[functions.TokenNGrams]] explode →
+    * partial+final bigram-type count; the three model tables (per-w1
+    * continuation stats, per-w2 history stats, the 1-row type total)
+    * are vocab-scale aggregates OF that table, joined back on
+    * vocab-scale keys — no corpus-scale row ever moves after the
+    * first count, and every aggregate combines map-side. Returns
+    * (bigram, c12, kn_micro), one row per distinct bigram.
+    *
+    * `bigramCounts`: a pre-built [[bigramCounts]] table for the SAME
+    * (docs, text). The model derives FOUR branches from the count
+    * table (fol/pre/types/scores), and without materialization the
+    * planner re-runs the corpus explode once per branch (the pushed
+    * isnotnull filters differ per join key, so exchange reuse cannot
+    * dedup them — measured: 4 full document scans in one plan).
+    * Handing the table (PipelineOps caches one temp-parquet per sf
+    * dir) makes the corpus pay ONE explode at build time; absent, the
+    * inline build keeps the facade self-contained for ad-hoc use. */
+  def knBigramScores(docs: DataFrame, text: Column,
+                     bigramCounts: Option[DataFrame] = None): DataFrame = {
+    val bg = bigramCounts
+      .map(requireCols(_, Seq("bigram", "c12"), "bigramCounts"))
+      .getOrElse(this.bigramCounts(docs, text))
+      .select(col("bigram"), col("c12"),
+              split(col("bigram"), " ").getItem(0).as("w1"),
+              split(col("bigram"), " ").getItem(1).as("w2"))
+    val fol = bg.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p_fol"))
+    val pre = bg.groupBy("w2").agg(count(lit(1)).as("n1p_pre"))
+    val types = bg.agg(count(lit(1)).as("t_types"))
+    bg.join(fol, "w1").join(pre, "w2").crossJoin(broadcast(types))
+      .select(col("bigram"), col("c12"),
+              (expr("((4*c12 - 3) * 1000000) div (4*c1)") +
+               expr("(3 * n1p_fol * ((n1p_pre * 1000000) div t_types)) div (4*c1)"))
+                .as("kn_micro"))
+  }
+
   /** Corpus-wide PMI-scored collocations: the top-k adjacent token
     * pairs by pointwise mutual information, the classic
     * keyphrase/compound detector ("new york" scores high because the

@@ -10,18 +10,24 @@ import org.apache.spark.sql.functions._
   * so per-batch setup like codec init happens once per partition, not
   * per row).
   *
-  * The IMAGE and AUDIO decodes are REAL: payloads that carry a
-  * decodable image (BMP/PNG/anything the pure-JDK `javax.imageio`
-  * registry reads) go through [[Multimodal.decodeImage]] — actual
-  * pixel decode, 16-bin luminance histogram — and WAV payloads
-  * through [[Multimodal.decodeAudio]] (`javax.sound.sampled` PCM
-  * frame decode, 16-bin sample histogram). VIDEO decode remains the
-  * documented STUB ([[Multimodal.decodeStub]], a deterministic
-  * 16-bin byte histogram): this container ships no video codecs. The
-  * routing is per-row inside the same partition-batched stage, so
-  * the Spark-side plumbing — schema, batch shape, fallback on
-  * undecodable payloads — is exactly what a production pipeline
-  * keeps while swapping the remaining stub for real codecs.
+  * ALL THREE modality decodes are REAL (pure JDK, no external
+  * codec): payloads that carry a decodable image (BMP/PNG/anything
+  * the `javax.imageio` registry reads) go through
+  * [[Multimodal.decodeImage]] — actual pixel decode, 16-bin luminance
+  * histogram; WAV payloads through [[Multimodal.decodeAudio]]
+  * (`javax.sound.sampled` PCM frame decode, 16-bin sample histogram);
+  * and multi-frame animated GIFs through [[Multimodal.decodeVideo]]
+  * (frame-by-frame `javax.imageio` GIF decode with keyframe-style
+  * stride sampling, 16-bin luminance histogram over the SAMPLED
+  * frames' pixels — the closest thing to a video container a
+  * codec-less JDK can genuinely decode, and the real shape of the
+  * operation: seek, decode every Nth frame, feature-extract).
+  * [[Multimodal.decodeStub]] (deterministic 16-bin byte histogram)
+  * remains only as the fallback for undecodable payloads of any
+  * kind — the production posture for a dirty corpus. The routing is
+  * per-row inside the same partition-batched stage, so the Spark-side
+  * plumbing — schema, batch shape, fallback — is exactly what a
+  * production pipeline keeps while swapping codecs.
   */
 object Multimodal {
 
@@ -32,13 +38,13 @@ object Multimodal {
 
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                            histogram: Array[Long], frames_sampled: Int,
-                           checksum: Long)
+                           frames_total: Int, checksum: Long)
 
-  /** STUB — stands in for the VIDEO codec decode (no video codec
-    * ships in this container; images decode for real via
-    * [[decodeImage]], WAV audio via [[decodeAudio]]) and is the
-    * fallback for undecodable payloads of any kind. Deterministic:
-    * 16-bin histogram over payload bytes. */
+  /** FALLBACK for undecodable payloads of any kind (all three
+    * modality decodes are real — [[decodeImage]], [[decodeAudio]],
+    * [[decodeVideo]]; what lands here is the dirty-corpus residue:
+    * wrong magic, truncated containers, hostile headers).
+    * Deterministic: 16-bin histogram over payload bytes. */
   def decodeStub(payload: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](16)
     var i = 0
@@ -299,6 +305,146 @@ object Multimodal {
     buf.array()
   }
 
+  /** Cheap magic-byte gate for GIF payloads ("GIF87a"/"GIF89a") —
+    * same role as [[looksLikeImage]]/[[looksLikeWav]]: only
+    * plausibly-GIF payloads reach the reader. 13 bytes = header +
+    * logical screen descriptor, the minimum before any frame. */
+  def looksLikeGif(p: Array[Byte]): Boolean =
+    p.length > 13 &&
+      p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte &&
+      p(3) == '8'.toByte && (p(4) == '7'.toByte || p(4) == '9'.toByte) &&
+      p(5) == 'a'.toByte
+
+  /** Declared logical-screen dimensions of a magic-gated GIF
+    * (little-endian uint16 at offsets 6/8) — the video analogue of
+    * the image dimension-bomb gate: the bound runs on four byte
+    * reads, BEFORE the reader allocates a frame buffer. */
+  private def declaredGifDims(p: Array[Byte]): (Int, Int) =
+    (((p(7) & 0xff) << 8) | (p(6) & 0xff), ((p(9) & 0xff) << 8) | (p(8) & 0xff))
+
+  private val MaxFrames = 4096 // bounds the frame-count scan on hostile payloads
+
+  /** REAL video decode — pure JDK (`javax.imageio`'s GIF reader, no
+    * external codec): parses the payload as a multi-frame animated
+    * GIF, decodes every `stride`-th frame (keyframe-style sampling —
+    * the reader seeks past unsampled frames), and histograms the
+    * SAMPLED frames' pixel luminance ((r+g+b)/3, 16 bins). Returns
+    * (histogram, total frames in the container, frames sampled), or
+    * None for anything that is not a decodable multi-frame GIF —
+    * wrong magic, implausible declared screen dimensions, more than
+    * [[MaxFrames]] frames, truncated or corrupt frame data, ANY
+    * reader failure — and the caller falls back to the stub, the
+    * dirty-corpus production shape. The histogram counts PIXELS of
+    * sampled frames, not payload bytes, which is how a caller (and
+    * the q_media_video oracle) can tell the real frame decode ran:
+    * a byte histogram would count the GIF header, palette and LZW
+    * code stream. Unlike `ImageIO.read`, the reader API never closes
+    * the input stream itself, so the stream is closed in a plain
+    * `finally` — no branch-dependent ownership here. */
+  def decodeVideo(payload: Array[Byte], stride: Int): Option[(Array[Long], Int, Int)] =
+    if (stride < 1 || !looksLikeGif(payload)) None
+    else {
+      val (w, h) = declaredGifDims(payload)
+      if (w < 1 || h < 1 || w.toLong * h > MaxPixels) None
+      else
+        try {
+          val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              // seekForwardOnly = false: frame sampling needs random
+              // access across the image sequence
+              reader.setInput(iis, false, true)
+              val nf = reader.getNumImages(true)
+              if (nf < 1 || nf > MaxFrames) None
+              else {
+                val hist = new Array[Long](16)
+                var sampled = 0
+                var i = 0
+                var ok = true
+                while (ok && i < nf) {
+                  // per-frame bound: a sub-frame's declared dims can
+                  // exceed the logical screen on a hostile payload
+                  if (reader.getWidth(i).toLong * reader.getHeight(i) > MaxPixels)
+                    ok = false
+                  else {
+                    val img = reader.read(i)
+                    var y = 0
+                    while (y < img.getHeight) {
+                      var x = 0
+                      while (x < img.getWidth) {
+                        val rgb = img.getRGB(x, y)
+                        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                          (rgb & 0xff)) / 3
+                        hist(lum >> 4) += 1L
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    sampled += 1
+                    i += stride
+                  }
+                }
+                if (ok) Some((hist, nf, sampled)) else None
+              }
+            } finally {
+              reader.dispose()
+              iis.close()
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Deterministic multi-frame grayscale animated-GIF encoder (pure
+    * JDK: `javax.imageio`'s GIF writer in sequence mode): each frame
+    * is `width`×`height` 8-bit gray pixels, written through an
+    * explicit 256-entry gray `IndexColorModel` so the GIF palette IS
+    * the identity ramp and the pixel→palette→decode round trip is
+    * LOSSLESS (gray luminance ≡ the input byte read unsigned). Exists
+    * so tests and demo pipelines can synthesize REAL decodable
+    * multi-frame payloads from document bytes — the encode half of
+    * [[decodeVideo]]'s round-trip proof, exactly the [[encodeBmp]] /
+    * [[encodeWav]] pattern for the third modality. */
+  def encodeGifGray(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    require(frames.nonEmpty, "empty frame sequence")
+    frames.foreach(f => require(f.length == width * height,
+      s"frame length ${f.length} != ${width * height}"))
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "JDK GIF writer missing from the ImageIO registry")
+    val writer = writers.next()
+    // interlace (GIF's "progressive mode") must be DISABLED: the JDK
+    // writer's default interlaced output does not round-trip through
+    // the JDK's own reader (rows come back permuted/dropped — measured
+    // on JDK 17: a 16×4 frame decodes as [row0, row3, row1, zeros]),
+    // and sequential row order is what the lossless-round-trip
+    // contract of this encoder promises anyway
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- frames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        img.getRaster.setDataElements(0, 0, width, height, f)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Frame sampling: treat the payload as fixed-size frames, keep every
     * `stride`-th — the shape of video keyframe extraction. */
   def sampleFrames(payload: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
@@ -325,16 +471,29 @@ object Multimodal {
       // pipeline this is codec/context initialization
       rows.map { r =>
         val frames = sampleFrames(r.payload, frameSize, stride)
-        // images and WAV audio decode for REAL (pixel-luminance /
-        // PCM-sample histograms via the pure-JDK codecs); undecodable
-        // payloads and video fall back to the byte-histogram stub
-        val hist = r.kind match {
-          case "image" => decodeImage(r.payload).getOrElse(decodeStub(r.payload))
-          case "audio" => decodeAudio(r.payload).getOrElse(decodeStub(r.payload))
-          case _       => decodeStub(r.payload)
+        val byteFramesTotal = (r.payload.length + frameSize - 1) / frameSize
+        // all three modalities decode for REAL (pixel-luminance /
+        // PCM-sample / sampled-frame-luminance histograms via the
+        // pure-JDK codecs); undecodable payloads fall back to the
+        // byte-histogram stub with byte-frame accounting. For a real
+        // video decode the frame counts are CONTAINER frames (total
+        // in the GIF, every stride-th decoded), not byte frames.
+        val (hist, sampled, total) = r.kind match {
+          case "image" =>
+            (decodeImage(r.payload).getOrElse(decodeStub(r.payload)),
+              frames.length, byteFramesTotal)
+          case "audio" =>
+            (decodeAudio(r.payload).getOrElse(decodeStub(r.payload)),
+              frames.length, byteFramesTotal)
+          case "video" =>
+            decodeVideo(r.payload, stride)
+              .map { case (h, nf, ns) => (h, ns, nf) }
+              .getOrElse((decodeStub(r.payload), frames.length, byteFramesTotal))
+          case _ =>
+            (decodeStub(r.payload), frames.length, byteFramesTotal)
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length, hist,
-                      frames.length,
+                      sampled, total,
                       java.util.Arrays.hashCode(r.payload).toLong)
       }
     }

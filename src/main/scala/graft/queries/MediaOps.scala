@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   * decode first (round 10); the synthesized text-byte payloads fail
   * the magic-byte gate and fall back to the byte-histogram stub,
   * which is what keeps q_media_stats' byte-level oracle valid — the
-  * coupling q_media_decode exists to exercise from the other side
-  * (real BMP payloads, pixel-level oracle). Audio/video remain the
-  * documented stub. Everything else here (schema, typed Dataset
-  * encoding, per-partition batch execution, frame-sampling
-  * arithmetic, byte accounting) is the production path.
+  * coupling the q_media_decode / q_media_audio / q_media_video
+  * trio exists to exercise from the other side (real BMP / WAV /
+  * multi-frame GIF payloads, pixel- / sample- / frame-level
+  * oracles). Everything else here (schema, typed Dataset encoding,
+  * per-partition batch execution, frame-sampling arithmetic, byte
+  * accounting) is the production path.
   */
 object MediaOps {
 
@@ -153,6 +154,69 @@ object MediaOps {
       .select(col("media_id").as("doc_id"),
               sampleSum.as("n_samples"),
               element_at(col("histogram"), 3).as("sep_samples"),
+              element_at(col("histogram"), 7).as("lo_alpha"),
+              element_at(col("histogram"), 8).as("hi_alpha"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL video decode as an oracle-checked query (round 11 — the
+    * q_media_decode recipe applied to the THIRD modality, retiring
+    * the last codec stub): every document's UTF-8 bytes are packed
+    * into 64-byte frames (16×4 gray pixels each, the last frame
+    * space-padded), encoded as a genuine multi-frame animated GIF
+    * (`Multimodal.encodeGifGray` — identity gray palette, lossless
+    * round trip), pushed through the partition-batched extraction,
+    * and DECODED BACK frame by frame by `javax.imageio`'s GIF reader
+    * inside [[graft.multimodal.Multimodal.decodeVideo]] with
+    * keyframe-style stride-2 sampling: the emitted counts are sums
+    * over the SAMPLED frames' decoded pixel-luminance histogram, not
+    * over payload bytes (a stubbed byte histogram over the GIF would
+    * count the header, palette and LZW code stream and fail the
+    * oracle), and the emitted frame counts are CONTAINER frames (the
+    * total proves the encoder wrote — and the reader walked — every
+    * frame; the sampled count proves the stride arithmetic). Gray
+    * pixels make luminance ≡ byte value, so the oracle verifies the
+    * whole encode→decode→sample→histogram loop from first principles:
+    * it reassembles exactly the even-indexed 64-char frames of the
+    * TEXT (a list_filter/list_transform over the frame index range),
+    * space-pads the last frame when — and only when — it is sampled,
+    * and counts character classes — completely blind to GIF, ImageIO,
+    * stride mechanics and the Scala histogram.
+    *
+    * Output per doc: n_frames (container frame count), frames_sampled
+    * (every 2nd, ceil(nf/2)), n_pixels (64 × frames_sampled),
+    * sep_pixels (luminance 0x20–0x2F — bin 2: space/punct, including
+    * the pad), lo_alpha (bin 6), hi_alpha (bin 7). All integers
+    * (rule I).
+    *
+    * Scale shape: identical to its siblings — one scan → row-local
+    * encode + decode inside ONE `mapPartitions` batch (no shuffle;
+    * payloads never cross the wire) → row-local histogram sums → the
+    * only exchange is the output sort. */
+  def q_media_video(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= 1) // a 0-byte doc has no frames
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val nf = (bytes.length + 63) / 64
+        val frames = (0 until nf).map { i =>
+          val f = Array.fill[Byte](64)(0x20) // pad = ASCII space (bin 2)
+          System.arraycopy(bytes, i * 64, f, 0,
+            math.min(64, bytes.length - i * 64))
+          f
+        }
+        Multimodal.MediaRow(id, "video",
+          Multimodal.encodeGifGray(16, 4, frames), 16, 4, 0)
+      }
+    val pixelSum = aggregate(col("histogram"), lit(0L), (a, x) => a + x)
+    Multimodal.extractFeatures(media, frameSize = 64, stride = 2).toDF()
+      .select(col("media_id").as("doc_id"),
+              col("frames_total").cast("long").as("n_frames"),
+              col("frames_sampled").cast("long").as("frames_sampled"),
+              pixelSum.as("n_pixels"),
+              element_at(col("histogram"), 3).as("sep_pixels"),
               element_at(col("histogram"), 7).as("lo_alpha"),
               element_at(col("histogram"), 8).as("hi_alpha"))
       .orderBy("doc_id")

@@ -1310,6 +1310,46 @@ object Oracle {
         |    AS chars_saved
         |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
 
+    /** Interpolated Kneser–Ney bigram head: the same d = 3/4
+      * all-integer fixed point as the Spark facade — both engines
+      * evaluate the identical nested-integer-div expression (rule F:
+      * the evaluation order IS the contract), so the scores are
+      * bit-equal. (c12 DESC, bigram) is a total order (rule O). */
+    "q_kn_bigram" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 2),
+        |bgs AS (SELECT unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 1),
+        |               i -> array_to_string(t[i:i+1], ' '))) AS bigram FROM tok),
+        |bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12 FROM bgs GROUP BY bigram),
+        |sp AS (SELECT bigram, c12, string_split(bigram, ' ')[1] AS w1,
+        |              string_split(bigram, ' ')[2] AS w2 FROM bc),
+        |fol AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |               CAST(COUNT(*) AS BIGINT) AS n1p_fol FROM sp GROUP BY w1),
+        |pre AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_pre FROM sp GROUP BY w2),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM bc)
+        |SELECT bigram, c12,
+        |       CAST(((4*c12 - 3) * 1000000) // (4*c1)
+        |       + (3 * n1p_fol * ((n1p_pre * 1000000) // t_types)) // (4*c1)
+        |         AS BIGINT) AS kn_micro
+        |FROM sp JOIN fol USING (w1) JOIN pre USING (w2) CROSS JOIN tt
+        |ORDER BY c12 DESC, bigram LIMIT 20""".stripMargin,
+
+    /** Pairwise source vocabulary Jaccard: DISTINCT over the unnested
+      * (source, token) pairs, token-equi self-join with src_a < src_b,
+      * integer permille (rule I). Zero-overlap pairs appear in
+      * NEITHER engine (inner join) — the stated contract. */
+    "q_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types FROM st GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS common
+        |      FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, ca.n_types AS types_a, cb.n_types AS types_b, common,
+        |       common * 1000 // (ca.n_types + cb.n_types - common) AS jaccard_permille
+        |FROM p JOIN c ca ON src_a = ca.source JOIN c cb ON src_b = cb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
     /** Source-interleaved curriculum: the q_shuffle_det integer
       * scramble (seed 20260814) per source, then the round-robin
       * global order — both as plain ROW_NUMBER windows, blind to the
@@ -2290,6 +2330,32 @@ object Oracle {
         |       CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g')) AS BIGINT) AS lo_alpha,
         |       CAST(length(text) - length(regexp_replace(text, '[\x70-\x7f]', '', 'g')) AS BIGINT) AS hi_alpha
         |FROM documents WHERE length(text) >= 1 ORDER BY doc_id""".stripMargin,
+
+    /** Frame-sampled video decode: the oracle reassembles exactly the
+      * even-indexed 64-char frames of the text (list_filter over the
+      * frame index range — the stride-2 keyframe sample), space-pads
+      * the last frame when and only when it is sampled ((nf−1) even),
+      * and counts character classes — blind to GIF, ImageIO and the
+      * Scala histogram. Gray pixels make luminance ≡ byte value, so
+      * these char-class counts ARE the pixel-histogram bins. */
+    "q_media_video" ->
+      """WITH d AS (SELECT doc_id, text AS txt,
+        |                  CAST(length(text) AS BIGINT) AS n,
+        |                  CAST((length(text) + 63) // 64 AS BIGINT) AS nf
+        |           FROM documents WHERE length(text) >= 1),
+        |s AS (SELECT doc_id, nf,
+        |             array_to_string(list_transform(
+        |               list_filter(range(0, nf), i -> i % 2 = 0),
+        |               i -> substr(txt, CAST(i * 64 + 1 AS INT), 64)), '') AS st,
+        |             CASE WHEN (nf - 1) % 2 = 0 THEN (64 - n % 64) % 64 ELSE 0 END AS pad
+        |      FROM d)
+        |SELECT doc_id, nf AS n_frames,
+        |       CAST((nf + 1) // 2 AS BIGINT) AS frames_sampled,
+        |       CAST(length(st) + pad AS BIGINT) AS n_pixels,
+        |       CAST(length(st) - length(regexp_replace(st, '[ -/]', '', 'g')) + pad AS BIGINT) AS sep_pixels,
+        |       CAST(length(st) - length(regexp_replace(st, '[\x60-\x6f]', '', 'g')) AS BIGINT) AS lo_alpha,
+        |       CAST(length(st) - length(regexp_replace(st, '[\x70-\x7f]', '', 'g')) AS BIGINT) AS hi_alpha
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // exact media-asset dedup: content key = md5 — DuckDB md5(text)
     // hashes the string's UTF-8 bytes, Spark md5(payload) the binary

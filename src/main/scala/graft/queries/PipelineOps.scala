@@ -1261,4 +1261,63 @@ object PipelineOps {
               col("n_denorm"), col("chars_saved"))
       .orderBy("source")
   }
+
+  /** Kneser–Ney bigram model head (round 11) — the classic n-gram LM
+    * smoothing the perplexity family (q_unigram_ppl / q_bigram_ppl)
+    * was missing, via [[graft.Graft.knBigramScores]] so the oracle
+    * verifies the public facade: the 20 most frequent bigrams with
+    * their interpolated-KN probability in exact integer micro units
+    * (d = 3/4 → all-integer fixed point, rule F/I; the continuation-
+    * count backoff is what distinguishes KN from the raw MLE
+    * q_bigram_ppl scores). Ties break on bigram text (rule O). Scale
+    * shape: the facade's vocab-scale aggregates + a TakeOrdered —
+    * the only corpus-scale work is the bigram explode. */
+  def q_kn_bigram(s: SparkSession, d: String): DataFrame = {
+    // the count table is materialized ONCE per (session, sfDir): the
+    // facade derives four model branches from it, and handing parquet
+    // (with real stats — the model tables then broadcast) replaces
+    // four corpus explodes with one priced build (see temp_builds)
+    val bc = graft.TempTables.cached(s, s"bigram_counts:$d")(
+      graft.Graft.bigramCounts(Tables.documents(s, d), col("text")))
+    graft.Graft.knBigramScores(Tables.documents(s, d), col("text"),
+        bigramCounts = Some(bc))
+      .orderBy(col("c12").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Pairwise source vocabulary overlap (round 11) — the corpus-
+    * similarity signal a mixture designer reads next to
+    * q_mixture_weights' size shares: per unordered source pair the
+    * token-TYPE counts, shared-type count and exact integer Jaccard
+    * permille. Two sources with near-identical vocabularies are
+    * near-redundant in a mixture; one with a tiny overlap brings new
+    * vocabulary (and new OOV risk — q_vocab_coverage prices that).
+    * Pairs sharing ZERO types produce no row (the inner token join
+    * cannot see them — stated contract, identical in the oracle).
+    *
+    * Scale shape: one scan → distinct (source, token) — ONE shuffle
+    * on the composite key; the self-join fans out per token only to
+    * the sources that CONTAIN it (≤ n_sources² rows per token, a
+    * constant; never tokens × corpus); per-source type counts
+    * broadcast back over the ≤ C(n_sources,2)-row pair table.
+    * Integers throughout (rule I). */
+  def q_vocab_overlap(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(toks).as("token"))
+      .distinct()
+    val counts = st.groupBy("source").agg(count(lit(1)).as("n_types"))
+    val pairs = st.as("a")
+      .join(st.as("b"),
+            col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.select(col("source").as("src_a"), col("n_types").as("types_a")), "src_a")
+      .join(counts.select(col("source").as("src_b"), col("n_types").as("types_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("types_a"), col("types_b"),
+              col("common"),
+              expr("common * 1000 div (types_a + types_b - common)")
+                .as("jaccard_permille"))
+      .orderBy("src_a", "src_b")
+  }
 }

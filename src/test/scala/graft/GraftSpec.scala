@@ -1758,6 +1758,36 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("knBigramScores: hand-computed Kneser-Ney fixed point, per-history sum sanity") {
+    // corpus: "a b a b c" + "b a" + "c d a" → bc: ab 2, ba 2, bc 1,
+    // cd 1, da 1; T = 5 types; fol a:(2,1) b:(3,2) c:(1,1) d:(1,1);
+    // pre b:1 a:2 c:1 d:1 → Pcont_micro b/c/d = 200000, a = 400000.
+    // Hand fixed point (d = 3/4): ab = 5e6//8 + 3·1·200000//8 = 700000;
+    // ba = 5e6//12 + 3·2·400000//12 = 616666; bc = 1e6//12 +
+    // 3·2·200000//12 = 183333; cd = 250000 + 150000; da = 250000 + 300000
+    val docs = Seq("a b a b c", "b a", "c d a").toDF("text")
+    val got = Graft.knBigramScores(docs, $"text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "a b" -> (2L, 700000L), "b a" -> (2L, 616666L), "b c" -> (1L, 183333L),
+      "c d" -> (1L, 400000L), "d a" -> (1L, 550000L)))
+    // interpolated KN is a proper conditional distribution: per
+    // history w1, Σ_w2 P(w2|w1) = 1 exactly — the fixed point may
+    // round each term down by < 2 µ, never up
+    val byW1 = got.toSeq.groupBy(_._1.split(" ")(0))
+      .map { case (w1, bs) => w1 -> bs.map(_._2._2).sum }
+    // full continuation sets: a→{b}, c→{d}, d→{a} are not closed
+    // (their Pcont mass leaks to unseen w2) — only b has both its
+    // continuations in-corpus... b: 583332-style closure needs ALL
+    // w2; here b→{a,c} but Pcont also covers b,d. So assert the
+    // bound, not equality: every history's in-table mass ≤ 1e6
+    byW1.foreach { case (w1, s) => assert(s <= 1000000L, s"$w1 mass $s") }
+    // and a 1-doc 2-token corpus: the single bigram gets discount +
+    // full backoff = (4-3)*1e6//4 + (3*1*(1*1e6//1))//4 = 1000000
+    val one = Graft.knBigramScores(Seq("x y").toDF("text"), $"text").collect()
+    assert(one.length == 1 && one.head.getLong(2) == 1000000L)
+  }
+
   test("NfcNormalize + normalizationStats: composition, identity fast path, accounting") {
     // decomposed e+U+0301 composes to é (one code point saved);
     // already-NFC text (ASCII and precomposed é alike) is untouched

@@ -5,8 +5,10 @@ import graft.multimodal.Multimodal.{MediaFeatures, MediaRow}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing tests: schema, partition-batched execution,
-  * frame sampling / resize shapes, determinism (SURVEY §2.12 — the
-  * decode step is an explicit stub; the Spark plumbing is real). */
+  * frame sampling / resize shapes, determinism (SURVEY §2.12 — all
+  * three modality decodes are REAL pure-JDK codecs: BMP/PNG pixels,
+  * WAV PCM samples, multi-frame GIF "video"; the byte-histogram stub
+  * remains only as the undecodable-payload fallback). */
 class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -14,7 +16,8 @@ class MultimodalSpec extends SparkSpecBase {
     val media = Multimodal.mediaFromDocuments(spark, sf).repartition(4)
     val feats = Multimodal.extractFeatures(media)
     assert(feats.schema.fieldNames.toSeq ==
-      Seq("media_id", "kind", "n_bytes", "histogram", "frames_sampled", "checksum"))
+      Seq("media_id", "kind", "n_bytes", "histogram", "frames_sampled",
+          "frames_total", "checksum"))
     val rows = feats.collect()
     assert(rows.length == 500)
     rows.foreach { f =>
@@ -234,7 +237,8 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(f => f.media_id -> f).toMap
     assert(feats(1L).histogram.toSeq == expected.toSeq)
     assert(feats(2L).histogram.sum == samples.length)     // stub: byte count
-    assert(feats(3L).histogram.sum == wav.length)         // video stays stubbed
+    // a WAV under video-kind fails the GIF gate → stub fallback
+    assert(feats(3L).histogram.sum == wav.length)
   }
 
   test("WAV chunk walk: 18-byte fmt and LIST chunks decode for real; hostile lists rejected") {
@@ -312,6 +316,75 @@ class MultimodalSpec extends SparkSpecBase {
     val one = df.filter(col("doc_id") === 0).collect().head
     assert(one.getLong(1) == text.getBytes("UTF-8").length)
     assert(one.getLong(2) == text.count(c => c >= 0x20 && c <= 0x2f))
+  }
+
+  test("real video decode: multi-frame GIF round trip, stride sampling, hostile payloads") {
+    // round-trip: 5 frames of known gray bytes → pure-JDK GIF encode →
+    // frame-by-frame decode at stride 2 (frames 0,2,4 sampled) →
+    // hand-computed luminance histogram over the SAMPLED frames only
+    val w = 16; val h = 4
+    val frames = (0 until 5).map(f =>
+      Array.tabulate[Byte](w * h)(i => ((f * 64 + i * 3) % 256).toByte))
+    val gif = Multimodal.encodeGifGray(w, h, frames)
+    val expected = new Array[Long](16)
+    Seq(0, 2, 4).foreach(f =>
+      frames(f).foreach(b => expected((b & 0xff) >> 4) += 1L))
+    val Some((hist, nf, ns)) = Multimodal.decodeVideo(gif, stride = 2)
+    assert(nf == 5 && ns == 3)
+    assert(hist.toSeq == expected.toSeq)
+    // the real decode histograms SAMPLED PIXELS (3×64), not payload
+    // bytes — the stub-vs-decode distinguisher (GIF header + palette
+    // + LZW stream make the payload much larger)
+    assert(hist.sum == 3L * w * h && gif.length > 5 * w * h)
+    // stride 1 sees every frame; a stride past the end samples one
+    assert(Multimodal.decodeVideo(gif, 1).get._3 == 5)
+    assert(Multimodal.decodeVideo(gif, 99).get._3 == 1)
+
+    // hostile: a GIF magic DECLARING a 65535×65535 logical screen —
+    // the dims gate rejects it in four byte reads, before the reader
+    val bomb = gif.clone()
+    bomb(6) = 0xff.toByte; bomb(7) = 0xff.toByte
+    bomb(8) = 0xff.toByte; bomb(9) = 0xff.toByte
+    assert(Multimodal.decodeVideo(bomb, 2).isEmpty)
+    // truncated mid-frame-data and non-GIF payloads fall back
+    assert(Multimodal.decodeVideo(gif.take(40), 2).isEmpty)
+    assert(Multimodal.decodeVideo("GIF8 but not really a gif".getBytes, 2).isEmpty)
+
+    // through the partition-batched Spark stage: a real GIF video row
+    // takes the REAL decode with CONTAINER frame accounting; a
+    // garbage video row falls back to the stub with byte-frame
+    // accounting; an image-kind GIF row ALSO decodes for real
+    // (javax.imageio reads GIF stills — first frame only)
+    val junk = "definitely not a gif payload".getBytes("UTF-8")
+    val rows = Seq(
+      MediaRow(1L, "video", gif, w, h, 0),
+      MediaRow(2L, "video", junk, 0, 0, 0))
+    val feats = Multimodal.extractFeatures(
+        spark.createDataset(rows), frameSize = 64, stride = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).histogram.toSeq == expected.toSeq)
+    assert(feats(1L).frames_total == 5 && feats(1L).frames_sampled == 3)
+    assert(feats(2L).histogram.sum == junk.length) // stub: byte count
+    assert(feats(2L).frames_total == 1 && feats(2L).frames_sampled == 1)
+  }
+
+  test("q_media_video: decode in one map stage; only the output sort shuffles") {
+    val df = graft.queries.MediaOps.q_media_video(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"))
+    assert("Exchange".r.findAllMatchIn(plan).size <= 1,
+      s"encode+decode must be one map stage:\n$plan")
+    // end-to-end spot check vs driver-computed truth on one doc: the
+    // container holds ceil(len/64) frames, every 2nd is sampled, and
+    // the sampled pixel count is 64 × that (space-padded last frame)
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").head.getString(0)
+    val len = text.getBytes("UTF-8").length
+    val nf = (len + 63) / 64
+    val one = df.filter(col("doc_id") === 0).collect().head
+    assert(one.getLong(1) == nf)
+    assert(one.getLong(2) == (nf + 1) / 2)
+    assert(one.getLong(3) == 64L * ((nf + 1) / 2))
   }
 
   test("payload stays opaque: metadata-only query never deserializes bytes") {

@@ -49,6 +49,9 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_rolling", "q_autocorr",
     // q_bm25 crosses the 1-row (N, Σlen, df...) stats aggregate
     "q_bm25",
+    // round 11: q_kn_bigram crosses the broadcast 1-row bigram-type
+    // total (the backoff denominator — the q_gini 1-row-scalar shape)
+    "q_kn_bigram",
     // q_dedup_funnel crosses its three 1-row stage aggregates
     "q_dedup_funnel",
     // round 10: q_boilerplate_grams crosses the vocab-scale gram-df
@@ -167,7 +170,31 @@ class PlanGuardSpec extends SparkSpecBase {
     // row-local)
     "q_dup_tokens" -> 2,
     "q_bpe_pairs" -> 1,
-    "q_unicode_norm" -> 2)
+    "q_unicode_norm" -> 2,
+    // round-11, third batch: frame-decode video (map-stage decode +
+    // output sort only), Kneser–Ney head (three vocab-scale model
+    // aggregates over the materialized bigram-count parquet — the
+    // four-corpus-explode shape this pin exists to keep dead; joins
+    // broadcast off real file stats), vocab overlap (ONE corpus-scale
+    // (source,token) distinct — its three other uses are
+    // ReusedExchange, asserted below — + pair rollup + counts agg +
+    // output sort)
+    "q_media_video" -> 1,
+    "q_kn_bigram" -> 3,
+    "q_vocab_overlap" -> 4)
+
+  test("q_vocab_overlap reads the corpus once — the distinct subtree is reused") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val plan = SparkEntry.queries("q_vocab_overlap")(spark, sf)
+        .queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }.size
+      assert(scans == 1, s"expected ONE documents scan (ReuseExchange), got $scans")
+    } finally spark.conf.set(key, prev)
+  }
 
   test("exchange-count budgets hold for the expensive queries") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
