@@ -99,6 +99,40 @@ object HashOps {
            (round(max("v"), 4) + 0.0).as("max_v"))
       .orderBy("dim")
 
+  /** Int8 quantization-planning profile (round 11) — the table read
+    * before serving or shipping an embedding corpus quantized to int8
+    * (the standard ANN-index and feature-store compression): per
+    * label, with the FIXED symmetric scale 127 (full int8 range for
+    * inputs in [−1, 1]), the element count, elements that would CLIP
+    * (|x| > 1 — the scale is wrong), elements quantizing to ZERO
+    * (dead weights — resolution lost), the signed sum (bias check)
+    * and absolute mass, and the maximum |q| (range utilization: a
+    * max far below 127 means the corpus should use a tighter
+    * per-tensor scale — THE number a calibration pass reads).
+    *
+    * Cross-engine parity: q = floor(CAST(x AS DOUBLE) · 127) — the
+    * float→double widen is exact, the multiply is one IEEE double op,
+    * and floor (not round) avoids the banker's-vs-half-up divergence
+    * between engines (rule F: fixed expression, deterministic per
+    * element; every aggregate is then INTEGER, so no float summation
+    * order can differ). Scale shape: row-local explode (×dim linear)
+    * → ONE map-side-combinable groupBy whose shuffle carries ≤
+    * |labels| rows per task at any corpus size. */
+  def q_embed_quantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), explode(col("embedding")).as("x"))
+      .select(col("label"),
+              floor(col("x").cast("double") * 127).cast("long").as("q"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_elems"),
+           sum(when(col("q") > 127 || col("q") < -128, 1L).otherwise(0L))
+             .as("n_clip"),
+           sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"),
+           sum(col("q")).as("sum_q"),
+           sum(abs(col("q"))).as("sum_abs_q"),
+           max(abs(col("q"))).as("max_abs_q"))
+      .orderBy("label")
+
   /** Sign-random-projection LSH approximate NN — the LSH sibling of
     * [[q_sim_ivf]]. The query IS [[graft.Graft.srpSearch]] applied to
     * the embeddings table (probe = vec_id 0): 16 hyperplane sign bits

@@ -1310,6 +1310,39 @@ object Oracle {
         |    AS chars_saved
         |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
 
+    /** Shard-local dedup loss: the shared pair-graph CTEs + the
+      * q_sample_det multiplicative hash mod 16, co-shard membership
+      * per K via mod-K of the 16-shard id (every K divides 16), one
+      * 4-row rollup. All integer (rule I). */
+    "q_shard_dedup" ->
+      s"""WITH $ngramCtes,
+        |p AS (SELECT ((doc_a % 1000000007) * 2654435761) % 16 AS ba,
+        |             ((doc_b % 1000000007) * 2654435761) % 16 AS bb
+        |      FROM scored),
+        |k AS (SELECT unnest([2, 4, 8, 16]) AS n_shards),
+        |agg AS (SELECT n_shards, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |               CAST(SUM(CASE WHEN ba % n_shards = bb % n_shards
+        |                             THEN 1 ELSE 0 END) AS BIGINT) AS n_local
+        |        FROM p CROSS JOIN k GROUP BY n_shards)
+        |SELECT n_shards, n_pairs, n_pairs - n_local AS n_cross,
+        |       (n_pairs - n_local) * 1000 // n_pairs AS cross_permille
+        |FROM agg ORDER BY n_shards""".stripMargin,
+
+    /** Int8 quantization profile: q = FLOOR(CAST(x AS DOUBLE) · 127)
+      * — exact float→double widen + one IEEE multiply + floor (no
+      * round: banker's-vs-half-up would diverge), then INTEGER
+      * aggregates only, so no float summation order exists (rule F). */
+    "q_embed_quantize" ->
+      """WITH ex AS (SELECT label, CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT) AS q
+        |            FROM (SELECT label, unnest(embedding) AS x FROM embeddings))
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_elems,
+        |       CAST(SUM(CASE WHEN q > 127 OR q < -128 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip,
+        |       CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       CAST(SUM(q) AS BIGINT) AS sum_q,
+        |       CAST(SUM(ABS(q)) AS BIGINT) AS sum_abs_q,
+        |       CAST(MAX(ABS(q)) AS BIGINT) AS max_abs_q
+        |FROM ex GROUP BY label ORDER BY label""".stripMargin,
+
     /** Interpolated Kneser–Ney bigram head: the same d = 3/4
       * all-integer fixed point as the Spark facade — both engines
       * evaluate the identical nested-integer-div expression (rule F:

@@ -1262,6 +1262,39 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Shard-local dedup loss curve (round 11) — at 100 TB, running
+    * near-dup detection globally is the expensive option, and the
+    * standard cost cut is SHARD-LOCAL dedup (hash docs into K shards,
+    * dedup within each): this query prices exactly what that cut
+    * loses, per shard count K ∈ {2, 4, 8, 16} — the near-dup pairs
+    * whose endpoints hash to DIFFERENT shards (invisible to any
+    * shard-local pass) as a count and integer permille of all pairs.
+    * Sharding uses the q_sample_det multiplicative hash mod 16; every
+    * K divides 16, so the K-shard id is the 16-shard id mod K and the
+    * curve is monotone by construction (co-sharded at 2K ⇒ co-sharded
+    * at K). The EIGHTH consumer of the shared pair-graph artifacts.
+    *
+    * Scale shape: pair-scale work only — the parquet pair graph ×4
+    * (one row-local explode of the K list), one metadata-scale
+    * rollup; no document is touched at any corpus size. Integers
+    * throughout (rule I). */
+  def q_shard_dedup(s: SparkSession, d: String): DataFrame = {
+    def bucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      id % 1000000007L * 2654435761L % 16L
+    ngramPairGraph(s, d)
+      .select(bucket(col("doc_a")).as("ba"), bucket(col("doc_b")).as("bb"))
+      .select(col("ba"), col("bb"),
+              explode(array(lit(2L), lit(4L), lit(8L), lit(16L))).as("n_shards"))
+      .groupBy("n_shards")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when(col("ba") % col("n_shards") === col("bb") % col("n_shards"),
+                    lit(1L)).otherwise(lit(0L))).as("n_local"))
+      .select(col("n_shards"), col("n_pairs"),
+              (col("n_pairs") - col("n_local")).as("n_cross"),
+              expr("(n_pairs - n_local) * 1000L div n_pairs").as("cross_permille"))
+      .orderBy("n_shards")
+  }
+
   /** Kneser–Ney bigram model head (round 11) — the classic n-gram LM
     * smoothing the perplexity family (q_unigram_ppl / q_bigram_ppl)
     * was missing, via [[graft.Graft.knBigramScores]] so the oracle

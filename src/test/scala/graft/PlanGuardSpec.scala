@@ -181,7 +181,12 @@ class PlanGuardSpec extends SparkSpecBase {
     // output sort)
     "q_media_video" -> 1,
     "q_kn_bigram" -> 3,
-    "q_vocab_overlap" -> 4)
+    "q_vocab_overlap" -> 4,
+    // round-11, fourth batch: shard-loss curve (4-row rollup + output
+    // sort over the pair-graph parquet), int8 quantize profile
+    // (|labels|-row rollup + output sort — the explode is row-local)
+    "q_shard_dedup" -> 2,
+    "q_embed_quantize" -> 2)
 
   test("q_vocab_overlap reads the corpus once — the distinct subtree is reused") {
     import org.apache.spark.sql.execution.FileSourceScanExec
