@@ -3,6 +3,7 @@ package graft.functions
 import java.text.Normalizer
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -32,6 +33,15 @@ import org.apache.spark.unsafe.types.UTF8String
 case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
+  // explicit input type check so a non-string child fails at ANALYSIS
+  // time (review catch: without it, generated Java calls .toString()
+  // on a primitive and dies mid-job on an executor instead; Spark's
+  // private[sql] AbstractDataType keeps ExpectsInputTypes out of
+  // reach for third-party expressions — the TokenNGrams note)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires a STRING child, got ${child.dataType.sql}")
   override def prettyName: String = "graft_nfc"
 
   override protected def nullSafeEval(s: Any): Any = {

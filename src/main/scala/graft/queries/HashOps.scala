@@ -121,12 +121,16 @@ object HashOps {
   def q_embed_quantize(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("label"), explode(col("embedding")).as("x"))
-      .select(col("label"),
+      .select(col("label"), col("x").cast("double").as("xd"),
               floor(col("x").cast("double") * 127).cast("long").as("q"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_elems"),
-           sum(when(col("q") > 127 || col("q") < -128, 1L).otherwise(0L))
-             .as("n_clip"),
+           // clipping is defined on the INPUT (|x| > 1), not on q: a
+           // value in (1, 128/127) floors to q = 127 and one in
+           // (−128/127, −1) to q = −128 — exactly the near-boundary
+           // regime the metric exists to detect, invisible to any
+           // q-range test (review catch)
+           sum(when(abs(col("xd")) > 1.0d, 1L).otherwise(0L)).as("n_clip"),
            sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"),
            sum(col("q")).as("sum_q"),
            sum(abs(col("q"))).as("sum_abs_q"),

@@ -197,6 +197,18 @@ object MediaOps {
     import s.implicits._
     val media = Tables.documents(s, d)
       .filter(length(col("text")) >= 1) // a 0-byte doc has no frames
+      // two EXPLICIT row gates, mirrored verbatim in the oracle so
+      // neither engine can silently diverge (review catches): (1) the
+      // char-class oracle frames the TEXT while this side frames
+      // BYTES — identical only when byte count ≡ char count, so
+      // non-ASCII docs are EXCLUDED in both engines rather than
+      // silently mis-framed; (2) decodeVideo bounds hostile payloads
+      // at MaxFrames = 4096 frames and falls back to the stub past
+      // it, so docs that would legitimately pack > 4096 frames
+      // (> 256 KiB) are excluded rather than stub-decoded on one
+      // side only
+      .filter(length(col("text")) === octet_length(col("text")) &&
+              octet_length(col("text")) <= 64L * 4096)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")

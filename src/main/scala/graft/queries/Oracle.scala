@@ -1333,10 +1333,11 @@ object Oracle {
       * round: banker's-vs-half-up would diverge), then INTEGER
       * aggregates only, so no float summation order exists (rule F). */
     "q_embed_quantize" ->
-      """WITH ex AS (SELECT label, CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT) AS q
+      """WITH ex AS (SELECT label, CAST(x AS DOUBLE) AS xd,
+        |                   CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT) AS q
         |            FROM (SELECT label, unnest(embedding) AS x FROM embeddings))
         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_elems,
-        |       CAST(SUM(CASE WHEN q > 127 OR q < -128 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip,
+        |       CAST(SUM(CASE WHEN ABS(xd) > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip,
         |       CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |       CAST(SUM(q) AS BIGINT) AS sum_q,
         |       CAST(SUM(ABS(q)) AS BIGINT) AS sum_abs_q,
@@ -2375,7 +2376,10 @@ object Oracle {
       """WITH d AS (SELECT doc_id, text AS txt,
         |                  CAST(length(text) AS BIGINT) AS n,
         |                  CAST((length(text) + 63) // 64 AS BIGINT) AS nf
-        |           FROM documents WHERE length(text) >= 1),
+        |           FROM documents
+        |           WHERE length(text) >= 1
+        |             AND length(text) = octet_length(encode(text))
+        |             AND octet_length(encode(text)) <= 262144),
         |s AS (SELECT doc_id, nf,
         |             array_to_string(list_transform(
         |               list_filter(range(0, nf), i -> i % 2 = 0),

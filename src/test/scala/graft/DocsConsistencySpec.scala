@@ -37,6 +37,12 @@ class DocsConsistencySpec extends AnyFunSuite {
       s"SURVEY §2 totals must state '$nQueries declared query ids'")
     assert(survey.contains(s"$nOracles oracle = yes, $nNoOracle oracle = no"),
       s"SURVEY §2 totals must state '$nOracles oracle = yes, $nNoOracle oracle = no'")
+    // the binding sentence a few lines below the totals drifted to a
+    // stale intermediate count once (round-11 review) — pin it too
+    assert(survey.contains(s"session must end with `queries.keySet` = all $nQueries ids"),
+      s"SURVEY §2 binding sentence must state 'all $nQueries ids'")
+    assert(survey.contains(s"`oracleSql.keySet` = the $nOracles"),
+      s"SURVEY §2 binding sentence must state 'the $nOracles'")
   }
 
   test("docs state no literal test counts — they drift; sbt owns them") {

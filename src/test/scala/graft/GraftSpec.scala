@@ -1811,6 +1811,12 @@ class GraftSpec extends SparkSpecBase {
       .toDF("src", "text")
     val g3 = Graft.normalizationStats(withNull, $"src", $"text").collect().head
     assert(g3.getLong(1) == 2L && g3.getLong(2) == 0L && g3.getLong(3) == 0L)
+    // a non-string child fails at ANALYSIS time (ExpectsInputTypes),
+    // not with a codegen ClassCastException mid-job on an executor
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L, 2L).toDF("n")
+        .select(graft.functions.NfcNormalize.nfc($"n")).collect()
+    }
   }
 
   test("lengthBuckets: power-of-two assignment incl. exact-power edges, waste math") {
