@@ -1310,6 +1310,35 @@ object Oracle {
         |    AS chars_saved
         |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
 
+    /** Dup rate by quality band: the recursive-CTE components + the
+      * q_text_quality integer score (both re-derived from scratch —
+      * blind to the Spark side's cached labels and struct getField),
+      * one ≤ 11-row band rollup. All integer (rule I). */
+    "q_dup_quality" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM scored
+        |          UNION ALL SELECT doc_b, doc_a FROM scored),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+        |),
+        |cc AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node),
+        |dropped AS (SELECT node FROM cc WHERE node <> label),
+        |qd AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+        |              len(list_filter(string_split(text, ' '),
+        |                              t -> t = 'the' OR t = 'a')) AS stops
+        |       FROM documents),
+        |qs AS (SELECT doc_id, LEAST(n, 50) * (n - stops) * 1000 // (50 * n) AS q
+        |       FROM qd)
+        |SELECT q // 100 AS q_band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN doc_id IN (SELECT node FROM dropped)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(SUM(CASE WHEN doc_id IN (SELECT node FROM dropped)
+        |                     THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+        |         AS dup_permille
+        |FROM qs GROUP BY 1 ORDER BY 1""".stripMargin,
+
     /** Shard-local dedup loss: the shared pair-graph CTEs + the
       * q_sample_det multiplicative hash mod 16, co-shard membership
       * per K via mod-K of the 16-shard id (every K divides 16), one

@@ -1295,6 +1295,35 @@ object PipelineOps {
       .orderBy("n_shards")
   }
 
+  /** Duplication rate by quality band (round 11) — the cross-signal
+    * a curation design needs before ordering its stages: if low-
+    * quality docs are ALSO the duplicated ones (boilerplate, scraped
+    * mirrors, template spam), a quality gate run first shrinks the
+    * expensive near-dup pass; if duplication is quality-flat, the
+    * two signals are independent and stage order is a pure cost
+    * choice. Per quality-permille band of 100: doc count, docs the
+    * keep-min-id rule would drop (non-representative members of the
+    * SHARED CC labels — the NINTH pair-graph consumer), and the
+    * integer dup permille. Scale shape: the labels table is
+    * pair-scale and broadcasts against the row-local quality scan;
+    * ONE ≤ 11-row rollup, integers throughout (rule I). */
+  def q_dup_quality(s: SparkSession, d: String): DataFrame = {
+    val dropped = ngramCcLabels(s, d)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), lit(1L).as("is_dup"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              graft.Graft.qualitySignals(col("text"), col("n_chars"))
+                .getField("quality_permille").as("q"))
+      .select(col("doc_id"), expr("q div 100").as("q_band"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy("q_band")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_permille", expr("n_dup * 1000L div n_docs"))
+      .orderBy("q_band")
+  }
+
   /** Kneser–Ney bigram model head (round 11) — the classic n-gram LM
     * smoothing the perplexity family (q_unigram_ppl / q_bigram_ppl)
     * was missing, via [[graft.Graft.knBigramScores]] so the oracle

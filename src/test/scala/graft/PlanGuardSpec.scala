@@ -186,7 +186,10 @@ class PlanGuardSpec extends SparkSpecBase {
     // sort over the pair-graph parquet), int8 quantize profile
     // (|labels|-row rollup + output sort — the explode is row-local)
     "q_shard_dedup" -> 2,
-    "q_embed_quantize" -> 2)
+    "q_embed_quantize" -> 2,
+    // quality-band dup rate: CC labels broadcast against the
+    // row-local quality scan → ≤ 11-row band rollup + output sort
+    "q_dup_quality" -> 2)
 
   test("q_vocab_overlap reads the corpus once — the distinct subtree is reused") {
     import org.apache.spark.sql.execution.FileSourceScanExec
