@@ -1310,6 +1310,50 @@ object Oracle {
         |    AS chars_saved
         |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
 
+    /** Conjunctive search: IN-list token filter + per-doc tf count +
+      * the same presence bitmask folded by BIT_OR, gated at 7 — one
+      * aggregate, blind to the Spark plan. Rule I casts. */
+    "q_bool_search" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf_total,
+        |             BIT_OR(CASE WHEN t = 'hash' THEN 1 WHEN t = 'join' THEN 2
+        |                         ELSE 4 END) AS mask
+        |      FROM tk WHERE t IN ('hash', 'join', 'merge') GROUP BY doc_id)
+        |SELECT d.doc_id, d.source, m.tf_total
+        |FROM m JOIN documents d USING (doc_id) WHERE m.mask = 7
+        |ORDER BY d.doc_id""".stripMargin,
+
+    /** Incremental gram-df merge: base (mod-10 ≠ 0) and batch
+      * (mod-10 = 0) df tables re-derived from scratch, full-outer
+      * merged, one accounting row. All integer (rule I). */
+    "q_gramdf_merge" ->
+      """WITH bd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |            WHERE doc_id % 10 <> 0 AND len(string_split(text, ' ')) >= 3),
+        |bg AS (SELECT DISTINCT doc_id,
+        |              unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' '))) AS gram FROM bd),
+        |bdf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS gdf_base FROM bg GROUP BY gram),
+        |nd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |       WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3),
+        |ng AS (SELECT DISTINCT doc_id,
+        |              unnest(list_transform(generate_series(1, CAST(len(t) AS INT) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' '))) AS gram FROM nd),
+        |ndf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS gdf_batch FROM ng GROUP BY gram),
+        |j AS (SELECT gdf_base, gdf_batch FROM bdf FULL OUTER JOIN ndf USING (gram)),
+        |agg AS (SELECT
+        |  CAST(SUM(CASE WHEN gdf_base IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_base_types,
+        |  CAST(SUM(CASE WHEN gdf_batch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_types,
+        |  CAST(SUM(CASE WHEN gdf_base IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_types,
+        |  CAST(SUM(CASE WHEN gdf_base IS NOT NULL AND gdf_batch IS NOT NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_types,
+        |  CAST(SUM(COALESCE(gdf_base, 0) + COALESCE(gdf_batch, 0)) AS BIGINT) AS merged_mass,
+        |  CAST(SUM(CASE WHEN gdf_base IS NULL THEN gdf_batch ELSE 0 END) AS BIGINT) AS new_mass
+        |  FROM j)
+        |SELECT n_base_types, n_batch_types, n_new_types, n_overlap_types,
+        |       merged_mass, new_mass,
+        |       n_new_types * 1000 // n_batch_types AS novel_permille
+        |FROM agg""".stripMargin,
+
     /** Dup rate by quality band: the recursive-CTE components + the
       * q_text_quality integer score (both re-derived from scratch —
       * blind to the Spark side's cached labels and struct getField),

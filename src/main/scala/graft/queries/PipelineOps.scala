@@ -1295,6 +1295,72 @@ object PipelineOps {
       .orderBy("n_shards")
   }
 
+  /** Conjunctive inverted-index search (round 11) — classic boolean
+    * retrieval, the lookup a corpus-exploration UI runs constantly:
+    * every document containing ALL of a 3-term query ("hash" AND
+    * "join" AND "merge"), with the total term-occurrence count as a
+    * tf ranking signal (the boolean complement of q_bm25's scored
+    * ranking). The shape matters at 100 TB: token explode → IN-list
+    * filter (pushable to a real inverted index / dictionary-encoded
+    * scan) → per-doc (tf, distinct-term) aggregate → distinct = |q|
+    * gate — never a LIKE '%term%' scan, never a regex over text.
+    * Matches (tiny) then broadcast-join back to the corpus for
+    * metadata. Integers throughout (rule I). */
+  def q_bool_search(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("hash", "join", "merge")
+    // term-presence as a BIT MASK folded by bit_or — one plain
+    // aggregate instead of count-distinct's expand + second exchange
+    // (the filter guarantees t is one of the three)
+    val mask = when(col("t") === terms(0), 1)
+      .when(col("t") === terms(1), 2).otherwise(4)
+    val m = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("tf_total"), bit_or(mask).as("mask"))
+      .filter(col("mask") === 7)
+      .select(col("doc_id"), col("tf_total"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .join(m, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Incremental gram-df merge / batch-novelty report (round 11) —
+    * the corpus-STATS sibling of q_dedup_incremental's pair-level
+    * ingest probe: when a new crawl batch lands, the shared gram-df
+    * table must be UPDATED, and because df is a sum it merges by one
+    * full-outer join + add — no recompute over the existing corpus
+    * (the mergeable-statistics posture that makes per-crawl ingest
+    * affordable at 100 TB; in production the base side is the
+    * already-materialized table, re-derived here from the mod-10
+    * split so the oracle can verify from first principles). The
+    * accounting row IS the batch-novelty report a crawl dashboard
+    * shows: how many gram types the batch adds (novel content) vs
+    * overlaps (duplicative), their occurrence masses, and the novel
+    * share in integer permille. */
+  def q_gramdf_merge(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dfBase = graft.Graft.gramDocFreq(
+        docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"))
+      .select(col("gram"), col("gdf").as("gdf_base"))
+    val dfBatch = graft.Graft.gramDocFreq(
+        docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"))
+      .select(col("gram"), col("gdf").as("gdf_batch"))
+    dfBase.join(dfBatch, Seq("gram"), "full_outer")
+      .agg(sum(when(col("gdf_base").isNotNull, 1L).otherwise(0L)).as("n_base_types"),
+           sum(when(col("gdf_batch").isNotNull, 1L).otherwise(0L)).as("n_batch_types"),
+           sum(when(col("gdf_base").isNull, 1L).otherwise(0L)).as("n_new_types"),
+           sum(when(col("gdf_base").isNotNull && col("gdf_batch").isNotNull,
+                    1L).otherwise(0L)).as("n_overlap_types"),
+           sum(coalesce(col("gdf_base"), lit(0L)) +
+               coalesce(col("gdf_batch"), lit(0L))).as("merged_mass"),
+           sum(when(col("gdf_base").isNull, col("gdf_batch")).otherwise(lit(0L)))
+             .as("new_mass"))
+      .withColumn("novel_permille",
+                  expr("n_new_types * 1000L div n_batch_types"))
+  }
+
   /** Duplication rate by quality band (round 11) — the cross-signal
     * a curation design needs before ordering its stages: if low-
     * quality docs are ALSO the duplicated ones (boilerplate, scraped

