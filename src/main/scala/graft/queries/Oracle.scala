@@ -1310,6 +1310,27 @@ object Oracle {
         |    AS chars_saved
         |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
 
+    /** Per-source keyness: the same nested-div micro-share fixed
+      * point (rule F: evaluation order IS the contract), ROW_NUMBER
+      * over the stated (keyness DESC, token) total order. */
+    "q_keyness" ->
+      """WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf FROM st GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS src_tot FROM cnt GROUP BY source),
+        |ctot AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM cnt GROUP BY token),
+        |g AS (SELECT CAST(SUM(tf) AS BIGINT) AS grand FROM cnt),
+        |sc AS (SELECT c.source, c.token, c.tf,
+        |              (c.tf * 1000000) // s.src_tot AS src_share_micro,
+        |              (t.ctf * 1000000) // g.grand AS corp_share_micro
+        |       FROM cnt c JOIN stot s USING (source) JOIN ctot t USING (token) CROSS JOIN g),
+        |k AS (SELECT source, token, tf,
+        |             (src_share_micro * 1000) // corp_share_micro AS keyness_permille
+        |      FROM sc WHERE corp_share_micro > 0),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |                ORDER BY keyness_permille DESC, token) AS rank FROM k)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, token, tf, keyness_permille
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+
     /** Conjunctive search: IN-list token filter + per-doc tf count +
       * the same presence bitmask folded by BIT_OR, gated at 7 — one
       * aggregate, blind to the Spark plan. Rule I casts. */

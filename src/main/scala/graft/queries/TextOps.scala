@@ -277,6 +277,60 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
 
+  /** Per-source keyness table (round 11) — corpus-comparison term
+    * distinctiveness, the "what characterizes each source" report a
+    * mixture designer reads next to q_kl_source's divergence scalar
+    * (KL says HOW different a source is; keyness says WHICH terms
+    * make it different): per source the top-3 terms by the ratio of
+    * in-source token share to whole-corpus token share, in exact
+    * integer fixed point — share_micro = tf·10⁶ div total on each
+    * side, keyness_permille = src_share_micro·1000 div
+    * corp_share_micro (1000 = corpus-typical, higher =
+    * overrepresented). Every magnitude is bounded: micro shares ≤
+    * 10⁶, ×1000 ≤ 10⁹ — no overflow at any corpus size (a direct
+    * tf·T·1000 product would overflow Long at ~100 TB, where Spark
+    * wraps silently and DuckDB errors — the nested-div form IS the
+    * stated engine-portable contract, rule F/I). Corpus-share zero
+    * floor is filtered identically in both engines. Ties break on
+    * token text (rule O).
+    *
+    * Scale shape: one scan → (source, token) count — the only
+    * corpus-scale shuffle; per-source totals, per-token corpus
+    * totals and the 1-row grand total are rollups OF that vocab-scale
+    * table; the rank-3 window partitions by source over vocab-scale
+    * rows only. */
+  def q_keyness(s: SparkSession, d: String): DataFrame = {
+    // the (source, token) count table feeds FOUR branches (per-source
+    // totals, per-token totals, the grand total, the scored join) —
+    // materialized once per (session, sfDir) so the corpus pays one
+    // explode, not four (the q_kn_bigram bigram_counts lesson; the
+    // table is vocab×sources-scale, i.e. tiny parquet with real stats)
+    val st = graft.TempTables.cached(s, s"src_tok_counts:$d")(
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("tf")))
+    val srcTot = st.groupBy("source").agg(sum("tf").as("src_tot"))
+    val corpTok = st.groupBy("token").agg(sum("tf").as("ctf"))
+    val grand = st.agg(sum("tf").as("grand"))
+    val scored = st.join(srcTot, "source").join(corpTok, "token")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("token"), col("tf"),
+              expr("tf * 1000000L div src_tot").as("src_share_micro"),
+              expr("ctf * 1000000L div grand").as("corp_share_micro"))
+      .filter(col("corp_share_micro") > 0)
+      .select(col("source"), col("token"), col("tf"),
+              expr("src_share_micro * 1000L div corp_share_micro")
+                .as("keyness_permille"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("source")
+        .orderBy(col("keyness_permille").desc, col("token"))))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+              col("token"), col("tf"), col("keyness_permille"))
+      .orderBy("source", "rank")
+  }
+
   /** Per-class centroid: posexplode to (label, dim, value), average per
     * cell, then fold dims back to the centroid's L2 norm. Two shuffles,
     * both on small keys — shuffle-bounded at any scale. */

@@ -50,8 +50,10 @@ class PlanGuardSpec extends SparkSpecBase {
     // q_bm25 crosses the 1-row (N, Σlen, df...) stats aggregate
     "q_bm25",
     // round 11: q_kn_bigram crosses the broadcast 1-row bigram-type
-    // total (the backoff denominator — the q_gini 1-row-scalar shape)
-    "q_kn_bigram",
+    // total (the backoff denominator — the q_gini 1-row-scalar shape);
+    // q_keyness crosses the broadcast 1-row grand token total (the
+    // corpus-share denominator — same shape)
+    "q_kn_bigram", "q_keyness",
     // q_dedup_funnel crosses its three 1-row stage aggregates
     "q_dedup_funnel",
     // round 10: q_boilerplate_grams crosses the vocab-scale gram-df
@@ -195,7 +197,12 @@ class PlanGuardSpec extends SparkSpecBase {
     // merge (base df agg + batch df agg + the vocab-scale full-outer
     // join's co-partition; the 1-row rollup rides the join exchange)
     "q_bool_search" -> 2,
-    "q_gramdf_merge" -> 3)
+    "q_gramdf_merge" -> 3,
+    // keyness: all five exchanges are over the materialized
+    // vocab×sources-scale count parquet (three totals rollups, the
+    // per-source rank window's partition, the output sort) — the one
+    // corpus-scale explode lives in the priced src_tok_counts build
+    "q_keyness" -> 5)
 
   test("q_vocab_overlap reads the corpus once — the distinct subtree is reused") {
     import org.apache.spark.sql.execution.FileSourceScanExec
