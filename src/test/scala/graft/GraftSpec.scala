@@ -1788,6 +1788,42 @@ class GraftSpec extends SparkSpecBase {
     assert(one.length == 1 && one.head.getLong(2) == 1000000L)
   }
 
+  test("bpePairStats + knBigramScores: brute-force equivalence on seeded random corpora") {
+    val vocab = Vector("the", "a", "scan", "join", "agg", "row", "key", "xy")
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed) // fixed seeds — reproducible
+      val corpus = Vector.fill(12)(
+        Vector.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val docs = corpus.toDF("text")
+
+      // BPE reference: every adjacent char pair of every token occurrence
+      val refPairs = corpus.flatMap(_.split(" ")).filter(_.length >= 2)
+        .flatMap(t => t.sliding(2))
+        .groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+      val gotPairs = Graft.bpePairStats(docs, $"text", topK = 1000).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotPairs == refPairs, s"bpe mismatch at seed $seed")
+
+      // KN reference: the exact integer fixed point, re-derived
+      val bigrams = corpus.map(_.split(" ").toVector).filter(_.size >= 2)
+        .flatMap(t => t.sliding(2).map(_.mkString(" ")))
+      val bc = bigrams.groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+      val c1 = bc.groupBy(_._1.split(" ")(0)).map { case (w, m) => w -> m.values.sum }
+      val fol = bc.groupBy(_._1.split(" ")(0)).map { case (w, m) => w -> m.size.toLong }
+      val pre = bc.groupBy(_._1.split(" ", -1)(1)).map { case (w, m) => w -> m.size.toLong }
+      val tT = bc.size.toLong
+      val refKn = bc.map { case (b, c12) =>
+        val w1 = b.split(" ")(0); val w2 = b.split(" ", -1)(1)
+        val pcont = pre(w2) * 1000000L / tT
+        b -> ((4 * c12 - 3) * 1000000L / (4 * c1(w1)) +
+              3 * fol(w1) * pcont / (4 * c1(w1)))
+      }
+      val gotKn = Graft.knBigramScores(docs, $"text").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(gotKn == refKn, s"kn mismatch at seed $seed")
+    }
+  }
+
   test("NfcNormalize + normalizationStats: composition, identity fast path, accounting") {
     // decomposed e+U+0301 composes to é (one code point saved);
     // already-NFC text (ASCII and precomposed é alike) is untouched

@@ -1,6 +1,6 @@
 package graft
 
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Arbitrary, Gen, Prop, Test => SCTest}
 import org.scalacheck.Prop.propBoolean
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -160,6 +160,38 @@ class PropertySpec extends AnyFunSuite {
     check("minhash bands", Prop.forAll(posGen) { mismatches =>
       val touched = mismatches.map(_ / MinHash.RowsPerBand).toSet
       MinHash.NumBands - touched.size >= 2
+    })
+  }
+
+  test("NfcNormalize eval: JDK-truth equivalence, idempotence, identity fast path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    import java.text.Normalizer
+    def nfc(s: String): UTF8String =
+      graft.functions.NfcNormalize(Literal(UTF8String.fromString(s), StringType))
+        .eval(null).asInstanceOf[UTF8String]
+    // arbitrary strings INCLUDING raw unicode + the combining
+    // sequences the declared query injects
+    val g = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Arbitrary.arbitrary[String],
+      Gen.listOf(Gen.oneOf("é", "ü", "é", "a", " ", "́"))
+        .map(_.mkString))
+    check("nfc jdk truth", Prop.forAll(g) { s =>
+      val out = nfc(s)
+      // the expression IS the JDK normalizer (cross-impl agreement
+      // with utf8proc is pinned by the q_unicode_norm oracle)
+      out.toString == Normalizer.normalize(s, Normalizer.Form.NFC) &&
+        // idempotent: normalizing twice changes nothing
+        nfc(out.toString).toString == out.toString
+    })
+    // already-NFC input returns the INPUT OBJECT — the zero-allocation
+    // fast path the scaladoc promises on ASCII corpora
+    check("nfc identity fast path", Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val in = UTF8String.fromString(s)
+      val e = graft.functions.NfcNormalize(Literal(in, StringType))
+      e.eval(null).asInstanceOf[AnyRef] eq in
     })
   }
 
