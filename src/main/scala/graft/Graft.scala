@@ -437,8 +437,12 @@ object Graft {
     * defeat exact dedup, span hashing and MinHash alike, so the
     * pipeline must know how much of each source is non-NFC before
     * deciding whether to pay the normalization pass. Per group:
-    * doc count, docs NOT in NFC form, and the code points NFC removes
-    * (composition strictly shrinks or preserves length). Uses the
+    * doc count, docs NOT in NFC form, and the NET code points NFC
+    * removes. chars_saved is a net figure and CAN go negative on
+    * corpora containing composition-exclusion singletons — NFC
+    * LENGTHENS e.g. U+0958 DEVANAGARI QA to U+0915 + U+093C (review
+    * catch: "composition only shrinks" is false in general), so a
+    * caller must not treat chars_saved ≥ 0 as an invariant. Uses the
     * native codegen'd [[functions.NfcNormalize]] expression — Spark
     * ships no normalization builtin and a Scala UDF would pay per-row
     * serialization on a corpus scan. Row-local end to end: one scan,

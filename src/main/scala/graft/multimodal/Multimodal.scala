@@ -470,8 +470,11 @@ object Multimodal {
       // per-partition (per-batch) setup happens here, once — in a real
       // pipeline this is codec/context initialization
       rows.map { r =>
-        val frames = sampleFrames(r.payload, frameSize, stride)
+        // frame COUNTS are pure arithmetic — materializing the actual
+        // frame copies (sampleFrames) just to count them allocated
+        // O(payload) per row on the hot path (review catch)
         val byteFramesTotal = (r.payload.length + frameSize - 1) / frameSize
+        val byteFramesSampled = (byteFramesTotal + stride - 1) / stride
         // all three modalities decode for REAL (pixel-luminance /
         // PCM-sample / sampled-frame-luminance histograms via the
         // pure-JDK codecs); undecodable payloads fall back to the
@@ -481,16 +484,16 @@ object Multimodal {
         val (hist, sampled, total) = r.kind match {
           case "image" =>
             (decodeImage(r.payload).getOrElse(decodeStub(r.payload)),
-              frames.length, byteFramesTotal)
+              byteFramesSampled, byteFramesTotal)
           case "audio" =>
             (decodeAudio(r.payload).getOrElse(decodeStub(r.payload)),
-              frames.length, byteFramesTotal)
+              byteFramesSampled, byteFramesTotal)
           case "video" =>
             decodeVideo(r.payload, stride)
               .map { case (h, nf, ns) => (h, ns, nf) }
-              .getOrElse((decodeStub(r.payload), frames.length, byteFramesTotal))
+              .getOrElse((decodeStub(r.payload), byteFramesSampled, byteFramesTotal))
           case _ =>
-            (decodeStub(r.payload), frames.length, byteFramesTotal)
+            (decodeStub(r.payload), byteFramesSampled, byteFramesTotal)
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length, hist,
                       sampled, total,

@@ -110,19 +110,25 @@ object HashOps {
     * max far below 127 means the corpus should use a tighter
     * per-tensor scale — THE number a calibration pass reads).
     *
-    * Cross-engine parity: q = floor(CAST(x AS DOUBLE) · 127) — the
-    * float→double widen is exact, the multiply is one IEEE double op,
-    * and floor (not round) avoids the banker's-vs-half-up divergence
-    * between engines (rule F: fixed expression, deterministic per
-    * element; every aggregate is then INTEGER, so no float summation
-    * order can differ). Scale shape: row-local explode (×dim linear)
-    * → ONE map-side-combinable groupBy whose shuffle carries ≤
-    * |labels| rows per task at any corpus size. */
+    * Cross-engine parity: q = sign(x) · floor(|x| · 127) — SYMMETRIC
+    * magnitude quantization (review catch: a plain floor(x·127) maps
+    * x ∈ (−1/127, 0) to −1, so n_zero counted only the positive half
+    * of near-zero weights and sum_q carried a −0.5-per-element floor
+    * bias that would read as data bias). The float→double widen is
+    * exact, abs/multiply/floor/sign are each one IEEE double op
+    * identical in both engines, and floor-on-magnitude (not round)
+    * avoids the banker's-vs-half-up divergence (rule F: fixed
+    * expression, deterministic per element; every aggregate is then
+    * INTEGER, so no float summation order can differ). Scale shape:
+    * row-local explode (×dim linear) → ONE map-side-combinable
+    * groupBy whose shuffle carries ≤ |labels| rows per task at any
+    * corpus size. */
   def q_embed_quantize(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("label"), explode(col("embedding")).as("x"))
       .select(col("label"), col("x").cast("double").as("xd"),
-              floor(col("x").cast("double") * 127).cast("long").as("q"))
+              (signum(col("x").cast("double")) *
+               floor(abs(col("x").cast("double")) * 127)).cast("long").as("q"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_elems"),
            // clipping is defined on the INPUT (|x| > 1), not on q: a

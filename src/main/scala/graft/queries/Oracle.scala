@@ -1422,13 +1422,16 @@ object Oracle {
         |       (n_pairs - n_local) * 1000 // n_pairs AS cross_permille
         |FROM agg ORDER BY n_shards""".stripMargin,
 
-    /** Int8 quantization profile: q = FLOOR(CAST(x AS DOUBLE) · 127)
-      * — exact float→double widen + one IEEE multiply + floor (no
+    /** Int8 quantization profile: q = SIGN(x) · FLOOR(ABS(x) · 127) —
+      * symmetric magnitude quantization (plain floor would count only
+      * positive near-zeros in n_zero and bias sum_q by −0.5/element);
+      * exact float→double widen + IEEE abs/multiply/floor/sign (no
       * round: banker's-vs-half-up would diverge), then INTEGER
       * aggregates only, so no float summation order exists (rule F). */
     "q_embed_quantize" ->
       """WITH ex AS (SELECT label, CAST(x AS DOUBLE) AS xd,
-        |                   CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT) AS q
+        |                   CAST(SIGN(CAST(x AS DOUBLE))
+        |                        * FLOOR(ABS(CAST(x AS DOUBLE)) * 127) AS BIGINT) AS q
         |            FROM (SELECT label, unnest(embedding) AS x FROM embeddings))
         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_elems,
         |       CAST(SUM(CASE WHEN ABS(xd) > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip,

@@ -1341,11 +1341,19 @@ object PipelineOps {
     * share in integer permille. */
   def q_gramdf_merge(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // both df sides read the SHARED per-sfDir doc-grams parquet,
+    // filtered by the split predicate (filter preserves the n-stamp
+    // metadata, so the handed-table validation still holds) — zero
+    // corpus-scale tokenize/explode passes in this query (review
+    // catch: the inline build paid two)
+    val shared = docGramsTable(s, d)
     val dfBase = graft.Graft.gramDocFreq(
-        docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"))
+        docs, col("doc_id"), col("text"),
+        docGrams = Some(shared.filter(col("doc_id") % 10 =!= 0)))
       .select(col("gram"), col("gdf").as("gdf_base"))
     val dfBatch = graft.Graft.gramDocFreq(
-        docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"))
+        docs, col("doc_id"), col("text"),
+        docGrams = Some(shared.filter(col("doc_id") % 10 === 0)))
       .select(col("gram"), col("gdf").as("gdf_batch"))
     dfBase.join(dfBatch, Seq("gram"), "full_outer")
       .agg(sum(when(col("gdf_base").isNotNull, 1L).otherwise(0L)).as("n_base_types"),

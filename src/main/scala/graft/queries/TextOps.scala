@@ -286,11 +286,16 @@ object TextOps {
     * integer fixed point — share_micro = tf·10⁶ div total on each
     * side, keyness_permille = src_share_micro·1000 div
     * corp_share_micro (1000 = corpus-typical, higher =
-    * overrepresented). Every magnitude is bounded: micro shares ≤
-    * 10⁶, ×1000 ≤ 10⁹ — no overflow at any corpus size (a direct
-    * tf·T·1000 product would overflow Long at ~100 TB, where Spark
-    * wraps silently and DuckDB errors — the nested-div form IS the
-    * stated engine-portable contract, rule F/I). Corpus-share zero
+    * overrepresented). Bounds, stated honestly (review catch): the
+    * micro shares are ≤ 10⁶ so the final ×1000 step never overflows,
+    * and the intermediate tf·10⁶ / ctf·10⁶ products hold until a
+    * SINGLE token's count exceeds ~9.2×10¹² (tens of PB of one stop
+    * word) — far beyond the 100 TB design point but not "any corpus
+    * size"; past it Spark (ANSI off) wraps while DuckDB errors, so a
+    * deployment at that scale must pre-scale the counts. A direct
+    * tf·T·1000 product would hit the same wall at ~100 TB itself,
+    * which is why the nested-div form is the contract (rule F/I;
+    * the evaluation order is part of it). Corpus-share zero
     * floor is filtered identically in both engines. Ties break on
     * token text (rule O).
     *
