@@ -135,6 +135,28 @@ object Twins {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming MAINTENANCE of the shared gram-df statistic — the
+    * online face of q_gramdf_merge's batch merge argument: document
+    * frequency is a SUM, so a streaming aggregation over the exploded
+    * distinct word-3-grams of a document stream maintains (gram, gdf)
+    * incrementally across micro-batches, and at any point where the
+    * stream has fully arrived the state IS the batch
+    * [[graft.Graft.gramDocFreq]] table (asserted exactly in
+    * StreamingTwinSpec). This is how the per-sfDir gram-df artifact
+    * would stay fresh under continuous crawl ingest: no recompute
+    * over the existing corpus, ever. The same explode + count shape
+    * as the batch build, so partial aggregation combines map-side
+    * within every micro-batch before touching the state store. */
+  def gramDf(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.documents(spark, sfDir).schema
+    val t = split(col("text"), " ")
+    spark.readStream.schema(schema).parquet(s"$sfDir/documents.parquet*")
+      .filter(size(t) >= 3)
+      .select(explode(array_distinct(
+        graft.functions.TokenNGrams.ngrams(t, 3))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
+  }
 }
 
 /** Streaming face of [[graft.Graft.zscoreOutliers]] (q_anomaly): an

@@ -239,6 +239,17 @@ class StreamingTwinSpec extends SparkSpecBase {
     assert(diff(stream, want) == 0)
   }
 
+  test("streaming gram-df maintenance equals the batch table (mergeable stats online)") {
+    import org.apache.spark.sql.functions._
+    // df is a sum, so the streaming aggregation's state after full
+    // arrival must equal the batch gram-df table EXACTLY — the online
+    // face of q_gramdf_merge's merge argument
+    val got = runToTable(Twins.gramDf(spark, sf), "t_gramdf")
+    val want = Graft.gramDocFreq(Tables.documents(spark, sf),
+      col("doc_id"), col("text"))
+    assert(diff(got, want) == 0 && got.count() > 0)
+  }
+
   test("flatMapGroupsWithState: custom per-user running count (§2.11 state API)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
