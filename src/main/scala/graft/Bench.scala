@@ -45,7 +45,16 @@ object Bench {
         s"\"" + k + "\":{\"sec\":" + math.round(sec * 100) / 100.0 +
           ",\"mb\":" + math.round(bytes / 1e4) / 100.0 + ",\"n\":" + n + "}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest20":$slowest,"temp_builds":$builds,"value":$total}""")
+    // the builds ledger's READ-side sibling (round-12 verdict #2):
+    // seconds each shared table's FIRST post-build consumer spent in
+    // the sequential warm pass (cold-file I/O measured directly; -1
+    // marks a table over the prefetch bound). top-10 by seconds.
+    val reads = TempTables.firstReadCosts.toSeq.sortBy(-_._2._1).take(10)
+      .map { case (k, (sec, bytes)) =>
+        s"\"" + k + "\":{\"sec\":" + math.round(sec * 1000) / 1000.0 +
+          ",\"mb\":" + math.round(bytes / 1e4) / 100.0 + "}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest20":$slowest,"temp_builds":$builds,"temp_reads":$reads,"value":$total}""")
     spark.stop()
   }
 }

@@ -68,6 +68,54 @@ object TempTables {
   def buildCosts: Map[String, (Double, Long, Long)] =
     costs.readOnlySnapshot().toMap
 
+  /** The build ledger's READ-side sibling (round-12 verdict #2): per
+    * cached key, the seconds one sequential byte-stream pass over the
+    * table's parquet files cost at the FIRST post-build access — a
+    * direct measurement of the cold-file-I/O component of a shared
+    * table's first consumer (the round-11 q_dedup_fuzzy-class
+    * excursions were unattributed precisely because consumer-side
+    * first-read cost was invisible). The pass doubles as a PREFETCH:
+    * it leaves the files page-cache-hot and turns the consumer's
+    * random column-chunk reads into one sequential scan — measurement
+    * and remedy in one move. Bounded: tables over
+    * [[PrefetchBoundBytes]] are skipped (recorded with secs = -1), so
+    * the local-mode shim can never decide to stream a warehouse-scale
+    * table through the driver. */
+  private val readCosts = TrieMap.empty[String, (Double, Long)]
+  private val warmedKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Prefetch ceiling — broadcast-scale by design: every table
+    * TempTables holds is pair/vocab/model-scale per its own contract,
+    * and anything bigger than this is a contract violation we refuse
+    * to amplify with driver-side streaming. */
+  val PrefetchBoundBytes: Long = 64L * 1024 * 1024
+
+  /** Snapshot of the first-read ledger: key prefix → (seconds spent
+    * in the sequential warm pass, bytes streamed). secs = -1 marks a
+    * table over the prefetch bound (measured size, skipped stream). */
+  def firstReadCosts: Map[String, (Double, Long)] =
+    readCosts.readOnlySnapshot().toMap
+
+  private def warmFiles(key: String, path: String): Unit = {
+    try {
+      val files = Using.resource(Files.walk(Paths.get(path))) { w =>
+        import scala.jdk.CollectionConverters._
+        w.filter(Files.isRegularFile(_)).iterator().asScala.toList
+      }
+      val total = files.map(Files.size).sum
+      if (total > PrefetchBoundBytes) { readCosts.putIfAbsent(key, (-1.0, total)); return }
+      val t0 = System.nanoTime()
+      val buf = new Array[Byte](1 << 20)
+      files.foreach { f =>
+        Using.resource(Files.newInputStream(f)) { in =>
+          while (in.read(buf) >= 0) {}
+        }
+      }
+      readCosts.putIfAbsent(key, ((System.nanoTime() - t0) / 1e9, total))
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   private def deleteRecursively(path: String): Unit = {
     val root = Paths.get(path)
     if (Files.exists(root))
@@ -93,19 +141,27 @@ object TempTables {
     * consumers stay lazy. */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(evict)
-    val path = cache.get((s, key)).getOrElse {
-      // build OUTSIDE any map lock (it runs Spark jobs); the candidate
-      // dir sits in `anon` while unowned so a racing loser — or a crash
-      // mid-build — still gets swept at shutdown instead of leaking
-      val p = Files.createTempDirectory("graft_tt_").toString
-      anon.add(p)
-      val t0 = System.nanoTime()
-      build.write.mode("overwrite").parquet(p)
-      recordBuild(key.takeWhile(_ != ':'), (System.nanoTime() - t0) / 1e9, p)
-      cache.putIfAbsent((s, key), p) match {
-        case None         => anon.remove(p); p
-        case Some(winner) => anon.remove(p); deleteRecursively(p); winner
-      }
+    val path = cache.get((s, key)) match {
+      case Some(p) =>
+        // first post-build access: one timed sequential byte pass
+        // (ledger row + page-cache prefetch — see firstReadCosts).
+        // The BUILDER's own read-back is exempt (writing just made
+        // the files hot; a zero reading would only dilute the ledger)
+        if (warmedKeys.add((s, key))) warmFiles(key.takeWhile(_ != ':'), p)
+        p
+      case None =>
+        // build OUTSIDE any map lock (it runs Spark jobs); the candidate
+        // dir sits in `anon` while unowned so a racing loser — or a crash
+        // mid-build — still gets swept at shutdown instead of leaking
+        val p = Files.createTempDirectory("graft_tt_").toString
+        anon.add(p)
+        val t0 = System.nanoTime()
+        build.write.mode("overwrite").parquet(p)
+        recordBuild(key.takeWhile(_ != ':'), (System.nanoTime() - t0) / 1e9, p)
+        cache.putIfAbsent((s, key), p) match {
+          case None         => anon.remove(p); warmedKeys.add((s, key)); p
+          case Some(winner) => anon.remove(p); deleteRecursively(p); winner
+        }
     }
     s.read.parquet(path)
   }

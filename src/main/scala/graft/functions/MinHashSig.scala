@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native row-local MinHash signature over an array<string> token-set
   * column — the codegen'd sibling of the [[graft.MinHash]] Aggregator:
@@ -31,6 +32,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // explicit input type check so a non-array<string> child fails at
+  // ANALYSIS time (the NfcNormalize discipline: without it the
+  // generated getUTF8String call dies with a ClassCastException on an
+  // executor mid-job — or forces a codegen compile fallback — instead
+  // of a plan-time error; Spark's private[sql] AbstractDataType keeps
+  // ExpectsInputTypes out of reach for third-party expressions)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig requires an ARRAY<STRING> child, got ${other.sql}")
+  }
   override def prettyName: String = "graft_minhash_sig"
 
   override protected def nullSafeEval(arr: Any): Any = {

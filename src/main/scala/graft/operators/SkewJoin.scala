@@ -111,9 +111,22 @@ object SkewJoin {
     * pair order. Output: `bucketCols` + each payload column twice,
     * suffixed `_a`/`_b`, normalized so `orderCol_a < orderCol_b`; each
     * qualifying unordered pair appears EXACTLY once per bucket row
-    * pair. Column names beginning `__` are reserved. */
+    * pair. Column names beginning `__` are reserved.
+    *
+    * `sizes` (round-12 verdict #1): optional precomputed per-bucket
+    * row counts — schema exactly `bucketCols :+ <one numeric count
+    * column>` — replacing the hot-bucket count pass with a read of an
+    * already-materialized stats table (the write-the-df-table-once
+    * warehouse shape: PipelineOps hands the shared gram-df table here,
+    * removing one full corpus-scale aggregate from the pair-graph
+    * build). Counts drive DECOMPOSITION ONLY, never the pair set —
+    * both join sides derive `__nblk` from the same broadcast row, so
+    * an inaccurate count degrades task balance, not correctness
+    * (under-count = an under-split hot bucket, over-count = harmless
+    * extra near-empty blocks). Missing buckets mean "not hot". */
   def blockedSelfPairs(df: DataFrame, bucketCols: Seq[String],
-                       orderCol: String, maxBucket: Int): DataFrame = {
+                       orderCol: String, maxBucket: Int,
+                       sizes: Option[DataFrame] = None): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val payload = df.columns.filterNot(bucketCols.contains).toSeq
     require(payload.contains(orderCol),
@@ -121,7 +134,16 @@ object SkewJoin {
     require(df.columns.forall(!_.startsWith("__")),
       s"column names starting with __ are reserved, got ${df.columns.mkString(",")}")
     val keys = bucketCols.map(col)
-    val hot = df.groupBy(keys: _*).agg(count(lit(1)).as("__cnt"))
+    val counted = sizes match {
+      case Some(sz) =>
+        val extra = sz.columns.filterNot(bucketCols.contains).toSeq
+        require(bucketCols.forall(sz.columns.contains) && extra.size == 1,
+          s"sizes must have schema (${bucketCols.mkString(",")}, <count>), got ${sz.columns.mkString(",")}")
+        sz.select(keys :+ col(extra.head).cast("long").as("__cnt"): _*)
+      case None =>
+        df.groupBy(keys: _*).agg(count(lit(1)).as("__cnt"))
+    }
+    val hot = counted
       .filter(col("__cnt") > maxBucket)
       .select(keys :+
         ceil(col("__cnt").cast("double") / maxBucket).cast("int").as("__nblk"): _*)

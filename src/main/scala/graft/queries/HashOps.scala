@@ -131,11 +131,13 @@ object HashOps {
                floor(abs(col("x").cast("double")) * 127)).cast("long").as("q"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_elems"),
-           // clipping is defined on the INPUT (|x| > 1), not on q: a
-           // value in (1, 128/127) floors to q = 127 and one in
-           // (−128/127, −1) to q = −128 — exactly the near-boundary
-           // regime the metric exists to detect, invisible to any
-           // q-range test (review catch)
+           // clipping is defined on the INPUT (|x| > 1), not on q:
+           // sign(x)·floor(|x|·127) bounds q to [−127, 127], so BOTH
+           // near-boundary regimes — (1, 128/127) and (−128/127, −1) —
+           // floor to |q| = 127 (q = ±127) and are invisible to any
+           // q-range test (review catch ×2: the first version tested
+           // q's range, the second misstated the negative regime as
+           // reaching −128, which symmetric quantization cannot emit)
            sum(when(abs(col("xd")) > 1.0d, 1L).otherwise(0L)).as("n_clip"),
            sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"),
            sum(col("q")).as("sum_q"),
