@@ -430,6 +430,109 @@ object Graft {
       .limit(topK)
   }
 
+  /** BPE merge-table LEARNING (round 12) — closes the loop
+    * [[bpePairStats]] opens: run the byte-pair-encoding training
+    * iteration `nMerges` times and return the merges in order. Each
+    * iteration counts adjacent symbol pairs over the word-frequency
+    * table (occurrence mass, all adjacent positions), takes the
+    * argmax — ties broken by the pair's wrapped-pattern text, the ONE
+    * total order the SQL oracle can state — and rewrites every word
+    * by leftmost-greedy non-overlapping substitution (exactly the
+    * semantics of SQL `replace`, so [[bpeEncode]]'s row-local replace
+    * chain reproduces the learner's segmentation verbatim).
+    *
+    * Scale shape: ONE corpus pass builds the word-frequency table and
+    * the top-`vocabLimit` cut bounds driver state (the tfidfVectors /
+    * ivfTrain model-scalar pattern — production BPE trainers run on
+    * exactly this aggregated table); the driver loop is
+    * O(nMerges · Σ|word|) over ≤ vocabLimit words, integer counts
+    * throughout, fully deterministic. Words containing '(' or ')'
+    * are REJECTED loudly (they would corrupt the wrapped-symbol
+    * encoding both here and in every engine's replace chain — remap
+    * such corpora before tokenizer training). */
+  def bpeLearnMerges(docs: DataFrame, text: Column, nMerges: Int,
+                     vocabLimit: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(vocabLimit >= 1, s"vocabLimit must be >= 1, got $vocabLimit")
+    val words = docs.select(explode(split(text, " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc).limit(vocabLimit)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(words.forall(w => !w._1.contains('(') && !w._1.contains(')')),
+      "bpeLearnMerges: words containing '(' or ')' would corrupt the " +
+        "wrapped-symbol form — remap them before tokenizer training")
+    // split into CODE POINTS (not UTF-16 units), matching both
+    // engines' regexp '(?s)(.)' wrap of supplementary characters
+    def codePoints(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    var vocab = words.map { case (w, f) => (codePoints(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var it = 0
+    var dry = false
+    while (it < nMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        // argmax by (count DESC, wrapped-pattern ASC) — the pattern
+        // string IS the tie order so the oracle's `ORDER BY cnt DESC,
+        // pat` states the identical total order
+        val (a, b) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, s"($x)($y)") }._1
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+        it += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Row-local BPE ENCODE under a learned merge table: word →
+    * wrapped-symbol string, e.g. "low" → "(lo)(w)" after merge (l,o).
+    * Pure string engine built-ins — one regexp wrap + one `replace`
+    * per merge, applied IN ORDER — so the segmentation is exactly the
+    * leftmost-greedy semantics [[bpeLearnMerges]] trained with, on
+    * any engine (SQL `replace` is leftmost non-overlapping in Spark
+    * and DuckDB alike; the '(sym)' wrapping makes adjacent matches
+    * share no characters, so back-to-back pairs both merge). Zero
+    * shuffle at any corpus size. */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(regexp_replace(word, "(?s)(.)", "($1)")) {
+      case (c, (a, b)) =>
+        call_function("replace", c, lit(s"($a)($b)"), lit(s"($a$b)"))
+    }
+
+  /** Token count of a [[bpeEncode]]d string — the number of '('
+    * symbol delimiters; integer, row-local. */
+  def bpeTokenCount(encoded: Column): Column =
+    (length(encoded) -
+      length(call_function("replace", encoded, lit("("), lit("")))).cast("long")
+
   /** Unicode-normalization accounting per group — the
     * canonicalization stage a multilingual pipeline runs BEFORE
     * fingerprinting and dedup: two byte-wise-different spellings of
@@ -1877,13 +1980,28 @@ object Graft {
     require(vocabLimit >= 1, s"vocabLimit must be >= 1, got $vocabLimit")
     val toks = docs.select(id.cast("long").as("doc_id"),
                            split(text, " ").as("__toks"))
-    val n = toks.count().toDouble
-    require(n > 0, "tfidfVectors: empty corpus")
-    val vocab = toks
-      .select(explode(array_distinct(col("__toks"))).as("__t"))
+    // ONE corpus pass for BOTH the document count N (idf's numerator)
+    // and the document-frequency top-k (round-12 verdict #1: the
+    // separate toks.count() job was a second full scan charged to the
+    // tfidf build's first touch). A per-document sentinel "token"
+    // rides the same explode: its df IS N, and it survives the
+    // limit+1 cut by construction — df = N bounds every real token's
+    // df. Collision-free for ANY input: tokens are produced by
+    // split(text, " ") right here, so no token can contain a space.
+    // Only "" or control-char tokens can tie-sort before " " at
+    // df = N; vocabLimit+1 of those would push the sentinel out —
+    // and then the loud require below fires, never a silent wrong N.
+    val sent = " "
+    val top = toks
+      .select(explode(concat(array_distinct(col("__toks")), array(lit(sent)))).as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__df"))
-      .orderBy(col("__df").desc, col("__t").asc).limit(vocabLimit)
-      .collect().map(r => (r.getString(0), math.log(n / r.getLong(1))))
+      .orderBy(col("__df").desc, col("__t").asc).limit(vocabLimit + 1)
+      .collect()
+    val n = top.find(_.getString(0) == sent).map(_.getLong(1)).getOrElse(0L).toDouble
+    require(n > 0, "tfidfVectors: empty corpus (or a vocabulary of " +
+      "ubiquitous control-char tokens displaced the count sentinel)")
+    val vocab = top.iterator.filter(_.getString(0) != sent).take(vocabLimit)
+      .map(r => (r.getString(0), math.log(n / r.getLong(1)))).toArray
     val vArr = array(vocab.map(v => lit(v._1)).toIndexedSeq: _*)
     val idfArr = array(vocab.map(v => lit(v._2)).toIndexedSeq: _*)
     toks
@@ -1978,7 +2096,15 @@ object Graft {
     * stop-gram contributes ~zero discriminative signal but Σ bucket²
     * work; the block guard bounds that work per task, the cap removes
     * it. Semantics CHANGE when it fires — an opt-in, never a silent
-    * default (BASELINE.md "Round-7 skew bench"). */
+    * default (BASELINE.md "Round-7 skew bench").
+    *
+    * `gramDf` (a shared [[gramDocFreq]] table for the same (docs, n))
+    * serves BOTH faces: capped, it is the stop-gram hot list; uncapped
+    * it is the skew guard's per-bucket SIZE table (gdf = the gram
+    * bucket's exact row count, since each doc contributes its distinct
+    * grams once), replacing the hot-bucket count pass with a
+    * vocab-scale parquet read — decomposition-only, so a stale df
+    * table degrades balance, never the pair set. */
   def nearDupPairsNgram(docs: DataFrame, id: Column, text: Column,
                         thresholdPermille: Int = 800, n: Int = 3,
                         maxBucket: Int = 1024,
@@ -2011,7 +2137,20 @@ object Graft {
                                   gramDf: Option[DataFrame] = None,
                                   docGrams: Option[DataFrame] = None): DataFrame = {
     val sized = sizedGrams(docs, id, text, n, maxGramDocFreq, gramDf, docGrams)
-    operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
+    // UNCAPPED, a shared (gram, gdf) table doubles as the self-join's
+    // per-bucket size source: each doc contributes its DISTINCT grams,
+    // so rows-per-gram in `sized` IS the gram's document frequency —
+    // the hot-bucket count pass (one full corpus-scale aggregate, the
+    // round-11 driver-bench bulk of the pair-graph build) collapses to
+    // a vocab-scale parquet read. Capped, the post-drop stream has
+    // recounted sizes and every survivor's gdf ≤ cap « maxBucket, so
+    // no bucket can be hot and the inline pass is the cheap one.
+    val sizesForBlocks =
+      if (maxGramDocFreq == Int.MaxValue)
+        gramDf.map(validGramDf(_, n).select(col("gram"), col("gdf")))
+      else None
+    operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket,
+                                        sizesForBlocks)
       .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
               col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
       .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
@@ -2512,11 +2651,22 @@ object Graft {
     // caller column names cannot collide with the working set
     val canon = array_join(array_sort(array_distinct(split(text, " "))), " ")
     val parts = partitionBy.zipWithIndex.map { case (c, i) => c.as(s"fz_p$i") }
-    val base = docs
-      .select(parts :+ id.cast("long").as("doc_id") :+ canon.as("fz_s"): _*)
-      .filter(length(col("fz_s")) > 0)
-      .withColumn("fz_tok0", substring_index(col("fz_s"), " ", 1))
-      .withColumn("fz_n", size(split(col("fz_s"), " ")))
+    // MATERIALIZED once (round-12: the unattributed q_dedup_fuzzy
+    // driver excursion): the canon projection is a full tokenize +
+    // sort + distinct per document, and the blocked self-join below
+    // evaluates its input THREE times (the hot-bucket count pass and
+    // both join sides) — 3× the corpus-scale canon work on every call.
+    // One temp-parquet round trip makes it a write + three column
+    // reads, puts the cost on the build ledger (`fuzzy_canon`), and is
+    // the warehouse shape at 100 TB: write the canonicalized
+    // projection next to the corpus, then self-join the table.
+    val base = TempTables.materialize(
+      docs
+        .select(parts :+ id.cast("long").as("doc_id") :+ canon.as("fz_s"): _*)
+        .filter(length(col("fz_s")) > 0)
+        .withColumn("fz_tok0", substring_index(col("fz_s"), " ", 1))
+        .withColumn("fz_n", size(split(col("fz_s"), " "))),
+      "fuzzy_canon")
     val bucketCols = partitionBy.indices.map(i => s"fz_p$i") ++ Seq("fz_tok0", "fz_n")
     operators.SkewJoin.blockedSelfPairs(base, bucketCols, "doc_id", maxBucket)
       .withColumn("edit_dist", levenshtein(col("fz_s_a"), col("fz_s_b"), maxDist))
@@ -2633,6 +2783,91 @@ object Graft {
     crossDocs.union(intraDocs)
   }
 
+  /** INCREMENTAL MinHash probe (round 12) — the MinHash face of the
+    * batch-vs-corpus ingest story [[nearDupPairsNgramAgainst]] covers
+    * for the inverted index: every CROSS pair (batch doc, corpus doc)
+    * whose estimated Jaccard reaches estPermille/1000, without ever
+    * re-pairing the corpus against itself. In production the corpus
+    * side is a STANDING signature/band index read from the warehouse
+    * (signatures and band keys are row-local functions of each doc, so
+    * the index appends per crawl without recompute — the same
+    * mergeable-statistics posture as q_gramdf_merge); here both sides
+    * derive from their DataFrames so the equivalence is testable.
+    *
+    * Same machinery as [[nearDupPairsMinhash]], bipartite: per-side
+    * set-collapse on the 128-bit canonical hash (identical token sets
+    * share one signature row), row-local [[functions.MinHashSig]]
+    * signatures, 16 hashed band keys, candidate join via
+    * [[operators.SkewJoin.blockedBipartiteJoin]] (corpus = large side;
+    * a dense band splits into id-hash blocks and batch rows replicate
+    * across them, so one boilerplate band cannot serialize a task),
+    * exact integer threshold on re-attached signatures, member
+    * expansion back to doc level. `maxBandDocFreq` drops bands dense
+    * ON THE CORPUS SIDE before the join (the standing side is where
+    * boilerplate accumulates); opt-in, recall-lossy, like the self
+    * variant. With the cap off, output = [[nearDupPairsMinhash]] of
+    * (batch ∪ corpus) restricted to cross pairs — pinned in
+    * MinHashSpec. Returns (batch_id, corpus_id, est_jaccard). */
+  def nearDupPairsMinhashAgainst(batch: DataFrame, batchId: Column, batchText: Column,
+                                 corpus: DataFrame, corpusId: Column, corpusText: Column,
+                                 estPermille: Int = 900,
+                                 maxBucket: Int = 1024,
+                                 maxBandDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(estPermille > 0 && estPermille <= 1000,
+      s"estPermille must be in (0, 1000], got $estPermille")
+    require(maxBandDocFreq >= 1, s"maxBandDocFreq must be >= 1, got $maxBandDocFreq")
+    def groupsOf(df: DataFrame, id: Column, text: Column): DataFrame = {
+      val base = df.filter(text.isNotNull)
+        .select(id.cast("long").as("doc_id"),
+          array_sort(array_distinct(split(text, " "))).as("toks"))
+        .select(Seq(col("doc_id"), functions.MinHashSig.sig(col("toks")).as("sig")) ++
+                spanHash(array_join(col("toks"), " ")): _*)
+      base.groupBy("h1", "h2")
+        .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"),
+             first("sig").as("sig"))
+    }
+    // the band keys are the SAME xxhash64(pos, slice) as the self
+    // variant — a standing corpus index and a fresh batch agree on
+    // bucket identity by construction
+    def bandsOf(groups: DataFrame, repName: String): DataFrame =
+      groups.select(col("rep").as(repName),
+          posexplode(transform(sequence(lit(0), lit(MinHash.NumBands - 1)),
+            b => slice(col("sig"), b * MinHash.RowsPerBand + 1, lit(MinHash.RowsPerBand)))))
+        .select(col(repName), xxhash64(col("pos"), col("col")).as("bucket"))
+    val bGroups = groupsOf(batch, batchId, batchText)
+    val cGroups = groupsOf(corpus, corpusId, corpusText)
+    val cBandsAll = bandsOf(cGroups, "rep_c")
+    // cap on CORPUS-side density: bands the standing index already
+    // knows are boilerplate leave the candidate universe on BOTH
+    // sides (a batch band colliding only there finds no partner)
+    val hot =
+      if (maxBandDocFreq == Int.MaxValue) None
+      else Some(cBandsAll.groupBy("bucket").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxBandDocFreq).select("bucket"))
+    val cBands = hot.map(h => cBandsAll.join(broadcast(h), Seq("bucket"), "left_anti"))
+      .getOrElse(cBandsAll)
+    val bBands = {
+      val all = bandsOf(bGroups, "rep_b")
+      hot.map(h => all.join(broadcast(h), Seq("bucket"), "left_anti")).getOrElse(all)
+    }
+    val repPairs = operators.SkewJoin
+      .blockedBipartiteJoin(cBands, "rep_c", bBands, Seq("bucket"), maxBucket)
+      .select(col("rep_b"), col("rep_c"))
+      .distinct()
+    val matches = functions.ArrayMatchCount.matchCount(col("sig_b"), col("sig_c"))
+    val candRep = repPairs
+      .join(bGroups.select(col("rep").as("rep_b"), col("sig").as("sig_b"),
+                           col("members").as("ms_b")), "rep_b")
+      .join(cGroups.select(col("rep").as("rep_c"), col("sig").as("sig_c"),
+                           col("members").as("ms_c")), "rep_c")
+      .filter(matches * 1000 >= lit(estPermille * MinHash.NumPerms))
+      .select(col("ms_b"), col("ms_c"),
+              round(matches.cast("double") / MinHash.NumPerms, 3).as("est_jaccard"))
+    candRep
+      .select(explode(col("ms_b")).as("batch_id"), col("ms_c"), col("est_jaccard"))
+      .select(col("batch_id"), explode(col("ms_c")).as("corpus_id"), col("est_jaccard"))
+  }
+
   /** Benchmark decontamination over ANY corpus/eval pair: corpus docs
     * whose distinct word-n-gram overlap with an eval doc covers ≥
     * coveragePermille/1000 of that eval doc's grams. Returns
@@ -2729,18 +2964,7 @@ object Graft {
     require(targetBroadcastBytes > 0,
       s"targetBroadcastBytes must be positive, got $targetBroadcastBytes")
     val e = vecs.select(id.cast("long").as("vec_id"), vec.as("v"))
-    val nChunks =
-      if (chunks > 0) chunks
-      else {
-        // one cheap driver action over METADATA (a count + max dims),
-        // the same pattern as the CC convergence checksum — never data
-        val r = e.agg(count(lit(1)), max(size(col("v")))).head()
-        val n = r.getLong(0)
-        val dims = if (r.isNullAt(1)) 0L else r.getInt(1).toLong
-        val bytes = n * (8L + 8L * dims)
-        math.max(1L, (bytes + targetBroadcastBytes - 1) / targetBroadcastBytes)
-          .min(Int.MaxValue.toLong).toInt
-      }
+    val nChunks = autoChunks(e, chunks, targetBroadcastBytes)
     (0 until nChunks).map { c =>
       val peers = e.filter(pmod(col("vec_id"), lit(nChunks)) === c)
         .select(col("vec_id").as("pid"), col("v").as("pv"))
@@ -2748,6 +2972,138 @@ object Graft {
     }.reduce(_ union _)
       .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(k)
+  }
+
+  /** Broadcast-chunk count for the DotTopKJoin kernels: ceil(n_rows ·
+    * (8 + 8·dims) / targetBroadcastBytes) from one metadata-scale
+    * driver action (a count + max dims — the CC convergence-checksum
+    * pattern, never data), so each BroadcastExchange stays bounded at
+    * ANY corpus size with no caller-tuned constant. */
+  private def autoChunks(e: DataFrame, chunks: Int,
+                         targetBroadcastBytes: Long): Int = {
+    require(targetBroadcastBytes > 0,
+      s"targetBroadcastBytes must be positive, got $targetBroadcastBytes")
+    if (chunks > 0) chunks
+    else {
+      val r = e.agg(count(lit(1)), max(size(col("v")))).head()
+      val n = r.getLong(0)
+      val dims = if (r.isNullAt(1)) 0L else r.getInt(1).toLong
+      val bytes = n * (8L + 8L * dims)
+      math.max(1L, (bytes + targetBroadcastBytes - 1) / targetBroadcastBytes)
+        .min(Int.MaxValue.toLong).toInt
+    }
+  }
+
+  /** EXACTLY the unordered vector pairs whose HALF_UP-3 rounded dot
+    * reaches tauPermille/1000 — the threshold sibling of
+    * [[topkCosinePairs]] ("every pair above τ", not "the k best"),
+    * executed by the same [[graft.plans.DotTopKJoinExec]] kernel in
+    * its streaming threshold mode: the peer side arrives in bounded
+    * planner-built broadcast chunks (auto-sized, see [[topkCosinePairs]]),
+    * each unordered pair is scored in exactly one chunk (the chunk
+    * owning its larger id), and matches stream out per probe row — the
+    * quadratic candidate set is never materialized as rows. Returns
+    * (vec_a, vec_b, cosine rounded 3), vec_a < vec_b, unordered.
+    *
+    * This is the exact BASELINE of the semantic-dedup family: at
+    * 100 TB the all-pairs scan (O(n²·d) work, however well blocked)
+    * yields to the cluster-pruned [[semanticDupVerdictsIvf]], exactly
+    * as exact [[knnJoinExact]] yields to IVF search — the exact form
+    * exists to be oracle-checkable and to ground the approximate
+    * path's recall tests. Unit-normalize inputs for cosine semantics;
+    * the kernel itself scores raw dots. */
+  def cosineThresholdPairs(vecs: DataFrame, id: Column, vec: Column,
+                           tauPermille: Int, chunks: Int = 0,
+                           targetBroadcastBytes: Long = 8L << 20): DataFrame = {
+    require(tauPermille >= 0 && tauPermille <= 1000,
+      s"tauPermille must be in [0, 1000], got $tauPermille")
+    val e = vecs.select(id.cast("long").as("vec_id"), vec.as("v"))
+    val nChunks = autoChunks(e, chunks, targetBroadcastBytes)
+    (0 until nChunks).map { c =>
+      val peers = e.filter(pmod(col("vec_id"), lit(nChunks)) === c)
+        .select(col("vec_id").as("pid"), col("v").as("pv"))
+      plans.DotTopK.threshold(e, peers, "vec_id", "v", "pid", "pv", tauPermille)
+    }.reduce(_ union _)
+  }
+
+  /** Per-document SEMANTIC-dedup verdicts (round 12, SemDeDup-shaped):
+    * over ANY (id, vec, quality) DataFrame, for every document with at
+    * least one neighbor at rounded cosine ≥ tauPermille/1000 the row
+    * (doc_id, quality, n_dups, dropped) — `dropped` = 1 iff some
+    * neighbor DOMINATES it under the (quality DESC, id ASC) total
+    * order (the q_dedup_rep_quality keep-best contract: of a semantic
+    * duplicate group, the best-quality — tie: lowest-id — member
+    * survives). The rule is non-iterative by design ("exists a
+    * dominating neighbor"), so verdicts are row-parallel and
+    * engine-portable — no fixpoint, no cluster materialization.
+    *
+    * Scale shape: pairs from the exact [[cosineThresholdPairs]] kernel
+    * (bounded broadcast chunks), MATERIALIZED once (the pair list is
+    * consumed in both orientations); verdicts are one pair-scale
+    * explode + two joins against the metadata projection (doc_id,
+    * quality) + one map-side-combinable aggregate. Quality must cast
+    * to long (callers pre-scale floats — the tableChecksum stance). */
+  def semanticDupVerdicts(vecs: DataFrame, id: Column, vec: Column,
+                          quality: Column, tauPermille: Int,
+                          chunks: Int = 0): DataFrame = {
+    val e = vecs.select(id.cast("long").as("doc_id"), vec.as("v"),
+                        quality.cast("long").as("q"))
+    val pairs = TempTables.materialize(
+      cosineThresholdPairs(e, col("doc_id"), col("v"), tauPermille, chunks),
+      "semdup_pairs")
+    semanticVerdictsFromPairs(pairs, e.select(col("doc_id"), col("q")))
+  }
+
+  /** The verdict aggregate shared by the exact and IVF semantic-dedup
+    * paths: orient each unordered pair both ways, join quality on both
+    * endpoints, and fold per document — n_dups = neighbor count,
+    * dropped = 1 iff any neighbor wins (quality DESC, id ASC). */
+  private def semanticVerdictsFromPairs(pairs: DataFrame,
+                                        qual: DataFrame): DataFrame = {
+    val dir = pairs.select(col("vec_a").as("doc_id"), col("vec_b").as("nb"))
+      .unionAll(pairs.select(col("vec_b").as("doc_id"), col("vec_a").as("nb")))
+    dir.join(qual, "doc_id")
+      .join(qual.select(col("doc_id").as("nb"), col("q").as("nq")), "nb")
+      .groupBy("doc_id", "q")
+      .agg(count(lit(1)).as("n_dups"),
+           max(when(col("nq") > col("q") ||
+                    (col("nq") === col("q") && col("nb") < col("doc_id")),
+                    1L).otherwise(0L)).as("dropped"))
+      .select(col("doc_id"), col("q").as("quality"),
+              col("n_dups"), col("dropped"))
+  }
+
+  /** The 100 TB path of [[semanticDupVerdicts]] — SemDeDup proper:
+    * k-means cluster the corpus ([[ivfTrain]] — deterministic id-hash
+    * sample, Forgy init, Lloyd iterations), then compare ONLY within a
+    * cluster ([[operators.SkewJoin.blockedSelfPairs]] on the cell id,
+    * so one dense cluster cannot serialize a task), score with the
+    * same rounded-3 dot, and fold the same dominance verdicts. Work
+    * drops from O(n²·d) to O(Σ cell²·d); the price is RECALL — a pair
+    * straddling two cells is unseen, the declared SemDeDup trade
+    * (pinned against the exact twin in SemanticDedupSpec, the
+    * q_sim_ivf discipline). Returns the [[semanticDupVerdicts]] schema
+    * restricted to within-cell neighbors. */
+  def semanticDupVerdictsIvf(vecs: DataFrame, id: Column, vec: Column,
+                             quality: Column, tauPermille: Int,
+                             k: Int = 16, iters: Int = 3,
+                             sampleFraction: Double = 1.0,
+                             maxBucket: Int = 4096): DataFrame = {
+    require(tauPermille >= 0 && tauPermille <= 1000,
+      s"tauPermille must be in [0, 1000], got $tauPermille")
+    val e = vecs.select(id.cast("long").as("doc_id"), vec.as("v"),
+                        quality.cast("long").as("q"))
+    val cents = ivfTrain(e, col("doc_id"), col("v"), k, iters, sampleFraction)
+    val cells = ivfAssign(cents, e.select(col("doc_id"), col("v")), col("v"))
+      .select(col("cell"), col("doc_id"), col("v"))
+    val scored = operators.SkewJoin
+      .blockedSelfPairs(cells, Seq("cell"), "doc_id", maxBucket)
+      .select(col("doc_id_a").as("vec_a"), col("doc_id_b").as("vec_b"),
+              round(functions.GraftFunctions.dot(col("v_a"), col("v_b")), 3)
+                .as("cosine"))
+      .filter(col("cosine") * 1000 >= tauPermille)
+    val pairs = TempTables.materialize(scored, "semdup_ivf_pairs")
+    semanticVerdictsFromPairs(pairs, e.select(col("doc_id"), col("q")))
   }
 
   // ------------------------------------------------------------------

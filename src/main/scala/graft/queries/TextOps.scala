@@ -178,17 +178,24 @@ object TextOps {
     * Rounded-3 ranking with id tie-breaks (the q_dedup_embed
     * contract) keeps the cut cross-engine stable. */
   def q_sim_sparse(s: SparkSession, d: String): DataFrame =
-    graft.Graft.topkCosinePairs(
-      // temp-parquet the featurized vectors ([[graft.TempTables]]):
-      // DotTopKJoinExec evaluates its input once per broadcast chunk
-      // AND once per probe side, so an unmaterialized tf-idf subtree
-      // (tokenize → df-aggregate → featurize) re-ran ~2·ceil(n/chunk)
-      // times; a 500-row×65-col parquet table reads back in
-      // milliseconds and keeps stats for the kernel's size planning
-      graft.TempTables.cached(s, s"tfidf_sparse64:$d")(
-        graft.Graft.tfidfVectors(Tables.documents(s, d),
-          col("doc_id"), col("text"), vocabLimit = 64)),
+    graft.Graft.topkCosinePairs(tfidfTable(s, d),
       col("doc_id"), col("vec"), k = 20)
+
+  /** The unit-normalized 64-dim tf-idf vector table (doc_id, vec),
+    * computed ONCE per (session, sfDir) and shared by [[q_sim_sparse]]
+    * (top-k cosine pairs) and [[PipelineOps.q_dedup_semantic]]
+    * (threshold pairs + drop verdicts) — temp parquet
+    * ([[graft.TempTables]]): DotTopKJoinExec evaluates its input once
+    * per broadcast chunk AND once per probe side, so an unmaterialized
+    * tf-idf subtree (tokenize → df-aggregate → featurize) re-ran
+    * ~2·ceil(n/chunk) times; the parquet table reads back in
+    * milliseconds and keeps stats for the kernel's size planning. The
+    * warehouse shape at 100 TB: featurize once, write next to the
+    * corpus, hand to every vector consumer. */
+  private[queries] def tfidfTable(s: SparkSession, d: String): DataFrame =
+    graft.TempTables.cached(s, s"tfidf_sparse64:$d")(
+      graft.Graft.tfidfVectors(Tables.documents(s, d),
+        col("doc_id"), col("text"), vocabLimit = 64))
 
   /** Shannon token entropy per source (added round 8): the
     * corpus-diversity metric — a source whose entropy collapses
