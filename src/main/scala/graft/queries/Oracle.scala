@@ -109,6 +109,58 @@ object Oracle {
        |GROUP BY v ORDER BY part""".stripMargin
   }
 
+  /** q_bpe_encode's oracle, generated stage-by-stage (the kcoreSql
+    * loop precedent): BPE training is an ITERATIVE argmax —
+    * inexpressible as one static aggregate — but each iteration is
+    * plain SQL (pair counts from the wrapped-symbol form, `ORDER BY
+    * cnt DESC, pat LIMIT 1`, one `replace`), so `nMerges` chained CTE
+    * stages restate the whole loop. AS MATERIALIZED is load-bearing
+    * again: every t$i scalar is referenced by v$i AND the final encode
+    * chain, and each v$i chains the full prefix — inlined, the
+    * expansion is exponential in nMerges. The final chain re-encodes
+    * every token OCCURRENCE exactly like the Spark side's row-local
+    * [[graft.Graft.bpeEncode]]; an exhausted stage (no pairs left)
+    * yields an empty t$i and COALESCE(chr(1)) turns its replace into
+    * the identity — the Scala learner's early-stop twin. */
+  private def bpeSql(nMerges: Int, vocabLimit: Int): String = {
+    val stages = (1 to nMerges).map { i =>
+      s"""sy$i AS (SELECT freq, string_split(trim(s, '()'), ')(') AS y FROM v${i - 1}),
+         |p$i AS (SELECT freq,
+         |  unnest(list_transform(generate_series(1, CAST(len(y) AS INT) - 1),
+         |         j -> '(' || y[j] || ')(' || y[j+1] || ')')) AS pat,
+         |  unnest(list_transform(generate_series(1, CAST(len(y) AS INT) - 1),
+         |         j -> '(' || y[j] || y[j+1] || ')')) AS mrg
+         |  FROM sy$i),
+         |t$i AS MATERIALIZED (SELECT pat, mrg FROM
+         |  (SELECT pat, mrg, SUM(freq) AS cnt FROM p$i GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, pat LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT word, freq,
+         |  replace(s, COALESCE((SELECT pat FROM t$i), chr(1)),
+         |             COALESCE((SELECT mrg FROM t$i), chr(1))) AS s
+         |  FROM v${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val chain = (1 to nMerges).foldLeft(
+      "regexp_replace(w, '(?s)(.)', '(\\1)', 'g')") { (acc, i) =>
+      s"replace($acc, COALESCE((SELECT pat FROM t$i), chr(1)), " +
+        s"COALESCE((SELECT mrg FROM t$i), chr(1)))"
+    }
+    s"""WITH w0 AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabLimit),
+       |v0 AS (SELECT word, freq, regexp_replace(word, '(?s)(.)', '(\\1)', 'g') AS s FROM w0),
+       |$stages,
+       |tok AS (SELECT source, w FROM
+       |  (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |enc AS (SELECT source, length(w) AS nc, $chain AS s FROM tok)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(nc) AS BIGINT) AS n_char_syms,
+       |       CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_bpe_tokens,
+       |       CAST((SUM(nc) - SUM(length(s) - length(replace(s, '(', '')))) * 1000
+       |            // SUM(nc) AS BIGINT) AS saved_permille
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "q_scan_project" ->
@@ -1291,6 +1343,54 @@ object Oracle {
         |SELECT pair, COUNT(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
+    /** BPE learn + encode: the full 12-merge training loop restated
+      * as chained CTE stages (pair counts from the wrapped-symbol
+      * form → `ORDER BY cnt DESC, pat LIMIT 1` → `replace`), then the
+      * same replace chain re-encodes every token occurrence — blind
+      * to the Scala side's driver loop. Generated by [[bpeSql]]. */
+    "q_bpe_encode" -> bpeSql(nMerges = 12, vocabLimit = 4096),
+
+    /** Semantic dedup: tf-idf recomputed from scratch (the
+      * q_sim_sparse CTEs), the pair join kept at rounded cosine ≥
+      * 0.9, the q_text_quality integer score, and the dominance
+      * verdict (quality DESC, id ASC) folded per endpoint — blind to
+      * the Spark side's DotTopKJoinExec threshold kernel, broadcast
+      * chunks, and shared tf-idf parquet table. */
+    "q_dedup_semantic" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+        |dfs AS (SELECT u.t AS tok, COUNT(DISTINCT doc_id) AS df
+        |        FROM t, unnest(list_distinct(toks)) u(t) GROUP BY 1),
+        |voc AS (SELECT tok, ln(n.n / df) AS idf FROM dfs, n
+        |        ORDER BY df DESC, tok LIMIT 64),
+        |w AS (SELECT t.doc_id, v.tok,
+        |             CAST(len(list_filter(t.toks, x -> x = v.tok)) AS DOUBLE)
+        |               * v.idf AS w
+        |      FROM t, voc v),
+        |nr AS (SELECT doc_id, sqrt(SUM(w*w)) AS nn FROM w GROUP BY 1),
+        |wn AS (SELECT w.doc_id, w.tok,
+        |              CASE WHEN nr.nn > 0 THEN w.w / nr.nn ELSE w.w END AS w
+        |       FROM w JOIN nr USING (doc_id) WHERE w.w <> 0),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |      FROM wn a JOIN wn b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2 HAVING ROUND(SUM(a.w * b.w), 3) >= 0.9),
+        |q AS (SELECT doc_id,
+        |             LEAST(nt, 50) * (nt - stops) * 1000 // (50 * nt) AS q
+        |      FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+        |                   len(list_filter(string_split(text, ' '),
+        |                                   x -> x = 'the' OR x = 'a')) AS stops
+        |            FROM documents)),
+        |dir AS (SELECT a AS doc_id, b AS nb FROM p
+        |        UNION ALL SELECT b AS doc_id, a AS nb FROM p)
+        |SELECT d.doc_id, q1.q AS quality,
+        |       CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |       CAST(MAX(CASE WHEN q2.q > q1.q
+        |                       OR (q2.q = q1.q AND d.nb < d.doc_id)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+        |FROM dir d JOIN q q1 ON d.doc_id = q1.doc_id
+        |           JOIN q q2 ON d.nb = q2.doc_id
+        |GROUP BY 1, 2 ORDER BY d.doc_id""".stripMargin,
+
     /** NFC accounting: the same decomposed injections (chr(769) =
       * U+0301 COMBINING ACUTE, chr(776) = U+0308 COMBINING
       * DIAERESIS — spelled as chr() so no encoding pass can compose
@@ -1372,7 +1472,8 @@ object Oracle {
         |  FROM j)
         |SELECT n_base_types, n_batch_types, n_new_types, n_overlap_types,
         |       merged_mass, new_mass,
-        |       n_new_types * 1000 // n_batch_types AS novel_permille
+        |       CASE WHEN n_batch_types = 0 THEN 0
+        |            ELSE n_new_types * 1000 // n_batch_types END AS novel_permille
         |FROM agg""".stripMargin,
 
     /** Dup rate by quality band: the recursive-CTE components + the

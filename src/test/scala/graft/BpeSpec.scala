@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** BPE learn + encode (round 12, SURVEY §2.12): the driver-side merge
+  * learner against hand-derived expectations, the row-local replace
+  * chain against the learner's own segmentation semantics
+  * (leftmost-greedy non-overlapping — the property the '(sym)'
+  * wrapping exists to preserve under SQL `replace`), and the loud
+  * paren gate. */
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def enc(word: String, merges: Seq[(String, String)]): String =
+    spark.range(1).select(Graft.bpeEncode(lit(word), merges).as("s"))
+      .head().getString(0)
+
+  private def tokCount(word: String, merges: Seq[(String, String)]): Long =
+    spark.range(1)
+      .select(Graft.bpeTokenCount(Graft.bpeEncode(lit(word), merges)).as("n"))
+      .head().getLong(0)
+
+  test("learner reproduces the hand-derived merge sequence") {
+    // words: low×2, lower, lowest. Pair masses: (l,o)=4, (o,w)=4,
+    // (w,e)=2, (e,r)=1, (e,s)=1, (s,t)=1. Ties break on the wrapped
+    // pattern: "(l)(o)" < "(o)(w)" → (l,o) first; then (lo,w)=4,
+    // (low,e)=2, then among the count-1 pairs "(lowe)(r)" sorts first.
+    val docs = Seq("low low lower", "lowest").toDF("text")
+    val merges = Graft.bpeLearnMerges(docs, col("text"), nMerges = 4, vocabLimit = 100)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")))
+    assert(enc("lowest", merges) == "(lowe)(s)(t)")
+    assert(enc("lower", merges) == "(lower)")
+    assert(tokCount("lowest", merges) == 3L)
+    assert(tokCount("lower", merges) == 1L)
+    // unseen word: merges still apply where they match
+    assert(enc("slow", merges) == "(s)(low)")
+  }
+
+  test("leftmost-greedy non-overlapping: back-to-back and odd-run merges") {
+    val docs = Seq("aaaa").toDF("text")
+    val merges = Graft.bpeLearnMerges(docs, col("text"), nMerges = 4, vocabLimit = 10)
+    // (a,a) mass 3 → merge; then [aa, aa] has (aa,aa) mass 1 → merge;
+    // then [aaaa] has no pair → learner stops early at 2 merges
+    assert(merges == Seq(("a", "a"), ("aa", "aa")))
+    // odd run: greedy pairs the FIRST two, strands the third — the
+    // '(sym)' wrapping keeps SQL replace from re-matching across the
+    // consumed boundary
+    assert(enc("aaa", merges) == "(aa)(a)")
+    // back-to-back matches share no characters and BOTH merge
+    assert(enc("aaaa", merges) == "(aaaa)")
+    assert(enc("aaaaaa", merges) == "(aaaa)(aa)")
+  }
+
+  test("encode is lossless: stripping delimiters reconstructs the word") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Graft.bpeLearnMerges(docs, col("text"), nMerges = 8, vocabLimit = 4096)
+    assert(merges.size == 8)
+    val bad = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("w"), Graft.bpeEncode(col("w"), merges).as("s"))
+      .filter(translate(col("s"), "()", "") =!= col("w"))
+      .count()
+    assert(bad == 0L, s"$bad words fail to reconstruct from their encoding")
+  }
+
+  test("token counts: bounded by symbol count, and merges strictly save on this corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Graft.bpeLearnMerges(docs, col("text"), nMerges = 8, vocabLimit = 4096)
+    val agg = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(length(col("w")).cast("long").as("nc"),
+              Graft.bpeTokenCount(Graft.bpeEncode(col("w"), merges)).as("nt"))
+      .agg(sum("nc").as("nc"), sum("nt").as("nt"),
+           max(col("nt") - col("nc")).as("worst"))
+      .head()
+    assert(agg.getAs[Long]("worst") <= 0L, "a word gained tokens under BPE")
+    assert(agg.getAs[Long]("nt") < agg.getAs[Long]("nc"),
+      "8 merges saved nothing on the corpus")
+  }
+
+  test("words containing parentheses are rejected loudly") {
+    val docs = Seq("ok ok br(oken").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Graft.bpeLearnMerges(docs, col("text"), nMerges = 2, vocabLimit = 10)
+    }
+    assert(e.getMessage.contains("wrapped-symbol"))
+  }
+
+  test("q_bpe_encode: integer contract and per-source shape at sf0.001") {
+    val out = graft.queries.PipelineOps.q_bpe_encode(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val words = r.getAs[Long]("n_words")
+      val syms = r.getAs[Long]("n_char_syms")
+      val toks = r.getAs[Long]("n_bpe_tokens")
+      val saved = r.getAs[Long]("saved_permille")
+      assert(words > 0 && toks >= words && toks <= syms)
+      assert(saved == (syms - toks) * 1000 / syms)
+    }
+  }
+}

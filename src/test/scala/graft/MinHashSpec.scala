@@ -137,6 +137,28 @@ class MinHashSpec extends SparkSpecBase {
     assert(pairs.head.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("incremental probe == self-join restricted to cross pairs (cap off)") {
+    // the round-12 ingest story: a batch probed against a standing
+    // corpus must see exactly the CROSS pairs the monolithic self-join
+    // sees — same signatures, same band keys, same integer threshold;
+    // only the bipartite execution shape differs
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val inc = rows(Graft.nearDupPairsMinhashAgainst(
+        batch, $"doc_id", $"text", corpus, $"doc_id", $"text", estPermille = 900)
+      .orderBy("batch_id", "corpus_id"))
+    val cross = rows(Graft.nearDupPairsMinhash(docs, $"doc_id", $"text",
+        estPermille = 900)
+      .filter(($"doc_a" % 10 === 0) =!= ($"doc_b" % 10 === 0))
+      .select(when($"doc_a" % 10 === 0, $"doc_a").otherwise($"doc_b").as("batch_id"),
+              when($"doc_a" % 10 === 0, $"doc_b").otherwise($"doc_a").as("corpus_id"),
+              $"est_jaccard")
+      .orderBy("batch_id", "corpus_id"))
+    assert(inc.nonEmpty, "vacuous: no cross near-dup pairs at sf0.001")
+    assert(inc == cross)
+  }
+
   test("LSH band-join candidates vs exact Jaccard >= 0.9 on sf0.001 (recall)") {
     // every pair the pipeline emits must estimate >= 0.9; spot-check the
     // estimate against exact Jaccard for the top pairs

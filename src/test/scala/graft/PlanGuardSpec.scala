@@ -202,7 +202,16 @@ class PlanGuardSpec extends SparkSpecBase {
     // vocab×sources-scale count parquet (three totals rollups, the
     // per-source rank window's partition, the output sort) — the one
     // corpus-scale explode lives in the priced src_tok_counts build
-    "q_keyness" -> 5)
+    "q_keyness" -> 5,
+    // round-12 additions: BPE encode (per-source rollup + output
+    // sort — learning is one priced driver job, the encode chain is
+    // row-local) and semantic dedup (pair-orientation joins over the
+    // materialized PAIR-scale semdup_pairs parquet: the per-doc
+    // verdict aggregate, its co-partition for the nb join ×2, the
+    // output sort — the all-pairs threshold kernel itself shuffles
+    // nothing, its chunks are planner-built broadcasts)
+    "q_bpe_encode" -> 2,
+    "q_dedup_semantic" -> 4)
 
   test("q_vocab_overlap reads the corpus once — the distinct subtree is reused") {
     import org.apache.spark.sql.execution.FileSourceScanExec
