@@ -32,7 +32,8 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 100) / 100.0 }
       .mkString("{", ",", "}")
-    // per-table build ledger (round-10 verdict #2): the seconds and
+    // per-table build ledger (round-10 verdict #2): the SELF seconds
+    // (round 12: wall minus nested child builds, so rows add up) and
     // bytes each shared temp-parquet artifact cost THIS run, with the
     // build COUNT n — cached tables build once (n=1: a first-touch
     // figure, charged to whichever query touched the table first in

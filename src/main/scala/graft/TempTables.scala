@@ -48,8 +48,40 @@ object TempTables {
     * n = first-touch count — but `materialize` tags rebuild on EVERY
     * invocation of their query, so their seconds are N builds
     * summed, not a first-touch figure; n says which reading you are
-    * looking at. */
+    * looking at.
+    *
+    * Seconds are SELF time (round-12 review of the r12 triple): a
+    * build closure that first-touches ANOTHER shared table runs that
+    * child build inside its own timer — ngram_pairs' reading carried
+    * the whole gram_df + doc_grams3 builds on top of their own ledger
+    * rows, so the family's first-touch total double-counted and the
+    * pair graph's own cost was unreadable. A per-thread nesting stack
+    * subtracts each child's wall time from its parent, so ledger rows
+    * now ADD UP across a run. */
   private val costs = TrieMap.empty[String, (Double, Long, Long)]
+
+  /** Wall seconds of completed CHILD builds at each open nesting
+    * level of the current thread (query construction and eager build
+    * evaluation are driver-thread-local). */
+  private val openBuilds = ThreadLocal.withInitial(
+    () => new java.util.ArrayDeque[java.lang.Double]())
+
+  /** Times `body`, records its SELF seconds (wall minus nested child
+    * builds) against `key`, and charges its WALL seconds to the
+    * enclosing build, if any. */
+  private def timedBuild[A](key: String, path: => String)(body: => A): A = {
+    val stack = openBuilds.get()
+    stack.push(0.0)
+    val t0 = System.nanoTime()
+    try {
+      val out = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      val children: Double = stack.pop()
+      if (!stack.isEmpty) stack.push(stack.pop() + wall)
+      recordBuild(key, math.max(0.0, wall - children), path)
+      out
+    } catch { case e: Throwable => stack.pop(); throw e }
+  }
 
   private def recordBuild(key: String, secs: Double, path: String): Unit = {
     val bytes =
@@ -143,10 +175,14 @@ object TempTables {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(evict)
     val path = cache.get((s, key)) match {
       case Some(p) =>
-        // first post-build access: one timed sequential byte pass
-        // (ledger row + page-cache prefetch — see firstReadCosts).
-        // The BUILDER's own read-back is exempt (writing just made
-        // the files hot; a zero reading would only dilute the ledger)
+        // first access AFTER the building call: one timed sequential
+        // byte pass (ledger row + page-cache prefetch — see
+        // firstReadCosts). Right after a build the files are still
+        // page-hot and the pass reads in milliseconds — the ~0 row is
+        // itself the measurement ("reads were never cold here");
+        // under I/O pressure that evicts /tmp between first touch and
+        // first re-read (the driver-machine hypothesis), the same row
+        // reads in seconds and names the query that paid it.
         if (warmedKeys.add((s, key))) warmFiles(key.takeWhile(_ != ':'), p)
         p
       case None =>
@@ -155,11 +191,11 @@ object TempTables {
         // mid-build — still gets swept at shutdown instead of leaking
         val p = Files.createTempDirectory("graft_tt_").toString
         anon.add(p)
-        val t0 = System.nanoTime()
-        build.write.mode("overwrite").parquet(p)
-        recordBuild(key.takeWhile(_ != ':'), (System.nanoTime() - t0) / 1e9, p)
+        timedBuild(key.takeWhile(_ != ':'), p) {
+          build.write.mode("overwrite").parquet(p)
+        }
         cache.putIfAbsent((s, key), p) match {
-          case None         => anon.remove(p); warmedKeys.add((s, key)); p
+          case None         => anon.remove(p); p
           case Some(winner) => anon.remove(p); deleteRecursively(p); winner
         }
     }
@@ -176,9 +212,9 @@ object TempTables {
   def materialize(df: DataFrame, tag: String): DataFrame = {
     val p = Files.createTempDirectory(s"graft_${tag}_").toString
     anon.add(p)
-    val t0 = System.nanoTime()
-    df.write.mode("overwrite").parquet(p)
-    recordBuild(tag, (System.nanoTime() - t0) / 1e9, p)
+    timedBuild(tag, p) {
+      df.write.mode("overwrite").parquet(p)
+    }
     df.sparkSession.read.parquet(p)
   }
 

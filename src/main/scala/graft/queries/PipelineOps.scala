@@ -498,16 +498,35 @@ object PipelineOps {
     * 100 TB path is [[graft.Graft.semanticDupVerdictsIvf]] (cluster-
     * pruned, recall-pinned against this twin in SemanticDedupSpec —
     * the q_knn_join / q_sim_ivf division of labor). */
-  def q_dedup_semantic(s: SparkSession, d: String): DataFrame = {
-    val q = Tables.documents(s, d)
+  def q_dedup_semantic(s: SparkSession, d: String): DataFrame =
+    graft.Graft.semanticDupVerdicts(
+        TextOps.tfidfTable(s, d).join(docQuality(s, d), "doc_id"),
+        col("doc_id"), col("vec"), col("q"), tauPermille = 900)
+      .orderBy("doc_id")
+
+  /** [[q_dedup_semantic]]'s 100 TB execution shape as its own
+    * benchable surface (the q_ivf_build / q_sim_ivf division of
+    * labor): [[graft.Graft.semanticDupVerdictsIvf]] — k-means cells
+    * over the SAME shared tf-idf table, within-cell threshold pairs,
+    * the SAME dominance verdicts — so the bench line prices the
+    * cluster-pruned path against its exact twin directly above it.
+    * Oracle = no (JVM-seeded k-means — the q_sim_ivf stance);
+    * verdict-consistency and the recall floor vs the exact twin are
+    * pinned in SemanticDedupSpec. */
+  def q_dedup_semantic_ivf(s: SparkSession, d: String): DataFrame =
+    graft.Graft.semanticDupVerdictsIvf(
+        TextOps.tfidfTable(s, d).join(docQuality(s, d), "doc_id"),
+        col("doc_id"), col("vec"), col("q"), tauPermille = 900,
+        k = 16, iters = 3)
+      .orderBy("doc_id")
+
+  /** The row-local q_text_quality integer score keyed by doc_id —
+    * the quality side of both semantic-dedup faces. */
+  private def docQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
               graft.Graft.qualitySignals(col("text"), col("n_chars"))
                 .getField("quality_permille").as("q"))
-    graft.Graft.semanticDupVerdicts(
-        TextOps.tfidfTable(s, d).join(q, "doc_id"),
-        col("doc_id"), col("vec"), col("q"), tauPermille = 900)
-      .orderBy("doc_id")
-  }
 
   /** Top-k vocabulary coverage / OOV curve (round 10):
     * [[graft.Graft.vocabCoverage]] at k ∈ {4, 8, 16, 24, 32} (sized
