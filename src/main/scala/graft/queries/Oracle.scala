@@ -122,7 +122,10 @@ object Oracle {
     * [[graft.Graft.bpeEncode]]; an exhausted stage (no pairs left)
     * yields an empty t$i and COALESCE(chr(1)) turns its replace into
     * the identity — the Scala learner's early-stop twin. */
-  private def bpeSql(nMerges: Int, vocabLimit: Int): String = {
+  /** The shared WITH-prefix of both BPE oracles: the vocab cut, the
+    * wrapped-symbol seed, and `nMerges` training stages (t$i = the
+    * stage's chosen merge, v$i = the vocab rewritten under it). */
+  private def bpeStages(nMerges: Int, vocabLimit: Int): String = {
     val stages = (1 to nMerges).map { i =>
       s"""sy$i AS (SELECT freq, string_split(trim(s, '()'), ')(') AS y FROM v${i - 1}),
          |p$i AS (SELECT freq,
@@ -139,16 +142,20 @@ object Oracle {
          |             COALESCE((SELECT mrg FROM t$i), chr(1))) AS s
          |  FROM v${i - 1})""".stripMargin
     }.mkString(",\n")
+    s"""WITH w0 AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabLimit),
+       |v0 AS (SELECT word, freq, regexp_replace(word, '(?s)(.)', '(\\1)', 'g') AS s FROM w0),
+       |$stages""".stripMargin
+  }
+
+  private def bpeSql(nMerges: Int, vocabLimit: Int): String = {
     val chain = (1 to nMerges).foldLeft(
       "regexp_replace(w, '(?s)(.)', '(\\1)', 'g')") { (acc, i) =>
       s"replace($acc, COALESCE((SELECT pat FROM t$i), chr(1)), " +
         s"COALESCE((SELECT mrg FROM t$i), chr(1)))"
     }
-    s"""WITH w0 AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabLimit),
-       |v0 AS (SELECT word, freq, regexp_replace(word, '(?s)(.)', '(\\1)', 'g') AS s FROM w0),
-       |$stages,
+    s"""${bpeStages(nMerges, vocabLimit)},
        |tok AS (SELECT source, w FROM
        |  (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE w <> ''),
@@ -159,6 +166,22 @@ object Oracle {
        |       CAST((SUM(nc) - SUM(length(s) - length(replace(s, '(', '')))) * 1000
        |            // SUM(nc) AS BIGINT) AS saved_permille
        |FROM enc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q_bpe_vocab's oracle: the learned merge table itself, one row
+    * per training stage — each t$i unwrapped back to (lhs, rhs,
+    * merged). An exhausted stage contributes no row, the Scala
+    * learner's early-stop twin. */
+  private def bpeVocabSql(nMerges: Int, vocabLimit: Int): String = {
+    val rows = (1 to nMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, y[1] AS lhs, y[2] AS rhs,
+         |  trim(mrg, '()') AS merged
+         |FROM (SELECT string_split(trim(pat, '()'), ')(') AS y, mrg FROM t$i)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${bpeStages(nMerges, vocabLimit)}
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY step""".stripMargin
   }
 
   val sql: Map[String, String] = Map(
@@ -1349,6 +1372,11 @@ object Oracle {
       * same replace chain re-encodes every token occurrence — blind
       * to the Scala side's driver loop. Generated by [[bpeSql]]. */
     "q_bpe_encode" -> bpeSql(nMerges = 12, vocabLimit = 4096),
+
+    /** The learned merge table as first-class output (you need it to
+      * APPLY the tokenizer anywhere else): the same generated
+      * training stages, each stage's chosen merge unwrapped. */
+    "q_bpe_vocab" -> bpeVocabSql(nMerges = 12, vocabLimit = 4096),
 
     /** Semantic dedup: tf-idf recomputed from scratch (the
       * q_sim_sparse CTEs), the pair join kept at rounded cosine ≥

@@ -1286,6 +1286,25 @@ object PipelineOps {
     graft.Graft.bpePairStats(Tables.documents(s, d), col("text"), topK = 20)
       .orderBy(col("n").desc, col("pair"))
 
+  /** The learned BPE MERGE TABLE as a first-class query (round 12):
+    * one row per training stage — (step, lhs, rhs, merged) — because
+    * the merge list IS the tokenizer model: any other system needs
+    * exactly this table to apply the same segmentation. The table is
+    * O(nMerges) driver-state output (the q_ivf_build centroid-table
+    * stance — a model artifact, not corpus data); the oracle re-runs
+    * the full 12-stage training loop in SQL and unwraps each stage's
+    * argmax, so the MODEL ITSELF verifies cross-engine, not just the
+    * token counts [[q_bpe_encode]] checks. */
+  def q_bpe_vocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.bpeLearnMerges(Tables.documents(s, d), col("text"),
+        nMerges = 12, vocabLimit = 4096)
+      .zipWithIndex
+      .map { case ((a, b), i) => ((i + 1).toLong, a, b, a + b) }
+      .toDF("step", "lhs", "rhs", "merged")
+      .orderBy("step")
+  }
+
   /** BPE merge APPLICATION (round 12) — closes the gap the round-11
     * verdict named: [[q_bpe_pairs]] computes merge candidates but
     * nothing applied a merge table to encode text. This query trains

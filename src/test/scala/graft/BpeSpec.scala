@@ -86,6 +86,17 @@ class BpeSpec extends SparkSpecBase {
     assert(e.getMessage.contains("wrapped-symbol"))
   }
 
+  test("q_bpe_vocab: rows ARE the learner's merge list, in training order") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Graft.bpeLearnMerges(docs, col("text"), nMerges = 12, vocabLimit = 4096)
+    val out = graft.queries.PipelineOps.q_bpe_vocab(spark, sf).collect()
+    assert(out.length == merges.length)
+    out.zip(merges).zipWithIndex.foreach { case ((r, (a, b)), i) =>
+      assert(r.getLong(0) == i + 1L)
+      assert(r.getString(1) == a && r.getString(2) == b && r.getString(3) == a + b)
+    }
+  }
+
   test("q_bpe_encode: integer contract and per-source shape at sf0.001") {
     val out = graft.queries.PipelineOps.q_bpe_encode(spark, sf).collect()
     assert(out.nonEmpty)
