@@ -195,6 +195,58 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BPE: wrapped replace-chain == leftmost-greedy merge loop (random chains)") {
+    // The round-12 encoder's load-bearing equivalence: Graft.bpeEncode
+    // applies each merge as ONE literal string replace over the
+    // '(sym)'-wrapped form, and claims that equals the learner's
+    // leftmost-greedy non-overlapping symbol merge. Java
+    // String.replace has EXACTLY the replace semantics of Spark's and
+    // DuckDB's `replace` (literal, leftmost, non-overlapping, global),
+    // so the equivalence is checkable JVM-side across random merge
+    // CHAINS — including the adversarial shapes: self-merges (a,a),
+    // merges of merged symbols ((aa,a), (aa,aa)), and patterns that
+    // never occur. Also pins losslessness (concatenating the tokens
+    // reconstructs the word) for free.
+    val alpha = Seq("a", "b", "c")
+    // constructive chain generator: each merge picks two symbols from
+    // the pool so far (the learner's reachable-merge shape), and the
+    // merged symbol joins the pool — chains like (a,a),(aa,aa) arise
+    val chainGen: Gen[List[(String, String)]] =
+      Gen.chooseNum(0, 6).flatMap { n =>
+        (1 to n).foldLeft(Gen.const((alpha.toVector, List.empty[(String, String)]))) {
+          (acc, _) => acc.flatMap { case (pool, ms) =>
+            for {
+              a <- Gen.oneOf(pool)
+              b <- Gen.oneOf(pool)
+            } yield (pool :+ (a + b), ms :+ ((a, b)))
+          }
+        }.map(_._2)
+      }
+    val wordGen: Gen[String] =
+      Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(alpha)).map(_.mkString))
+    def chainEncode(word: String, merges: Seq[(String, String)]): String =
+      merges.foldLeft(word.map(c => s"($c)").mkString) { case (s, (a, b)) =>
+        s.replace(s"($a)($b)", s"($a$b)")
+      }
+    def greedy(word: String, merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(word.map(_.toString): Seq[String]) { case (syms, (a, b)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toSeq
+      }
+    check("bpe chain == greedy", Prop.forAll(wordGen, chainGen) { (w, ms) =>
+      val viaChain = chainEncode(w, ms)
+      val viaGreedy = greedy(w, ms)
+      viaChain == viaGreedy.map(s => s"($s)").mkString &&
+        viaGreedy.mkString == w
+    })
+  }
+
   test("ngram size-prune: exact filter 9c>=4(na+nb) implies 5*min>=4*max") {
     // Generator targets near-similar sizes so the premise fires often;
     // the check is a plain boolean (no ==> discards, which exhaust on
