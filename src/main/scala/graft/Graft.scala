@@ -2584,12 +2584,28 @@ object Graft {
       .withColumn("prefix",
         slice(col("gs"), lit(1),
               (col("na") - expr(s"(na * $p + 999) div 1000") + 1).cast("int")))
-    val prefix = sortedDocs.select(col("doc_id"), explode(col("prefix")).as("gram"),
-                                   col("na"))
+    // posexplode: `pos`+1 is the gram's 1-based rank in the doc's
+    // rarity order — the payload of the POSITIONAL filter below
+    val prefix = sortedDocs.select(col("doc_id"), col("na"),
+        posexplode(col("prefix")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("na"), (col("pos") + 1).as("pos"), col("gram"))
     val cand = operators.SkewJoin.blockedSelfPairs(prefix, Seq("gram"), "doc_id", maxBucket)
-      .select(col("doc_id_a").as("doc_a"), col("na_a").as("na"),
-              col("doc_id_b").as("doc_b"), col("na_b").as("nb"))
+      .select(col("doc_id_a").as("doc_a"), col("na_a").as("na"), col("pos_a"),
+              col("doc_id_b").as("doc_b"), col("na_b").as("nb"), col("pos_b"))
       .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
+      // PPJoin POSITIONAL filter (Xiao et al., WWW'08; round 12) —
+      // exact, applied per collision BEFORE the distinct so the
+      // candidate shuffle carries only justifiable pairs: both docs
+      // sort grams in the SAME global rarity order, so all common
+      // grams of a pair sit at ranks ≥ (i, j) of its FIRST collision;
+      // overlap is then ≤ min(na−i, nb−j)+1, and a pair with Jaccard
+      // ≥ p/1000 needs overlap·(1000+p) ≥ p·(na+nb) — a collision
+      // whose bound cannot reach that is dropped, and exactness holds
+      // because the first collision of every qualifying pair passes
+      // (EXISTS semantics: filter rows, then distinct). All-integer.
+      .filter((least(col("na") - col("pos_a"), col("nb") - col("pos_b")) + 1)
+                * (1000 + p) >= (col("na") + col("nb")) * p)
+      .select(col("doc_a"), col("na"), col("doc_b"), col("nb"))
       .distinct()
     cand
       .join(sortedDocs.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
