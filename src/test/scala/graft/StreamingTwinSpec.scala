@@ -239,6 +239,50 @@ class StreamingTwinSpec extends SparkSpecBase {
     assert(diff(stream, want) == 0)
   }
 
+  test("foreachBatch MinHash ingest probe: union of per-crawl batches == monolithic probe") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // The production shape of continuous near-dup ingest: each
+    // micro-batch IS a crawl batch, and foreachBatch runs the full
+    // bipartite probe (Graft.nearDupPairsMinhashAgainst) against the
+    // STANDING corpus. Micro-batch decomposition is EXACT for this
+    // operator — a batch doc's cross pairs depend only on itself and
+    // the static index, never on its batch-mates — so the union over
+    // any batch split must equal the monolithic probe of all streamed
+    // docs. (Within-batch near-dup pairs are the separate self-join
+    // stage of the pipeline, batch-local by design.)
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= Graft.nearDupPairsMinhashAgainst(
+            b, col("doc_id"), col("text"),
+            corpus, col("doc_id"), col("text"), estPermille = 900)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        (): Unit
+      }
+      .start()
+    // three uneven "crawls"
+    batchDocs.grouped(math.max(1, batchDocs.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val mono = Graft.nearDupPairsMinhashAgainst(
+        docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+        corpus, col("doc_id"), col("text"), estPermille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "vacuous: no cross pairs streamed")
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == mono.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("streaming gram-df maintenance equals the batch table (mergeable stats online)") {
     import org.apache.spark.sql.functions._
     // df is a sum, so the streaming aggregation's state after full
