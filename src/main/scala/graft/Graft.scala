@@ -447,9 +447,11 @@ object Graft {
     * exactly this aggregated table); the driver loop is
     * O(nMerges · Σ|word|) over ≤ vocabLimit words, integer counts
     * throughout, fully deterministic. Words containing '(' or ')'
-    * are REJECTED loudly (they would corrupt the wrapped-symbol
-    * encoding both here and in every engine's replace chain — remap
-    * such corpora before tokenizer training). */
+    * are REJECTED loudly — here for the learned vocabulary (driver
+    * require), and per ROW in [[bpeEncode]] for everything below the
+    * vocab cut (round-12 review: the cut meant a rare paren-bearing
+    * word could reach encode unchecked) — they would corrupt the
+    * wrapped-symbol form; remap such corpora before tokenizing. */
   def bpeLearnMerges(docs: DataFrame, text: Column, nMerges: Int,
                      vocabLimit: Int): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
@@ -492,9 +494,21 @@ object Graft {
       else {
         // argmax by (count DESC, wrapped-pattern ASC) — the pattern
         // string IS the tie order so the oracle's `ORDER BY cnt DESC,
-        // pat` states the identical total order
+        // pat` states the identical total order. Pattern comparison
+        // is UTF-8 BYTE order (round-12 review): DuckDB's ORDER BY
+        // and Spark SQL's UTF8String both compare bytes, while Java's
+        // String.compareTo compares UTF-16 units — the two diverge on
+        // supplementary characters (a surrogate pair sorts before
+        // U+E000..U+FFFF in UTF-16 but after in UTF-8), so a
+        // count-tie between such patterns would pick different merges
+        // per engine under the JVM default order.
+        val utf8Order: Ordering[String] = (x: String, y: String) =>
+          java.util.Arrays.compareUnsigned(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val (a, b) = counts.toSeq
-          .minBy { case ((x, y), c) => (-c, s"($x)($y)") }._1
+          .minBy { case ((x, y), c) => (-c, s"($x)($y)") }(
+            Ordering.Tuple2(Ordering.Long, utf8Order))._1
         merges += ((a, b))
         vocab = vocab.map { case (syms, f) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -520,12 +534,26 @@ object Graft {
     * any engine (SQL `replace` is leftmost non-overlapping in Spark
     * and DuckDB alike; the '(sym)' wrapping makes adjacent matches
     * share no characters, so back-to-back pairs both merge). Zero
-    * shuffle at any corpus size. */
-  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(regexp_replace(word, "(?s)(.)", "($1)")) {
+    * shuffle at any corpus size.
+    *
+    * A word CONTAINING '(' or ')' fails loudly AT THE ROW
+    * (raise_error, round-12 review): the learner's vocab-cut gate
+    * only sees the top-vocabLimit words, so a rare paren-bearing word
+    * could otherwise slip past it into encode and silently corrupt
+    * the delimiter count — the documented reject-don't-corrupt
+    * contract must hold for EVERY encoded row, not just the learned
+    * vocabulary. Two row-local `contains` checks; the mixtureWeights
+    * raise_error precedent. */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column = {
+    val encoded = merges.foldLeft(regexp_replace(word, "(?s)(.)", "($1)")) {
       case (c, (a, b)) =>
         call_function("replace", c, lit(s"($a)($b)"), lit(s"($a$b)"))
     }
+    when(word.contains("(") || word.contains(")"),
+         raise_error(concat(lit("bpeEncode: word contains '(' or ')' and would " +
+           "corrupt the wrapped-symbol form - remap before tokenizing: "), word)))
+      .otherwise(encoded)
+  }
 
   /** Token count of a [[bpeEncode]]d string — the number of '('
     * symbol delimiters; integer, row-local. */
@@ -1992,8 +2020,16 @@ object Graft {
     // df = N; vocabLimit+1 of those would push the sentinel out —
     // and then the loud require below fires, never a silent wrong N.
     val sent = " "
+    // coalesce BEFORE concat (round-12 review): split(NULL) is NULL
+    // and concat(NULL, …) is NULL, so a NULL-text row would silently
+    // leave the sentinel count and undercount N — diverging from both
+    // the replaced toks.count() (which counted every row) and the
+    // oracle's COUNT(*). A NULL row contributes the sentinel only,
+    // exactly like the old two-job path.
     val top = toks
-      .select(explode(concat(array_distinct(col("__toks")), array(lit(sent)))).as("__t"))
+      .select(explode(concat(coalesce(array_distinct(col("__toks")),
+                                      array().cast("array<string>")),
+                             array(lit(sent)))).as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__df"))
       .orderBy(col("__df").desc, col("__t").asc).limit(vocabLimit + 1)
       .collect()
@@ -3117,7 +3153,13 @@ object Graft {
       .select(col("doc_id_a").as("vec_a"), col("doc_id_b").as("vec_b"),
               round(functions.GraftFunctions.dot(col("v_a"), col("v_b")), 3)
                 .as("cosine"))
-      .filter(col("cosine") * 1000 >= tauPermille)
+      // integer-permille threshold, matching the exact kernel's
+      // math.round compare (round-12 review): `cosine * 1000 >= τ` on
+      // doubles loses exact-boundary pairs for some τ (0.29·1000 =
+      // 289.999…94 < 290), which would violate the "within-cell pairs
+      // are scored exactly" contract — recall loss must come ONLY
+      // from cell straddling
+      .filter(round(col("cosine") * 1000, 0).cast("long") >= tauPermille)
     val pairs = TempTables.materialize(scored, "semdup_ivf_pairs")
     semanticVerdictsFromPairs(pairs, e.select(col("doc_id"), col("q")))
   }

@@ -173,6 +173,11 @@ object TempTables {
     * consumers stay lazy. */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(evict)
+    // sweep warmedKeys with the same stopped-session rule (round-12
+    // review): entries key SparkSessions, and without eviction every
+    // stopped session stays strongly reachable for the JVM lifetime —
+    // the leak the cache map's sweep exists to prevent
+    warmedKeys.removeIf(_._1.sparkContext.isStopped)
     val path = cache.get((s, key)) match {
       case Some(p) =>
         // first access AFTER the building call: one timed sequential

@@ -1297,12 +1297,29 @@ object PipelineOps {
     * token counts [[q_bpe_encode]] checks. */
   def q_bpe_vocab(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.Graft.bpeLearnMerges(Tables.documents(s, d), col("text"),
-        nMerges = 12, vocabLimit = 4096)
+    bpeMerges(s, d)
       .zipWithIndex
       .map { case ((a, b), i) => ((i + 1).toLong, a, b, a + b) }
       .toDF("step", "lhs", "rhs", "merged")
       .orderBy("step")
+  }
+
+  /** The learned merge table, TRAINED ONCE per (session, sfDir) and
+    * shared by [[q_bpe_encode]] and [[q_bpe_vocab]] (round-12 review:
+    * each re-ran the corpus word-frequency pass and the driver loop
+    * for an identical Seq — the duplicated-first-touch cost class
+    * this round removed everywhere else). Driver-state model cache,
+    * the HashOps ivfModelCache pattern; stopped-session entries are
+    * evicted on access. */
+  private val bpeMergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(String, String)]]
+
+  private def bpeMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    bpeMergeCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(bpeMergeCache.remove)
+    bpeMergeCache.getOrElseUpdate((s, d),
+      graft.Graft.bpeLearnMerges(Tables.documents(s, d), col("text"),
+        nMerges = 12, vocabLimit = 4096))
   }
 
   /** BPE merge APPLICATION (round 12) — closes the gap the round-11
@@ -1323,8 +1340,7 @@ object PipelineOps {
     * is zero-shuffle; ONE metadata-scale rollup. */
   def q_bpe_encode(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val merges = graft.Graft.bpeLearnMerges(docs, col("text"),
-      nMerges = 12, vocabLimit = 4096)
+    val merges = bpeMerges(s, d)
     docs.select(col("source"), explode(toks).as("w"))
       .filter(length(col("w")) > 0)
       .select(col("source"), length(col("w")).cast("long").as("nc"),

@@ -86,6 +86,21 @@ class BpeSpec extends SparkSpecBase {
     assert(e.getMessage.contains("wrapped-symbol"))
   }
 
+  test("encode of a paren-bearing word fails loudly AT THE ROW") {
+    // the learner's gate only sees the top-vocabLimit words, so the
+    // encoder must enforce the contract for every row it touches
+    // (round-12 review: a rare 'f(x' below the cut previously
+    // corrupted the delimiter count silently)
+    val e = intercept[Exception] {
+      spark.range(1)
+        .select(Graft.bpeEncode(lit("f(x"), Seq(("a", "b"))).as("s"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("corrupt")), msgs(e).mkString(" | "))
+  }
+
   test("q_bpe_vocab: rows ARE the learner's merge list, in training order") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val merges = Graft.bpeLearnMerges(docs, col("text"), nMerges = 12, vocabLimit = 4096)
