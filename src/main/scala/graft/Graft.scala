@@ -2806,17 +2806,24 @@ object Graft {
       .blockedSelfPairs(banded, Seq("bucket"), "rep", maxBucket)
       .select(col("rep_a"), col("rep_b"))
       .distinct()
+    // PLAIN equi-joins, no broadcast hints (round 12): sigs/members
+    // are one row per DISTINCT document set — corpus-scale tables —
+    // and a forced broadcast of either is exactly the
+    // could-not-fit-at-100TB shape the sizedGrams refactor removed.
+    // The surviving-pair side is pair-scale, so AQE's runtime
+    // re-plan broadcasts the RIGHT side when one truly is small;
+    // at scale both sides shuffle on rep, which is correct.
     val matches = functions.ArrayMatchCount.matchCount(col("sig_a"), col("sig_b"))
     val candRep = repPairs
-      .join(broadcast(sigs.select(col("rep").as("rep_a"), col("sig").as("sig_a"))), "rep_a")
-      .join(broadcast(sigs.select(col("rep").as("rep_b"), col("sig").as("sig_b"))), "rep_b")
+      .join(sigs.select(col("rep").as("rep_a"), col("sig").as("sig_a")), "rep_a")
+      .join(sigs.select(col("rep").as("rep_b"), col("sig").as("sig_b")), "rep_b")
       .filter(matches * 1000 >= lit(estPermille * MinHash.NumPerms))
       .select(col("rep_a"), col("rep_b"),
               round(matches.cast("double") / MinHash.NumPerms, 3).as("est_jaccard"))
     val members = groups.select(col("rep"), col("members"))
     val crossDocs = candRep
-      .join(broadcast(members.select(col("rep").as("rep_a"), col("members").as("ms_a"))), "rep_a")
-      .join(broadcast(members.select(col("rep").as("rep_b"), col("members").as("ms_b"))), "rep_b")
+      .join(members.select(col("rep").as("rep_a"), col("members").as("ms_a")), "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("members").as("ms_b")), "rep_b")
       .select(explode(col("ms_a")).as("da"), col("ms_b"), col("est_jaccard"))
       .select(col("da"), explode(col("ms_b")).as("db"), col("est_jaccard"))
       .select(least(col("da"), col("db")).as("doc_a"),
