@@ -452,6 +452,19 @@ object Graft {
     * vocab cut (round-12 review: the cut meant a rare paren-bearing
     * word could reach encode unchecked) — they would corrupt the
     * wrapped-symbol form; remap such corpora before tokenizing. */
+  /** UTF-8 BYTE ordering for BPE pattern tie-breaks (round-12
+    * review): DuckDB's ORDER BY and Spark SQL's UTF8String both
+    * compare bytes, while Java's String.compareTo compares UTF-16
+    * units — the two diverge on supplementary characters (a surrogate
+    * pair sorts before U+E000..U+FFFF in UTF-16 but after in UTF-8),
+    * so a count-tie between such patterns would pick different merges
+    * per engine under the JVM default order. Hoisted (review ×2): the
+    * ordering is loop-invariant. */
+  private val bpePatternOrder: Ordering[String] = (x: String, y: String) =>
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   def bpeLearnMerges(docs: DataFrame, text: Column, nMerges: Int,
                      vocabLimit: Int): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
@@ -494,21 +507,11 @@ object Graft {
       else {
         // argmax by (count DESC, wrapped-pattern ASC) — the pattern
         // string IS the tie order so the oracle's `ORDER BY cnt DESC,
-        // pat` states the identical total order. Pattern comparison
-        // is UTF-8 BYTE order (round-12 review): DuckDB's ORDER BY
-        // and Spark SQL's UTF8String both compare bytes, while Java's
-        // String.compareTo compares UTF-16 units — the two diverge on
-        // supplementary characters (a surrogate pair sorts before
-        // U+E000..U+FFFF in UTF-16 but after in UTF-8), so a
-        // count-tie between such patterns would pick different merges
-        // per engine under the JVM default order.
-        val utf8Order: Ordering[String] = (x: String, y: String) =>
-          java.util.Arrays.compareUnsigned(
-            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // pat` states the identical total order; byte-order
+        // comparison via the loop-invariant [[bpePatternOrder]].
         val (a, b) = counts.toSeq
           .minBy { case ((x, y), c) => (-c, s"($x)($y)") }(
-            Ordering.Tuple2(Ordering.Long, utf8Order))._1
+            Ordering.Tuple2(Ordering.Long, bpePatternOrder))._1
         merges += ((a, b))
         vocab = vocab.map { case (syms, f) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -2041,6 +2044,12 @@ object Graft {
     val vArr = array(vocab.map(v => lit(v._1)).toIndexedSeq: _*)
     val idfArr = array(vocab.map(v => lit(v._2)).toIndexedSeq: _*)
     toks
+      // NULL-text rows featurize over the EMPTY token array (review
+      // ×2): with NULL-text now officially counted in N, the raw
+      // size(filter(NULL,…)) would emit a vector of SQL NULLs where
+      // the contract promises the all-zero vector
+      .select(col("doc_id"),
+              coalesce(col("__toks"), array().cast("array<string>")).as("__toks"))
       .select(col("doc_id"),
         zip_with(vArr, idfArr,
           (t, w) => size(filter(col("__toks"), x => x === t)).cast("double") * w)
@@ -3165,8 +3174,12 @@ object Graft {
       // doubles loses exact-boundary pairs for some τ (0.29·1000 =
       // 289.999…94 < 290), which would violate the "within-cell pairs
       // are scored exactly" contract — recall loss must come ONLY
-      // from cell straddling
-      .filter(round(col("cosine") * 1000, 0).cast("long") >= tauPermille)
+      // from cell straddling. NO cast to long (review ×2): round()
+      // yields an exactly-integral double (< 2^53), so the double-int
+      // compare is exact, while an ANSI cast would throw on a NaN
+      // cosine (non-finite caller vectors) where the exact kernel
+      // silently excludes the pair.
+      .filter(round(col("cosine") * 1000, 0) >= tauPermille)
     val pairs = TempTables.materialize(scored, "semdup_ivf_pairs")
     semanticVerdictsFromPairs(pairs, e.select(col("doc_id"), col("q")))
   }
