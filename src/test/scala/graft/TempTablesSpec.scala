@@ -76,4 +76,41 @@ class TempTablesSpec extends SparkSpecBase {
     assert(created.forall(p => !Files.exists(Paths.get(p))),
       "sweepAnon must delete materialized dirs")
   }
+
+  test("build ledger records SELF time: nested child builds subtract from the parent") {
+    // round 12: a parent build that first-touches a child table runs
+    // the child inside its own timer; the ledger must charge the
+    // child's wall to the child row ONLY, so rows add up across a run
+    // (the r12 triple read ngram_pairs at 2×+ its own cost before
+    // this). The child sleeps measurably; the parent's self row must
+    // not include it.
+    def childBuild() = TempTables.cached(spark, "tts_ledger_child") {
+      Thread.sleep(600)
+      spark.range(10).toDF("id")
+    }
+    TempTables.cached(spark, "tts_ledger_parent") {
+      childBuild().withColumn("v", col("id") + 1)
+    }
+    val costs = TempTables.buildCosts
+    val (childSelf, _, childN) = costs("tts_ledger_child")
+    val (parentSelf, _, parentN) = costs("tts_ledger_parent")
+    assert(childN == 1 && parentN == 1)
+    assert(childSelf >= 0.6, s"child must carry its own sleep, got $childSelf")
+    assert(parentSelf < childSelf,
+      s"parent self time ($parentSelf) must exclude the child's 0.6 s sleep ($childSelf)")
+  }
+
+  test("first-read ledger: first access AFTER the building call records a row") {
+    val key = "tts_read_ledger"
+    TempTables.cached(spark, key)(spark.range(50).toDF("id"))
+    assert(!TempTables.firstReadCosts.contains(key),
+      "the builder's own call must not record a read row")
+    TempTables.cached(spark, key)(sys.error("must not rebuild"))
+    val (sec, bytes) = TempTables.firstReadCosts(key)
+    assert(sec >= 0.0 && bytes > 0,
+      s"first post-build access must stream and record the files, got ($sec, $bytes)")
+    // idempotent: later calls don't re-stream (one row per key)
+    TempTables.cached(spark, key)(sys.error("must not rebuild"))
+    assert(TempTables.firstReadCosts(key) == ((sec, bytes)))
+  }
 }
