@@ -2234,6 +2234,7 @@ object Graft {
   def nearDupBands(docs: DataFrame, id: Column, text: Column,
                    lowPermille: Int = 700, bandPermille: Int = 50,
                    n: Int = 3, maxBucket: Int = 1024,
+                   gramDf: Option[DataFrame] = None,
                    docGrams: Option[DataFrame] = None): DataFrame = {
     require(lowPermille > 0 && lowPermille <= 1000,
       s"lowPermille must be in (0, 1000], got $lowPermille")
@@ -2247,7 +2248,7 @@ object Graft {
       s"lowPermille must be a multiple of bandPermille, got $lowPermille % $bandPermille")
     require(n >= 1, s"n must be >= 1, got $n")
     ngramCandidatePairs(docs, id, text, lowPermille, n, maxBucket,
-        docGrams = docGrams)
+        gramDf = gramDf, docGrams = docGrams)
       .select(expr("common * 1000 div (na + nb - common)").as("jp"))
       .select((col("jp") - (col("jp") % bandPermille)).as("band_lo"))
       .groupBy("band_lo")
@@ -2428,7 +2429,16 @@ object Graft {
     require(maxGramDocFreq >= 1, s"maxGramDocFreq must be >= 1, got $maxGramDocFreq")
     val p = thresholdPermille
     val sized = sizedGrams(docs, id, text, n, maxGramDocFreq, gramDf, docGrams)
-    operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket)
+    // uncapped, the shared gram-df table is also the skew guard's
+    // bucket-size source — the same hot-count-pass elimination as
+    // [[nearDupPairsNgram]] (round 12; decomposition-only, so a stale
+    // table degrades balance, never the pair set)
+    val sizesForBlocks =
+      if (maxGramDocFreq == Int.MaxValue)
+        gramDf.map(validGramDf(_, n).select(col("gram"), col("gdf")))
+      else None
+    operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket,
+                                        sizesForBlocks)
       .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
               col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
       .groupBy("doc_a", "doc_b", "na", "nb")

@@ -430,7 +430,8 @@ object PipelineOps {
   def q_dedup_sweep(s: SparkSession, d: String): DataFrame =
     graft.Graft.nearDupBands(Tables.documents(s, d),
         col("doc_id"), col("text"), lowPermille = 700, bandPermille = 50,
-        n = 3, docGrams = Some(docGramsTable(s, d)))
+        n = 3, gramDf = Some(gramDfTable(s, d)),
+        docGrams = Some(docGramsTable(s, d)))
       .orderBy("band_lo")
 
   /** Gram document-frequency histogram (round 11) — the
@@ -905,6 +906,7 @@ object PipelineOps {
   def q_dedup_contain(s: SparkSession, d: String): DataFrame =
     graft.Graft.containmentPairsNgram(Tables.documents(s, d),
         col("doc_id"), col("text"), thresholdPermille = 800, n = 3,
+        gramDf = Some(gramDfTable(s, d)),
         docGrams = Some(docGramsTable(s, d)))
       .orderBy("doc_a", "doc_b")
 

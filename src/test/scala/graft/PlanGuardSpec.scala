@@ -147,7 +147,11 @@ class PlanGuardSpec extends SparkSpecBase {
   private val exchangeBudget = Map(
     "q_jaccard_prefix" -> 5,
     "q_dedup_ngram" -> 1,
-    "q_dedup_contain" -> 5,
+    // re-pinned 5 → 4 in round 12: the shared gram-df table became
+    // the skew guard's bucket-size source, deleting the hot-gram
+    // count pass (and its exchange) from the containment candidate
+    // join — the same cut the pair-graph build took
+    "q_dedup_contain" -> 4,
     "q_triangle_count" -> 8,
     "q_pagerank" -> 3,
     // round-10 verdict #5: pin the shared-artifact consumers too, so
