@@ -1578,9 +1578,13 @@ object Graft {
                    docGrams: Option[DataFrame] = None): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val grams = sizedGrams(docs, id, text, n, Int.MaxValue, None, docGrams)
+    // the df side joins by int64 fingerprint like every other
+    // inverted-index consumer (round 13) — the broadcast table
+    // shrinks and the probe hashes a long, not a ~25-byte string
     val df = gramDf.map(validGramDf(_, n))
       .getOrElse(gramDocFreq(docs, id, text, n, docGrams))
-    grams.join(df, "gram")
+      .select(gramFp(col("gram")).as("gf"), col("gdf"))
+    grams.join(df, "gf")
       .groupBy("doc_id", "n_grams")
       .agg(sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("novel_grams"))
       .select(col("doc_id"), col("n_grams"), col("novel_grams"),
@@ -2192,9 +2196,10 @@ object Graft {
     // no bucket can be hot and the inline pass is the cheap one.
     val sizesForBlocks =
       if (maxGramDocFreq == Int.MaxValue)
-        gramDf.map(validGramDf(_, n).select(col("gram"), col("gdf")))
+        gramDf.map(validGramDf(_, n)
+          .select(gramFp(col("gram")).as("gf"), col("gdf")))
       else None
-    operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket,
+    operators.SkewJoin.blockedSelfPairs(sized, Seq("gf"), "doc_id", maxBucket,
                                         sizesForBlocks)
       .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
               col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
@@ -2255,9 +2260,32 @@ object Graft {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
-  /** The (doc_id, n_grams, gram) exploded-and-sized inverted-index
+  /** The int64 gram FINGERPRINT every inverted-index join keys on
+    * (round 13): xxhash64 of the gram text, computed row-locally at
+    * the explode. A word-3-gram averages ~20–30 UTF-8 bytes and the
+    * candidate joins ship every occurrence of it through an
+    * exchange; an 8-byte long narrows those exchanges severalfold,
+    * hashes/compares in one instruction, and shrinks every
+    * gram-keyed temp-parquet write (the round-12 driver first-touch
+    * ledger's top rows were exactly these builds). Gram TEXT stays
+    * only in the two source-of-truth tables ([[docGramArrays]],
+    * [[gramDocFreq]]) — consumers fingerprint on read.
+    *
+    * Collision stance: two distinct grams share a fingerprint with
+    * probability ≈ V²/2⁶⁵ for vocabulary V — ~7e-7 at the sf0.1
+    * vocabulary (5e6 grams), ~3 expected collisions GLOBALLY at a
+    * 100 TB-scale V = 10¹⁰. A collision merges two grams' index
+    * buckets (one gram of overlap mis-counted for the colliding
+    * pair's co-documents) — the standard fingerprinting trade every
+    * production dedup pipeline makes; the exact-text path is always
+    * available by handing n-gram arrays to the set facades. */
+  private def gramFp(gram: Column): Column = xxhash64(gram)
+
+  /** The (doc_id, n_grams, gf) exploded-and-sized inverted-index
     * input shared by [[nearDupPairsNgram]] and
-    * [[containmentPairsNgram]]. UNCAPPED, `n_grams` is ROW-LOCAL —
+    * [[containmentPairsNgram]] — `gf` the int64 [[gramFp]]
+    * fingerprint (round 13: gram text never enters the candidate
+    * exchanges). UNCAPPED, `n_grams` is ROW-LOCAL —
     * size(array_distinct(ngrams)) computed before the explode, so the
     * per-doc sizes need NO aggregate and NO join at all (the previous
     * shape group-by-counted the exploded grams and broadcast-joined a
@@ -2276,17 +2304,20 @@ object Graft {
                          docGrams: Option[DataFrame] = None): DataFrame = {
     val allGrams = docGrams.map(validDocGrams(_, n))
       .getOrElse(docGramArrays(docs, id, text, n))
-      .select(col("doc_id"), col("na").as("n_grams"), explode(col("ga")).as("gram"))
+      .select(col("doc_id"), col("na").as("n_grams"),
+              explode(col("ga")).as("gram"))
+      .select(col("doc_id"), col("n_grams"), gramFp(col("gram")).as("gf"))
     if (maxGramDocFreq == Int.MaxValue) allGrams
     else {
       val hot = gramDf.map(validGramDf(_, n))
-        .map(_.filter(col("gdf") > maxGramDocFreq).select("gram"))
-        .getOrElse(allGrams.groupBy("gram").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxGramDocFreq).select("gram"))
-      val kept = allGrams.drop("n_grams").join(broadcast(hot), Seq("gram"), "left_anti")
+        .map(_.filter(col("gdf") > maxGramDocFreq)
+          .select(gramFp(col("gram")).as("gf")))
+        .getOrElse(allGrams.groupBy("gf").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxGramDocFreq).select("gf"))
+      val kept = allGrams.drop("n_grams").join(broadcast(hot), Seq("gf"), "left_anti")
       val sizes = TempTables.materialize(
         kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams")), "ngram_sizes")
-      kept.join(sizes, "doc_id").select("doc_id", "n_grams", "gram")
+      kept.join(sizes, "doc_id").select("doc_id", "n_grams", "gf")
     }
   }
 
@@ -2435,9 +2466,10 @@ object Graft {
     // table degrades balance, never the pair set)
     val sizesForBlocks =
       if (maxGramDocFreq == Int.MaxValue)
-        gramDf.map(validGramDf(_, n).select(col("gram"), col("gdf")))
+        gramDf.map(validGramDf(_, n)
+          .select(gramFp(col("gram")).as("gf"), col("gdf")))
       else None
-    operators.SkewJoin.blockedSelfPairs(sized, Seq("gram"), "doc_id", maxBucket,
+    operators.SkewJoin.blockedSelfPairs(sized, Seq("gf"), "doc_id", maxBucket,
                                         sizesForBlocks)
       .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
               col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
@@ -2540,23 +2572,24 @@ object Graft {
                 array_distinct(functions.TokenNGrams.ngrams(col("t"), n)).as("ga"))
         .select(col(idName), size(col("ga")).cast("long").as(szName),
                 explode(col("ga")).as("gram"))
+        .select(col(idName), col(szName), gramFp(col("gram")).as("gf"))
     }
     val cg0 = gramsOf(corpus, corpusId, corpusText, "doc_a", "na")
     val ng0 = gramsOf(newDocs, newId, newText, "doc_b", "nb")
     val (cSized, nSized) =
       if (maxGramDocFreq == Int.MaxValue) (cg0, ng0)
       else {
-        val hot = cg0.groupBy("gram").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxGramDocFreq).select("gram")
+        val hot = cg0.groupBy("gf").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxGramDocFreq).select("gf")
         def recount(df: DataFrame, idName: String, szName: String) = {
-          val kept = df.drop(szName).join(broadcast(hot), Seq("gram"), "left_anti")
+          val kept = df.drop(szName).join(broadcast(hot), Seq("gf"), "left_anti")
           val sizes = TempTables.materialize(
             kept.groupBy(idName).agg(count(lit(1)).as(szName)), "ngram_sizes")
-          kept.join(sizes, idName).select(idName, szName, "gram")
+          kept.join(sizes, idName).select(idName, szName, "gf")
         }
         (recount(cg0, "doc_a", "na"), recount(ng0, "doc_b", "nb"))
       }
-    operators.SkewJoin.blockedBipartiteJoin(cSized, "doc_a", nSized, Seq("gram"), maxBucket)
+    operators.SkewJoin.blockedBipartiteJoin(cSized, "doc_a", nSized, Seq("gf"), maxBucket)
       .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("common"))
@@ -2606,34 +2639,41 @@ object Graft {
     val grams = docGrams.map(validDocGrams(_, n))
       .getOrElse(docGramArrays(docs, id, text, n))
       .select(col("doc_id"), explode(col("ga")).as("gram"))
+      .select(col("doc_id"), gramFp(col("gram")).as("gf"))
     // `gramDf`: the shared [[gramDocFreq]] table for the SAME
     // (docs, n) — hands the rarity order to this facade for free and
     // saves the second full gram scan (PipelineOps caches one per sf
     // dir and feeds it to the whole n-gram family); when absent the
     // df pass runs inline as before
-    val rarity = gramDf.map(validGramDf(_, n))
-      .getOrElse(grams.groupBy("gram").agg(count(lit(1)).as("gdf")))
+    val rarity = gramDf.map(validGramDf(_, n)
+        .select(gramFp(col("gram")).as("gf"), col("gdf")))
+      .getOrElse(grams.groupBy("gf").agg(count(lit(1)).as("gdf")))
     // ONE per-doc aggregate carries the rarity-SORTED gram array (the
-    // struct sort on (gdf, gram) is the same total order the old
-    // per-doc window ranked by), the set size, and the prefix slice —
-    // prefix bound in pure integers: n − ceil(p·n/1000) + 1 =
-    // n − (p·n + 999) div 1000 + 1. TempTables.materialize writes the
-    // ≤|docs|-row table ONCE as temp parquet: without it the
-    // tokenize→gram-explode→rarity subtree re-ran once per consumer —
-    // index, and the twice-joined verify — measured 4.5 s. Parquet
-    // rather than localCheckpoint because THREE joins consume this
-    // table and an RDD-backed scan's defaultSizeInBytes would cost
-    // them their broadcast option (q_jaccard_prefix ran 2.7–2.9×
-    // over its median for two rounds on exactly that stats loss).
-    // the materialized table carries only (doc_id, gs, na) — the
-    // prefix is a row-local slice of gs, cheaper to re-derive on read
-    // than to duplicate ~30% of every gram array into the write
+    // struct sort on (gdf, gf) is ONE total order both docs of any
+    // pair agree on — since round 13 the tie-break is the int64
+    // fingerprint, not the gram text: prefix-filter exactness needs
+    // SOME consistent total order, not a particular one, and the
+    // fingerprint arrays make the materialized table and the verify
+    // intersections ~3× narrower than gram strings), the set size,
+    // and the prefix slice — prefix bound in pure integers:
+    // n − ceil(p·n/1000) + 1 = n − (p·n + 999) div 1000 + 1.
+    // TempTables.materialize writes the ≤|docs|-row table ONCE as
+    // temp parquet: without it the gram-explode→rarity subtree re-ran
+    // once per consumer — index, and the twice-joined verify —
+    // measured 4.5 s. Parquet rather than localCheckpoint because
+    // THREE joins consume this table and an RDD-backed scan's
+    // defaultSizeInBytes would cost them their broadcast option
+    // (q_jaccard_prefix ran 2.7–2.9× over its median for two rounds
+    // on exactly that stats loss). The materialized table carries
+    // only (doc_id, gs, na) — the prefix is a row-local slice of gs,
+    // cheaper to re-derive on read than to duplicate ~30% of every
+    // fingerprint array into the write.
     val sortedDocs = TempTables.materialize(
-      grams.join(rarity, "gram")
+      grams.join(rarity, "gf")
         .groupBy("doc_id")
-        .agg(array_sort(collect_list(struct(col("gdf"), col("gram")))).as("sg"))
+        .agg(array_sort(collect_list(struct(col("gdf"), col("gf")))).as("sg"))
         .select(col("doc_id"),
-                transform(col("sg"), s => s.getField("gram")).as("gs"),
+                transform(col("sg"), s => s.getField("gf")).as("gs"),
                 size(col("sg")).as("na")),
       "jacc_grams")
       .withColumn("prefix",
@@ -2642,9 +2682,9 @@ object Graft {
     // posexplode: `pos`+1 is the gram's 1-based rank in the doc's
     // rarity order — the payload of the POSITIONAL filter below
     val prefix = sortedDocs.select(col("doc_id"), col("na"),
-        posexplode(col("prefix")).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("na"), (col("pos") + 1).as("pos"), col("gram"))
-    val cand = operators.SkewJoin.blockedSelfPairs(prefix, Seq("gram"), "doc_id", maxBucket)
+        posexplode(col("prefix")).as(Seq("pos", "gf")))
+      .select(col("doc_id"), col("na"), (col("pos") + 1).as("pos"), col("gf"))
+    val cand = operators.SkewJoin.blockedSelfPairs(prefix, Seq("gf"), "doc_id", maxBucket)
       .select(col("doc_id_a").as("doc_a"), col("na_a").as("na"), col("pos_a"),
               col("doc_id_b").as("doc_b"), col("na_b").as("nb"), col("pos_b"))
       .filter(col("na") * 1000 >= col("nb") * p && col("nb") * 1000 >= col("na") * p)

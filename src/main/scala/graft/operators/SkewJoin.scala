@@ -143,8 +143,19 @@ object SkewJoin {
       case None =>
         df.groupBy(keys: _*).agg(count(lit(1)).as("__cnt"))
     }
-    val hot = counted
-      .filter(col("__cnt") > maxBucket)
+    // a HANDED sizes table may carry duplicate bucket keys (round 13:
+    // the gram family keys on int64 fingerprints, and two colliding
+    // grams project to the same key) — a duplicate key in `hot` would
+    // DUPLICATE every matching row through the left join below and
+    // corrupt the pair set, so the hot rows are re-aggregated after
+    // the threshold filter (metadata-scale: only above-cap keys).
+    // The inline-count path is a groupBy result, unique by construction.
+    val hotCounted = counted.filter(col("__cnt") > maxBucket)
+    val hotUnique = sizes match {
+      case Some(_) => hotCounted.groupBy(keys: _*).agg(sum("__cnt").as("__cnt"))
+      case None    => hotCounted
+    }
+    val hot = hotUnique
       .select(keys :+
         ceil(col("__cnt").cast("double") / maxBucket).cast("int").as("__nblk"): _*)
     val blocked = df.join(broadcast(hot), bucketCols, "left")

@@ -150,8 +150,13 @@ class PlanGuardSpec extends SparkSpecBase {
     // re-pinned 5 → 4 in round 12: the shared gram-df table became
     // the skew guard's bucket-size source, deleting the hot-gram
     // count pass (and its exchange) from the containment candidate
-    // join — the same cut the pair-graph build took
-    "q_dedup_contain" -> 4,
+    // join — the same cut the pair-graph build took. Back to 5 in
+    // round 13 (audited): the handed-sizes path re-aggregates the
+    // ABOVE-CAP hot keys to guarantee key uniqueness under int64
+    // fingerprint collisions — a metadata-scale exchange over only
+    // the >maxBucket rows, bought back many times over by the gram
+    // join keys shrinking from ~25-byte strings to longs
+    "q_dedup_contain" -> 5,
     "q_triangle_count" -> 8,
     "q_pagerank" -> 3,
     // round-10 verdict #5: pin the shared-artifact consumers too, so
