@@ -70,6 +70,23 @@ object PipelineOps {
         col("doc_id"), col("text"), n = 3,
         docGrams = Some(docGramsTable(s, d))))
 
+  /** The rarity-sorted per-doc gram-fingerprint table (doc_id, gs,
+    * na) — [[graft.Graft.rarityGramArrays]] at n = 3 over documents,
+    * computed ONCE per (session, sfDir) and shared by
+    * [[q_jaccard_prefix]] (index + both verify joins) and
+    * [[q_dedup_incremental]] (BOTH sides of the bipartite prefix
+    * probe are mod-2 slices of this one table, which is also what
+    * makes their rarity orders consistent by construction — the
+    * prefix theorem's one uncheckable precondition). Before round 13
+    * the self-join facade materialized this subtree per CALL and the
+    * ingest probe re-exploded the full inverted index per call. */
+  private def jaccSortedTable(s: SparkSession, d: String): DataFrame =
+    graft.TempTables.cached(s, s"jacc_sorted:$d")(
+      graft.Graft.rarityGramArrays(Tables.documents(s, d),
+        col("doc_id"), col("text"), n = 3,
+        gramDf = Some(gramDfTable(s, d)),
+        docGrams = Some(docGramsTable(s, d))))
+
   /** Component labels over [[ngramPairGraph]], computed ONCE per
     * (session, sfDir) and shared by [[q_dedup_cluster]] (membership
     * accounting) and [[q_dedup_drop]] (removal) — the "write the
@@ -126,8 +143,7 @@ object PipelineOps {
   def q_jaccard_prefix(s: SparkSession, d: String): DataFrame =
     graft.Graft.jaccardJoinPrefix(Tables.documents(s, d),
         col("doc_id"), col("text"), thresholdPermille = 700,
-        gramDf = Some(gramDfTable(s, d)),
-        docGrams = Some(docGramsTable(s, d)))
+        sortedGrams = Some(jaccSortedTable(s, d)))
       .orderBy("doc_a", "doc_b")
 
   /** Sorted-neighborhood near-dup pairs (added round 8): order docs
@@ -722,17 +738,25 @@ object PipelineOps {
   /** Incremental dedup (added round 8): the odd-doc_id half of the
     * corpus arrives as a NEW batch and is probed against the standing
     * even-doc_id corpus — every cross pair with exact 3-gram Jaccard
-    * ≥ 0.8. This query IS [[graft.Graft.nearDupPairsNgramAgainst]],
-    * so the oracle verifies the public API: the bipartite inverted-
-    * index join (blockedBipartiteJoin hot-gram guard) does work
-    * linear in the new batch for a fixed index — the shape that lets
-    * a 100 TB pipeline dedup per-ingest instead of re-running the
-    * corpus² self-join. */
+    * ≥ 0.8. Since round 13 this query IS
+    * [[graft.Graft.jaccardPrefixAgainst]] — the bipartite PREFIX
+    * probe — so the oracle verifies the public API: both sides are
+    * mod-2 slices of the SHARED [[jaccSortedTable]] parquet (one
+    * rarity order by construction, disjoint ids by the split), each
+    * side indexes only its (1−t) rarest-gram prefix, and the PPJoin
+    * positional filter prunes per collision before the distinct —
+    * work linear in the new batch for a fixed index, with the same
+    * ~an-order-of-magnitude candidate cut the self-join form gets
+    * over the full inverted index. The unfiltered-index twin
+    * ([[graft.Graft.nearDupPairsNgramAgainst]]) stays the facade for
+    * one-off probes with no standing sorted table; equivalence of
+    * the two is pinned in PipelineSpec. */
   def q_dedup_incremental(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    graft.Graft.nearDupPairsNgramAgainst(
-        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
-        docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    val sorted = jaccSortedTable(s, d)
+    graft.Graft.jaccardPrefixAgainst(
+        sorted.filter(col("doc_id") % 2 === 0),
+        sorted.filter(col("doc_id") % 2 === 1),
+        thresholdPermille = 800)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -309,6 +309,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(sfGot == direct.toSet)
   }
 
+  test("jaccardPrefixAgainst == nearDupPairsNgramAgainst on the mod-2 split (prefix theorem, bipartite)") {
+    // the incremental probe's two faces must agree exactly: the full
+    // bipartite inverted index vs the prefix index + positional
+    // filter over slices of ONE rarityGramArrays table — at a
+    // NON-default threshold, so the prefix bound genuinely bites
+    val docs = Tables.documents(spark, sf)
+    val full = graft.Graft.nearDupPairsNgramAgainst(
+        docs.filter($"doc_id" % 2 === 0), $"doc_id", $"text",
+        docs.filter($"doc_id" % 2 === 1), $"doc_id", $"text",
+        thresholdPermille = 700)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sorted = graft.Graft.rarityGramArrays(docs, $"doc_id", $"text", n = 3)
+    val pref = graft.Graft.jaccardPrefixAgainst(
+        sorted.filter($"doc_id" % 2 === 0),
+        sorted.filter($"doc_id" % 2 === 1),
+        thresholdPermille = 700)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == full)
+    assert(full.nonEmpty) // non-vacuous: the split corpus has cross dups
+  }
+
   test("contamination: half-overlap threshold on crafted eval/corpus docs") {
     val dir = mkDocs(Seq(
       (1L, "a b c d e", "en"),   // eval doc: grams {a b c, b c d, c d e}
