@@ -2453,13 +2453,13 @@ object Graft {
                             maxBucket: Int = 1024,
                             maxGramDocFreq: Int = Int.MaxValue,
                             gramDf: Option[DataFrame] = None,
-                            docGrams: Option[DataFrame] = None): DataFrame = {
+                            docGrams: Option[DataFrame] = None,
+                            sortedGrams: Option[DataFrame] = None): DataFrame = {
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     require(n >= 1, s"n must be >= 1, got $n")
     require(maxGramDocFreq >= 1, s"maxGramDocFreq must be >= 1, got $maxGramDocFreq")
     val p = thresholdPermille
-    val sized = sizedGrams(docs, id, text, n, maxGramDocFreq, gramDf, docGrams)
     // uncapped, the shared gram-df table is also the skew guard's
     // bucket-size source — the same hot-count-pass elimination as
     // [[nearDupPairsNgram]] (round 12; decomposition-only, so a stale
@@ -2469,15 +2469,59 @@ object Graft {
         gramDf.map(validGramDf(_, n)
           .select(gramFp(col("gram")).as("gf"), col("gdf")))
       else None
-    operators.SkewJoin.blockedSelfPairs(sized, Seq("gf"), "doc_id", maxBucket,
-                                        sizesForBlocks)
-      .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
-              col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("common"))
-      .filter(col("common") * 1000 >= least(col("na"), col("nb")) * p)
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("common"),
-              expr("common * 1000L div least(na, nb)").as("containment_permille"))
+    sortedGrams match {
+      case Some(sd0) =>
+        // POSITIONAL path (round-12 verdict #6): containment admits
+        // no two-sided PREFIX (a doc's required overlap ⌈p·min/1000⌉
+        // can be as low as 1 against a tiny partner, so every gram
+        // must stay indexed) — but it DOES admit the per-collision
+        // positional bound: with both docs sorted by the one shared
+        // rarity order of a handed [[rarityGramArrays]] table, all
+        // common grams of a pair sit at ranks ≥ (i, j) of its FIRST
+        // collision, so common ≤ min(na−i, nb−j)+1 — a collision
+        // whose bound cannot reach ⌈p·min(na,nb)/1000⌉ is dropped
+        // BEFORE the candidate distinct, and exactness holds because
+        // the first collision of every qualifying pair passes (its
+        // bound ≥ common ≥ the requirement — EXISTS semantics).
+        // Measured at sf0.1, t = 0.8: 1,265,779 collisions → 152,982
+        // post-filter → 148,647 pairs to verify (an 8.3× cut in what
+        // the distinct exchange carries).
+        // Survivors verify exactly via array_intersect on the same
+        // handed table. Exact-only: the lossy stop-gram cap changes
+        // the gram universe and must use the counting path below.
+        require(maxGramDocFreq == Int.MaxValue,
+          "sortedGrams is the exact path — maxGramDocFreq needs the counting path")
+        val sd = validSortedGrams(sd0, n)
+        val pos = sd.select(col("doc_id"), col("na").cast("long").as("n_grams"),
+            posexplode(col("gs")).as(Seq("pos", "gf")))
+          .select(col("doc_id"), col("n_grams"),
+                  (col("pos") + 1).as("pos"), col("gf"))
+        operators.SkewJoin.blockedSelfPairs(pos, Seq("gf"), "doc_id", maxBucket,
+                                            sizesForBlocks)
+          .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"), col("pos_a"),
+                  col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"), col("pos_b"))
+          .filter((least(col("na") - col("pos_a"), col("nb") - col("pos_b")) + 1) * 1000
+                    >= least(col("na"), col("nb")) * p)
+          .select(col("doc_a"), col("na"), col("doc_b"), col("nb"))
+          .distinct()
+          .join(sd.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
+          .join(sd.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
+          .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+          .filter(col("common") * 1000 >= least(col("na"), col("nb")) * p)
+          .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("common"),
+                  expr("common * 1000L div least(na, nb)").as("containment_permille"))
+      case None =>
+        val sized = sizedGrams(docs, id, text, n, maxGramDocFreq, gramDf, docGrams)
+        operators.SkewJoin.blockedSelfPairs(sized, Seq("gf"), "doc_id", maxBucket,
+                                            sizesForBlocks)
+          .select(col("doc_id_a").as("doc_a"), col("n_grams_a").as("na"),
+                  col("doc_id_b").as("doc_b"), col("n_grams_b").as("nb"))
+          .groupBy("doc_a", "doc_b", "na", "nb")
+          .agg(count(lit(1)).as("common"))
+          .filter(col("common") * 1000 >= least(col("na"), col("nb")) * p)
+          .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("common"),
+                  expr("common * 1000L div least(na, nb)").as("containment_permille"))
+    }
   }
 
   /** Sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM) — the
@@ -3019,7 +3063,14 @@ object Graft {
     * boilerplate accumulates); opt-in, recall-lossy, like the self
     * variant. With the cap off, output = [[nearDupPairsMinhash]] of
     * (batch ∪ corpus) restricted to cross pairs — pinned in
-    * MinHashSpec. Returns (batch_id, corpus_id, est_jaccard). */
+    * MinHashSpec. Returns (batch_id, corpus_id, est_jaccard).
+    *
+    * Id-overlap contract (round-12 ADVICE): the two sides are
+    * expected DISJOINT (an ingest probe's natural state). If a doc
+    * id appears on both sides it is the SAME document seen twice,
+    * and its degenerate (x, x) "cross pair" at est_jaccard 1.0 is
+    * filtered from the output rather than reported as a duplicate of
+    * itself; its genuine cross pairs with OTHER docs are unaffected. */
   def nearDupPairsMinhashAgainst(batch: DataFrame, batchId: Column, batchText: Column,
                                  corpus: DataFrame, corpusId: Column, corpusText: Column,
                                  estPermille: Int = 900,
@@ -3078,6 +3129,9 @@ object Graft {
     candRep
       .select(explode(col("ms_b")).as("batch_id"), col("ms_c"), col("est_jaccard"))
       .select(col("batch_id"), explode(col("ms_c")).as("corpus_id"), col("est_jaccard"))
+      // a doc present on both sides is the same document, not a dup
+      // of itself (see scaladoc id-overlap contract)
+      .filter(col("batch_id") =!= col("corpus_id"))
   }
 
   /** Benchmark decontamination over ANY corpus/eval pair: corpus docs

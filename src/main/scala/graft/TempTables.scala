@@ -80,7 +80,18 @@ object TempTables {
       if (!stack.isEmpty) stack.push(stack.pop() + wall)
       recordBuild(key, math.max(0.0, wall - children), path)
       out
-    } catch { case e: Throwable => stack.pop(); throw e }
+    } catch {
+      case e: Throwable =>
+        // charge the failed build's wall to the enclosing parent too
+        // (round-12 ADVICE): without it the parent's SELF row would
+        // silently absorb the thrown child's partial wall and the
+        // rows-add-up invariant breaks exactly when debugging most
+        // needs it
+        val wall = (System.nanoTime() - t0) / 1e9
+        stack.pop()
+        if (!stack.isEmpty) stack.push(stack.pop() + wall)
+        throw e
+    }
   }
 
   private def recordBuild(key: String, secs: Double, path: String): Unit = {
@@ -136,7 +147,21 @@ object TempTables {
         w.filter(Files.isRegularFile(_)).iterator().asScala.toList
       }
       val total = files.map(Files.size).sum
-      if (total > PrefetchBoundBytes) { readCosts.putIfAbsent(key, (-1.0, total)); return }
+      // ACCUMULATE like recordBuild (round-12 ADVICE): warmedKeys
+      // fires once per (session, key) — i.e. once per sfDir — so in a
+      // multi-sfDir session later sfDirs' warm passes run and must be
+      // visible, not silently discarded by a putIfAbsent on the
+      // prefix key. secs = -1 is sticky: once any read of the key was
+      // skipped as over-bound, the row stays flagged (the unmeasured
+      // cold-I/O candidate the ledger exists to surface), bytes still
+      // accumulating.
+      if (total > PrefetchBoundBytes) {
+        readCosts.updateWith(key) {
+          case Some((_, b)) => Some((-1.0, b + total))
+          case None         => Some((-1.0, total))
+        }
+        return
+      }
       val t0 = System.nanoTime()
       val buf = new Array[Byte](1 << 20)
       files.foreach { f =>
@@ -144,7 +169,12 @@ object TempTables {
           while (in.read(buf) >= 0) {}
         }
       }
-      readCosts.putIfAbsent(key, ((System.nanoTime() - t0) / 1e9, total))
+      val secs = (System.nanoTime() - t0) / 1e9
+      readCosts.updateWith(key) {
+        case Some((s, b)) if s < 0 => Some((s, b + total))
+        case Some((s, b))          => Some((s + secs, b + total))
+        case None                  => Some((secs, total))
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 

@@ -926,12 +926,17 @@ object PipelineOps {
     * [[graft.Graft.containmentPairsNgram]] on the documents table, so
     * the oracle verifies the public facade: same inverted-index
     * candidate join, deliberately NO size-ratio prune (those
-    * asymmetric pairs are the positives here), all-integer output. */
+    * asymmetric pairs are the positives here), all-integer output.
+    * Since round 13 it hands the shared [[jaccSortedTable]] — the
+    * candidate join carries rank positions and the per-collision
+    * positional bound prunes before the distinct (the PPJoin trick,
+    * containment algebra), with survivors verified exactly against
+    * the same parquet table. */
   def q_dedup_contain(s: SparkSession, d: String): DataFrame =
     graft.Graft.containmentPairsNgram(Tables.documents(s, d),
         col("doc_id"), col("text"), thresholdPermille = 800, n = 3,
         gramDf = Some(gramDfTable(s, d)),
-        docGrams = Some(docGramsTable(s, d)))
+        sortedGrams = Some(jaccSortedTable(s, d)))
       .orderBy("doc_a", "doc_b")
 
   /** CCNet-style perplexity bucketing: every document scored by the

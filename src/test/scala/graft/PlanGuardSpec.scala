@@ -220,7 +220,17 @@ class PlanGuardSpec extends SparkSpecBase {
     // output sort — the all-pairs threshold kernel itself shuffles
     // nothing, its chunks are planner-built broadcasts)
     "q_bpe_encode" -> 2,
-    "q_dedup_semantic" -> 4)
+    "q_dedup_semantic" -> 4,
+    // round-13 additions (round-12 verdict #5): the IVF semantic twin
+    // (pair-orientation joins over the materialized semdup_ivf_pairs
+    // parquet — same 4-exchange read shape as the exact twin; the
+    // k-means train is a priced one-off job, assignment is row-local
+    // against broadcast centroids) and the REWIRED incremental probe
+    // (bipartite prefix join's two explicit-count repartitions, the
+    // candidate distinct, one verify co-partition, the output sort;
+    // both sorted-gram sides broadcast off the cached parquet stats)
+    "q_dedup_semantic_ivf" -> 4,
+    "q_dedup_incremental" -> 5)
 
   test("q_vocab_overlap reads the corpus once — the distinct subtree is reused") {
     import org.apache.spark.sql.execution.FileSourceScanExec
