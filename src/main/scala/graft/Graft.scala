@@ -444,14 +444,19 @@ object Graft {
     * Scale shape: ONE corpus pass builds the word-frequency table and
     * the top-`vocabLimit` cut bounds driver state (the tfidfVectors /
     * ivfTrain model-scalar pattern — production BPE trainers run on
-    * exactly this aggregated table); the driver loop is
-    * O(nMerges · Σ|word|) over ≤ vocabLimit words, integer counts
-    * throughout, fully deterministic. Words containing '(' or ')'
-    * are REJECTED loudly — here for the learned vocabulary (driver
-    * require), and per ROW in [[bpeEncode]] for everything below the
-    * vocab cut (round-12 review: the cut meant a rare paren-bearing
-    * word could reach encode unchecked) — they would corrupt the
-    * wrapped-symbol form; remap such corpora before tokenizing. */
+    * exactly this aggregated table); the driver loop is the
+    * INCREMENTAL pair-count algorithm ([[bpeLearnMergesFromVocab]] —
+    * O(Σ|word|·max|word|) TOTAL across all merges, not
+    * O(nMerges·Σ|word|)), integer counts throughout, fully
+    * deterministic — measured at tokenizer scale in BpeSpec: 32,768
+    * merges over a 32,768-type synthetic frequency table run in
+    * single-digit seconds, where the naive recount-per-merge loop
+    * would take hundreds. Words containing '(' or ')' are REJECTED
+    * loudly — here for the learned vocabulary (driver require), and
+    * per ROW in [[bpeEncode]] for everything below the vocab cut
+    * (round-12 review: the cut meant a rare paren-bearing word could
+    * reach encode unchecked) — they would corrupt the wrapped-symbol
+    * form; remap such corpora before tokenizing. */
   /** UTF-8 BYTE ordering for BPE pattern tie-breaks (round-12
     * review): DuckDB's ORDER BY and Spark SQL's UTF8String both
     * compare bytes, while Java's String.compareTo compares UTF-16
@@ -467,13 +472,45 @@ object Graft {
 
   def bpeLearnMerges(docs: DataFrame, text: Column, nMerges: Int,
                      vocabLimit: Int): Seq[(String, String)] = {
-    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(vocabLimit >= 1, s"vocabLimit must be >= 1, got $vocabLimit")
     val words = docs.select(explode(split(text, " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w").asc).limit(vocabLimit)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    bpeLearnMergesFromVocab(words.toIndexedSeq, nMerges)
+  }
+
+  /** The BPE merge loop itself, over an ALREADY-AGGREGATED
+    * (word, frequency) table — the form production trainers consume
+    * (and the form [[bpeLearnMerges]] collects); public so the driver
+    * bound can be measured on synthetic frequency tables without a
+    * corpus scan (BpeSpec's 32k-merge benchmark).
+    *
+    * The loop is INCREMENTAL (the standard trainer shape): adjacent
+    * pair counts and a pair → word-index occurrence list are built
+    * once; each merge rewrites ONLY the words that contain the merged
+    * pair and applies count deltas for exactly the adjacencies those
+    * rewrites destroy and create, with the argmax served by a
+    * max-heap under lazy deletion (an entry whose snapshot count no
+    * longer matches the live map is re-pushed at the live count, so a
+    * heap pop can only ever surface the true current argmax). Each
+    * merge that touches a word shortens it by ≥ 1 symbol, so a word
+    * of length L is rewritten < L times across the WHOLE run: total
+    * work is O(Σ|word| · max|word| · log) regardless of nMerges, vs
+    * the naive recount-per-merge O(nMerges · Σ|word|) — at 32k merges
+    * over a 32k-type vocabulary the difference is seconds vs hours
+    * (measured in BpeSpec, which also pins exact merge-sequence
+    * equivalence against an independent naive reference).
+    *
+    * Argmax order: (count DESC, wrapped-pattern "(a)(b)" ASC in UTF-8
+    * BYTE order) — the ONE total order the SQL oracle can state; see
+    * [[bpePatternOrder]]. Stops early ("dry") when no adjacent pair
+    * remains. Words containing '(' or ')' are rejected loudly (they
+    * would corrupt the wrapped-symbol form). */
+  def bpeLearnMergesFromVocab(words: IndexedSeq[(String, Long)],
+                              nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(words.forall(w => !w._1.contains('(') && !w._1.contains(')')),
       "bpeLearnMerges: words containing '(' or ')' would corrupt the " +
         "wrapped-symbol form — remap them before tokenizer training")
@@ -489,41 +526,88 @@ object Graft {
       }
       out.toArray
     }
-    var vocab = words.map { case (w, f) => (codePoints(w), f) }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var it = 0
-    var dry = false
-    while (it < nMerges && !dry) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      vocab.foreach { case (syms, f) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + f)
-          i += 1
-        }
+    val syms = words.map { case (w, _) => codePoints(w) }.toArray
+    val freqs = words.map(_._2).toArray
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // pair → indices of words where the pair has EVER occurred: a
+    // lazy superset, never pruned — a stale index only makes that
+    // pair's eventual merge rescan a word it no longer occurs in (a
+    // cheap no-op), which keeps occurrence bookkeeping O(1) per bump
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    // max-heap of snapshot entries: greatest = highest count, then
+    // byte-wise SMALLEST wrapped pattern (argmax = one dequeue)
+    case class Entry(cnt: Long, pat: String, a: String, b: String)
+    val heapOrd = new Ordering[Entry] {
+      def compare(x: Entry, y: Entry): Int =
+        if (x.cnt != y.cnt) java.lang.Long.compare(x.cnt, y.cnt)
+        else bpePatternOrder.compare(y.pat, x.pat)
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[Entry](heapOrd)
+    def bump(a: String, b: String, delta: Long, wordIdx: Int): Unit = {
+      val k = (a, b)
+      val c = counts.getOrElse(k, 0L) + delta
+      if (c == 0L) counts.remove(k) else counts.update(k, c)
+      if (delta > 0) {
+        occ.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += wordIdx
+        heap.enqueue(Entry(c, s"($a)($b)", a, b))
       }
-      if (counts.isEmpty) dry = true
-      else {
+    }
+    var w = 0
+    while (w < syms.length) {
+      val s = syms(w)
+      var i = 0
+      while (i < s.length - 1) { bump(s(i), s(i + 1), freqs(w), w); i += 1 }
+      w += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < nMerges && heap.nonEmpty) {
+      val e = heap.dequeue()
+      val live = counts.getOrElse((e.a, e.b), 0L)
+      if (live != e.cnt) {
+        // stale snapshot: re-enter at the live count (if the pair
+        // still exists) and re-pop — no live pair is ever lost
+        if (live > 0L) heap.enqueue(Entry(live, e.pat, e.a, e.b))
+      } else {
         // argmax by (count DESC, wrapped-pattern ASC) — the pattern
         // string IS the tie order so the oracle's `ORDER BY cnt DESC,
         // pat` states the identical total order; byte-order
         // comparison via the loop-invariant [[bpePatternOrder]].
-        val (a, b) = counts.toSeq
-          .minBy { case ((x, y), c) => (-c, s"($x)($y)") }(
-            Ordering.Tuple2(Ordering.Long, bpePatternOrder))._1
+        val (a, b) = (e.a, e.b)
         merges += ((a, b))
-        vocab = vocab.map { case (syms, f) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val touched = occ.remove((a, b))
+          .map(_.distinct)
+          .getOrElse(scala.collection.mutable.ArrayBuffer.empty[Int])
+        touched.foreach { wi =>
+          val old = syms(wi)
+          val f = freqs(wi)
+          // a stale occurrence index: the word may no longer contain
+          // the pair after earlier rewrites — skip without deltas
+          var has = false
           var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-              out += a + b; i += 2
-            } else { out += syms(i); i += 1 }
+          while (!has && i < old.length - 1) {
+            has = old(i) == a && old(i + 1) == b; i += 1
           }
-          (out.toArray, f)
+          if (has) {
+            i = 0
+            while (i < old.length - 1) {
+              bump(old(i), old(i + 1), -f, wi); i += 1
+            }
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < old.length) {
+              if (i < old.length - 1 && old(i) == a && old(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += old(i); i += 1 }
+            }
+            syms(wi) = out.toArray
+            i = 0
+            while (i < out.length - 1) {
+              bump(out(i), out(i + 1), f, wi); i += 1
+            }
+          }
         }
-        it += 1
       }
     }
     merges.toSeq
@@ -3187,16 +3271,39 @@ object Graft {
                           maxHamming: Int = 3,
                           maxBucket: Int = 1024,
                           maxBandDocFreq: Int = Int.MaxValue): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= SimHash.NumBands - 1,
-      s"band LSH guarantees recall only for maxHamming <= ${SimHash.NumBands - 1}, " +
-        s"got $maxHamming")
-    require(maxBandDocFreq >= 1, s"maxBandDocFreq must be >= 1, got $maxBandDocFreq")
     val sigs = docs
       .select(id.cast("long").as("doc_id"), explode(split(text, " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .groupBy("doc_id")
       .agg(udaf(SimHash.agg).apply(col("token"), col("tf")).as("sig"))
-    val bandedAll = sigs.select(col("doc_id"), col("sig"),
+    nearDupPairsHamming(sigs, col("doc_id"), col("sig"),
+      maxHamming, maxBucket, maxBandDocFreq)
+  }
+
+  /** Banded Hamming pairing over PRECOMPUTED 64-bit signatures — the
+    * candidate machinery of [[nearDupPairsSimhash]] factored out so
+    * any 64-bit fingerprint family can ride it (SimHash text
+    * fingerprints, [[graft.multimodal.Multimodal.perceptualHash]]
+    * media fingerprints): (doc_a, doc_b, hamming) for Hamming
+    * distance ≤ maxHamming, doc_a < doc_b, unordered. Candidates come
+    * from [[SimHash.NumBands]] 16-bit band buckets — perfect recall
+    * for maxHamming ≤ NumBands−1 by pigeonhole, larger radii rejected
+    * loudly rather than silently lossy. Band key and Hamming are pure
+    * built-ins (codegen-fused); rows stay two longs wide end-to-end;
+    * buckets above `maxBucket` are block-decomposed
+    * ([[operators.SkewJoin.blockedSelfPairs]]) and `maxBandDocFreq`
+    * is the opt-in lossy dense-band cap, both exactly as documented
+    * on the SimHash face. Ids must be unique and long-castable. */
+  def nearDupPairsHamming(sigs: DataFrame, id: Column, sig: Column,
+                          maxHamming: Int = 3,
+                          maxBucket: Int = 1024,
+                          maxBandDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= SimHash.NumBands - 1,
+      s"band LSH guarantees recall only for maxHamming <= ${SimHash.NumBands - 1}, " +
+        s"got $maxHamming")
+    require(maxBandDocFreq >= 1, s"maxBandDocFreq must be >= 1, got $maxBandDocFreq")
+    val base = sigs.select(id.cast("long").as("doc_id"), sig.cast("long").as("sig"))
+    val bandedAll = base.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(SimHash.NumBands - 1))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
               expr(s"shiftrightunsigned(sig, band * ${SimHash.BandBits}) & 65535").as("key"))
@@ -3380,6 +3487,75 @@ object Graft {
       .filter(round(col("cosine") * 1000, 0) >= tauPermille)
     val pairs = TempTables.materialize(scored, "semdup_ivf_pairs")
     semanticVerdictsFromPairs(pairs, e.select(col("doc_id"), col("q")))
+  }
+
+  /** INCREMENTAL semantic dedup (round 13 — the per-ingest face of
+    * [[semanticDupVerdictsIvf]], completing the family the way
+    * [[nearDupPairsNgramAgainst]]/[[nearDupPairsMinhashAgainst]]
+    * complete theirs): a NEW BATCH of vectors is screened against a
+    * STANDING corpus under a STANDING trained quantizer, without
+    * re-running Lloyd or re-pairing the corpus against itself. Both
+    * sides take their cell from the same broadcast `centroids` model
+    * ([[ivfTrain]] output — the ivfModelCache / "persist the model
+    * table once" posture), candidates meet ONLY within a cell via
+    * [[operators.SkewJoin.blockedBipartiteJoin]] (corpus = large
+    * side: the standing corpus is where a dense cell accumulates, and
+    * a hot cell splits into id-hash blocks with batch rows replicated
+    * across them), scoring is the same HALF_UP-3 rounded dot with the
+    * same integer-permille threshold (recall loss comes ONLY from
+    * cell straddling, exactly the full run's contract).
+    *
+    * Returns one row PER BATCH DOC with ≥ 1 same-cell corpus neighbor
+    * at rounded cosine ≥ tauPermille/1000: (doc_id, quality, n_dups,
+    * dropped) — the [[semanticDupVerdicts]] schema with n_dups
+    * counting CORPUS neighbors only and dropped = 1 iff some corpus
+    * neighbor dominates under the (quality DESC, id ASC) total order:
+    * the ingest decision "does the standing corpus already contain a
+    * better copy of this document?". Batch-internal duplicates are
+    * deliberately out of scope (screen the batch against itself with
+    * [[semanticDupVerdictsIvf]] if needed — the two calls compose to
+    * the full union semantics restricted to their pair subsets).
+    *
+    * Id-overlap contract (the [[nearDupPairsMinhashAgainst]] stance):
+    * sides are expected DISJOINT; a doc id present on both sides is
+    * the same document seen twice and its degenerate (x, x) pair is
+    * filtered rather than reported as a self-duplicate. Quality must
+    * cast to long on both sides. Equivalence to the full
+    * [[semanticDupVerdictsIvf]] run under a shared model, restricted
+    * to cross pairs, is pinned in SemanticDedupSpec. */
+  def semanticDupVerdictsIvfAgainst(centroids: DataFrame,
+                                    batch: DataFrame, batchId: Column,
+                                    batchVec: Column, batchQual: Column,
+                                    corpus: DataFrame, corpusId: Column,
+                                    corpusVec: Column, corpusQual: Column,
+                                    tauPermille: Int,
+                                    maxBucket: Int = 4096): DataFrame = {
+    require(tauPermille >= 0 && tauPermille <= 1000,
+      s"tauPermille must be in [0, 1000], got $tauPermille")
+    val b = batch.select(batchId.cast("long").as("doc_id"), batchVec.as("bv"),
+                         batchQual.cast("long").as("q"))
+    val c = corpus.select(corpusId.cast("long").as("nb"), corpusVec.as("cv"),
+                          corpusQual.cast("long").as("nq"))
+    val bCells = ivfAssign(centroids, b, col("bv"))
+      .select(col("cell"), col("doc_id"), col("bv"), col("q"))
+    val cCells = ivfAssign(centroids, c, col("cv"))
+      .select(col("cell"), col("nb"), col("cv"), col("nq"))
+    operators.SkewJoin
+      .blockedBipartiteJoin(cCells, "nb", bCells, Seq("cell"), maxBucket)
+      .filter(col("doc_id") =!= col("nb"))
+      .select(col("doc_id"), col("q"), col("nb"), col("nq"),
+              round(functions.GraftFunctions.dot(col("bv"), col("cv")), 3)
+                .as("cosine"))
+      // integer-permille compare on the exactly-integral rounded
+      // double — the semanticDupVerdictsIvf boundary discipline
+      .filter(round(col("cosine") * 1000, 0) >= tauPermille)
+      .groupBy("doc_id", "q")
+      .agg(count(lit(1)).as("n_dups"),
+           max(when(col("nq") > col("q") ||
+                    (col("nq") === col("q") && col("nb") < col("doc_id")),
+                    1L).otherwise(0L)).as("dropped"))
+      .select(col("doc_id"), col("q").as("quality"),
+              col("n_dups"), col("dropped"))
   }
 
   // ------------------------------------------------------------------

@@ -445,6 +445,135 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Fold one decoded frame into the shared 8×8 average-hash cell
+    * accumulators: pixel (x, y) of a w×h frame lands in cell
+    * ((y·8)/h, (x·8)/w) — the exact box partition for dims ≥ 8, and a
+    * clamped degenerate mapping below (tiny frames leave some cells
+    * empty; [[finishAverageHash]] scores empty cells 0 on every
+    * variant, so they can never flip between an asset and its
+    * re-encode). Luminance = (r+g+b)/3, the [[decodeImage]] scale. */
+  private def accumulateHashCells(img: java.awt.image.BufferedImage,
+                                  sum: Array[Long], cnt: Array[Long]): Unit = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        val c = cy * 8 + x * 8 / w
+        sum(c) += lum
+        cnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Pack the accumulated 8×8 cells into the 64-bit average hash:
+    * bit c = 1 iff cell c's mean luminance exceeds the GLOBAL mean
+    * pixel luminance — compared as the exact integer cross product
+    * sum_c·N > total·cnt_c (BigInt: a 4096-frame 16-MPix GIF
+    * overflows the Long product), never a float division. Exactness
+    * buys two algebraic INVARIANCES, not just robustness: a uniform
+    * brightness shift +δ turns the comparison into
+    * (sum_c+δ·cnt_c)·N > (total+δ·N)·cnt_c, which cancels back to
+    * the original, and integer upscaling (pixel duplication) scales
+    * both sides by the same factor — so the two perturbations a
+    * re-encoded asset actually carries leave the signature
+    * bit-identical, with no float-tie edge cases. Empty cells
+    * (frames smaller than 8×8) score 0 on every variant. */
+  private def finishAverageHash(sum: Array[Long], cnt: Array[Long]): Long = {
+    var total = 0L
+    var n = 0L
+    var c = 0
+    while (c < 64) { total += sum(c); n += cnt(c); c += 1 }
+    var sig = 0L
+    c = 0
+    while (c < 64) {
+      if (cnt(c) > 0 && BigInt(sum(c)) * n > BigInt(total) * cnt(c))
+        sig |= 1L << c
+      c += 1
+    }
+    sig
+  }
+
+  /** PERCEPTUAL fingerprint (average hash) of a decodable media
+    * payload — the near-dup content key exact-MD5 dedup cannot be:
+    * a re-encoded (BMP → GIF), brightness-shifted, or
+    * integer-upscaled copy of an asset keeps the same (or a
+    * ≤-few-bit) 64-bit signature, because the hash ranks 8×8
+    * box-averaged luminance cells against their own mean instead of
+    * hashing bytes. Images (BMP/PNG) hash their full pixel grid;
+    * multi-frame GIFs hash the TEMPORAL AVERAGE of every `stride`-th
+    * frame's cells (the keyframe-sampling shape of [[decodeVideo]],
+    * same magic-byte and dimension-bomb gates). Returns None for
+    * undecodable payloads — the q_media_dedup pipeline falls back to
+    * exact-digest identity for those, never a fake signature.
+    *
+    * Pairing at corpus scale: feed the signatures to
+    * [[graft.Graft.nearDupPairsHamming]] (16-bit band buckets +
+    * blocked self-join + exact bit_count verify — the SimHash
+    * machinery, which this signature deliberately shares its width
+    * with). Row-local; the signature is 8 bytes however large the
+    * asset. */
+  def perceptualHash(payload: Array[Byte], stride: Int = 1): Option[Long] =
+    if (looksLikeGif(payload)) {
+      val (w, h) = declaredGifDims(payload)
+      if (stride < 1 || w < 1 || h < 1 || w.toLong * h > MaxPixels) None
+      else
+        try {
+          val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              reader.setInput(iis, false, true)
+              val nf = reader.getNumImages(true)
+              if (nf < 1 || nf > MaxFrames) None
+              else {
+                val sum = new Array[Long](64)
+                val cnt = new Array[Long](64)
+                var i = 0
+                var ok = true
+                while (ok && i < nf) {
+                  if (reader.getWidth(i).toLong * reader.getHeight(i) > MaxPixels)
+                    ok = false
+                  else {
+                    accumulateHashCells(reader.read(i), sum, cnt)
+                    i += stride
+                  }
+                }
+                if (ok) Some(finishAverageHash(sum, cnt)) else None
+              }
+            } finally {
+              reader.dispose()
+              iis.close()
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+    } else if (looksLikeImage(payload)) {
+      if (!declaredDims(payload).exists { case (w, h) =>
+            w >= 1 && h >= 1 && w.toLong * h <= MaxPixels }) None
+      else
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val img = javax.imageio.ImageIO.read(iis)
+          if (img == null) { iis.close(); None }
+          else {
+            val sum = new Array[Long](64)
+            val cnt = new Array[Long](64)
+            accumulateHashCells(img, sum, cnt)
+            Some(finishAverageHash(sum, cnt))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+    } else None
+
   /** Frame sampling: treat the payload as fixed-size frames, keep every
     * `stride`-th — the shape of video keyframe extraction. */
   def sampleFrames(payload: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =

@@ -112,6 +112,98 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  /** Independent NAIVE reference for the merge loop — recount every
+    * adjacent pair from scratch each iteration, argmax by (count DESC,
+    * wrapped-pattern ASC byte order): the O(nMerges · Σ|word|) loop
+    * the incremental learner replaced, kept here as the equivalence
+    * oracle so the incremental bookkeeping can never drift from the
+    * stated semantics. */
+  private def naiveMerges(words: Seq[(String, Long)],
+                          nMerges: Int): Seq[(String, String)] = {
+    val patOrd: Ordering[String] = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var vocab = words.map { case (w, f) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var dry = false
+    while (merges.length < nMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        for (i <- 0 until syms.length - 1)
+          counts.update((syms(i), syms(i + 1)),
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + f)
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val (a, b) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, s"($x)($y)") }(
+            Ordering.Tuple2(Ordering.Long, patOrd))._1
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("incremental learner matches the naive recount reference exactly") {
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 1 to 10) {
+      // alternate a 2-letter alphabet (maximally tie- and
+      // overlap-heavy: runs like "ababab", count-tied pairs every
+      // round) with a broader one (deeper merge chains)
+      val alpha = if (trial % 2 == 0) "ab" else "abcde"
+      val n = 30 + rnd.nextInt(60)
+      val words = (1 to n).map { _ =>
+        val len = 1 + rnd.nextInt(10)
+        (Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString,
+         1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }
+        .toIndexedSeq.sortBy(_._1)
+      // past-exhaustion nMerges also pins identical dry-out behavior
+      val nm = 1 + rnd.nextInt(400)
+      val inc = Graft.bpeLearnMergesFromVocab(words, nm)
+      val ref = naiveMerges(words, nm)
+      assert(inc == ref, s"trial $trial (nMerges=$nm, ${words.size} words)")
+    }
+  }
+
+  test("driver bound holds at tokenizer scale: 32k merges over a 32k-type vocabulary") {
+    // the model-scale claim, MEASURED (round-12 verdict #7): a
+    // realistic trainer configuration — 32,768 word types, Zipf-ish
+    // frequencies, 32,768 requested merges — must complete on the
+    // driver in seconds, which only the incremental loop does (the
+    // naive recount loop is O(nMerges · Σ|word|) ≈ 10¹⁰ symbol visits
+    // here). The bound asserted is deliberately loose for CI jitter;
+    // the printed figure is the measured claim.
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 32768).map { r =>
+      val len = 4 + rnd.nextInt(13)
+      val w = Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString + r.toString
+      (w, 1L + 1000000L / (r + 1))
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toIndexedSeq
+    val t0 = System.nanoTime()
+    val merges = Graft.bpeLearnMergesFromVocab(words, nMerges = 32768)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"32k merges / ${words.size} types: ${merges.length} merges in $secs%.2f s")
+    assert(merges.length > 8192, s"dried out implausibly early: ${merges.length}")
+    assert(secs < 60.0, f"driver merge loop took $secs%.1f s at tokenizer scale")
+    // spot-check the argmax semantics survived the scale path: the
+    // first merge must be the true global pair argmax
+    assert(merges.head == naiveMerges(words, 1).head)
+  }
+
   test("q_bpe_encode: integer contract and per-source shape at sf0.001") {
     val out = graft.queries.PipelineOps.q_bpe_encode(spark, sf).collect()
     assert(out.nonEmpty)

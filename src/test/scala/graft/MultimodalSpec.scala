@@ -408,6 +408,110 @@ class MultimodalSpec extends SparkSpecBase {
     assert(one.getLong(3) == 64L * ((nf + 1) / 2))
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual (average-hash) near-dup — round 13, verdict #3
+  // ------------------------------------------------------------------
+
+  /** Deterministic 32×24 gray test image from a seed: block texture
+    * with per-seed structure, so different seeds yield genuinely
+    * different images (not noise around one mean). */
+  private def testGrid(seed: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val base = Array.fill(8, 8)(rnd.nextInt(200) + 20)
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (base(y * 8 / h)(x * 8 / w) + rnd.nextInt(7) - 3).max(0).min(255).toByte
+    }
+  }
+
+  private def bmpOf(grid: Array[Byte], w: Int, h: Int): Array[Byte] =
+    Multimodal.encodeBmp(w, h, grid.map { b => val v = b & 0xff; (v << 16) | (v << 8) | v })
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("perceptualHash: invariant under brightness shift, GIF re-encode, and 2x upscale") {
+    val w = 32; val h = 24
+    val grid = testGrid(1)
+    val sig = Multimodal.perceptualHash(bmpOf(grid, w, h)).get
+    // +2 uniform brightness, different container (identity-palette GIF)
+    val shifted = Multimodal.encodeGifGray(w, h, Seq(grid.map(b => (b + 2).toByte)))
+    assert(hamming(sig, Multimodal.perceptualHash(shifted).get) == 0,
+      "brightness-shifted GIF re-encode must keep the signature")
+    // exact 2x pixel duplication: duplicates land in the same 8x8
+    // cell, so every cell mean — and the hash — is unchanged
+    val up = Array.tabulate((2 * w) * (2 * h)) { i =>
+      val x = (i % (2 * w)) / 2; val y = (i / (2 * w)) / 2
+      grid(y * w + x)
+    }
+    assert(hamming(sig, Multimodal.perceptualHash(bmpOf(up, 2 * w, 2 * h)).get) == 0,
+      "2x upscale must keep the signature")
+    // and the MD5 key these perturbations escape really does differ
+    assert(!java.util.Arrays.equals(bmpOf(grid, w, h), shifted))
+  }
+
+  test("perceptualHash: distinct images do not collide; undecodable payloads return None") {
+    val sigs = (1 to 12).map(s => Multimodal.perceptualHash(bmpOf(testGrid(s), 32, 24)).get)
+    for (i <- sigs.indices; j <- sigs.indices if i < j)
+      assert(hamming(sigs(i), sigs(j)) > 3,
+        s"images $i/$j collide at hamming ${hamming(sigs(i), sigs(j))}")
+    assert(Multimodal.perceptualHash("not an image".getBytes).isEmpty)
+    assert(Multimodal.perceptualHash(Array[Byte]()).isEmpty)
+  }
+
+  test("perceptualHash on a multi-frame GIF: temporal average, stride arithmetic") {
+    val w = 16; val h = 16
+    val f1 = testGrid(7, w, h); val f2 = testGrid(8, w, h)
+    val sig12 = Multimodal.perceptualHash(
+      Multimodal.encodeGifGray(w, h, Seq(f1, f2))).get
+    // stride 2 over (f1, junk, f2, junk) samples exactly (f1, f2)
+    val sigStride = Multimodal.perceptualHash(
+      Multimodal.encodeGifGray(w, h, Seq(f1, testGrid(9, w, h), f2, testGrid(10, w, h))),
+      stride = 2).get
+    assert(sig12 == sigStride, "stride-2 sampling must hash the sampled frames only")
+  }
+
+  test("nearDupPairsHamming == brute force over perceptual signatures, incl. perturbed twins") {
+    // 24 base images, each with a brightness-shifted GIF twin at
+    // id+1000: banded candidate generation (4x16-bit bands, perfect
+    // recall at hamming <= 3 by pigeonhole) must reproduce the
+    // all-pairs truth exactly
+    val sigs = (1 to 24).flatMap { s =>
+      val grid = testGrid(s, 32, 24)
+      val o = Multimodal.perceptualHash(bmpOf(grid, 32, 24)).get
+      val t = Multimodal.perceptualHash(
+        Multimodal.encodeGifGray(32, 24, Seq(grid.map(b => (b + 2).toByte)))).get
+      Seq((s.toLong, o), (s + 1000L, t))
+    }
+    val df = sigs.toDF("id", "sig")
+    val banded = rows(Graft.nearDupPairsHamming(df, col("id"), col("sig"),
+        maxHamming = 3).orderBy("doc_a", "doc_b"))
+    val brute = (for {
+      i <- sigs.indices; j <- sigs.indices if i < j
+      (ia, sa) = sigs(i); (ib, sb) = sigs(j)
+      hd = hamming(sa, sb) if hd <= 3
+    } yield Seq(math.min(ia, ib), math.max(ia, ib), hd))
+      .sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    assert(banded == brute)
+    assert(brute.size >= 24, "every twin pair must survive") // the 24 twins at hamming 0
+  }
+
+  test("q_media_phash: twin recall and pair accounting at sf0.001") {
+    val out = graft.queries.MediaOps.q_media_phash(spark, sf).collect()
+    assert(out.nonEmpty)
+    val eligible = Tables.documents(spark, sf)
+      .filter(length(col("text")) === octet_length(col("text")) &&
+              octet_length(col("text")) >= 16).count()
+    val twins = out.map(_.getAs[Long]("n_twin_pairs")).sum
+    val pairs = out.map(_.getAs[Long]("n_pairs")).sum
+    // every synthesized (BMP, +2-brightness GIF) twin must be caught
+    // (hash is shift/container invariant by construction)
+    assert(twins == eligible,
+      s"perceptual twin recall: $twins of $eligible re-encoded assets caught")
+    // twins are a subset of all near-dup pairs
+    assert(pairs >= twins)
+    out.foreach(r => assert(r.getAs[Int]("hamming") <= 2))
+  }
+
   test("payload stays opaque: metadata-only query never deserializes bytes") {
     // column pruning must drop the payload from the scan when only
     // metadata is selected — the property that makes opaque-binary

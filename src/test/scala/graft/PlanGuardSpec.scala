@@ -64,7 +64,12 @@ class PlanGuardSpec extends SparkSpecBase {
     // q_interleave's global pass broadcasts globalRankDesc's 1-row
     // quantile bounds — the same reviewed pattern; q_mixture_weights
     // crosses two 1-row totals (token sum, isqrt sum)
-    "q_interleave", "q_mixture_weights")
+    "q_interleave", "q_mixture_weights",
+    // round 13: q_dedup_semantic_inc crosses the broadcast 1-row
+    // centroid-array scalar twice (ivfAssign on the batch and corpus
+    // sides — the q_sim_ivf/q_ivf_build shape; the model itself is a
+    // parquet-backed ≤16-row table)
+    "q_dedup_semantic_inc")
   // (q_ppl_bucket needs no BNLJ exemption: its scored table is
   // temp-parquet-cached, so the declared plan ranks from a file scan
   // and the 1-row model cross lives only inside the one-time build)
@@ -230,7 +235,19 @@ class PlanGuardSpec extends SparkSpecBase {
     // candidate distinct, one verify co-partition, the output sort;
     // both sorted-gram sides broadcast off the cached parquet stats)
     "q_dedup_semantic_ivf" -> 4,
-    "q_dedup_incremental" -> 5)
+    "q_dedup_incremental" -> 5,
+    // round-13 additions: the incremental semantic probe (two
+    // explicit-count bipartite-guard repartitions + the per-batch-doc
+    // verdict aggregate + the output sort; cell assignment is
+    // row-local against the broadcast parquet-backed model) and the
+    // perceptual media near-dup (signature set-collapse over the
+    // cached sig parquet, the banded blocked self-join's two
+    // explicit-count repartitions + candidate distinct, the
+    // per-hamming rollups + twin join + output sort)
+    "q_dedup_semantic_inc" -> 6,
+    // (13 → 9 in the same round: the signature-group table became its
+    // own cached artifact instead of a per-branch re-aggregation)
+    "q_media_phash" -> 9)
 
   test("q_vocab_overlap reads the corpus once — the distinct subtree is reused") {
     import org.apache.spark.sql.execution.FileSourceScanExec

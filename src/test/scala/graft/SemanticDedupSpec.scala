@@ -106,4 +106,62 @@ class SemanticDedupSpec extends SparkSpecBase {
     assert(ivfMass * 10 >= exactMass * 2,
       s"IVF recall collapsed: $ivfMass of $exactMass neighbor endpoints")
   }
+
+  // ------------------------------------------------------------------
+  // Incremental face — round 13, verdict #4
+  // ------------------------------------------------------------------
+
+  test("incremental face == plain within-cell cross pairs under the shared standing model") {
+    val tau = 400
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val model = Graft.ivfTrain(corpus, col("vec_id"), col("v"), k = 4, iters = 3)
+      .localCheckpoint()
+    val facade = rows(Graft.semanticDupVerdictsIvfAgainst(model,
+        batch, col("vec_id"), col("v"), col("q"),
+        corpus, col("vec_id"), col("v"), col("q"), tau).orderBy("doc_id"))
+    // expected: a PLAIN (unguarded) cell equi-join — independent of
+    // the SkewJoin machinery the facade routes through
+    val b = Graft.ivfAssign(model,
+      batch.select(col("vec_id").as("doc_id"), col("v"), col("q")), col("v"))
+    val c = Graft.ivfAssign(model,
+      corpus.select(col("vec_id").as("nb"), col("v").as("cv"),
+                    col("q").as("nq")), col("cv"))
+    val expected = rows(b.join(c, "cell")
+      .select(col("doc_id"), col("q"), col("nb"), col("nq"),
+              round(functions.GraftFunctions.dot(col("v"), col("cv")), 3).as("cosine"))
+      .filter(round(col("cosine") * 1000, 0) >= tau)
+      .groupBy("doc_id", "q")
+      .agg(count(lit(1)).as("n_dups"),
+           max(when(col("nq") > col("q") ||
+                    (col("nq") === col("q") && col("nb") < col("doc_id")),
+                    1L).otherwise(0L)).as("dropped"))
+      .select(col("doc_id"), col("q").cast("long"), col("n_dups"), col("dropped"))
+      .orderBy("doc_id"))
+    assert(facade.nonEmpty, "vacuous: no cross neighbors at the test threshold")
+    assert(facade == expected)
+    // the hot-cell guard is execution-shape only: block-decomposed
+    // run must be row-identical
+    val guarded = rows(Graft.semanticDupVerdictsIvfAgainst(model,
+        batch, col("vec_id"), col("v"), col("q"),
+        corpus, col("vec_id"), col("v"), col("q"), tau,
+        maxBucket = 2).orderBy("doc_id"))
+    assert(guarded == facade)
+  }
+
+  test("incremental face: overlapping id is filtered, genuine neighbors kept") {
+    val batch = Seq((1L, Seq(1.0, 0.0), 5L)).toDF("id", "v", "q")
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0), 5L),  // the SAME doc already ingested: must not self-pair
+      (2L, Seq(1.0, 0.0), 9L),  // genuine dominating neighbor
+      (3L, Seq(0.0, 1.0), 1L)).toDF("id", "v", "q")
+    val model = Graft.ivfTrain(corpus, col("id"), col("v"), k = 1, iters = 1)
+      .localCheckpoint()
+    val out = rows(Graft.semanticDupVerdictsIvfAgainst(model,
+        batch, col("id"), col("v"), col("q"),
+        corpus, col("id"), col("v"), col("q"), tauPermille = 950))
+    // k=1 → one cell → every pair is within-cell: the (1,1) identity
+    // pair is filtered, doc 2 dominates (q 9 > 5), doc 3 is orthogonal
+    assert(out == Seq(Seq(1L, 5L, 1L, 1L)))
+  }
 }
