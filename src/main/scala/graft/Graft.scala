@@ -3315,6 +3315,60 @@ object Graft {
       .distinct()
   }
 
+  /** INCREMENTAL banded Hamming probe (round 13) — the bipartite face
+    * of [[nearDupPairsHamming]], completing the fingerprint family
+    * the way [[nearDupPairsNgramAgainst]] / [[nearDupPairsMinhashAgainst]]
+    * / [[semanticDupVerdictsIvfAgainst]] complete theirs: a NEW BATCH
+    * of precomputed 64-bit signatures (SimHash text fingerprints,
+    * [[graft.multimodal.Multimodal.perceptualHash]] media
+    * fingerprints) is screened against a STANDING signature corpus
+    * without re-pairing the corpus against itself. Candidates come
+    * from the same [[SimHash.NumBands]] 16-bit band buckets (perfect
+    * recall for maxHamming ≤ NumBands−1 by pigeonhole), met through
+    * [[operators.SkewJoin.blockedBipartiteJoin]] (corpus = large
+    * side — the standing side is where a dense band accumulates; a
+    * hot band splits into id-hash blocks and batch rows replicate
+    * across them), verified by exact bit_count. `maxBandDocFreq`
+    * drops bands dense ON THE CORPUS SIDE before the join (opt-in,
+    * recall-lossy — the [[nearDupPairsMinhashAgainst]] stance).
+    *
+    * Id-overlap contract (same stance): sides are expected DISJOINT;
+    * an id on both sides is the same document seen twice and its
+    * degenerate (x, x) pair is filtered rather than reported as a
+    * self-duplicate. With the cap off, output =
+    * [[nearDupPairsHamming]] of the two sides' union restricted to
+    * cross pairs — pinned in MultimodalSpec. Returns
+    * (batch_id, corpus_id, hamming). */
+  def nearDupPairsHammingAgainst(batch: DataFrame, batchId: Column, batchSig: Column,
+                                 corpus: DataFrame, corpusId: Column, corpusSig: Column,
+                                 maxHamming: Int = 3,
+                                 maxBucket: Int = 1024,
+                                 maxBandDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= SimHash.NumBands - 1,
+      s"band LSH guarantees recall only for maxHamming <= ${SimHash.NumBands - 1}, " +
+        s"got $maxHamming")
+    require(maxBandDocFreq >= 1, s"maxBandDocFreq must be >= 1, got $maxBandDocFreq")
+    def banded(df: DataFrame, id: Column, sig: Column,
+               idName: String, sigName: String): DataFrame =
+      df.select(id.cast("long").as(idName), sig.cast("long").as(sigName))
+        .select(col(idName), col(sigName),
+                explode(sequence(lit(0), lit(SimHash.NumBands - 1))).as("band"))
+        .select(col(idName), col(sigName), col("band"),
+                expr(s"shiftrightunsigned($sigName, band * ${SimHash.BandBits}) & 65535")
+                  .as("key"))
+    val cBands = dropHotBuckets(
+      banded(corpus, corpusId, corpusSig, "corpus_id", "sig_c"),
+      Seq("band", "key"), maxBandDocFreq)
+    val bBands = banded(batch, batchId, batchSig, "batch_id", "sig_b")
+    operators.SkewJoin
+      .blockedBipartiteJoin(cBands, "corpus_id", bBands, Seq("band", "key"), maxBucket)
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+              expr("bit_count(sig_b ^ sig_c)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact global top-k most-similar vector pairs of ANY (id, vec)
     * DataFrame by (HALF_UP-3 rounded dot DESC, id_a, id_b) — executed
     * by the custom [[graft.plans.DotTopKJoinExec]] over bounded

@@ -336,9 +336,9 @@ object MediaOps {
     val allPairs = cross.unionByName(within)
       .groupBy("hamming").agg(sum(col("n_pairs")).as("n_pairs"))
     val twins = sigTable.filter(col("asset_id") % 2 === 0)
-      .select((col("asset_id") / 2).cast("long").as("doc_id"), col("sig").as("sig_o"))
+      .select(expr("asset_id DIV 2").as("doc_id"), col("sig").as("sig_o"))
       .join(sigTable.filter(col("asset_id") % 2 === 1)
-        .select(((col("asset_id") - 1) / 2).cast("long").as("doc_id"),
+        .select(expr("asset_id DIV 2").as("doc_id"),
                 col("sig").as("sig_t")), "doc_id")
       .select(expr("bit_count(sig_o ^ sig_t)").as("hamming"))
       .filter(col("hamming") <= maxHamming)

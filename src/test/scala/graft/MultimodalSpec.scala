@@ -495,6 +495,45 @@ class MultimodalSpec extends SparkSpecBase {
     assert(brute.size >= 24, "every twin pair must survive") // the 24 twins at hamming 0
   }
 
+  test("nearDupPairsHammingAgainst == union pairs restricted to cross, guard-invariant") {
+    // standing corpus: 20 base images (ids 1..20); new batch: 4
+    // brightness-shifted GIF re-encodes of corpus assets 1..4 (ids
+    // 1001..1004 — the re-upload an ingest probe must catch) + 4
+    // novel images (ids 1005..1008)
+    val corpusSigs = (1 to 20).map(s =>
+      (s.toLong, Multimodal.perceptualHash(bmpOf(testGrid(s), 32, 24)).get))
+    val batchSigs = (1 to 4).map { s =>
+      (1000L + s, Multimodal.perceptualHash(
+        Multimodal.encodeGifGray(32, 24, Seq(testGrid(s).map(b => (b + 2).toByte)))).get)
+    } ++ (5 to 8).map(s =>
+      (1000L + s, Multimodal.perceptualHash(bmpOf(testGrid(40 + s), 32, 24)).get))
+    val corpus = corpusSigs.toDF("id", "sig")
+    val batch = batchSigs.toDF("id", "sig")
+    val probe = rows(Graft.nearDupPairsHammingAgainst(batch, col("id"), col("sig"),
+        corpus, col("id"), col("sig"), maxHamming = 3)
+      .orderBy("batch_id", "corpus_id"))
+    // ground truth: the self-join over the union, restricted to cross
+    // pairs, re-oriented (batch, corpus)
+    val full = Graft.nearDupPairsHamming((corpusSigs ++ batchSigs).toDF("id", "sig"),
+        col("id"), col("sig"), maxHamming = 3)
+    val expected = rows(full.filter(col("doc_a") <= 20 && col("doc_b") >= 1000)
+      .select(col("doc_b").as("batch_id"), col("doc_a").as("corpus_id"), col("hamming"))
+      .orderBy("batch_id", "corpus_id"))
+    assert(probe.size >= 4, "the four re-encoded corpus assets must be caught")
+    assert(probe == expected)
+    // hot-band guard is execution-shape only
+    val guarded = rows(Graft.nearDupPairsHammingAgainst(batch, col("id"), col("sig"),
+        corpus, col("id"), col("sig"), maxHamming = 3, maxBucket = 2)
+      .orderBy("batch_id", "corpus_id"))
+    assert(guarded == probe)
+    // id-overlap contract: a doc on both sides must not self-pair,
+    // but keeps its genuine cross pairs
+    val overlap = rows(Graft.nearDupPairsHammingAgainst(
+        corpus.filter(col("id") === 1), col("id"), col("sig"),
+        corpus.filter(col("id") <= 2), col("id"), col("sig"), maxHamming = 3))
+    assert(!overlap.exists(r => r(0) == r(1)), s"degenerate self pair in $overlap")
+  }
+
   test("q_media_phash: twin recall and pair accounting at sf0.001") {
     val out = graft.queries.MediaOps.q_media_phash(spark, sf).collect()
     assert(out.nonEmpty)
