@@ -283,6 +283,52 @@ class StreamingTwinSpec extends SparkSpecBase {
     assert(got.sortBy(t => (t._1, t._2)).toSeq == mono.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("foreachBatch semantic ingest probe: union of per-crawl batches == monolithic probe") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // round 13: the ingest shape of semantic dedup — each micro-batch
+    // is a crawl batch screened by Graft.semanticDupVerdictsIvfAgainst
+    // against the STANDING corpus under the STANDING quantizer. A
+    // batch doc's verdict row depends only on itself, the model, and
+    // the corpus — never on batch-mates — so micro-batch decomposition
+    // is EXACT: the union over any split equals the monolithic probe.
+    val tau = 400
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+              (col("vec_id") % 7).as("q"))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val model = Graft.ivfTrain(corpus, col("vec_id"), col("v"), k = 4, iters = 3)
+      .localCheckpoint()
+    val batchRows = emb.filter(col("vec_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Double], Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "v", "q").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= Graft.semanticDupVerdictsIvfAgainst(model,
+            b, col("doc_id"), col("v"), col("q"),
+            corpus, col("vec_id"), col("v"), col("q"), tau)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        (): Unit
+      }
+      .start()
+    batchRows.grouped(math.max(1, batchRows.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val mono = Graft.semanticDupVerdictsIvfAgainst(model,
+        emb.filter(col("vec_id") % 10 === 0), col("vec_id"), col("v"), col("q"),
+        corpus, col("vec_id"), col("v"), col("q"), tau)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "vacuous: no cross verdicts streamed")
+    assert(got.sortBy(_._1).toSeq == mono.sortBy(_._1).toSeq)
+  }
+
   test("streaming gram-df maintenance equals the batch table (mergeable stats online)") {
     import org.apache.spark.sql.functions._
     // df is a sum, so the streaming aggregation's state after full
