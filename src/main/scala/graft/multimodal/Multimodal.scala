@@ -483,8 +483,13 @@ object Multimodal {
     * the original, and integer upscaling (pixel duplication) scales
     * both sides by the same factor — so the two perturbations a
     * re-encoded asset actually carries leave the signature
-    * bit-identical, with no float-tie edge cases. Empty cells
-    * (frames smaller than 8×8) score 0 on every variant. */
+    * bit-identical, with no float-tie edge cases. (Upscale exactness
+    * additionally needs the cell partition to align — dims multiples
+    * of 8, where a duplicated pixel provably lands in its source's
+    * cell; off-alignment dims shift a boundary row/column of pixels
+    * between cells and the hash may move a few bits, which the
+    * Hamming radius absorbs.) Empty cells (frames smaller than 8×8)
+    * score 0 on every variant. */
   private def finishAverageHash(sum: Array[Long], cnt: Array[Long]): Long = {
     var total = 0L
     var n = 0L

@@ -437,14 +437,30 @@ class MultimodalSpec extends SparkSpecBase {
     val shifted = Multimodal.encodeGifGray(w, h, Seq(grid.map(b => (b + 2).toByte)))
     assert(hamming(sig, Multimodal.perceptualHash(shifted).get) == 0,
       "brightness-shifted GIF re-encode must keep the signature")
-    // exact 2x pixel duplication: duplicates land in the same 8x8
-    // cell, so every cell mean — and the hash — is unchanged
+    // exact 2x pixel duplication: with dims multiples of 8 every
+    // duplicate provably lands in its source pixel's cell, so every
+    // cell mean — and the hash — is unchanged
     val up = Array.tabulate((2 * w) * (2 * h)) { i =>
       val x = (i % (2 * w)) / 2; val y = (i / (2 * w)) / 2
       grid(y * w + x)
     }
     assert(hamming(sig, Multimodal.perceptualHash(bmpOf(up, 2 * w, 2 * h)).get) == 0,
       "2x upscale must keep the signature")
+    // third container: the same pixels through the JDK's own PNG
+    // writer — a BMP→PNG re-encode is the most common real-world
+    // escape from byte-digest dedup
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = grid(y * w + x) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(Multimodal.looksLikeImage(png))
+    assert(Multimodal.perceptualHash(png).get == sig,
+      "lossless PNG re-encode must keep the signature exactly")
     // and the MD5 key these perturbations escape really does differ
     assert(!java.util.Arrays.equals(bmpOf(grid, w, h), shifted))
   }

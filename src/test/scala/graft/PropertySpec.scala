@@ -262,4 +262,28 @@ class PropertySpec extends AnyFunSuite {
       !passes || prune // the join-time prune can never drop an output pair
     })
   }
+
+  test("perceptualHash: EXACT brightness-shift invariance at ANY dims (random grids)") {
+    import graft.multimodal.Multimodal
+    // The integer cross-product comparison makes +δ invariance an
+    // ALGEBRAIC identity — (sum_c+δ·cnt_c)·N > (total+δ·N)·cnt_c
+    // cancels to sum_c·N > total·cnt_c for every cell — so it must
+    // hold for arbitrary (including non-multiple-of-8, sub-8×8) dims,
+    // arbitrary pixel content, and any non-clipping shift. A float
+    // implementation fails this at ties; the property is the round-13
+    // no-float-tie contract.
+    val g = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      delta <- Gen.chooseNum(1, 5)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 250))
+    } yield (w, h, delta, px)
+    check("phash shift invariance", Prop.forAll(g) { case (w, h, delta, px) =>
+      def bmp(vals: Seq[Int]) = Multimodal.encodeBmp(w, h,
+        vals.map(v => (v << 16) | (v << 8) | v).toArray)
+      val base = Multimodal.perceptualHash(bmp(px))
+      val shifted = Multimodal.perceptualHash(bmp(px.map(_ + delta)))
+      base.isDefined && base == shifted
+    })
+  }
 }

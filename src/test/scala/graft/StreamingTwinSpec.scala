@@ -329,6 +329,52 @@ class StreamingTwinSpec extends SparkSpecBase {
     assert(got.sortBy(_._1).toSeq == mono.sortBy(_._1).toSeq)
   }
 
+  test("foreachBatch Hamming ingest probe: union of per-crawl batches == monolithic probe") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // round 13: the fourth probe family gets the same streaming face —
+    // 64-bit signatures (SimHash here; perceptual media hashes ride
+    // the identical facade) screened per micro-batch against a
+    // standing signature corpus by Graft.nearDupPairsHammingAgainst.
+    // A batch signature's cross pairs depend only on itself and the
+    // standing index, so any batch split unions to the monolithic
+    // probe.
+    val docs = Tables.documents(spark, sf)
+    val sigs = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.udaf(SimHash.agg)
+        .apply(col("token"), col("tf")).as("sig"))
+    val corpus = sigs.filter(col("doc_id") % 10 =!= 0).localCheckpoint()
+    val batchRows = sigs.filter(col("doc_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = mem.toDF().toDF("id", "sig").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= Graft.nearDupPairsHammingAgainst(b, col("id"), col("sig"),
+            corpus, col("doc_id"), col("sig"), maxHamming = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        (): Unit
+      }
+      .start()
+    batchRows.grouped(math.max(1, batchRows.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val mono = Graft.nearDupPairsHammingAgainst(
+        sigs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("sig"),
+        corpus, col("doc_id"), col("sig"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty, "vacuous: no cross pairs streamed")
+    assert(got.sortBy(t => (t._1, t._2)).toSeq ==
+           mono.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("streaming gram-df maintenance equals the batch table (mergeable stats online)") {
     import org.apache.spark.sql.functions._
     // df is a sum, so the streaming aggregation's state after full
