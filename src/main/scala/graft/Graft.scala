@@ -648,6 +648,135 @@ object Graft {
     (length(encoded) -
       length(call_function("replace", encoded, lit("("), lit("")))).cast("long")
 
+  /** Row-local BPE segmenter for PRODUCTION-SCALE merge tables
+    * (round 13 — the encode-side sibling of
+    * [[bpeLearnMergesFromVocab]]): returns a `word → symbols`
+    * closure over a prebuilt rank index. [[bpeEncode]]'s replace
+    * chain is the SQL-expressible, oracle-parity face, but it builds
+    * one `replace` EXPRESSION NODE per merge — at the 32k merges the
+    * incremental learner now trains in seconds, a 32k-deep Catalyst
+    * expression tree is unplannable and the per-row cost is
+    * O(nMerges · |word|) regardless of which merges apply. This form
+    * is O((|word| + applications) · log) per row, INDEPENDENT of the
+    * table size: symbols live in a linked list, candidate adjacencies
+    * in a lazy-deletion min-heap ordered by (merge rank, position),
+    * and a rank WATERMARK makes the processing order provably equal
+    * to the replace chain's in-order single passes — a newly created
+    * adjacency is admitted only at its smallest table rank STRICTLY
+    * ABOVE the rank being processed (an in-order pass already behind
+    * that rank never sees it; within one rank a merge can never
+    * recreate its own pattern, since the merged symbol is strictly
+    * longer than both parts). Duplicate patterns in the table (a
+    * legitimate learner output when a pair re-emerges through
+    * symbol-string coincidence) are handled by keeping EVERY rank per
+    * pattern. Exact segmentation equivalence to the replace chain is
+    * pinned in PropertySpec over random learned tables, and BpeSpec
+    * drives it at the 32k-merge scale the chain cannot reach.
+    *
+    * Same loud paren gate as [[bpeEncode]] (reject-don't-corrupt, per
+    * row). Use [[bpeEncodeIndexed]] for the Column form. */
+  def bpeSegmenter(merges: Seq[(String, String)]): String => Seq[String] = {
+    // rank index: every (a, b) pattern → ALL its table ranks, ascending
+    val ranks = scala.collection.immutable.HashMap(
+      merges.zipWithIndex.groupBy(_._1).map {
+        case (p, rs) => p -> rs.map(_._2).toArray
+      }.toSeq: _*)
+    def smallestRankAbove(a: String, b: String, watermark: Int): Int =
+      ranks.get((a, b)) match {
+        case None => -1
+        case Some(rs) =>
+          // rs is ascending and tiny (≥ 2 entries only under
+          // symbol-string coincidence); linear scan
+          var i = 0
+          while (i < rs.length && rs(i) <= watermark) i += 1
+          if (i < rs.length) rs(i) else -1
+      }
+    (word: String) => {
+      require(!word.contains('(') && !word.contains(')'),
+        "bpeSegmenter: word contains '(' or ')' and would corrupt the " +
+          "wrapped-symbol form - remap before tokenizing: " + word)
+      // code-point split, matching bpeEncode's '(?s)(.)' wrap
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var ci = 0
+      while (ci < word.length) {
+        val cp = word.codePointAt(ci)
+        syms += new String(Character.toChars(cp))
+        ci += Character.charCount(cp)
+      }
+      val n = syms.length
+      if (n < 2) syms.toSeq
+      else {
+        val next = Array.tabulate(n)(i => if (i == n - 1) -1 else i + 1)
+        val prev = Array.tabulate(n)(i => i - 1)
+        val alive = Array.fill(n)(true)
+        case class Cand(rank: Int, pos: Int, a: String, b: String)
+        implicit val ord: Ordering[Cand] =
+          Ordering.by[Cand, (Int, Int)](c => (c.rank, c.pos))
+        val heap = scala.collection.mutable.PriorityQueue.empty[Cand](ord.reverse)
+        var i = 0
+        while (i < n - 1) {
+          val r = smallestRankAbove(syms(i), syms(i + 1), -1)
+          if (r >= 0) heap.enqueue(Cand(r, i, syms(i), syms(i + 1)))
+          i += 1
+        }
+        while (heap.nonEmpty) {
+          val c = heap.dequeue()
+          val j = c.pos
+          val k = if (alive(j)) next(j) else -1
+          // lazy validation: the pair must still be adjacent and
+          // unchanged (a merge may have consumed or rewritten it)
+          if (k >= 0 && syms(j) == c.a && syms(k) == c.b) {
+            // splice: j absorbs k
+            syms(j) = c.a + c.b
+            val kn = next(k)
+            alive(k) = false
+            next(j) = kn
+            if (kn >= 0) prev(kn) = j
+            // the two dead adjacencies' replacements enter at their
+            // smallest rank STRICTLY ABOVE the current one — the
+            // watermark rule that reproduces in-order pass semantics
+            val pj = prev(j)
+            if (pj >= 0) {
+              val r = smallestRankAbove(syms(pj), syms(j), c.rank)
+              if (r >= 0) heap.enqueue(Cand(r, pj, syms(pj), syms(j)))
+            }
+            if (kn >= 0) {
+              val r = smallestRankAbove(syms(j), syms(kn), c.rank)
+              if (r >= 0) heap.enqueue(Cand(r, j, syms(j), syms(kn)))
+            }
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var p = 0
+        while (p >= 0) { if (alive(p)) out += syms(p); p = next(p) }
+        out.toSeq
+      }
+    }
+  }
+
+  /** Column form of [[bpeSegmenter]]: word → the same wrapped
+    * "(s1)(s2)…" string [[bpeEncode]] emits, as ONE Scala UDF over a
+    * prebuilt rank index instead of an nMerges-deep replace chain —
+    * the encode shape for production-scale merge tables. A UDF is the
+    * honest tier here (SURVEY §4.3 ladder): the segmentation is a
+    * data-dependent loop no built-in expresses, the replace chain
+    * stops planning in the ten-thousands of merges, and the operator
+    * stays row-local (zero shuffle at any corpus size) — the UDF
+    * boundary costs serialization, not distribution. Output equality
+    * with [[bpeEncode]] is pinned in BpeSpec; [[bpeTokenCount]]
+    * applies unchanged. */
+  def bpeEncodeIndexed(word: Column, merges: Seq[(String, String)]): Column = {
+    val seg = bpeSegmenter(merges)
+    udf((w: String) =>
+      if (w == null) null
+      else {
+        val s = seg(w)
+        // an empty word has no symbols to wrap — "" on both forms
+        // (mkString's bookends would fabricate "()")
+        if (s.isEmpty) "" else s.mkString("(", ")(", ")")
+      }).apply(word)
+  }
+
   /** Unicode-normalization accounting per group — the
     * canonicalization stage a multilingual pipeline runs BEFORE
     * fingerprinting and dedup: two byte-wise-different spellings of

@@ -204,6 +204,68 @@ class BpeSpec extends SparkSpecBase {
     assert(merges.head == naiveMerges(words, 1).head)
   }
 
+  test("bpeEncodeIndexed == bpeEncode on the corpus under the learned table") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Graft.bpeLearnMerges(docs, col("text"), nMerges = 12, vocabLimit = 4096)
+    val bad = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("w"),
+              Graft.bpeEncode(col("w"), merges).as("chain"),
+              Graft.bpeEncodeIndexed(col("w"), merges).as("indexed"))
+      .filter(col("chain") =!= col("indexed"))
+      .count()
+    assert(bad == 0L, s"$bad words diverge between the chain and indexed encoders")
+  }
+
+  test("indexed encoder drives a 32k-merge model the replace chain cannot plan") {
+    // the encode-side scale claim, measured like the learner's: a
+    // 32k-merge table is ONE broadcast rank index and one UDF call
+    // per row (the replace chain would be a 32k-deep expression tree)
+    // 2048 word types × Σ(|w|−1) ≈ 23k total merge capacity < the 32k
+    // request, so the learner provably DRIES OUT — and a dry learner
+    // leaves no adjacent pair anywhere, so every trained word must
+    // encode to exactly ONE token (asserted below: the strongest
+    // end-to-end signal that the indexed encoder reproduces the
+    // learner's segmentation at scale)
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 2048).map { r =>
+      val len = 4 + rnd.nextInt(13)
+      (Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString + r.toString,
+       1L + 100000L / (r + 1))
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toIndexedSeq
+    val merges = Graft.bpeLearnMergesFromVocab(words, nMerges = 32768)
+    assert(merges.length > 4096 && merges.length < 32768,
+      s"expected a dried-out model in (4096, 32768) merges: ${merges.length}")
+    val t0 = System.nanoTime()
+    val out = words.map(_._1).toDF("w")
+      .select(col("w"), Graft.bpeEncodeIndexed(col("w"), merges).as("s"))
+      .select(col("w"), col("s"),
+              translate(col("s"), "()", "").as("flat"),
+              Graft.bpeTokenCount(col("s")).as("nt"))
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"indexed encode of ${out.length} words under ${merges.length} merges: $secs%.2f s")
+    out.foreach { r =>
+      assert(r.getString(2) == r.getString(0), s"lossless reconstruction failed: $r")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getString(0).length)
+    }
+    val collapsed = out.count(_.getLong(3) == 1)
+    assert(collapsed == out.length,
+      s"only $collapsed of ${out.length} trained words collapse to one token")
+    assert(secs < 60.0, f"indexed encode took $secs%.1f s")
+  }
+
+  test("indexed encoder rejects paren-bearing words loudly at the row") {
+    val e = intercept[Exception] {
+      spark.range(1)
+        .select(Graft.bpeEncodeIndexed(lit("f(x"), Seq(("a", "b"))).as("s"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("corrupt")), msgs(e).mkString(" | "))
+  }
+
   test("q_bpe_encode: integer contract and per-source shape at sf0.001") {
     val out = graft.queries.PipelineOps.q_bpe_encode(spark, sf).collect()
     assert(out.nonEmpty)

@@ -247,6 +247,43 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BPE: indexed segmenter == in-order merge fold for ANY merge list (watermark rule)") {
+    // The round-13 scalable encoder's load-bearing equivalence:
+    // Graft.bpeSegmenter processes candidates by (rank, position)
+    // through a heap but must equal bpeEncode's IN-ORDER single
+    // passes. The adversarial case is a LATE-CREATED LOWER-RANK
+    // pattern — merges [(ab,c), (a,b)] on "abc": pass 0 is a no-op
+    // (no "ab" symbol yet), pass 1 creates it, and a naive
+    // lowest-rank-first encoder would then wrongly apply rank 0. The
+    // watermark (admit a new adjacency only at its smallest rank
+    // STRICTLY above the rank being processed) is exactly what makes
+    // the heap order in-order-equivalent, so the generator draws
+    // ARBITRARY merge lists (multi-char parts, duplicates, no-ops,
+    // self-pairs), not just learner-reachable chains.
+    val alpha = Seq("a", "b", "c")
+    val partGen: Gen[String] = Gen.oneOf(
+      "a", "b", "c", "aa", "ab", "ba", "bc", "ca", "abc", "aab", "bca")
+    val listGen: Gen[List[(String, String)]] =
+      Gen.chooseNum(0, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(partGen, partGen)))
+    val wordGen: Gen[String] =
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(alpha)).map(_.mkString))
+    def fold(word: String, merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(word.map(_.toString): Seq[String]) { case (syms, (a, b)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toSeq
+      }
+    check("bpe indexed == fold", Prop.forAll(wordGen, listGen) { (w, ms) =>
+      Graft.bpeSegmenter(ms)(w) == fold(w, ms)
+    })
+  }
+
   test("ngram size-prune: exact filter 9c>=4(na+nb) implies 5*min>=4*max") {
     // Generator targets near-similar sizes so the premise fires often;
     // the check is a plain boolean (no ==> discards, which exhaust on
