@@ -472,6 +472,10 @@ object Graft {
 
   def bpeLearnMerges(docs: DataFrame, text: Column, nMerges: Int,
                      vocabLimit: Int): Seq[(String, String)] = {
+    // both gates BEFORE the corpus-scale aggregate runs (review
+    // catch: validating nMerges only inside the vocab form made a
+    // bad argument cost a full corpus pass + driver collect first)
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(vocabLimit >= 1, s"vocabLimit must be >= 1, got $vocabLimit")
     val words = docs.select(explode(split(text, " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -514,6 +518,12 @@ object Graft {
     require(words.forall(w => !w._1.contains('(') && !w._1.contains(')')),
       "bpeLearnMerges: words containing '(' or ')' would corrupt the " +
         "wrapped-symbol form — remap them before tokenizer training")
+    // non-positive frequencies would silently zero or invert pair
+    // counts inside the incremental deltas (review catch: the
+    // internal caller aggregates counts >= 1 by construction, but
+    // this entry point is public) — reject loudly, like the parens
+    require(words.forall(_._2 >= 1),
+      "bpeLearnMergesFromVocab: word frequencies must be >= 1")
     // split into CODE POINTS (not UTF-16 units), matching both
     // engines' regexp '(?s)(.)' wrap of supplementary characters
     def codePoints(w: String): Array[String] = {
@@ -2903,9 +2913,7 @@ object Graft {
     val sortedDocs = sortedGrams.map(validSortedGrams(_, n))
       .getOrElse(TempTables.materialize(
         rarityGramArrays(docs, id, text, n, gramDf, docGrams), "jacc_grams"))
-      .withColumn("prefix",
-        slice(col("gs"), lit(1),
-              (col("na") - expr(s"(na * $p + 999) div 1000") + 1).cast("int")))
+      .withColumn("prefix", slice(col("gs"), lit(1), prefixLen(p)))
     // posexplode: `pos`+1 is the gram's 1-based rank in the doc's
     // rarity order — the payload of the POSITIONAL filter below
     val prefix = sortedDocs.select(col("doc_id"), col("na"),
@@ -2989,6 +2997,15 @@ object Graft {
     requireN(requireCols(df, Seq("doc_id", "gs", "na"), "sortedGrams"),
              "gs", n, "sortedGrams")
 
+  /** ONE definition of the AllPairs prefix length over a
+    * [[rarityGramArrays]] row — na − ceil(p·na/1000) + 1, as an
+    * expression over the table's `na` column — shared by the
+    * self-join index and the bipartite probe (review catch: the two
+    * faces must agree on the prefix or the first-common-gram lemma's
+    * "in BOTH prefixes" step silently breaks). */
+  private def prefixLen(p: Int): Column =
+    (col("na") - expr(s"(na * $p + 999) div 1000") + 1).cast("int")
+
   /** BIPARTITE prefix-filtered Jaccard join — [[jaccardJoinPrefix]]'s
     * incremental-ingest face and [[nearDupPairsNgramAgainst]]'s
     * prefix-indexed upgrade (round-12 verdict #2): every (corpus doc,
@@ -3015,10 +3032,16 @@ object Graft {
     * Overlapping doc ids emit self-pairs (doc_a = doc_b, J = 1.0);
     * hand DISJOINT slices, as an ingest pipeline naturally does.
     *
-    * Exactness: two sets with J ≥ t overlap in ≥ ceil(t·max(na, nb))
-    * grams; fewer than (na − ceil(t·na) + 1) + (nb − ceil(t·nb) + 1)
-    * grams lie outside the two prefixes combined, so some common
-    * gram sits in BOTH prefixes — every qualifying pair collides.
+    * Exactness (first-common-gram argument; review catch — an
+    * earlier counting version of this paragraph was wrong): J ≥ t
+    * and o ≤ nb give o·(1+t) ≥ t·(na+nb) ≥ t·na + t·o, i.e.
+    * o ≥ ceil(t·na) (and symmetrically o ≥ ceil(t·nb)). Exactly
+    * ceil(t·na) − 1 grams of a lie AFTER its prefix in the shared
+    * order, so if a's FIRST common gram sat outside the prefix, ALL
+    * o common grams would — o ≤ ceil(t·na) − 1, contradiction. Hence
+    * the first common gram (the same gram on both sides, the order
+    * being shared) lies in BOTH prefixes — every qualifying pair
+    * collides.
     * The PPJoin positional filter then bounds overlap per collision
     * (≤ min(na−i, nb−j)+1, both sides sorted by the one shared
     * order) before the distinct; survivors verify exactly via
@@ -3038,9 +3061,7 @@ object Graft {
     def prefixOf(side: DataFrame, idName: String, szName: String,
                  posName: String): DataFrame =
       side.select(col("doc_id").as(idName), col("na").as(szName),
-          posexplode(slice(col("gs"), lit(1),
-            (col("na") - expr(s"(na * $p + 999) div 1000") + 1).cast("int")))
-            .as(Seq(posName, "gf")))
+          posexplode(slice(col("gs"), lit(1), prefixLen(p))).as(Seq(posName, "gf")))
         .select(col(idName), col(szName), (col(posName) + 1).as(posName), col("gf"))
     val cPrefix = prefixOf(corpus, "doc_a", "na", "pos_a")
     val bPrefix = prefixOf(batch, "doc_b", "nb", "pos_b")
@@ -3423,6 +3444,20 @@ object Graft {
     * ([[operators.SkewJoin.blockedSelfPairs]]) and `maxBandDocFreq`
     * is the opt-in lossy dense-band cap, both exactly as documented
     * on the SimHash face. Ids must be unique and long-castable. */
+  /** ONE definition of the 16-bit band-bucket rows both Hamming
+    * faces pair on — (idName, sigName, band, key) for every band of
+    * every signature — so the self-join and the bipartite probe can
+    * never drift on band width or key arithmetic (review catch:
+    * the recipe briefly existed twice). */
+  private def hammingBandRows(sigs: DataFrame, id: Column, sig: Column,
+                              idName: String, sigName: String): DataFrame =
+    sigs.select(id.cast("long").as(idName), sig.cast("long").as(sigName))
+      .select(col(idName), col(sigName),
+              explode(sequence(lit(0), lit(SimHash.NumBands - 1))).as("band"))
+      .select(col(idName), col(sigName), col("band"),
+              expr(s"shiftrightunsigned($sigName, band * ${SimHash.BandBits}) & 65535")
+                .as("key"))
+
   def nearDupPairsHamming(sigs: DataFrame, id: Column, sig: Column,
                           maxHamming: Int = 3,
                           maxBucket: Int = 1024,
@@ -3431,11 +3466,7 @@ object Graft {
       s"band LSH guarantees recall only for maxHamming <= ${SimHash.NumBands - 1}, " +
         s"got $maxHamming")
     require(maxBandDocFreq >= 1, s"maxBandDocFreq must be >= 1, got $maxBandDocFreq")
-    val base = sigs.select(id.cast("long").as("doc_id"), sig.cast("long").as("sig"))
-    val bandedAll = base.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(SimHash.NumBands - 1))).as("band"))
-      .select(col("doc_id"), col("sig"), col("band"),
-              expr(s"shiftrightunsigned(sig, band * ${SimHash.BandBits}) & 65535").as("key"))
+    val bandedAll = hammingBandRows(sigs, id, sig, "doc_id", "sig")
     val banded = dropHotBuckets(bandedAll, Seq("band", "key"), maxBandDocFreq)
     operators.SkewJoin.blockedSelfPairs(banded, Seq("band", "key"), "doc_id", maxBucket)
       .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
@@ -3477,18 +3508,10 @@ object Graft {
       s"band LSH guarantees recall only for maxHamming <= ${SimHash.NumBands - 1}, " +
         s"got $maxHamming")
     require(maxBandDocFreq >= 1, s"maxBandDocFreq must be >= 1, got $maxBandDocFreq")
-    def banded(df: DataFrame, id: Column, sig: Column,
-               idName: String, sigName: String): DataFrame =
-      df.select(id.cast("long").as(idName), sig.cast("long").as(sigName))
-        .select(col(idName), col(sigName),
-                explode(sequence(lit(0), lit(SimHash.NumBands - 1))).as("band"))
-        .select(col(idName), col(sigName), col("band"),
-                expr(s"shiftrightunsigned($sigName, band * ${SimHash.BandBits}) & 65535")
-                  .as("key"))
     val cBands = dropHotBuckets(
-      banded(corpus, corpusId, corpusSig, "corpus_id", "sig_c"),
+      hammingBandRows(corpus, corpusId, corpusSig, "corpus_id", "sig_c"),
       Seq("band", "key"), maxBandDocFreq)
-    val bBands = banded(batch, batchId, batchSig, "batch_id", "sig_b")
+    val bBands = hammingBandRows(batch, batchId, batchSig, "batch_id", "sig_b")
     operators.SkewJoin
       .blockedBipartiteJoin(cBands, "corpus_id", bBands, Seq("band", "key"), maxBucket)
       .filter(col("batch_id") =!= col("corpus_id"))

@@ -150,6 +150,13 @@ object SkewJoin {
     // corrupt the pair set, so the hot rows are re-aggregated after
     // the threshold filter (metadata-scale: only above-cap keys).
     // The inline-count path is a groupBy result, unique by construction.
+    // DETECTION stays per-handed-row (review catch, stated limit): a
+    // collision-FUSED bucket whose duplicate rows are each sub-cap
+    // escapes (or, partially sub-cap, under-splits) the decomposition
+    // — summing before the filter would catch it, but that re-imposes
+    // the vocab-scale aggregate the handed table exists to delete,
+    // for an event at ~2⁻⁶⁴ per gram pair; the sizes contract above
+    // already declares counts ADVISORY (pair set exact regardless).
     val hotCounted = counted.filter(col("__cnt") > maxBucket)
     val hotUnique = sizes match {
       case Some(_) => hotCounted.groupBy(keys: _*).agg(sum("__cnt").as("__cnt"))

@@ -234,24 +234,6 @@ object MediaOps {
       .orderBy("doc_id")
   }
 
-  /** Exact media-asset dedup per kind — the content-addressed-storage
-    * step of a multimodal ingest (identical images/clips re-uploaded
-    * under different ids stored ONCE): assets grouped by the MD5 of
-    * their payload bytes, per kind the asset count, distinct-content
-    * count, duplicate count, raw byte total and the bytes a
-    * dedup-by-hash store saves. All integers (rule I).
-    *
-    * MD5 is the cross-engine-portable content key: Spark `md5(binary)`
-    * ≡ DuckDB `md5(text)` for ANY UTF-8 text, because casting a string
-    * to binary yields exactly the UTF-8 bytes DuckDB's md5 also hashes
-    * (no ASCII-purity requirement — that gate belongs to q_media_stats'
-    * char≡byte count identity, not to this digest);
-    * at 100 TB the same hash IS the storage key, and the
-    * grouping shuffles 16-byte digests + int lengths, never payloads.
-    *
-    * Scale shape: one scan → per-(kind, digest) map-side-combinable
-    * count (payload bytes never cross the wire; only digest rows do)
-    * → per-kind metadata-scale rollup. */
   /** PERCEPTUAL media near-dup (round 13 — the gap the round-12
     * verdict ranked first): q_media_dedup's exact-MD5 key misses a
     * re-encoded or brightness-shifted copy of the same asset; this
@@ -344,11 +326,32 @@ object MediaOps {
       .filter(col("hamming") <= maxHamming)
       .groupBy("hamming").agg(count(lit(1)).as("n_twin_pairs"))
     allPairs.join(twins, Seq("hamming"), "left")
-      .select(col("hamming"), col("n_pairs"),
+      // n_pairs too (review catch): on an sfDir with zero eligible
+      // docs the global within-group sum is NULL, and the integer
+      // contract must hold even for the degenerate (0, 0, 0) row
+      .select(col("hamming"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
               coalesce(col("n_twin_pairs"), lit(0L)).as("n_twin_pairs"))
       .orderBy("hamming")
   }
 
+  /** Exact media-asset dedup per kind — the content-addressed-storage
+    * step of a multimodal ingest (identical images/clips re-uploaded
+    * under different ids stored ONCE): assets grouped by the MD5 of
+    * their payload bytes, per kind the asset count, distinct-content
+    * count, duplicate count, raw byte total and the bytes a
+    * dedup-by-hash store saves. All integers (rule I).
+    *
+    * MD5 is the cross-engine-portable content key: Spark `md5(binary)`
+    * ≡ DuckDB `md5(text)` for ANY UTF-8 text, because casting a string
+    * to binary yields exactly the UTF-8 bytes DuckDB's md5 also hashes
+    * (no ASCII-purity requirement — that gate belongs to q_media_stats'
+    * char≡byte count identity, not to this digest);
+    * at 100 TB the same hash IS the storage key, and the
+    * grouping shuffles 16-byte digests + int lengths, never payloads.
+    *
+    * Scale shape: one scan → per-(kind, digest) map-side-combinable
+    * count (payload bytes never cross the wire; only digest rows do)
+    * → per-kind metadata-scale rollup. */
   def q_media_dedup(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d)
       .select(col("kind"), md5(col("payload")).as("digest"),
