@@ -495,6 +495,36 @@ object Events {
       .orderBy("hour", "event_type")
   }
 
+  /** Trailing EXACT rolling median + IQR (round 13) — the ROBUST
+    * sibling of [[q_rolling]]'s moving average and the windowed form
+    * of [[q_outlier_mad]]'s robust-statistics stance: over the same
+    * dense hourly spine, per event type the exact interpolated median
+    * and interquartile range of the trailing 5-hour frame — the
+    * rolling baseline an anomaly monitor compares arrivals against
+    * when single-hour spikes must not drag the baseline the way a
+    * mean does. Exact `percentile` (NOT approx_percentile) over a
+    * ROWS frame; both engines define the continuous quantile
+    * identically (linear interpolation at rank p·(cnt−1) — DuckDB's
+    * quantile_cont), so values match at 4dp (rule F). The window
+    * partitions by type over the metadata-scale spine — never a
+    * global sort; at 100 TB the spine stays |hours|×|types| however
+    * large the event table is, because the only corpus-scale stage
+    * is the map-side-combinable hourly count. */
+  def q_rolling_median(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d)
+      .select(expr(s"${Tables.tsUsSql} div $US_PER_HOUR").as("hour"), col("event_type"))
+      .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    val dense = graft.Graft.densify(hourly, "hour", Seq("event_type"),
+      Map("n" -> lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-4, 0)
+    dense.select(col("hour"), col("event_type"), col("n"),
+                 round(percentile(col("n"), lit(0.5)).over(w), 4).as("med5"),
+                 round(percentile(col("n"), lit(0.75)).over(w) -
+                       percentile(col("n"), lit(0.25)).over(w), 4).as("iqr5"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Lag-1 autocorrelation (added round 9): per event type, the
     * Pearson correlation of the dense hourly count series with itself
     * shifted one hour — the burstiness/periodicity scalar (white

@@ -2471,6 +2471,26 @@ object Oracle {
         |       CAST(SUM(o) AS BIGINT) AS n
         |FROM grid ORDER BY n""".stripMargin,
 
+    // trailing exact rolling median + IQR on the dense spine — both
+    // engines' continuous quantile interpolates at rank p*(cnt-1), so
+    // the exact window percentiles match at 4dp (rule F)
+    "q_rolling_median" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type FROM events),
+        |b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM e),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS hour FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |a AS (SELECT hour, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |dense AS (SELECT s.hour, t.event_type, CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+        |          FROM spine s CROSS JOIN t
+        |          LEFT JOIN a ON a.hour = s.hour AND a.event_type = t.event_type)
+        |SELECT hour, event_type, n,
+        |       ROUND(quantile_cont(n, 0.5) OVER w, 4) AS med5,
+        |       ROUND(quantile_cont(n, 0.75) OVER w - quantile_cont(n, 0.25) OVER w, 4) AS iqr5
+        |FROM dense
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY hour, event_type""".stripMargin,
+
     // trailing 3-hour moving average on the dense spine (the
     // q_hourly_delta spine construction)
     "q_rolling" ->

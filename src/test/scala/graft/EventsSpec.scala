@@ -238,4 +238,34 @@ class EventsSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq(("click", 1L, 2.85)))
   }
+
+  test("q_rolling_median: frame semantics — driver-computed quantiles per trailing window") {
+    // robust-baseline contract: for every row, med5/iqr5 equal the
+    // interpolated quantiles of that type's trailing <=5 dense-spine
+    // counts, computed independently on the driver (rank p*(cnt-1),
+    // linear interpolation — the definition both engines share)
+    val rows = Events.q_rolling_median(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                 r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    def quantile(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      val frac = rank - lo
+      if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo).toDouble
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_._2).foreach { case (_, tr) =>
+      val series = tr.sortBy(_._1)
+      series.indices.foreach { i =>
+        val frame = series.slice(math.max(0, i - 4), i + 1).map(_._3)
+        assert(series(i)._4 == r4(quantile(frame, 0.5)),
+          s"med5 mismatch at ${series(i)}")
+        assert(series(i)._5 == r4(quantile(frame, 0.75) - quantile(frame, 0.25)),
+          s"iqr5 mismatch at ${series(i)}")
+      }
+    }
+  }
 }
