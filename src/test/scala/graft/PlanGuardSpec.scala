@@ -47,6 +47,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // densify spine cross
     "q_welch_ttest", "q_kl_source", "q_chisq", "q_gini",
     "q_rolling", "q_autocorr",
+    // round 13: q_rolling_median composes the same q_gapfill densify
+    // spine cross as q_rolling
+    "q_rolling_median",
     // q_bm25 crosses the 1-row (N, Σlen, df...) stats aggregate
     "q_bm25",
     // round 11: q_kn_bigram crosses the broadcast 1-row bigram-type
