@@ -3430,20 +3430,6 @@ object Graft {
       maxHamming, maxBucket, maxBandDocFreq)
   }
 
-  /** Banded Hamming pairing over PRECOMPUTED 64-bit signatures — the
-    * candidate machinery of [[nearDupPairsSimhash]] factored out so
-    * any 64-bit fingerprint family can ride it (SimHash text
-    * fingerprints, [[graft.multimodal.Multimodal.perceptualHash]]
-    * media fingerprints): (doc_a, doc_b, hamming) for Hamming
-    * distance ≤ maxHamming, doc_a < doc_b, unordered. Candidates come
-    * from [[SimHash.NumBands]] 16-bit band buckets — perfect recall
-    * for maxHamming ≤ NumBands−1 by pigeonhole, larger radii rejected
-    * loudly rather than silently lossy. Band key and Hamming are pure
-    * built-ins (codegen-fused); rows stay two longs wide end-to-end;
-    * buckets above `maxBucket` are block-decomposed
-    * ([[operators.SkewJoin.blockedSelfPairs]]) and `maxBandDocFreq`
-    * is the opt-in lossy dense-band cap, both exactly as documented
-    * on the SimHash face. Ids must be unique and long-castable. */
   /** ONE definition of the 16-bit band-bucket rows both Hamming
     * faces pair on — (idName, sigName, band, key) for every band of
     * every signature — so the self-join and the bipartite probe can
@@ -3458,6 +3444,20 @@ object Graft {
               expr(s"shiftrightunsigned($sigName, band * ${SimHash.BandBits}) & 65535")
                 .as("key"))
 
+  /** Banded Hamming pairing over PRECOMPUTED 64-bit signatures — the
+    * candidate machinery of [[nearDupPairsSimhash]] factored out so
+    * any 64-bit fingerprint family can ride it (SimHash text
+    * fingerprints, [[graft.multimodal.Multimodal.perceptualHash]]
+    * media fingerprints): (doc_a, doc_b, hamming) for Hamming
+    * distance ≤ maxHamming, doc_a < doc_b, unordered. Candidates come
+    * from [[SimHash.NumBands]] 16-bit band buckets — perfect recall
+    * for maxHamming ≤ NumBands−1 by pigeonhole, larger radii rejected
+    * loudly rather than silently lossy. Band key and Hamming are pure
+    * built-ins (codegen-fused); rows stay two longs wide end-to-end;
+    * buckets above `maxBucket` are block-decomposed
+    * ([[operators.SkewJoin.blockedSelfPairs]]) and `maxBandDocFreq`
+    * is the opt-in lossy dense-band cap, both exactly as documented
+    * on the SimHash face. Ids must be unique and long-castable. */
   def nearDupPairsHamming(sigs: DataFrame, id: Column, sig: Column,
                           maxHamming: Int = 3,
                           maxBucket: Int = 1024,

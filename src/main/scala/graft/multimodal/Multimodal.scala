@@ -410,6 +410,11 @@ object Multimodal {
     * [[encodeWav]] pattern for the third modality. */
   def encodeGifGray(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
     require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    // GIF logical-screen/image dims are UNSIGNED 16-BIT fields; the
+    // JDK writer fails opaquely past 65535, so reject loudly at the
+    // source (round-13 ADVICE — callers gate or chunk before encode)
+    require(width <= 65535 && height <= 65535,
+      s"GIF dims are unsigned 16-bit, got ${width}x$height")
     require(frames.nonEmpty, "empty frame sequence")
     frames.foreach(f => require(f.length == width * height,
       s"frame length ${f.length} != ${width * height}"))

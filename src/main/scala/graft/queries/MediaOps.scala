@@ -252,7 +252,11 @@ object MediaOps {
     * (asset 2·doc_id+1) — a pair no byte digest links (different
     * container, different bytes) that perceptual near-dup must.
     *
-    * Output, one row per Hamming distance 0..2: `n_pairs` — ALL
+    * Output, one row per Hamming distance in 0..2 that HAS pairs —
+    * the hamming = 0 row is always present (the global within-group
+    * aggregate emits it even when zero); a distance-1 or -2 row
+    * appears only when some pair sits at that distance, so the shape
+    * is 1–3 rows (round-13 ADVICE). Per row: `n_pairs` — ALL
     * near-dup asset pairs at that distance (identical-signature
     * groups collapse to one representative before banding, the
     * MinHash set-collapse discipline, and group mass re-expands
@@ -291,10 +295,18 @@ object MediaOps {
         val bmp = Multimodal.encodeBmp(16, h, px)
         // the perturbed twin: same pixels +2 brightness, re-encoded
         // into a different container (identity-palette GIF) — escapes
-        // MD5, must not escape the perceptual key
-        val gif = Multimodal.encodeGifGray(16, h, Seq(grid.map(b => (b + 2).toByte)))
+        // MD5, must not escape the perceptual key. GIF stores dims as
+        // UNSIGNED 16-BIT, so a document past 16·65535 bytes has no
+        // encodable GIF twin (the JDK writer would throw and fail the
+        // task) — such a doc contributes only its BMP signature, the
+        // undecodable-asset fallback contract rather than a query
+        // failure (round-13 ADVICE).
+        val gifSig =
+          if (h > 65535) None
+          else Multimodal.perceptualHash(
+            Multimodal.encodeGifGray(16, h, Seq(grid.map(b => (b + 2).toByte))))
         Multimodal.perceptualHash(bmp).map(sig => (2 * docId, sig)) ++
-          Multimodal.perceptualHash(gif).map(sig => (2 * docId + 1, sig))
+          gifSig.map(sig => (2 * docId + 1, sig))
       }
     }.toDF("asset_id", "sig")
     val sigTable = graft.TempTables.cached(s, s"phash_sigs:$d")(sigs)
