@@ -2268,8 +2268,15 @@ object Graft {
       "ubiquitous control-char tokens displaced the count sentinel)")
     val vocab = top.iterator.filter(_.getString(0) != sent).take(vocabLimit)
       .map(r => (r.getString(0), math.log(n / r.getLong(1)))).toArray
-    val vArr = array(vocab.map(v => lit(v._1)).toIndexedSeq: _*)
-    val idfArr = array(vocab.map(v => lit(v._2)).toIndexedSeq: _*)
+    // ONE array Literal each, not CreateArray(64 children) — with 64
+    // per-token lit() nodes the optimizer re-walked a ~full-vocab-width
+    // tree on EVERY action over the vectors (measured ~1.1 s of
+    // driver-side plan time per write at vocabLimit = 64, invariant
+    // under task parallelism — the round-13 verdict-#5 excursion's
+    // repeatable component); a typedLit folds the whole vocabulary
+    // into a single leaf
+    val vArr = typedLit(vocab.map(_._1).toSeq)
+    val idfArr = typedLit(vocab.map(_._2).toSeq)
     toks
       // NULL-text rows featurize over the EMPTY token array (review
       // ×2): with NULL-text now officially counted in N, the raw
@@ -2281,11 +2288,19 @@ object Graft {
         zip_with(vArr, idfArr,
           (t, w) => size(filter(col("__toks"), x => x === t)).cast("double") * w)
           .as("__w"))
+      // normalize in ONE projection over __w (round-13 verdict #5):
+      // the previous three-Project chain re-materialized the
+      // 64-double array row twice more (higher-order lambdas keep
+      // these projections out of whole-stage codegen, so each level
+      // is a real interpreted row copy). The norm is recomputed
+      // inline inside the when and the lambda — O(64) flops per
+      // evaluation, ~4k flops/doc total, noise next to the featurize
+      // filter scans — in exchange for dropping a full corpus-scale
+      // row materialization.
       .select(col("doc_id"),
-        sqrt(aggregate(col("__w"), lit(0.0), (a, b) => a + b * b)).as("__n"),
-        col("__w"))
-      .select(col("doc_id"),
-        when(col("__n") > 0, transform(col("__w"), x => x / col("__n")))
+        when(aggregate(col("__w"), lit(0.0), (a, b) => a + b * b) > 0,
+             transform(col("__w"), x =>
+               x / sqrt(aggregate(col("__w"), lit(0.0), (a, b) => a + b * b))))
           .otherwise(col("__w")).as("vec"))
   }
 
@@ -2779,7 +2794,19 @@ object Graft {
     val ranked = globalRankDesc(base.select(col("__id"), col("__k")),
                                 negate(col("__k").cast("double")), col("__id"))
       .select(col("tie").as("__id"), col("rank").as("__r"))
-    val sorted = base.drop("__k").join(ranked, "__id")
+    // MATERIALIZED once (round-13 verdict #3 — q_dedup_sorted was a
+    // standing driver-excursion row with nothing on the build
+    // ledger): the ranked+tokenized projection below is consumed by
+    // BOTH sides of the neighbor join, so the lazy form re-ran the
+    // corpus tokenize (split + distinct) and the rank join twice per
+    // call. One temp-parquet round trip makes it a write + two
+    // column reads (measured at sf0.1: first call 3.6 → 2.6 s, and
+    // the cost now carries its own `snm_sorted` ledger row instead
+    // of hiding in query SELF time) — the fuzzy_canon warehouse
+    // shape: write the blocked projection next to the corpus, then
+    // self-join the table.
+    val sorted = TempTables.materialize(
+      base.drop("__k").join(ranked, "__id"), "snm_sorted")
     val probes = sorted
       .select(col("__id").as("doc_a"), col("__ts").as("__ta"), col("__r"),
               explode(sequence(lit(1), lit(w - 1))).as("__d"))

@@ -195,7 +195,17 @@ object TextOps {
   private[queries] def tfidfTable(s: SparkSession, d: String): DataFrame =
     graft.TempTables.cached(s, s"tfidf_sparse64:$d")(
       graft.Graft.tfidfVectors(Tables.documents(s, d),
-        col("doc_id"), col("text"), vocabLimit = 64))
+          col("doc_id"), col("text"), vocabLimit = 64)
+        // ONE output file (round-13 verdict #5): the table is ~1.25 MB
+        // at sf0.1 and the 32-file default write paid more in task
+        // setup + commit protocol than in bytes (the #2 driver
+        // first-touch row, 5.68 s). coalesce — not repartition — so
+        // the row-local featurize collapses into the write task with
+        // no exchange; at a scale where the vector table is genuinely
+        // big, size the file count by output bytes instead (this
+        // constant is the local-mode shim, same stance as
+        // TempTables.PrefetchBoundBytes).
+        .coalesce(1))
 
   /** Shannon token entropy per source (added round 8): the
     * corpus-diversity metric — a source whose entropy collapses
