@@ -346,6 +346,86 @@ object MediaOps {
       .orderBy("hamming")
   }
 
+  /** PERCEPTUAL audio near-dup (round 14 — the round-13 verdict's #4):
+    * q_media_dedup's exact-MD5 key misses a volume-shifted or
+    * re-containered copy of the same recording; this query catches it
+    * with the 64-bit spectral-energy-delta fingerprint
+    * ([[graft.multimodal.Multimodal.audioFingerprint]] — 8 time
+    * frames × 8 difference-lag bands, bits = temporal energy-delta
+    * signs, gain- and DC-invariant) paired by the SAME shared band
+    * machinery as q_media_phash ([[graft.Graft.nearDupPairsHamming]]:
+    * 16-bit band buckets, blocked self-join, exact bit_count verify —
+    * perfect recall at Hamming ≤ 3 by pigeonhole).
+    *
+    * The corpus: every ASCII document ≥ 64 bytes renders to a REAL
+    * 8-bit PCM WAV (asset 2·doc_id — the q_media_audio recipe) AND a
+    * REAL re-encode of the same recording at HALF GAIN and a
+    * different sample rate (asset 2·doc_id+1) — a pair no byte digest
+    * links. The halved 8-bit samples round (integer truncation), so
+    * the twin is gain-shift-exact only up to a few bits — exactly the
+    * perturbation the Hamming radius exists to absorb, and the
+    * query's n_twin_pairs row measures that recall directly.
+    *
+    * Output and scale shape: identical to [[q_media_phash]] — one row
+    * per Hamming distance in 0..3 that HAS pairs (hamming = 0 always
+    * present via the global within-group aggregate; 1–4 rows total):
+    * n_pairs from signature-group collapse + banded rep pairing with
+    * arithmetic mass re-expansion, n_twin_pairs from a LINEAR id
+    * join. Payloads never shuffle; 8-byte signatures do; at 100 TB
+    * the fingerprint computes in the ingest mapper. Oracle = no
+    * (javax.sound decode — the q_media_phash stance); MultimodalSpec
+    * pins the invariances, banded-vs-brute equivalence and the twin
+    * recall floor. */
+  def q_media_audio_fp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxHamming = 3
+    val assets = Tables.documents(s, d)
+      // ASCII gate (byte ≡ char) + at least 8 samples per time frame
+      // so the 8×8 energy grid carries signal
+      .filter(length(col("text")) === octet_length(col("text")) &&
+              octet_length(col("text")) >= 64)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val sigs = assets.mapPartitions { rows =>
+      rows.flatMap { case (docId, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val wav = Multimodal.encodeWav(bytes, 16000)
+        // the perturbed twin: half gain around the 8-bit midpoint,
+        // re-encoded at a different sample rate — escapes MD5, must
+        // not escape the perceptual key
+        val half = bytes.map(b => (128 + ((b & 0xff) - 128) / 2).toByte)
+        val twin = Multimodal.encodeWav(half, 22050)
+        Multimodal.audioFingerprint(wav).map(sig => (2 * docId, sig)) ++
+          Multimodal.audioFingerprint(twin).map(sig => (2 * docId + 1, sig))
+      }
+    }.toDF("asset_id", "sig")
+    val sigTable = graft.TempTables.cached(s, s"afp_sigs:$d")(sigs)
+    val groups = graft.TempTables.cached(s, s"afp_groups:$d")(
+      sigTable.groupBy("sig")
+        .agg(min(col("asset_id")).as("rep"), count(lit(1)).as("n")))
+    val pairs = graft.Graft.nearDupPairsHamming(
+      groups, col("rep"), col("sig"), maxHamming = maxHamming)
+    val cross = pairs
+      .join(groups.select(col("rep").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(groups.select(col("rep").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .groupBy("hamming").agg(sum(col("n_a") * col("n_b")).as("n_pairs"))
+    val within = groups.agg(sum(expr("n * (n - 1) DIV 2")).as("n_pairs"))
+      .select(lit(0).as("hamming"), col("n_pairs"))
+    val allPairs = cross.unionByName(within)
+      .groupBy("hamming").agg(sum(col("n_pairs")).as("n_pairs"))
+    val twins = sigTable.filter(col("asset_id") % 2 === 0)
+      .select(expr("asset_id DIV 2").as("doc_id"), col("sig").as("sig_o"))
+      .join(sigTable.filter(col("asset_id") % 2 === 1)
+        .select(expr("asset_id DIV 2").as("doc_id"),
+                col("sig").as("sig_t")), "doc_id")
+      .select(expr("bit_count(sig_o ^ sig_t)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("hamming").agg(count(lit(1)).as("n_twin_pairs"))
+    allPairs.join(twins, Seq("hamming"), "left")
+      .select(col("hamming"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+              coalesce(col("n_twin_pairs"), lit(0L)).as("n_twin_pairs"))
+      .orderBy("hamming")
+  }
+
   /** Exact media-asset dedup per kind — the content-addressed-storage
     * step of a multimodal ingest (identical images/clips re-uploaded
     * under different ids stored ONCE): assets grouped by the MD5 of

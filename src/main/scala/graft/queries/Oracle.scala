@@ -1551,6 +1551,42 @@ object Oracle {
         |       (n_pairs - n_local) * 1000 // n_pairs AS cross_permille
         |FROM agg ORDER BY n_shards""".stripMargin,
 
+    /** Span-level shard-dedup loss: q_span_dedup's duplicated-span
+      * universe (exact 16-token span text in ≥ 2 distinct docs — the
+      * oracle groups by TEXT, blind to the facade's 128-bit hash
+      * keys), the q_sample_det multiplicative hash mod 16, and per K
+      * the groups no single K-shard sees twice. Per-shard distinct
+      * counts ADD across shard classes (shards partition docs), so
+      * everything above the span explode is integer arithmetic over
+      * the (span, shard16) table (rule I). */
+    "q_span_shard_loss" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |               unnest(generate_series(0, len(t)//16 - 1)) AS i
+        |        FROM toks WHERE len(t) >= 16),
+        |spans AS (SELECT doc_id,
+        |                 ((doc_id % 1000000007) * 2654435761) % 16 AS b16,
+        |                 array_to_string(t[i*16+1 : i*16+16], ' ') AS span
+        |          FROM idx),
+        |per AS (SELECT span, b16, COUNT(DISTINCT doc_id) AS c
+        |        FROM spans GROUP BY span, b16),
+        |dup AS (SELECT span FROM per GROUP BY span HAVING SUM(c) >= 2),
+        |k AS (SELECT unnest([2, 4, 8, 16]) AS n_shards),
+        |lk AS (SELECT n_shards, p.span, p.b16 % n_shards AS bk,
+        |              SUM(p.c) AS ck
+        |       FROM per p JOIN dup d ON p.span = d.span CROSS JOIN k
+        |       GROUP BY n_shards, p.span, bk),
+        |mx AS (SELECT n_shards, span, MAX(ck) AS max_local
+        |       FROM lk GROUP BY n_shards, span)
+        |SELECT n_shards, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+        |       CAST(SUM(CASE WHEN max_local < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_lost,
+        |       CAST(CASE WHEN COUNT(*) = 0 THEN 0
+        |                 ELSE SUM(CASE WHEN max_local < 2 THEN 1 ELSE 0 END)
+        |                      * 1000 // COUNT(*) END AS BIGINT)
+        |         AS lost_permille
+        |FROM mx GROUP BY n_shards ORDER BY n_shards""".stripMargin,
+
     /** Int8 quantization profile: q = SIGN(x) · FLOOR(ABS(x) · 127) —
       * symmetric magnitude quantization (plain floor would count only
       * positive near-zeros in n_zero and bias sum_q by −0.5/element);

