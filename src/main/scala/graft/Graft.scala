@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   * a declared query runs (and is tested for equivalence in GraftSpec),
   * so correctness transfers from the oracle-verified query set.
   */
+
+/** A trained unigram-LM tokenizer model ([[Graft.unigramLmTrain]]):
+  * `pieces` sorted (probability DESC, piece ASC), probabilities an
+  * exact partition of 1 over the final vocabulary; `logLikelihoods`
+  * the per-EM-round corpus log-likelihood trail (fixed-point units ×
+  * word frequency — the monotonicity evidence, one entry per round). */
+case class UnigramLmModel(pieces: Seq[(String, Double)], maxPieceLen: Int,
+                          logLikelihoods: List[BigDecimal])
+
+/** One training iteration's ledger row ([[Graft.logisticTrain]]):
+  * mean log-loss plus the integer confusion counts at threshold 0.5
+  * BEFORE that iteration's weight update was applied. */
+case class LogisticIter(loss: Double, tp: Long, fp: Long, tn: Long, fn: Long)
+
+/** A trained logistic-regression model ([[Graft.logisticTrain]]):
+  * weights over STANDARDIZED features ((x − μ)/σ — `means`/`stds` from
+  * the training stats pass), the per-iteration loss trail, and the
+  * per-iteration confusion ledger. Apply with [[Graft.logisticPredict]]. */
+case class LogisticModel(weights: Seq[Double], bias: Double,
+                         means: Seq[Double], stds: Seq[Double],
+                         losses: List[Double], trail: List[LogisticIter],
+                         nRows: Long)
+
 object Graft {
 
   /** Left as-of join: append to `left` the nearest same-keyed
@@ -785,6 +808,412 @@ object Graft {
         // (mkString's bookends would fabricate "()")
         if (s.isEmpty) "" else s.mkString("(", ")(", ")")
       }).apply(word)
+  }
+
+  // ──────────────── Unigram-LM tokenizer (SentencePiece-style) ────────────────
+
+  /** Candidate-piece occurrence mass for unigram-LM tokenizer seeding
+    * (round 14) — the OTHER real-world subword algorithm next to BPE
+    * ([[bpeLearnMerges]]): where BPE grows pieces bottom-up by merging,
+    * the unigram LM (Kudo 2018, the SentencePiece default) starts from
+    * a large candidate set and prunes under an EM-fitted piece
+    * distribution. This is the candidate set: every substring of
+    * length 1..`maxPieceLen` of every word TYPE, scored by total
+    * occurrence mass (word frequency × positions inside the word),
+    * top-`topK` by (mass DESC, piece ASC — rule O).
+    *
+    * Scale shape: the word-frequency aggregate is the one corpus-scale
+    * shuffle; substring expansion is row-local over word TYPES (vocab
+    * scale — a 100 TB corpus has ~10⁸ word types, not 10¹³), and the
+    * piece aggregate is (vocab × maxPieceLen²)-scale with map-side
+    * partial combine. `sequence(1, L)` is guarded by a `filter` on
+    * l ≤ length(w) — an unguarded `sequence(1, length(w) − l + 1)`
+    * would produce the DESCENDING [1, 0] on short words (the
+    * repetitionScores lesson). Integer counts throughout (rule F/I);
+    * `substring`/`length` count code points identically in Spark and
+    * DuckDB on this corpus (rule S). */
+  def unigramSeedPieces(docs: DataFrame, text: Column, maxPieceLen: Int = 4,
+                        topK: Int = 512): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in 1..16, got $maxPieceLen")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    unigramSubstringMass(unigramWordFreqs(docs, text), maxPieceLen)
+      .orderBy(col("mass").desc, col("piece"))
+      .limit(topK)
+  }
+
+  /** The (word, f) frequency table — word TYPES with counts, the form
+    * every unigram-LM stage consumes (and production SentencePiece
+    * trains on). One corpus pass, map-side combinable. */
+  private def unigramWordFreqs(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(split(text, " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** Substring occurrence mass over an aggregated (w, f) table:
+    * row-local nested-transform expansion, vocab-scale aggregate. */
+  private def unigramSubstringMass(wordFreqs: DataFrame, maxPieceLen: Int): DataFrame =
+    wordFreqs
+      .select(explode(expr(
+        s"flatten(transform(filter(sequence(1, $maxPieceLen), l -> l <= length(w)), " +
+          "l -> transform(sequence(1, length(w) - l + 1), " +
+          "i -> substring(w, i, l))))")).as("piece"),
+              col("f"))
+      .groupBy("piece").agg(sum("f").as("mass"))
+
+  /** Fixed-point scale for the EM expectation pass: per-(word, piece)
+    * expected counts quantize to `round(c · 2²⁴)` BEFORE the
+    * distributed sum, so the aggregate is an exact integer
+    * (`decimal(38,0)` — the per-row count × word-frequency product and
+    * the corpus sum both stay exact) and the trained model is
+    * bit-identical across runs and partitionings — a parallel DOUBLE
+    * sum's result depends on reduction order (rule F), which would
+    * make the model, its prune set and every downstream token count
+    * flap run to run. c ≤ |word| ≤ 2¹⁵ keeps round(c·2²⁴) far inside
+    * Long; the ×f product is carried in decimal. Quantization error is
+    * ≤ 2⁻²⁵ per (word, piece) — EM is a fixed-point iteration, so this
+    * perturbs the trajectory by an amount the monotonicity property
+    * test bounds, not the algorithm. */
+  private val UnigramFp: Double = (1L << 24).toDouble
+
+  private[graft] def unigramCodePoints(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log1p(math.exp(math.min(a, b) - m)) }
+
+  /** Row-local forward–backward over ONE word's segmentation lattice
+    * under piece log-probs: returns (expected count per piece across
+    * all segmentations weighted by their probability, log Z). The
+    * lattice has |w|+1 nodes and an edge (j → i) per in-vocabulary
+    * piece w[j..i), i − j ≤ maxPieceLen; α/β are standard
+    * log-space forward/backward sums and the expected count of edge
+    * (j, i, p) is exp(α(j) + log p + β(i) − log Z). O(|w| ·
+    * maxPieceLen) time, pure function — the per-row kernel of
+    * [[unigramLmTrain]]'s distributed E-step. Returns log Z = −∞ when
+    * the word cannot be segmented at all (no piece covers some code
+    * point). Pinned against exhaustive segmentation enumeration in
+    * UnigramLmSpec. */
+  private[graft] def unigramForwardBackward(
+      word: String, logp: collection.Map[String, Double], maxPieceLen: Int)
+      : (Map[String, Double], Double) = {
+    val cps = unigramCodePoints(word)
+    val n = cps.length
+    val NEG = Double.NegativeInfinity
+    if (n == 0) return (Map.empty, 0.0)
+    def piece(j: Int, i: Int): String = cps.slice(j, i).mkString
+    val alpha = Array.fill(n + 1)(NEG); alpha(0) = 0.0
+    for (i <- 1 to n; l <- 1 to math.min(maxPieceLen, i)) {
+      val j = i - l
+      if (alpha(j) != NEG) logp.get(piece(j, i)).foreach { lp =>
+        alpha(i) = logAdd(alpha(i), alpha(j) + lp)
+      }
+    }
+    val beta = Array.fill(n + 1)(NEG); beta(n) = 0.0
+    for (j <- (n - 1) to 0 by -1; l <- 1 to math.min(maxPieceLen, n - j)) {
+      val i = j + l
+      if (beta(i) != NEG) logp.get(piece(j, i)).foreach { lp =>
+        beta(j) = logAdd(beta(j), lp + beta(i))
+      }
+    }
+    val z = alpha(n)
+    if (z == NEG) (Map.empty, NEG)
+    else {
+      val acc = scala.collection.mutable.HashMap.empty[String, Double]
+      for (j <- 0 until n; l <- 1 to math.min(maxPieceLen, n - j)) {
+        val i = j + l
+        if (alpha(j) != NEG && beta(i) != NEG) logp.get(piece(j, i)).foreach { lp =>
+          val c = math.exp(alpha(j) + lp + beta(i) - z)
+          acc.update(piece(j, i), acc.getOrElse(piece(j, i), 0.0) + c)
+        }
+      }
+      (acc.toMap, z)
+    }
+  }
+
+  /** Row-local Viterbi segmentation of ONE word under piece
+    * log-probs: the maximum-probability path through the same lattice
+    * [[unigramForwardBackward]] sums over. Ties break to the FEWEST
+    * tokens, then to the candidate reached first in ascending
+    * piece-length order at each node (deterministic — the property
+    * UnigramLmSpec pins is score/token-count optimality plus exact
+    * reconstruction, not one blessed sequence among equal-probability
+    * ties). None when the word cannot be segmented. */
+  private[graft] def unigramViterbi(
+      word: String, logp: collection.Map[String, Double], maxPieceLen: Int)
+      : Option[Seq[String]] = {
+    val cps = unigramCodePoints(word)
+    val n = cps.length
+    if (n == 0) return Some(Nil)
+    val NEG = Double.NegativeInfinity
+    val best = Array.fill(n + 1)(NEG); best(0) = 0.0
+    val nTok = Array.fill(n + 1)(Int.MaxValue); nTok(0) = 0
+    val back = Array.fill(n + 1)(-1)
+    for (i <- 1 to n; l <- 1 to math.min(maxPieceLen, i)) {
+      val j = i - l
+      if (best(j) != NEG) logp.get(cps.slice(j, i).mkString).foreach { lp =>
+        val s = best(j) + lp
+        val t = nTok(j) + 1
+        if (s > best(i) || (s == best(i) && t < nTok(i))) {
+          best(i) = s; nTok(i) = t; back(i) = j
+        }
+      }
+    }
+    if (best(n) == NEG) None
+    else {
+      var i = n
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (i > 0) { val j = back(i); out.prepend(cps.slice(j, i).mkString); i = j }
+      Some(out.toList)
+    }
+  }
+
+  /** Unigram-LM tokenizer TRAINING (round 14) — EM over the candidate
+    * piece set, then frequency-mass pruning to `targetVocab`, then a
+    * final EM polish: the Kudo/SentencePiece algorithm re-expressed in
+    * the engine's aggregate shapes. Returns the model as
+    * (piece, probability) sorted (prob DESC, piece ASC), probabilities
+    * exact ratios of the final EM pass's integer masses.
+    *
+    * Stages, with their 100 TB shape:
+    *  1. word-frequency table — ONE corpus pass ([[unigramWordFreqs]]),
+    *     then every later stage runs over word TYPES (vocab scale).
+    *  2. seed = top-`seedSize` substrings by occurrence mass UNION all
+    *     single-code-point pieces (coverage floor: any word stays
+    *     segmentable), initial probs ∝ mass — one vocab-scale
+    *     aggregate, one model-scale collect (≤ seedSize + alphabet).
+    *  3. `emIters` EM rounds: the E-step is a distributed mapPartitions
+    *     over (w, f) rows — per row the O(|w|·maxPieceLen)
+    *     [[unigramForwardBackward]] kernel — followed by ONE integer
+    *     aggregate (fixed-point counts, [[UnigramFp]]: the model is
+    *     bit-stable under any partitioning); the M-step normalizes the
+    *     collected model-scale masses on the driver. Zero-mass
+    *     multi-char pieces drop; single-code-point pieces floor at one
+    *     fixed-point unit (coverage can never regress).
+    *  4. prune: keep all single-code-point pieces + the top
+    *     (`targetVocab` − alphabet) multi-char pieces by (final-round
+    *     mass DESC, piece ASC) — the frequency-mass criterion (simpler
+    *     than SentencePiece's likelihood-loss ranking; deterministic
+    *     and integer — the trade is stated, not hidden).
+    *  5. `emIters` more EM rounds on the pruned vocabulary.
+    *
+    * Total driver state is O(seedSize + alphabet) — the bpeLearnMerges
+    * / ivfTrain model-scalar pattern; the corpus is touched exactly
+    * once. Per-round corpus log-likelihood (fixed-point, × word freq)
+    * is returned alongside for the EM monotonicity property pinned in
+    * UnigramLmSpec. */
+  def unigramLmTrain(docs: DataFrame, text: Column, maxPieceLen: Int = 4,
+                     seedSize: Int = 512, targetVocab: Int = 256,
+                     emIters: Int = 2): UnigramLmModel = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in 1..16, got $maxPieceLen")
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
+    require(emIters >= 1, s"emIters must be >= 1, got $emIters")
+    val spark = docs.sparkSession
+    // the (w, f) table feeds the seed aggregate + every EM pass — one
+    // temp-parquet round trip instead of 1 + 2·emIters corpus scans
+    // (vocab-scale parquet with real stats, the src_tok_counts shape)
+    val words = TempTables.materialize(unigramWordFreqs(docs, text), "unigram_words")
+    // seed: top multi-char substrings by mass + ALL single code points
+    val massTable = unigramSubstringMass(words, maxPieceLen)
+    val multis = massTable.filter(length(col("piece")) >= 2)
+      .orderBy(col("mass").desc, col("piece")).limit(seedSize).collect()
+    val singles = massTable.filter(length(col("piece")) === 1).collect()
+    val seed = (multis ++ singles).map(r => (r.getString(0), r.getLong(1))).toSeq
+    val seedTotal = seed.map(_._2).sum.toDouble
+    var model: Map[String, Double] =
+      seed.map { case (p, m) => p -> math.log(m / seedTotal) }.toMap
+    val singleSet = seed.collect { case (p, _) if unigramCodePoints(p).length == 1 => p }.toSet
+    val logLiks = scala.collection.mutable.ListBuffer.empty[BigDecimal]
+    var lastMass: Map[String, BigDecimal] = Map.empty
+    def emRound(): Unit = {
+      val (mass, ll) = unigramEmPass(words, model, maxPieceLen)
+      logLiks += ll
+      // single-cp floor BEFORE normalization: coverage never regresses
+      val floored = mass.map { case (p, m) =>
+        p -> (if (singleSet(p) && m <= 0) BigDecimal(1) else m)
+      } ++ singleSet.filterNot(mass.contains).map(_ -> BigDecimal(1))
+      val kept = floored.filter(_._2 > 0)
+      val total = kept.values.sum
+      model = kept.map { case (p, m) => p -> math.log((m / total).toDouble) }
+      lastMass = kept
+    }
+    (1 to emIters).foreach(_ => emRound())
+    // prune to targetVocab: all single-cp pieces survive, multi-char
+    // pieces rank by (mass DESC, piece ASC)
+    val keepMultis = lastMass.toSeq
+      .filter { case (p, _) => unigramCodePoints(p).length > 1 }
+      .sortBy { case (p, m) => (-m, p) }
+      .take(math.max(0, targetVocab - singleSet.size))
+      .map(_._1).toSet
+    model = model.filter { case (p, _) =>
+      keepMultis(p) || unigramCodePoints(p).length == 1 }
+    (1 to emIters).foreach(_ => emRound())
+    val total = lastMass.values.sum
+    val pieces = lastMass.toSeq
+      .map { case (p, m) => (p, (m / total).toDouble) }
+      .sortBy { case (p, prob) => (-prob, p) }
+    UnigramLmModel(pieces, maxPieceLen, logLiks.toList)
+  }
+
+  /** One distributed E-step: broadcast the model, run the row-local
+    * forward–backward kernel per word type, aggregate fixed-point
+    * expected counts × word frequency as exact decimals. The
+    * log-likelihood rides the same pass under the "" sentinel piece
+    * (words are non-empty by construction, so "" cannot collide). */
+  private def unigramEmPass(wordFreqs: DataFrame, model: Map[String, Double],
+                            maxPieceLen: Int): (Map[String, BigDecimal], BigDecimal) = {
+    val spark = wordFreqs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val rows = wordFreqs.select(col("w"), col("f").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (w, f) =>
+          val (counts, z) = unigramForwardBackward(w, m, maxPieceLen)
+          if (z == Double.NegativeInfinity) Iterator.empty
+          else counts.iterator.map { case (p, c) =>
+            (p, math.round(c * UnigramFp), f)
+          } ++ Iterator(("", math.round(z * UnigramFp), f))
+        }
+      }.toDF("piece", "cfp", "f")
+    val collected = rows.groupBy("piece")
+      .agg(sum(col("cfp").cast("decimal(38,0)") * col("f")).as("mass"))
+      .collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDecimal(1)))
+    val ll = collected.collectFirst { case ("", m) => m }.getOrElse(BigDecimal(0))
+    (collected.filter(_._1.nonEmpty).toMap, ll)
+  }
+
+  /** Viterbi ENCODE under a trained unigram model, as a column over a
+    * word column — wrapped "(p1)(p2)…" form, the [[bpeEncode]]
+    * contract, so [[bpeTokenCount]] applies unchanged. A UDF is the
+    * honest tier (the [[bpeEncodeIndexed]] stance): the segmentation
+    * is a data-dependent DP no built-in expresses, and the operator is
+    * row-local — zero shuffle at any corpus size. Unsegmentable words
+    * (a code point outside the model — cannot happen for words seen in
+    * training, where single code points always survive) encode NULL
+    * loudly rather than silently dropping. */
+  def unigramEncode(word: Column, model: UnigramLmModel): Column = {
+    val pieces = model.pieces.toMap
+    val maxLen = model.maxPieceLen
+    udf((w: String) =>
+      if (w == null) null
+      else unigramViterbi(w, pieces.map { case (k, v) => k -> math.log(v) }, maxLen)
+        .map(s => if (s.isEmpty) "" else s.mkString("(", ")(", ")"))
+        .orNull).apply(word)
+  }
+
+  // ───────────── Logistic-regression quality classifier ─────────────
+
+  /** Distributed logistic-regression TRAINING by full-batch gradient
+    * descent (round 14) — the fastText/CCNet-style quality-classifier
+    * step of a training-data pipeline, expressed in the engine's
+    * matrix-free shape (the [[pcaPowerIteration]] stance): the model
+    * is driver state (k + 1 doubles), each iteration is ONE
+    * map-side-combinable aggregate over the feature projection, and
+    * the corpus is never collected. Features are standardized from a
+    * single stats pass ((x − μ)/σ, σ = 0 → 1) so one fixed learning
+    * rate serves mixed-scale inputs; the projection itself is
+    * materialized once (temp parquet, the snm_sorted shape) so `iters`
+    * aggregates re-read a narrow table instead of re-running the
+    * feature expressions over the corpus.
+    *
+    * Determinism (rule F applied to training): per-row gradient and
+    * loss contributions quantize to 2⁻²⁴ fixed point BEFORE the
+    * distributed sum and aggregate as exact `decimal(38,0)` — a
+    * parallel double sum's value depends on reduction order, which
+    * would make the weights (and every downstream verdict) flap run to
+    * run. The loss uses the overflow-safe form
+    * max(z,0) − y·z + log1p(exp(−|z|)). Integer confusion counts at
+    * threshold 0.5 ride the same aggregate (no extra pass). Gradient
+    * correctness is pinned against finite differences, convergence and
+    * determinism in LogisticSpec. */
+  def logisticTrain(df: DataFrame, label: Column, features: Seq[Column],
+                    iters: Int = 20, lr: Double = 1.0, l2: Double = 0.0)
+      : LogisticModel = {
+    require(features.nonEmpty && features.size <= 32,
+      s"features must be 1..32 columns, got ${features.size}")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    require(l2 >= 0, s"l2 must be >= 0, got $l2")
+    val k = features.size
+    val fp = UnigramFp // 2^24 — the same fixed-point discipline
+    val proj = TempTables.materialize(
+      df.select((label.cast("double").as("y") +:
+        features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"x$i") }): _*),
+      "logit_features")
+    // one stats pass: n, Σx, Σx² per feature (fixed-point decimals)
+    val statAggs = count(lit(1)).as("n") +:
+      (0 until k).flatMap { i =>
+        Seq(sum(round(col(s"x$i") * fp).cast("decimal(38,0)")).as(s"s$i"),
+            sum(round(col(s"x$i") * col(s"x$i") * fp).cast("decimal(38,0)")).as(s"q$i"))
+      }
+    val st = proj.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val n = st.getLong(0)
+    require(n >= 1, "logisticTrain: empty input")
+    val means = (0 until k).map(i => BigDecimal(st.getDecimal(1 + 2 * i)).toDouble / fp / n)
+    val stds = (0 until k).map { i =>
+      val ex2 = BigDecimal(st.getDecimal(2 + 2 * i)).toDouble / fp / n
+      val v = ex2 - means(i) * means(i)
+      if (v <= 0) 1.0 else math.sqrt(v)
+    }
+    var w = Array.fill(k)(0.0)
+    var b = 0.0
+    val losses = scala.collection.mutable.ListBuffer.empty[Double]
+    val trail = scala.collection.mutable.ListBuffer.empty[LogisticIter]
+    for (_ <- 1 to iters) {
+      val xs = (0 until k).map(i => (col(s"x$i") - lit(means(i))) / lit(stds(i)))
+      val z = xs.zipWithIndex.foldLeft(lit(b): Column) { case (acc, (x, i)) =>
+        acc + lit(w(i)) * x }
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val lossRow = greatest(z, lit(0.0)) - col("y") * z + log1p(exp(-abs(z)))
+      val pred = (p >= 0.5).cast("long")
+      val aggs =
+        (0 until k).map(i =>
+          sum(round((p - col("y")) * xs(i) * fp).cast("decimal(38,0)")).as(s"g$i")) ++
+        Seq(sum(round((p - col("y")) * fp).cast("decimal(38,0)")).as("gb"),
+            sum(round(lossRow * fp).cast("decimal(38,0)")).as("loss"),
+            sum(when(pred === 1 && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+            sum(when(pred === 1 && col("y") === 0.0, 1L).otherwise(0L)).as("fpos"),
+            sum(when(pred === 0 && col("y") === 0.0, 1L).otherwise(0L)).as("tn"),
+            sum(when(pred === 0 && col("y") === 1.0, 1L).otherwise(0L)).as("fn"))
+      val r = proj.agg(aggs.head, aggs.tail: _*).collect()(0)
+      def dec(idx: Int): Double = BigDecimal(r.getDecimal(idx)).toDouble / fp
+      val loss = dec(k + 1) / n
+      losses += loss
+      trail += LogisticIter(loss, r.getLong(k + 2), r.getLong(k + 3),
+                            r.getLong(k + 4), r.getLong(k + 5))
+      w = Array.tabulate(k)(i => w(i) - lr * (dec(i) / n + l2 * w(i)))
+      b = b - lr * dec(k) / n
+    }
+    LogisticModel(w.toSeq, b, means, stds, losses.toList, trail.toList, n)
+  }
+
+  /** The predicted probability column under a trained model — the
+    * same standardized-margin expression the trainer iterated, so
+    * scoring a new corpus is row-local and zero-shuffle. */
+  def logisticPredict(model: LogisticModel, features: Seq[Column]): Column = {
+    require(features.size == model.weights.size,
+      s"expected ${model.weights.size} features, got ${features.size}")
+    val z = features.zipWithIndex.foldLeft(lit(model.bias): Column) {
+      case (acc, (f, i)) =>
+        acc + lit(model.weights(i)) *
+          ((f.cast("double") - lit(model.means(i))) / lit(model.stds(i)))
+    }
+    lit(1.0) / (lit(1.0) + exp(-z))
   }
 
   /** Unicode-normalization accounting per group — the

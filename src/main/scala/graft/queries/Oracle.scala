@@ -1378,6 +1378,29 @@ object Oracle {
       * training stages, each stage's chosen merge unwrapped. */
     "q_bpe_vocab" -> bpeVocabSql(nMerges = 12, vocabLimit = 4096),
 
+    /** Unigram-LM tokenizer seed: substring occurrence mass over word
+      * types — list_transform over generate_series is DuckDB's twin
+      * of Spark's transform(sequence(...)); the CASE guard mirrors
+      * the Spark side's filter(l <= length(w)) (an unguarded series
+      * would go descending on short words in Spark — rule S notes
+      * both engines' substring/length count code points identically
+      * on this corpus). Integer mass, (mass DESC, piece) total order
+      * (rule O). */
+    "q_unigram_seed" ->
+      """WITH words AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |pieces AS (
+        |  SELECT unnest(flatten(list_transform(generate_series(1, 4),
+        |           l -> CASE WHEN l <= length(w)
+        |                THEN list_transform(generate_series(1, CAST(length(w) AS INT) - l + 1),
+        |                                    i -> substring(w, i, l))
+        |                ELSE [] END))) AS piece, f
+        |  FROM words)
+        |SELECT piece, CAST(SUM(f) AS BIGINT) AS mass FROM pieces
+        |GROUP BY piece ORDER BY mass DESC, piece LIMIT 30""".stripMargin,
+
     /** Semantic dedup: tf-idf recomputed from scratch (the
       * q_sim_sparse CTEs), the pair join kept at rounded cosine ≥
       * 0.9, the q_text_quality integer score, and the dominance
@@ -2487,6 +2510,46 @@ object Oracle {
         |               (tf_2 + 1.2 * (1 - 0.75 + 0.75 * len / (CAST(sl AS DOUBLE) / n))), 6) AS score
         |FROM d, s
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    /** Hybrid RRF: the q_bm25 scorer (mirrored term by term, 6dp) and
+      * the q_sim_search dot scorer (unnest-join DOUBLE, 3dp) each
+      * ranked to top-100 under (rounded score DESC, doc_id) — the
+      * same total order as the Spark side, so neither the cut nor the
+      * ranks can flap — then fused by integer reciprocal rank. */
+    "q_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len,
+        |             CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_0,
+        |             CAST(len(list_filter(tk, x -> x = 'scan')) AS BIGINT) AS tf_1,
+        |             CAST(len(list_filter(tk, x -> x = 'dup')) AS BIGINT) AS tf_2
+        |      FROM t),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS sl,
+        |             CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+        |             CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+        |             CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+        |      FROM d),
+        |lex AS (SELECT doc_id,
+        |       ROUND(ln(1 + (n - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * (1.2 + 1)) /
+        |               (tf_0 + 1.2 * (1 - 0.75 + 0.75 * len / (CAST(sl AS DOUBLE) / n)))
+        |           + ln(1 + (n - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * (1.2 + 1)) /
+        |               (tf_1 + 1.2 * (1 - 0.75 + 0.75 * len / (CAST(sl AS DOUBLE) / n)))
+        |           + ln(1 + (n - df_2 + 0.5) / (df_2 + 0.5)) * (tf_2 * (1.2 + 1)) /
+        |               (tf_2 + 1.2 * (1 - 0.75 + 0.75 * len / (CAST(sl AS DOUBLE) / n))), 6) AS ls
+        |FROM d, s),
+        |lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY ls DESC, doc_id) AS INT) AS lex_rank
+        |         FROM lex QUALIFY lex_rank <= 100),
+        |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+        |ex AS (SELECT e.vec_id, CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) *
+        |              CAST(probe.p[CAST(t.i AS INT)] AS DOUBLE) AS prod
+        |       FROM embeddings e, probe, range(1, 65) t(i) WHERE e.vec_id <> 0),
+        |den AS (SELECT vec_id AS doc_id, ROUND(SUM(prod), 3) AS ds FROM ex GROUP BY vec_id),
+        |denr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY ds DESC, doc_id) AS INT) AS dense_rank
+        |         FROM den QUALIFY dense_rank <= 100)
+        |SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, l.lex_rank, r.dense_rank,
+        |       CAST(COALESCE(1000000 // (60 + l.lex_rank), 0) +
+        |            COALESCE(1000000 // (60 + r.dense_rank), 0) AS BIGINT) AS rrf_micro
+        |FROM lexr l FULL OUTER JOIN denr r ON l.doc_id = r.doc_id
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     // χ²: dense contingency grid (absent cells O=0, E>0), E computed
     // double-first exactly like the facade

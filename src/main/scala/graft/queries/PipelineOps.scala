@@ -1734,4 +1734,116 @@ object PipelineOps {
                 .as("jaccard_permille"))
       .orderBy("src_a", "src_b")
   }
+
+  /** Quality-classifier TRAINING (round 14) — the fastText/CCNet-style
+    * pipeline step: fit a logistic regression over row-local document
+    * features (log length, token count, mean token length,
+    * distinct-token permille, indicator-token rates) against the
+    * is-English label, by full-batch gradient descent where each
+    * iteration is ONE map-side-combinable aggregate over a
+    * materialized feature projection
+    * ([[graft.Graft.logisticTrain]] — the pca_power matrix-free
+    * stance). Output: the per-iteration training ledger (iter,
+    * loss_micro, acc_permille) — loss from the 2⁻²⁴ fixed-point
+    * decimal aggregate (bit-stable under any partitioning), accuracy
+    * from integer confusion counts riding the same pass; the
+    * trajectory IS the artifact (monotone descent legible in the
+    * table). No SQL oracle: 12 iterations of float GD (the
+    * q_unigram_lm stance); gradient-vs-finite-difference, convergence,
+    * regularization and determinism are pinned in LogisticSpec. */
+  def q_quality_lr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nt = size(toks).cast("double")
+    val model = graft.Graft.logisticTrain(
+      Tables.documents(s, d),
+      (col("lang") === "en").cast("double"),
+      Seq(log1p(col("n_chars")),
+          nt,
+          col("n_chars") / greatest(nt, lit(1.0)),
+          size(array_distinct(toks)) * lit(1000.0) / greatest(nt, lit(1.0)),
+          size(filter(toks, t => t === "the")) / greatest(nt, lit(1.0)),
+          size(filter(toks, t => t === "hash")) / greatest(nt, lit(1.0)),
+          size(filter(toks, t => t === "data")) / greatest(nt, lit(1.0)),
+          size(filter(toks, t => t === "join")) / greatest(nt, lit(1.0))),
+      iters = 12, lr = 1.0)
+    model.trail.zipWithIndex.map { case (it, i) =>
+      val correct = it.tp + it.tn
+      val total = it.tp + it.fp + it.tn + it.fn
+      ((i + 1).toLong, math.floor(it.loss * 1e6).toLong,
+       correct * 1000L / total)
+    }.toDF("iter", "loss_micro", "acc_permille").orderBy("iter")
+  }
+
+  /** Unigram-LM tokenizer SEED table (round 14) — the candidate-piece
+    * mass ranking the [[q_unigram_lm]] trainer prunes from: every
+    * substring of length 1..4 of every word type, scored by total
+    * occurrence mass (frequency × in-word positions), top 30. This is
+    * the half of the SentencePiece pipeline that IS pure relational
+    * algebra, so it carries the SQL oracle for the family; the EM
+    * stage above it is float-iterative and verifies by property
+    * (UnigramLmSpec), the q_bpe_vocab/q_dedup_minhash split. Integer
+    * mass, ties on piece text (rule O). */
+  def q_unigram_seed(s: SparkSession, d: String): DataFrame =
+    graft.Graft.unigramSeedPieces(Tables.documents(s, d), col("text"),
+                                  maxPieceLen = 4, topK = 30)
+
+  /** The trained unigram-LM model, ONE per (session, sfDir) — the
+    * bpeMergeCache pattern: [[q_unigram_lm]] emits the model table and
+    * [[q_unigram_encode]] applies it; without the cache each would
+    * re-run the corpus pass + 4 EM aggregates for an identical model. */
+  private val unigramModelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.UnigramLmModel]
+
+  private def unigramModel(s: SparkSession, d: String): graft.UnigramLmModel = {
+    unigramModelCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(unigramModelCache.remove)
+    unigramModelCache.getOrElseUpdate((s, d),
+      graft.Graft.unigramLmTrain(Tables.documents(s, d), col("text"),
+        maxPieceLen = 4, seedSize = 128, targetVocab = 48, emIters = 2))
+  }
+
+  /** The learned unigram-LM VOCABULARY as a first-class query
+    * (round 14) — (rank, piece, prob_micro): the model artifact
+    * itself, the q_bpe_vocab stance (any other system needs exactly
+    * this table to reproduce the segmentation). prob_micro =
+    * floor(probability × 10⁶) — the probabilities are exact ratios of
+    * the final EM round's integer masses ([[graft.Graft.unigramLmTrain]]'s
+    * fixed-point discipline), so the table is bit-stable across runs
+    * and partitionings. No SQL oracle: the model is the product of 4
+    * EM rounds of log-space forward–backward — not expressible in
+    * DuckDB SQL (the q_dedup_minhash stance); EM monotonicity,
+    * kernel-vs-enumeration equality, coverage and determinism are
+    * pinned in UnigramLmSpec. */
+  def q_unigram_lm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    unigramModel(s, d).pieces.zipWithIndex
+      .map { case ((p, prob), i) =>
+        ((i + 1).toLong, p, math.floor(prob * 1e6).toLong) }
+      .toDF("rank", "piece", "prob_micro")
+      .orderBy("rank")
+  }
+
+  /** Unigram-LM ENCODE (round 14) — the application face, mirroring
+    * [[q_bpe_encode]]'s report shape so the two tokenizer families
+    * read side by side: per source, word count, character-symbol
+    * baseline, unigram token count (row-local Viterbi under the
+    * cached model — zero shuffle), and the integer permille saved.
+    * Same model as [[q_unigram_lm]] (cached); oracle = no for the
+    * same reason. */
+  def q_unigram_encode(s: SparkSession, d: String): DataFrame = {
+    val model = unigramModel(s, d)
+    Tables.documents(s, d)
+      .select(col("source"), explode(toks).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("source"), length(col("w")).cast("long").as("nc"),
+              graft.Graft.bpeTokenCount(
+                graft.Graft.unigramEncode(col("w"), model)).as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+           sum("nc").as("n_char_syms"),
+           sum("nt").as("n_unigram_tokens"))
+      .withColumn("saved_permille",
+                  expr("(n_char_syms - n_unigram_tokens) * 1000L div n_char_syms"))
+      .orderBy("source")
+  }
 }

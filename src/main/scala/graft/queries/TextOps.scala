@@ -366,4 +366,52 @@ object TextOps {
       .agg(max("n").as("n_vecs"),
            round(sqrt(sum(col("ctr") * col("ctr"))), 3).as("centroid_norm"))
       .orderBy("label")
+
+  /** Hybrid retrieval by reciprocal-rank fusion (round 14) — the
+    * standard way production search fuses a lexical ranker with a
+    * dense one (RRF, Cormack et al.: score = Σ 1/(k + rank), k = 60):
+    * the BM25 list for the fixed terms ([[q_bm25]]'s scorer) and the
+    * cosine list against probe vec 0 ([[q_sim_search]]'s scorer,
+    * doc_id ≡ vec_id in this corpus [DATA]) are each cut to their
+    * top-100, ranked, and fused by integer reciprocal rank
+    * (rrf_micro = Σ 10⁶ div (60 + rank)); docs outside a list get no
+    * contribution from it (full outer join — the standard RRF-over-
+    * retrieval-lists contract). Top 20 by (rrf_micro DESC, doc_id).
+    *
+    * Scale shape: each ranker ends in a global top-100 — Spark plans
+    * TakeOrderedAndProject (bounded per-partition heaps + one
+    * metadata-scale merge, never a full sort shuffle); ranks come from
+    * windows over the two 100-row lists (metadata scale). Rank order
+    * is (ROUNDED score DESC, doc_id) — 6dp lexical (q_bm25's proven
+    * cross-engine stability), 3dp dense (q_sim_search's) — so the cut
+    * and the ranks cannot flap between engines (rules F/O); the fused
+    * score is pure integer arithmetic. */
+  def q_hybrid_rrf(s: SparkSession, d: String): DataFrame = {
+    val lexTop = graft.Graft.bm25(Tables.documents(s, d), col("doc_id"),
+        col("text"), terms = Seq("hash", "scan", "dup"))
+      .select(col("doc_id"), round(col("score"), 6).as("ls"))
+      .orderBy(col("ls").desc, col("doc_id")).limit(100)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("ls").desc, col("doc_id"))))
+      .select("doc_id", "lex_rank")
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("probe"))
+    val dot = graft.functions.GraftFunctions.dot(
+      col("embedding").cast("array<double>"), col("probe"))
+    val denseTop = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"), round(dot, 3).as("ds"))
+      .orderBy(col("ds").desc, col("doc_id")).limit(100)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("ds").desc, col("doc_id"))))
+      .select("doc_id", "dense_rank")
+    lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+              (coalesce(expr("1000000L div (60 + lex_rank)"), lit(0L)) +
+               coalesce(expr("1000000L div (60 + dense_rank)"), lit(0L)))
+                .as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(20)
+  }
 }

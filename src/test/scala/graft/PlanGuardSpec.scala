@@ -72,14 +72,21 @@ class PlanGuardSpec extends SparkSpecBase {
     // centroid-array scalar twice (ivfAssign on the batch and corpus
     // sides — the q_sim_ivf/q_ivf_build shape; the model itself is a
     // parquet-backed ≤16-row table)
-    "q_dedup_semantic_inc")
+    "q_dedup_semantic_inc",
+    // round 14: q_hybrid_rrf composes BOTH reviewed crosses — the
+    // q_bm25 1-row stats aggregate on the lexical side and the
+    // q_sim_search broadcast 1-row probe vector on the dense side
+    "q_hybrid_rrf")
   // (q_ppl_bucket needs no BNLJ exemption: its scored table is
   // temp-parquet-cached, so the declared plan ranks from a file scan
   // and the 1-row model cross lives only inside the one-time build)
   // reviewed: inherently global window semantics over tiny inputs
   // (q_window_ntile and q_late_data are two-pass distributed now and
   // no longer get the exemption)
-  private val allowedGlobalWindow = Set("q_topk_global", "q_sim_ivf")
+  // q_hybrid_rrf ranks two ALREADY-CUT top-100 lists (global limit =
+  // TakeOrderedAndProject bounded heaps; the windows sort 100 rows)
+  private val allowedGlobalWindow = Set("q_topk_global", "q_sim_ivf",
+    "q_hybrid_rrf")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
