@@ -898,6 +898,43 @@ object Oracle {
         |            JOIN sp b ON scored.doc_b = b.doc_id
         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
 
+    /** Semantic split leakage: the q_dedup_semantic tf-idf pair CTEs
+      * (kept WITH their rounded cosine) + the same integer split
+      * hash, rolled up by unordered split pair with the integer mean
+      * cosine — blind to the Spark side's chunked broadcast kernel.
+      * ROUND(c·1000, 0) of a rounded-3 double is exactly integral on
+      * both engines; sum // count is the rule-F/I mean. */
+    "q_split_leakage_semantic" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+        |dfs AS (SELECT u.t AS tok, COUNT(DISTINCT doc_id) AS df
+        |        FROM t, unnest(list_distinct(toks)) u(t) GROUP BY 1),
+        |voc AS (SELECT tok, ln(n.n / df) AS idf FROM dfs, n
+        |        ORDER BY df DESC, tok LIMIT 64),
+        |w AS (SELECT t.doc_id, v.tok,
+        |             CAST(len(list_filter(t.toks, x -> x = v.tok)) AS DOUBLE)
+        |               * v.idf AS w
+        |      FROM t, voc v),
+        |nr AS (SELECT doc_id, sqrt(SUM(w*w)) AS nn FROM w GROUP BY 1),
+        |wn AS (SELECT w.doc_id, w.tok,
+        |              CASE WHEN nr.nn > 0 THEN w.w / nr.nn ELSE w.w END AS w
+        |       FROM w JOIN nr USING (doc_id) WHERE w.w <> 0),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b, ROUND(SUM(a.w * b.w), 3) AS c
+        |      FROM wn a JOIN wn b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2 HAVING ROUND(SUM(a.w * b.w), 3) >= 0.9),
+        |sp AS (SELECT doc_id,
+        |              CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 800 THEN 'train'
+        |                   WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 900 THEN 'valid'
+        |                   ELSE 'test' END AS split
+        |       FROM documents)
+        |SELECT LEAST(sa.split, sb.split) AS split_a,
+        |       GREATEST(sa.split, sb.split) AS split_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(CAST(ROUND(p.c * 1000, 0) AS BIGINT)) // COUNT(*) AS BIGINT)
+        |         AS mean_cos_permille
+        |FROM p JOIN sp sa ON p.a = sa.doc_id JOIN sp sb ON p.b = sb.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // prefix-filtered exact Jaccard at t = 0.7: the oracle is the
     // BRUTE-FORCE pair graph — deliberately blind to the prefix
     // pruning, so parity proves the filter loses nothing. The

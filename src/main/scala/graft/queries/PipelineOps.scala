@@ -1735,6 +1735,38 @@ object PipelineOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** SEMANTIC split leakage (round 14) — [[q_split_leakage]]'s face
+    * for the duplicates n-gram Jaccard cannot see: a paraphrased or
+    * lightly-reworded eval document shares few exact 3-grams with its
+    * train twin but sits at high tf-idf cosine, so an eval-hygiene
+    * report needs BOTH faces side by side (same deterministic split
+    * hash, same output shape, one extra column: the mean rounded
+    * cosine of each class's pairs — how STRONG the leakage is, not
+    * just how much). Pairs from the exact
+    * [[graft.Graft.cosineThresholdPairs]] kernel at τ = 0.9 over the
+    * SAME shared tf-idf table as the semantic-dedup family; the split
+    * join and rollup are pair-scale. Integer mean via sum div count
+    * (rule F/I); the oracle recomputes tf-idf + pairs in SQL blind to
+    * the chunked broadcast kernel (the q_dedup_semantic recipe). */
+  def q_split_leakage_semantic(s: SparkSession, d: String): DataFrame = {
+    val h = col("doc_id") % 1000000007L * 2654435761L % 1000L
+    val splits = Tables.documents(s, d)
+      .select(col("doc_id"),
+              when(h < 800, "train").when(h < 900, "valid")
+                .otherwise("test").as("split"))
+    graft.Graft.cosineThresholdPairs(TextOps.tfidfTable(s, d),
+        col("doc_id"), col("vec"), tauPermille = 900)
+      .join(splits.select(col("doc_id").as("vec_a"), col("split").as("sa")), "vec_a")
+      .join(splits.select(col("doc_id").as("vec_b"), col("split").as("sb")), "vec_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+              greatest(col("sa"), col("sb")).as("split_b"),
+              round(col("cosine") * 1000, 0).cast("long").as("cp"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+           expr("sum(cp) div count(1)").as("mean_cos_permille"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** Quality-classifier TRAINING (round 14) — the fastText/CCNet-style
     * pipeline step: fit a logistic regression over row-local document
     * features (log length, token count, mean token length,
