@@ -1647,6 +1647,75 @@ object Oracle {
         |         AS lost_permille
         |FROM mx GROUP BY n_shards ORDER BY n_shards""".stripMargin,
 
+    /** Exact tie-corrected Mann–Whitney AUC per lang (one-vs-rest)
+      * over the q_text_quality composite score, via the grouped
+      * midrank identity: every doc in a score group of size cnt with
+      * c_before strictly-smaller docs has doubled midrank
+      * 2·c_before + cnt + 1. Blind to the Spark side's decimal
+      * accumulation — BIGINT suffices at oracle scale. */
+    "q_quality_auc" ->
+      """WITH sc AS (SELECT lang,
+        |                   LEAST(len(string_split(text, ' ')), 50)
+        |                     * (len(string_split(text, ' '))
+        |                        - len(list_filter(string_split(text, ' '),
+        |                                          t -> t = 'the' OR t = 'a')))
+        |                     * 1000
+        |                     // (50 * len(string_split(text, ' '))) AS score
+        |            FROM documents),
+        |by_score AS (SELECT score, COUNT(*) AS cnt FROM sc GROUP BY 1),
+        |cum AS (SELECT score, cnt,
+        |               COALESCE(SUM(cnt) OVER (ORDER BY score
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                        0) AS c_before
+        |        FROM by_score),
+        |by_lang AS (SELECT lang, score, COUNT(*) AS pos FROM sc GROUP BY 1, 2),
+        |a AS (SELECT lang, SUM(pos) AS n_pos,
+        |             SUM(pos * (2 * c_before + cnt + 1)) AS sum_rank_x2
+        |      FROM by_lang JOIN cum USING (score) GROUP BY 1),
+        |t AS (SELECT *, SUM(n_pos) OVER () AS n_total FROM a)
+        |SELECT lang, CAST(n_pos AS BIGINT) AS n_pos,
+        |       CAST(n_total - n_pos AS BIGINT) AS n_neg,
+        |       CAST((sum_rank_x2 - n_pos * (n_pos + 1)) * 1000000
+        |            // (2 * n_pos * (n_total - n_pos)) AS BIGINT) AS auc_ppm
+        |FROM t ORDER BY lang""".stripMargin,
+
+    /** Two-sample KS between source pairs on the ppm-quantized
+      * length ECDFs — the same per-term floor the Spark side takes,
+      * so the statistic is engine-exact by construction. */
+    "q_ks_drift" ->
+      """WITH counts AS (SELECT source, n_chars, COUNT(*) AS c
+        |                FROM documents GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM counts),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+        |          FROM srcs a JOIN srcs b ON a.source < b.source),
+        |member AS (SELECT src_a AS source, src_a, src_b FROM pairs
+        |           UNION ALL
+        |           SELECT src_b AS source, src_a, src_b FROM pairs),
+        |merged AS (SELECT src_a, src_b, n_chars,
+        |                  SUM(CASE WHEN m.source = src_a THEN c ELSE 0 END) AS ca,
+        |                  SUM(CASE WHEN m.source = src_b THEN c ELSE 0 END) AS cb
+        |           FROM member m JOIN counts USING (source)
+        |           GROUP BY 1, 2, 3),
+        |ecdf AS (SELECT src_a, src_b, n_chars,
+        |                SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+        |                SUM(ca) OVER p AS n_a, SUM(cb) OVER p AS n_b
+        |         FROM merged
+        |         WINDOW w AS (PARTITION BY src_a, src_b ORDER BY n_chars
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |                p AS (PARTITION BY src_a, src_b)),
+        |gaps AS (SELECT *,
+        |                ABS(cum_a * 1000000 // n_a
+        |                    - cum_b * 1000000 // n_b) AS gap
+        |         FROM ecdf),
+        |mx AS (SELECT *, MAX(gap) OVER (PARTITION BY src_a, src_b) AS ks_ppm
+        |       FROM gaps)
+        |SELECT src_a, src_b, CAST(MAX(n_a) AS BIGINT) AS n_a,
+        |       CAST(MAX(n_b) AS BIGINT) AS n_b,
+        |       CAST(MAX(ks_ppm) AS BIGINT) AS ks_ppm,
+        |       CAST(MIN(n_chars) AS BIGINT) AS at_n_chars
+        |FROM mx WHERE gap = ks_ppm
+        |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
     /** Int8 quantization profile: q = SIGN(x) · FLOOR(ABS(x) · 127) —
       * symmetric magnitude quantization (plain floor would count only
       * positive near-zeros in n_zero and bias sum_q by −0.5/element);

@@ -1894,4 +1894,112 @@ object PipelineOps {
                   expr("(n_char_syms - n_unigram_tokens) * 1000L div n_char_syms"))
       .orderBy("source")
   }
+
+  /** Quality-score language-BIAS audit (round 14) — the evaluation
+    * face of the quality family: a heuristic filter that ranks one
+    * language's documents systematically above the rest silently
+    * skews the training mixture, so a pipeline dashboard wants the
+    * one-vs-rest ROC AUC of the score per language (AUC ≈ 500000 ppm
+    * ⇒ the score is language-blind; far from it ⇒ bias). Score =
+    * [[q_text_quality]]'s composite `quality_permille`; AUC is the
+    * EXACT tie-corrected Mann–Whitney rank-sum, not a sampled
+    * estimate.
+    *
+    * Scale shape: the score takes ≤ 1001 integer values, so the
+    * global ranking never sorts documents — two map-side-combinable
+    * aggregates (per score, per lang × score) collapse the corpus to
+    * ≤ 1001-row tables, the midrank prefix-sum windows over THAT
+    * (metadata-scale single partition, like every group-scale window
+    * here), and the rank-sum re-expands arithmetically: every doc in
+    * a score group has doubled midrank 2·c_before + cnt + 1.
+    * Doubled ranks keep ties integral (rule I); the rank-sum
+    * accumulates in decimal(38,0) — Σ ≤ N·(2N+1) overflows a long
+    * past N ≈ 2.1e9 docs — and the final ppm floor-division happens
+    * in decimal too (exact: the quotient's fractional part is either
+    * 0 or ≥ 1/(2·n_pos·n_neg), far above decimal's rounding grain).
+    * The oracle recomputes from raw text in SQL, blind to the
+    * grouped-rank trick. */
+  def q_quality_auc(s: SparkSession, d: String): DataFrame = {
+    val nL = size(toks).cast("long")
+    val stopsL = size(filter(toks, t => t === "the" || t === "a")).cast("long")
+    val scored = Tables.documents(s, d)
+      .select(col("lang"),
+              floor(least(nL, lit(50L)) * (nL - stopsL) * 1000 / (lit(50L) * nL))
+                .cast("long").as("score"))
+    val byScore = scored.groupBy("score").agg(count(lit(1)).as("cnt"))
+    val wBefore = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byScore.withColumn(
+      "c_before", coalesce(sum(col("cnt")).over(wBefore), lit(0L)))
+    val byLang = scored.groupBy("lang", "score").agg(count(lit(1)).as("pos"))
+    byLang.join(cum, "score")
+      .groupBy("lang")
+      .agg(sum(col("pos")).as("n_pos"),
+           sum(col("pos").cast("decimal(38,0)")
+                 * (col("c_before") * 2 + col("cnt") + 1)).as("sum_rank_x2"))
+      .withColumn("n_total", sum(col("n_pos")).over(Window.partitionBy()))
+      .select(col("lang"), col("n_pos"),
+              (col("n_total") - col("n_pos")).as("n_neg"),
+              expr("""CAST(FLOOR((sum_rank_x2
+                                  - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+                                 * 1000000
+                                 / (2 * CAST(n_pos AS DECIMAL(38,0))
+                                      * (n_total - n_pos)))
+                          AS BIGINT)""").as("auc_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Source-drift detection (round 14) — the two-sample
+    * Kolmogorov–Smirnov statistic between every pair of sources on
+    * the document-length distribution: the monitoring query a crawl
+    * pipeline runs when a source's content shifts (a CMS migration, a
+    * spam flood) before any model-side signal moves. Statistic =
+    * max over the merged length spine of the ppm-quantized-ECDF gap
+    * |⌊10⁶·F_a⌋ − ⌊10⁶·F_b⌋| (within 1 ppm of the true KS D; the
+    * per-term floor keeps every intermediate a long for any source
+    * up to 9.2e12 docs — rule I's integer stance applied to a
+    * ratio), plus the smallest length where the max is attained.
+    *
+    * Scale shape: ONE map-side-combinable (source, n_chars) count
+    * collapses the corpus to value-scale; the 20-source spine pairs
+    * through a broadcast theta self-join (≤ k² rows — the
+    * q_vocab_overlap posture) and fans counts back via an equi-join
+    * on source, so the windows/rollups run over pairs × distinct
+    * lengths — metadata-scale at any corpus size. The oracle mirrors
+    * the definition in SQL windows. */
+  def q_ks_drift(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val srcs = counts.select("source").distinct()
+    val pairs = srcs.as("a")
+      .join(srcs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    // fan each pair to its two member sources so the counts attach
+    // through an EQUI-join (the pair spine broadcasts off file stats)
+    val member = pairs.select(col("src_a").as("source"), col("src_a"), col("src_b"))
+      .union(pairs.select(col("src_b").as("source"), col("src_a"), col("src_b")))
+    val merged = member.join(counts, "source")
+      .groupBy("src_a", "src_b", "n_chars")
+      .agg(sum(when(col("source") === col("src_a"), col("c")).otherwise(lit(0L)))
+             .as("ca"),
+           sum(when(col("source") === col("src_b"), col("c")).otherwise(lit(0L)))
+             .as("cb"))
+    val wCum = Window.partitionBy("src_a", "src_b").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("src_a", "src_b")
+    merged
+      .withColumn("cum_a", sum(col("ca")).over(wCum))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .withColumn("gap", abs(expr("cum_a * 1000000L div n_a")
+                               - expr("cum_b * 1000000L div n_b")))
+      .withColumn("ks_ppm", max(col("gap")).over(wAll))
+      .filter(col("gap") === col("ks_ppm"))
+      .groupBy("src_a", "src_b")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+           max(col("ks_ppm")).as("ks_ppm"),
+           min(col("n_chars")).as("at_n_chars"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -511,4 +511,57 @@ class PipelineSpec extends SparkSpecBase {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"dim $dim max")
     }
   }
+
+  test("quality_auc: grouped-midrank AUC equals brute-force pair counting") {
+    def score(text: String): Long = {
+      val t = text.split(" ", -1)
+      val n = t.length.toLong
+      val stops = t.count(w => w == "the" || w == "a").toLong
+      math.min(n, 50L) * (n - stops) * 1000L / (50L * n)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"text").as[(String, String)].collect()
+      .map { case (lang, text) => (lang, score(text)) }
+    val got = PipelineOps.q_quality_auc(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq == docs.map(_._1).distinct.sorted.toSeq)
+    got.foreach { r =>
+      val lang = r.getString(0)
+      val pos = docs.filter(_._1 == lang).map(_._2)
+      val neg = docs.filter(_._1 != lang).map(_._2)
+      // U doubled so ties stay integral: 2·[p > n] + 1·[p = n]
+      val uX2 = BigInt(pos.iterator.map { p =>
+        neg.count(_ < p) * 2L + neg.count(_ == p).toLong
+      }.sum)
+      val want = uX2 * 1000000 / (2L * pos.length * neg.length)
+      assert(r.getLong(1) == pos.length && r.getLong(2) == neg.length, lang)
+      assert(BigInt(r.getLong(3)) == want, s"$lang auc")
+    }
+    // the statistic is a probability: every AUC inside [0, 1e6]
+    got.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L))
+  }
+
+  test("ks_drift: per-pair statistic equals a driver-side ECDF sweep") {
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val got = PipelineOps.q_ks_drift(spark, sf).collect()
+    val expectPairs = for { a <- srcs; b <- srcs if a < b } yield (a, b)
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq == expectPairs)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (xa, xb) = (bySrc(a), bySrc(b))
+      val spine = (xa ++ xb).distinct.sorted
+      val gaps = spine.map { v =>
+        val ga = xa.count(_ <= v) * 1000000L / xa.length
+        val gb = xb.count(_ <= v) * 1000000L / xb.length
+        (math.abs(ga - gb), v)
+      }
+      val ks = gaps.map(_._1).max
+      val at = gaps.filter(_._1 == ks).map(_._2).min
+      assert(r.getLong(2) == xa.length && r.getLong(3) == xb.length, s"$a/$b n")
+      assert(r.getLong(4) == ks, s"$a/$b ks")
+      assert(r.getLong(5) == at, s"$a/$b at")
+    }
+  }
 }

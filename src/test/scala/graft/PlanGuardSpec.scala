@@ -76,7 +76,11 @@ class PlanGuardSpec extends SparkSpecBase {
     // round 14: q_hybrid_rrf composes BOTH reviewed crosses — the
     // q_bm25 1-row stats aggregate on the lexical side and the
     // q_sim_search broadcast 1-row probe vector on the dense side
-    "q_hybrid_rrf")
+    "q_hybrid_rrf",
+    // round 14: q_ks_drift theta-self-joins the ≤|sources|-row
+    // distinct-source spine under a < b (the q_welch_ttest shape) —
+    // the corpus itself only ever flows through equi-joins
+    "q_ks_drift")
   // (q_ppl_bucket needs no BNLJ exemption: its scored table is
   // temp-parquet-cached, so the declared plan ranks from a file scan
   // and the 1-row model cross lives only inside the one-time build)
@@ -85,8 +89,11 @@ class PlanGuardSpec extends SparkSpecBase {
   // no longer get the exemption)
   // q_hybrid_rrf ranks two ALREADY-CUT top-100 lists (global limit =
   // TakeOrderedAndProject bounded heaps; the windows sort 100 rows)
+  // q_quality_auc midrank-prefix-sums the ≤1001-row score-group
+  // table and totals the ≤|langs|-row AUC table — both inputs are
+  // collapsed by map-side-combinable aggregates BEFORE the window
   private val allowedGlobalWindow = Set("q_topk_global", "q_sim_ivf",
-    "q_hybrid_rrf")
+    "q_hybrid_rrf", "q_quality_auc")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
