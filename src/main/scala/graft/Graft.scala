@@ -391,6 +391,79 @@ object Graft {
               guarded.as("weight_permille"))
   }
 
+  /** EXACT water-filling token-budget allocator — the mixture-DESIGN
+    * step after [[mixtureWeights]]'s descriptive shares: given a
+    * total training budget (`budgetPermille` of the corpus token
+    * mass) and a per-group repeat cap (`capPermille` of each group's
+    * own mass — the data-constrained "max N epochs" rule), allocate
+    * the budget proportionally to weight w = ⌊√tokens⌋ (the same
+    * sqrt-damped stance as mixtureWeights) EXCEPT that no group ever
+    * exceeds its cap; budget freed by capped groups re-flows to the
+    * rest, recursively — true water-filling, not a single
+    * redistribution pass.
+    *
+    * Exactness: with groups ordered by the quantized cap/weight
+    * ratio (cap·2²⁰ div w, ties by group — the stated total order),
+    * the saturated set is the maximal prefix passing the sequential
+    * test capᵢ·W_fromᵢ ≤ wᵢ·(B − C_beforeᵢ), where C_before sums ALL
+    * earlier caps and W_from sums the weights from row i on. The
+    * test is monotone along the order (a failing row makes every
+    * later row fail — the remaining-ratio R/W only shrinks), so the
+    * two prefix sums decide the whole fixpoint in ONE window pass —
+    * no iteration, no driver loop. The comparison products run in
+    * decimal(38,0) (capᵢ·Σw overflows a long past ~240 B tokens per
+    * group; the oracle mirrors via HUGEINT); the final proportional
+    * share floors (rule I) and the unallocated floor dust is
+    * reported, never silently vanished.
+    *
+    * Output per group: n_tokens, weight, cap_tokens, saturated
+    * (1/0), alloc_tokens, epochs_milli = alloc·1000 div tokens.
+    * Scale shape: ONE map-side-combinable per-group aggregate
+    * collapses the corpus; every window/cross below it runs over
+    * ≤ |groups| rows. */
+  def tokenBudget(df: DataFrame, group: Column, tokens: Column,
+                  budgetPermille: Long = 2000L,
+                  capPermille: Long = 4000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetPermille >= 1 && capPermille >= 1,
+      s"budget/cap permille must be >= 1, got $budgetPermille/$capPermille")
+    val per = df.select(group.as("group"), tokens.cast("long").as("t"))
+      .groupBy("group").agg(sum(col("t")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("cap_tokens", expr(s"n_tokens * ${capPermille}L div 1000"))
+    val tot = per.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    val ordered = per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"corpus_tokens * ${budgetPermille}L div 1000"))
+      .withColumn("rk", expr("cap_tokens * 1048576L div weight"))
+    val wOrd = Window.orderBy(col("rk"), col("group"))
+    val tested = ordered
+      .withColumn("c_before",
+        coalesce(sum(col("cap_tokens"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("w_from",
+        sum(col("weight"))
+          .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("saturated",
+        when(expr("""CAST(cap_tokens AS DECIMAL(38,0)) * w_from
+                     <= CAST(weight AS DECIMAL(38,0)) * (budget - c_before)"""),
+             lit(1L)).otherwise(lit(0L)))
+    val residual = tested.agg(
+      sum(when(col("saturated") === 1, col("cap_tokens")).otherwise(lit(0L)))
+        .as("sat_caps"),
+      sum(when(col("saturated") === 0, col("weight")).otherwise(lit(0L)))
+        .as("w_unsat"))
+    tested.crossJoin(broadcast(residual))
+      .withColumn("alloc_tokens",
+        when(col("saturated") === 1, col("cap_tokens"))
+          .otherwise(expr("""CAST(FLOOR(CAST(weight AS DECIMAL(38,0))
+                                        * (budget - sat_caps) / w_unsat)
+                                 AS BIGINT)""")))
+      .select(col("group"), col("n_tokens"), col("weight"), col("cap_tokens"),
+              col("saturated"), col("alloc_tokens"),
+              expr("alloc_tokens * 1000L div n_tokens").as("epochs_milli"))
+  }
+
   /** Smallest power of two ≥ n (n ≥ 1), in PURE INTEGER via the
     * binary-width identity 2^len(bin(n−1)) — no float log2 to round
     * the wrong way on an exact power of two. The ONE definition of

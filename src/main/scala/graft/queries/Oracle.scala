@@ -1679,6 +1679,54 @@ object Oracle {
         |            // (2 * n_pos * (n_total - n_pos)) AS BIGINT) AS auc_ppm
         |FROM t ORDER BY lang""".stripMargin,
 
+    /** Exact water-filling token-budget allocation — mirrors the
+      * facade's prefix test (saturated iff cap·W_from ≤ w·(B −
+      * C_before) under the quantized-ratio order) with HUGEINT where
+      * the Spark side runs decimal(38,0). */
+    "q_token_budget" ->
+      """WITH per AS (SELECT source AS "group",
+        |                    SUM(len(string_split(text, ' '))) AS n_tokens
+        |             FROM documents GROUP BY 1
+        |             HAVING SUM(len(string_split(text, ' '))) > 0),
+        |w AS (SELECT *,
+        |             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+        |               AS weight,
+        |             n_tokens * 4000 // 1000 AS cap_tokens
+        |      FROM per),
+        |tot AS (SELECT SUM(n_tokens) AS corpus_tokens FROM w),
+        |ord AS (SELECT w.*, corpus_tokens * 2000 // 1000 AS budget,
+        |               cap_tokens * 1048576 // weight AS rk
+        |        FROM w, tot),
+        |tested AS (SELECT *,
+        |        COALESCE(SUM(cap_tokens) OVER (ORDER BY rk, "group"
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS c_before,
+        |        SUM(weight) OVER (ORDER BY rk, "group"
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_from
+        |    FROM ord),
+        |sat AS (SELECT *,
+        |               CASE WHEN CAST(cap_tokens AS HUGEINT) * w_from
+        |                         <= CAST(weight AS HUGEINT)
+        |                            * (budget - c_before)
+        |                    THEN 1 ELSE 0 END AS saturated
+        |        FROM tested),
+        |res AS (SELECT SUM(CASE WHEN saturated = 1 THEN cap_tokens
+        |                        ELSE 0 END) AS sat_caps,
+        |               SUM(CASE WHEN saturated = 0 THEN weight
+        |                        ELSE 0 END) AS w_unsat
+        |        FROM sat),
+        |alloc AS (SELECT s."group", s.n_tokens, s.weight, s.cap_tokens,
+        |                 CAST(s.saturated AS BIGINT) AS saturated,
+        |                 CAST(CASE WHEN s.saturated = 1 THEN s.cap_tokens
+        |                      ELSE CAST(s.weight AS HUGEINT)
+        |                           * (s.budget - r.sat_caps) // r.w_unsat
+        |                      END AS BIGINT) AS alloc_tokens
+        |          FROM sat s, res r)
+        |SELECT "group", n_tokens, weight, cap_tokens, saturated,
+        |       alloc_tokens,
+        |       alloc_tokens * 1000 // n_tokens AS epochs_milli
+        |FROM alloc ORDER BY "group"""".stripMargin,
+
     /** Two-sample KS between source pairs on the ppm-quantized
       * length ECDFs — the same per-term floor the Spark side takes,
       * so the statistic is engine-exact by construction. */

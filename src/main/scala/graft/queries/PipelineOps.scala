@@ -1949,6 +1949,23 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Token-budget allocation (round 14) — the mixture-DESIGN step
+    * after [[q_mixture_weights]]'s descriptive shares: given a
+    * 2-epoch-equivalent total budget (2000‰ of corpus token mass)
+    * and the data-constrained 4-epoch repeat cap per source
+    * (4000‰ of each source's own mass), allocate the budget to
+    * sources proportionally to ⌊√tokens⌋ with cap overflow
+    * re-flowing to uncapped sources — EXACT water-filling decided in
+    * one window pass over the ≤ |sources|-row aggregate (the
+    * prefix-test monotonicity argument on
+    * [[graft.Graft.tokenBudget]], which this query IS, so the oracle
+    * verifies the public facade). Integer allocations (rule I);
+    * per-source epochs_milli is the number a training-mixture review
+    * actually reads (who trains at 4 epochs, who below 1). */
+  def q_token_budget(s: SparkSession, d: String): DataFrame =
+    graft.Graft.tokenBudget(Tables.documents(s, d), col("source"), size(toks))
+      .orderBy("group")
+
   /** Source-drift detection (round 14) — the two-sample
     * Kolmogorov–Smirnov statistic between every pair of sources on
     * the document-length distribution: the monitoring query a crawl

@@ -540,6 +540,58 @@ class PipelineSpec extends SparkSpecBase {
     got.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L))
   }
 
+  test("token_budget: prefix test equals the iterative water-filling fixpoint") {
+    // skewed sources so BOTH branches run: tiny/mid saturate at the
+    // 4-epoch cap (their sqrt-damped share exceeds it), huge absorbs
+    // the re-flowed budget
+    val dir = java.nio.file.Files.createTempDirectory("tb").toString
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" "), "en", "tiny"),
+      (2L, Seq.fill(500)("w").mkString(" "), "en", "mid"),
+      (3L, Seq.fill(500)("w").mkString(" "), "en", "mid"),
+      (4L, Seq.fill(50000)("w").mkString(" "), "en", "huge"),
+      (5L, Seq.fill(50000)("w").mkString(" "), "en", "huge"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineOps.q_token_budget(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getLong(6))).toMap
+    // iterative fixpoint, order-free: saturate every group whose
+    // proportional share meets its cap, re-flow, repeat to stability
+    val masses = Map("tiny" -> 10L, "mid" -> 1000L, "huge" -> 100000L)
+    val w = masses.map { case (g, t) =>
+      g -> (t, math.floor(math.sqrt(t.toDouble)).toLong, t * 4000L / 1000L) }
+    val budget = masses.values.sum * 2000L / 1000L
+    var pool = w.keySet
+    var remaining = BigInt(budget)
+    var alloc = Map.empty[String, Long]
+    var changed = true
+    while (changed) {
+      changed = false
+      val wSum = pool.toSeq.map(g => BigInt(w(g)._2)).sum
+      val over = pool.filter(g => BigInt(w(g)._3) * wSum <= BigInt(w(g)._2) * remaining)
+      if (over.nonEmpty) {
+        over.foreach { g => alloc += g -> w(g)._3; remaining -= w(g)._3 }
+        pool = pool -- over; changed = true
+      }
+    }
+    val wSum = pool.toSeq.map(g => BigInt(w(g)._2)).sum
+    pool.foreach { g => alloc += g -> (BigInt(w(g)._2) * remaining / wSum).toLong }
+    assert(got.keySet == masses.keySet)
+    val saturated = got.filter(_._2._4 == 1L).keySet
+    assert(saturated == Set("tiny", "mid"), s"saturated = $saturated")
+    got.foreach { case (g, (t, wt, cap, _, a, em)) =>
+      assert(t == masses(g) && wt == w(g)._2 && cap == w(g)._3, g)
+      assert(a == alloc(g), s"$g alloc $a != ${alloc(g)}")
+      assert(em == a * 1000L / t, s"$g epochs")
+    }
+    // budget conserved: never over-allocated, floor dust < |unsaturated|
+    val total = got.values.map(_._5).sum
+    assert(total <= budget && budget - total < masses.size, s"dust ${budget - total}")
+  }
+
   test("ks_drift: per-pair statistic equals a driver-side ECDF sweep") {
     val docs = Tables.documents(spark, sf)
       .select($"source", $"n_chars").as[(String, Long)].collect()

@@ -79,8 +79,11 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_hybrid_rrf",
     // round 14: q_ks_drift theta-self-joins the ≤|sources|-row
     // distinct-source spine under a < b (the q_welch_ttest shape) —
-    // the corpus itself only ever flows through equi-joins
-    "q_ks_drift")
+    // the corpus itself only ever flows through equi-joins;
+    // q_token_budget crosses two broadcast 1-row aggregates (corpus
+    // total, saturated-residual) against the ≤|sources|-row table —
+    // the q_mixture_weights shape
+    "q_ks_drift", "q_token_budget")
   // (q_ppl_bucket needs no BNLJ exemption: its scored table is
   // temp-parquet-cached, so the declared plan ranks from a file scan
   // and the 1-row model cross lives only inside the one-time build)
@@ -91,9 +94,12 @@ class PlanGuardSpec extends SparkSpecBase {
   // TakeOrderedAndProject bounded heaps; the windows sort 100 rows)
   // q_quality_auc midrank-prefix-sums the ≤1001-row score-group
   // table and totals the ≤|langs|-row AUC table — both inputs are
-  // collapsed by map-side-combinable aggregates BEFORE the window
+  // collapsed by map-side-combinable aggregates BEFORE the window;
+  // q_token_budget's water-filling prefix test orders the
+  // ≤|sources|-row per-group aggregate — inherently global semantics
+  // over a metadata-scale input
   private val allowedGlobalWindow = Set("q_topk_global", "q_sim_ivf",
-    "q_hybrid_rrf", "q_quality_auc")
+    "q_hybrid_rrf", "q_quality_auc", "q_token_budget")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
