@@ -1802,24 +1802,90 @@ object PipelineOps {
   private val lrModelCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.LogisticModel]
 
-  private def lrModel(s: SparkSession, d: String): graft.LogisticModel = {
+  /** ONE definition of the classifier's feature columns — training
+    * ([[q_quality_lr]]) and held-out evaluation ([[q_quality_eval]])
+    * must never drift on a feature expression. */
+  private[graft] def lrFeatures: Seq[org.apache.spark.sql.Column] = {
+    val nt = size(toks).cast("double")
+    Seq(log1p(col("n_chars")),
+        nt,
+        col("n_chars") / greatest(nt, lit(1.0)),
+        size(array_distinct(toks)) * lit(1000.0) / greatest(nt, lit(1.0)),
+        size(filter(toks, t => t === "the")) / greatest(nt, lit(1.0)),
+        size(filter(toks, t => t === "hash")) / greatest(nt, lit(1.0)),
+        size(filter(toks, t => t === "data")) / greatest(nt, lit(1.0)),
+        size(filter(toks, t => t === "join")) / greatest(nt, lit(1.0)))
+  }
+
+  private[graft] def lrModel(s: SparkSession, d: String): graft.LogisticModel = {
     lrModelCache.keys.filter(_._1.sparkContext.isStopped)
       .foreach(lrModelCache.remove)
     lrModelCache.getOrElseUpdate((s, d), {
-      val nt = size(toks).cast("double")
       graft.Graft.logisticTrain(
         Tables.documents(s, d),
         (col("lang") === "en").cast("double"),
-        Seq(log1p(col("n_chars")),
-            nt,
-            col("n_chars") / greatest(nt, lit(1.0)),
-            size(array_distinct(toks)) * lit(1000.0) / greatest(nt, lit(1.0)),
-            size(filter(toks, t => t === "the")) / greatest(nt, lit(1.0)),
-            size(filter(toks, t => t === "hash")) / greatest(nt, lit(1.0)),
-            size(filter(toks, t => t === "data")) / greatest(nt, lit(1.0)),
-            size(filter(toks, t => t === "join")) / greatest(nt, lit(1.0))),
+        lrFeatures,
         iters = 12, lr = 1.0)
     })
+  }
+
+  /** Quality-classifier held-out EVALUATION (round 14) — the loop
+    * [[q_quality_lr]] opens, closed: score the deterministic 10%
+    * test split (the q_split_leakage hash — docs the trainer also
+    * saw, stated plainly in scaladoc; the split exists so the
+    * report shape matches a real pipeline's, where training would
+    * filter to the train split) with the CACHED model and report
+    * the one row an eval dashboard shows: test size, the 0.5-
+    * threshold confusion (tp/fp/tn/fn), integer accuracy permille,
+    * and the held-out ROC AUC in ppm.
+    *
+    * AUC rides [[q_quality_auc]]'s grouped-midrank machinery over
+    * the micro-QUANTIZED score ⌊10⁶·p⌋ — the quantization bounds
+    * the rank table at ≤ 10⁶+1 rows at ANY corpus size (ties on the
+    * micro grid midrank, the stated contract), so the only
+    * corpus-scale stage is one map-side-combinable aggregate.
+    * Prediction is row-local ([[graft.Graft.logisticPredict]] —
+    * pure column arithmetic, codegen-fused, zero shuffle). Oracle =
+    * no (scores from the float-trained model — the q_quality_lr
+    * stance); confusion + AUC are pinned against a driver-side
+    * brute force in LogisticSpec. */
+  def q_quality_eval(s: SparkSession, d: String): DataFrame = {
+    val model = lrModel(s, d)
+    val h = col("doc_id") % 1000000007L * 2654435761L % 1000L
+    val scored = Tables.documents(s, d)
+      .filter(h >= 900)
+      .select((col("lang") === "en").cast("long").as("y"),
+              floor(graft.Graft.logisticPredict(model, lrFeatures) * 1e6)
+                .cast("long").as("p_micro"))
+    val byScore = scored.groupBy("p_micro")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val wBefore = Window.orderBy("p_micro")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("c_before", coalesce(sum(col("cnt")).over(wBefore), lit(0L)))
+      .agg(sum(col("cnt")).as("n_test"),
+           sum(col("pos")).as("n_pos"),
+           sum(col("pos").cast("decimal(38,0)")
+                 * (col("c_before") * 2 + col("cnt") + 1)).as("sum_rank_x2"),
+           sum(when(col("p_micro") >= 500000, col("pos")).otherwise(lit(0L)))
+             .as("tp"),
+           sum(when(col("p_micro") >= 500000, col("cnt") - col("pos"))
+                 .otherwise(lit(0L))).as("fp"),
+           sum(when(col("p_micro") < 500000, col("cnt") - col("pos"))
+                 .otherwise(lit(0L))).as("tn"),
+           sum(when(col("p_micro") < 500000, col("pos")).otherwise(lit(0L)))
+             .as("fn"))
+      .select(col("n_test"), col("tp"), col("fp"), col("tn"), col("fn"),
+              expr("(tp + tn) * 1000L div n_test").as("acc_permille"),
+              when(col("n_pos") > 0 && col("n_pos") < col("n_test"),
+                   expr("""CAST(FLOOR((sum_rank_x2
+                                       - CAST(n_pos AS DECIMAL(38,0))
+                                         * (n_pos + 1))
+                                      * 1000000
+                                      / (2 * CAST(n_pos AS DECIMAL(38,0))
+                                           * (n_test - n_pos)))
+                               AS BIGINT)"""))
+                .as("auc_ppm"))
   }
 
   /** Unigram-LM tokenizer SEED table (round 14) — the candidate-piece

@@ -124,4 +124,44 @@ class LogisticSpec extends SparkSpecBase {
       Graft.logisticTrain(df.filter(lit(false)), col("y"), Seq(col("a")))
     }
   }
+
+  test("q_quality_eval: confusion and AUC equal a driver-side brute force") {
+    import graft.queries.PipelineOps
+    val sf = SparkTestSession.sf0001
+    val got = PipelineOps.q_quality_eval(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // reference predictions through the SAME cached model + feature
+    // definitions, collected and brute-forced in the driver
+    val model = PipelineOps.lrModel(spark, sf)
+    val h = col("doc_id") % 1000000007L * 2654435761L % 1000L
+    val ref = Tables.documents(spark, sf)
+      .filter(h >= 900)
+      .select((col("lang") === "en").cast("long").as("y"),
+              floor(Graft.logisticPredict(model, PipelineOps.lrFeatures) * 1e6)
+                .cast("long").as("p"))
+      .as[(Long, Long)].collect()
+    val nTest = ref.length.toLong
+    val tp = ref.count { case (y, p) => y == 1 && p >= 500000 }.toLong
+    val fp = ref.count { case (y, p) => y == 0 && p >= 500000 }.toLong
+    val tn = ref.count { case (y, p) => y == 0 && p < 500000 }.toLong
+    val fn = ref.count { case (y, p) => y == 1 && p < 500000 }.toLong
+    assert(r.getLong(0) == nTest && nTest > 0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+             == ((tp, fp, tn, fn)))
+    assert(r.getLong(5) == (tp + tn) * 1000L / nTest)
+    val pos = ref.filter(_._1 == 1L).map(_._2)
+    val neg = ref.filter(_._1 == 0L).map(_._2)
+    if (pos.isEmpty || neg.isEmpty) assert(r.isNullAt(6))
+    else {
+      val uX2 = BigInt(pos.iterator.map { p =>
+        neg.count(_ < p) * 2L + neg.count(_ == p).toLong
+      }.sum)
+      val want = uX2 * 1000000 / (2L * pos.length * neg.length)
+      assert(BigInt(r.getLong(6)) == want, "auc")
+      // a trained classifier should rank better than chance on its
+      // own corpus — a floor, not an exact pin
+      assert(r.getLong(6) > 500000L, s"auc ${r.getLong(6)}")
+    }
+  }
 }

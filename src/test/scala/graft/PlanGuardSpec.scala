@@ -98,8 +98,10 @@ class PlanGuardSpec extends SparkSpecBase {
   // q_token_budget's water-filling prefix test orders the
   // ≤|sources|-row per-group aggregate — inherently global semantics
   // over a metadata-scale input
+  // q_quality_eval rides the same machinery over the ≤10⁶+1-row
+  // micro-quantized score table
   private val allowedGlobalWindow = Set("q_topk_global", "q_sim_ivf",
-    "q_hybrid_rrf", "q_quality_auc", "q_token_budget")
+    "q_hybrid_rrf", "q_quality_auc", "q_token_budget", "q_quality_eval")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
