@@ -116,6 +116,16 @@ object SkewBench {
 
     def ngram(mb: Int) = Graft
       .nearDupPairsNgram(stopgram, $"doc_id", $"text", 800, 3, maxBucket = mb).count()
+    // round 14: the exact AllPairs/PPJoin prefix+positional path that
+    // now builds the shared ngram_pairs table. On THIS corpus the
+    // prefix filter dissolves the skew by construction: each doc
+    // indexes only its ~rarest fifth of grams, and the hot stop-gram
+    // (df = 20k) is never any doc's rarest — it leaves the candidate
+    // universe before the self-join, so there is no hot bucket for
+    // the guard to decompose. Output-identical to the inverted-index
+    // path (prefix-filter theorem; the require below pins it).
+    def jaccPrefix(mb: Int) = Graft
+      .jaccardJoinPrefix(stopgram, $"doc_id", $"text", 800, 3, maxBucket = mb).count()
     def ngramCapped() = Graft
       .nearDupPairsNgram(stopgram, $"doc_id", $"text", 800, 3,
         maxGramDocFreq = 4096).count()
@@ -203,6 +213,8 @@ object SkewBench {
       // the LOSSY alternative: df-capped grams (semantics change — the
       // stop gram leaves the universe), measured for the same corpus
       "ngram_df_capped" -> (() => ngramCapped()),
+      "jaccp_guarded" -> (() => jaccPrefix(1024)),
+      "jaccp_unguarded" -> (() => jaccPrefix(Unguarded)),
       "minhash_guarded" -> (() => minhash(1024)),
       "minhash_unguarded" -> (() => minhash(Unguarded)),
       // the LOSSY dense-band cap (candidate recall changes, survivor
@@ -235,12 +247,20 @@ object SkewBench {
 
     // guarded and unguarded plans must agree before timings mean anything
     val byLabel = results.toMap
-    Seq("ngram", "minhash", "simhash", "srp_batch", "contain").foreach { fam =>
+    Seq("ngram", "jaccp", "minhash", "simhash", "srp_batch", "contain").foreach { fam =>
       (byLabel.get(s"${fam}_guarded"), byLabel.get(s"${fam}_unguarded")) match {
         case (Some(g), Some(u)) =>
           require(g._3 == u._3, s"$fam pair counts diverged")
         case _ => ()
       }
+    }
+    // the prefix path is EXACT: its pair set must equal the
+    // inverted-index path's on the same corpus and threshold
+    (byLabel.get("ngram_guarded"), byLabel.get("jaccp_guarded")) match {
+      case (Some(g), Some(p)) =>
+        require(g._3 == p._3,
+          s"prefix-filter pair count ${p._3} != inverted-index ${g._3}")
+      case _ => ()
     }
 
     val js = results.map { case (k, (sec, maxTask, n)) =>
