@@ -2050,9 +2050,17 @@ object PipelineOps {
     * on source, so the windows/rollups run over pairs × distinct
     * lengths — metadata-scale at any corpus size. The oracle mirrors
     * the definition in SQL windows. */
-  def q_ks_drift(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables.documents(s, d)
-      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+  def q_ks_drift(s: SparkSession, d: String): DataFrame =
+    ksDriftFromCounts(Tables.documents(s, d)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+
+  /** The KS tail over an ALREADY-AGGREGATED (source, n_chars, c)
+    * count table — factored out because the counts are the monitor's
+    * whole STATE and they are mergeable sums: a streaming deployment
+    * accumulates per-crawl-batch count deltas and re-runs only this
+    * metadata-scale tail, never re-scanning the corpus (micro-batch
+    * exactness under any split is pinned in StreamingTwinSpec). */
+  private[graft] def ksDriftFromCounts(counts: DataFrame): DataFrame = {
     val srcs = counts.select("source").distinct()
     val pairs = srcs.as("a")
       .join(srcs.as("b"), col("a.source") < col("b.source"))

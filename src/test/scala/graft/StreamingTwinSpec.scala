@@ -410,4 +410,45 @@ class StreamingTwinSpec extends SparkSpecBase {
       .agg(count(lit(1)).as("n_events"))
     assert(diff(got, want) == 0)
   }
+
+  test("foreachBatch KS-drift monitor: accumulated count deltas == batch statistic") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // round 14: the drift monitor's streaming face. q_ks_drift's
+    // whole state is the (source, n_chars) count table, and counts
+    // are MERGEABLE sums — so a deployment accumulates per-crawl
+    // count deltas in foreachBatch and re-runs only the
+    // metadata-scale KS tail (ksDriftFromCounts), never re-scanning
+    // the corpus. Exact under ANY batch split: summed deltas equal
+    // the global counts, and the tail is a pure function of them.
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val state = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val q = mem.toDF().toDF("source", "n_chars").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+          .collect().foreach { r =>
+            val k = (r.getString(0), r.getLong(1))
+            state(k) = state.getOrElse(k, 0L) + r.getLong(2)
+          }
+        (): Unit
+      }
+      .start()
+    // three uneven "crawls"
+    docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val accumulated = state.toSeq
+      .map { case ((src, nc), c) => (src, nc, c) }
+      .toDF("source", "n_chars", "c")
+    val got = graft.queries.PipelineOps.ksDriftFromCounts(accumulated)
+    val want = graft.queries.PipelineOps.q_ks_drift(spark, sf)
+    assert(want.count() > 0, "vacuous: no source pairs")
+    assert(diff(got, want) == 0)
+  }
 }
