@@ -2586,6 +2586,52 @@ object Graft {
     degrees(e).select(col("v").as("node"), col("deg").as("core_deg"))
   }
 
+  /** Deterministic synchronous label propagation over an undirected
+    * edge list (round 14) — the classic near-linear community
+    * detector (Raghavan et al. 2007), pinned down to a reproducible
+    * contract: labels start as node ids; each round EVERY node
+    * simultaneously adopts the label most frequent among its
+    * neighbours' current labels, ties broken to the SMALLEST label;
+    * the result is the label state after EXACTLY `rounds` rounds.
+    * Fixed rounds, not to-convergence: synchronous LPA can oscillate
+    * with period 2 on bipartite structure (a single edge flips
+    * labels forever), so "after exactly R rounds" IS the
+    * deterministic semantics both engines state — and what the
+    * DuckDB oracle unrolls. Labels never cross components; within a
+    * dense cluster they collapse toward its minimum id.
+    *
+    * Distributed shape per round: one |E|-scale equi-join (neighbour
+    * labels), one map-side-combinable (node, label) count, one
+    * map-side-combinable struct-max argmax — no windows, no
+    * collects; the driver loop holds zero data and lineage truncates
+    * every 4 rounds (the pageRank cadence). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds must be in [1, 50], got $rounds")
+    val e0 = edges
+      .select(col(edges.columns(0)).cast("long").as("a"),
+              col(edges.columns(1)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val adj = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (i <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        // argmax by (count, then SMALLEST label): struct max compares
+        // cnt first, then the negated label — both integral, exact
+        .agg(max(struct(col("cnt"), (-col("nl")).as("mnl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.mnl")).as("label"))
+      if (i % 4 == 0 && i < rounds) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   /** Single-source shortest hop distances over an undirected edge
     * list (round 9) — BFS by frontier expansion: (node, dist) for
     * every node reachable from `source` within `maxDepth` hops,

@@ -148,6 +148,23 @@ object GraphOps {
     * cycles and the facade requires exhaustion within the same 20
     * loudly, so truncation can never silently diverge; MIN(dist) per
     * node collapses the walk to BFS distances). */
+  /** Community detection by synchronous label propagation (round
+    * 14): per community after EXACTLY 5 rounds, its label (the id
+    * every member adopted) and member count — the market-basket
+    * community table (which parts cluster into co-purchase groups),
+    * completing §2.14's census/rank/distance/density family with the
+    * partitioning face. This query IS
+    * [[graft.Graft.labelPropagation]] on the shared edge table, so
+    * the oracle verifies the public API against 5 UNROLLED CTE
+    * layers, each the exact SQL twin of one Spark round (the
+    * q_pagerank/q_kcore unrolling stance — argmax stated as
+    * count DESC, label ASC in both engines). */
+  def q_communities(s: SparkSession, d: String): DataFrame =
+    graft.Graft.labelPropagation(coPurchaseEdges(s, d), rounds = 5)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("community")
+
   def q_shortest_path(s: SparkSession, d: String): DataFrame = {
     val e = coPurchaseEdges(s, d)
     val srcRow = e.agg(min("a")).head

@@ -84,6 +84,31 @@ object Oracle {
        |SELECT node AS part, ROUND(rank, 7) AS rank FROM r10 ORDER BY part""".stripMargin
   }
 
+  /** q_communities' oracle: 5 synchronous label-propagation rounds
+    * UNROLLED (the pagerank stance — each layer is the exact SQL
+    * twin of one Spark round), argmax stated as count DESC, label
+    * ASC. AS MATERIALIZED on each layer: every round references the
+    * previous label table once per adjacency side and inlining would
+    * re-expand the chain exponentially. */
+  private val communitiesSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT src AS node, nl AS label FROM (
+         |    SELECT adj.src, l${i - 1}.label AS nl, COUNT(*) AS cnt,
+         |           ROW_NUMBER() OVER (PARTITION BY adj.src
+         |             ORDER BY COUNT(*) DESC, l${i - 1}.label ASC) AS rk
+         |    FROM adj JOIN l${i - 1} ON l${i - 1}.node = adj.dst
+         |    GROUP BY adj.src, l${i - 1}.label) t
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coPurchaseCtes,
+       |adj AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj),
+       |$rounds
+       |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_parts
+       |FROM l5 GROUP BY label ORDER BY community""".stripMargin
+  }
+
   /** q_kcore's oracle: peeling removes rows, which a (monotone,
     * append-only) recursive CTE cannot express, so 10 peel rounds are
     * UNROLLED — each the exact twin of one Spark round (degree filter
@@ -2539,6 +2564,8 @@ object Oracle {
     "q_pagerank" -> pagerankSql,
 
     "q_kcore" -> kcoreSql,
+
+    "q_communities" -> communitiesSql,
 
     // BFS distances via a bounded MONOTONE recursive CTE: UNION
     // dedups (node, dist) pairs so cycles terminate under the

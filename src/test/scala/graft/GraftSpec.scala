@@ -2515,6 +2515,41 @@ class GraftSpec extends SparkSpecBase {
     assert(Graft.kcore(path, k = 2).isEmpty)
   }
 
+  test("labelPropagation: triangles collapse to min id; bipartite oscillation is the stated contract") {
+    // a triangle settles on its minimum id within 2 rounds
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val got = Graft.labelPropagation(tri, rounds = 5)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // labels never cross components: two disjoint triangles keep
+    // their own minima
+    val two = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+                  (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val g2 = Graft.labelPropagation(two, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L).forall(g2(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(g2(_) == 10L))
+    // a single edge flips labels every synchronous round (the
+    // documented period-2 oscillation) — after an ODD round count
+    // the labels are swapped; fixed-rounds IS the contract
+    val edge = Seq((1L, 2L)).toDF("a", "b")
+    val g5 = Graft.labelPropagation(edge, rounds = 5)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g5.toSeq == Seq((1L, 2L), (2L, 1L)))
+    val g4 = Graft.labelPropagation(edge, rounds = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g4.toSeq == Seq((1L, 1L), (2L, 2L)))
+    // deterministic under repartitioning (integer counts + stated
+    // tie order — no float, no partition-order dependence)
+    val big = (1L to 40L).flatMap(i => Seq((i, i % 7 + 100L), (i, i % 5 + 200L)))
+      .toDF("a", "b")
+    val a = Graft.labelPropagation(big, rounds = 5)
+      .orderBy("node").collect().toSeq
+    val b = Graft.labelPropagation(big.repartition(13), rounds = 5)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
   test("shortestPaths: BFS distances on a cycle; unreachable absent; loud depth cap") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (5L, 6L)).toDF("a", "b")
     val got = Graft.shortestPaths(e, source = 1L)
