@@ -10,6 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Weather evidence (round-14 verdict #3): single readings are
+    // unadjudicable without knowing what ELSE the machine was doing —
+    // r14's 2.27× driver total and three anomalous retimes had no load
+    // evidence in the artifact. Stamp /proc/loadavg (1/5/15-min fields)
+    // + epoch seconds at start, before the retime pass, and at end.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[-1,-1,-1]" }
+    def epochSec(): Long = System.currentTimeMillis() / 1000L
+    val loadStart = loadavg(); val tsStart = epochSec()
     // Warm the JVM/codegen/scheduler paths once so the first timed
     // query isn't charged for session warmup (it was ~4s of skew).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -72,6 +83,7 @@ object Bench {
     // still high ⇒ a real plan/compute regression. `total` and
     // `slowest20` above stay exactly the driver-contract readings —
     // this field only ADDS evidence.
+    val loadMid = loadavg(); val tsMid = epochSec()
     val retimes = results.toSeq.sortBy(-_._2).take(15).map { case (name, _) =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -79,7 +91,11 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }.map { case (k, v) => s"\"" + k + "\":" + math.round(v * 100) / 100.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest20":$slowest,"temp_builds":$builds,"temp_reads":$reads,"retimes":$retimes,"value":$total}""")
+    val loadEnd = loadavg(); val tsEnd = epochSec()
+    val weather = s"""{"start":{"ts":$tsStart,"loadavg":$loadStart},""" +
+      s""""pre_retime":{"ts":$tsMid,"loadavg":$loadMid},""" +
+      s""""end":{"ts":$tsEnd,"loadavg":$loadEnd}}"""
+    println(s"""{"metric":"total_compact","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest20":$slowest,"temp_builds":$builds,"temp_reads":$reads,"retimes":$retimes,"weather":$weather,"value":$total}""")
     spark.stop()
   }
 }

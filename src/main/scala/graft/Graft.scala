@@ -288,6 +288,42 @@ object Graft {
       (length(text) - length(scrubbed)).cast("long").as("redacted_chars"): _*)
   }
 
+  /** HTML → text EXTRACTION — the stage BEFORE everything else this
+    * engine does: a raw crawl is markup, and every dedup/quality/
+    * tokenizer operator downstream assumes clean text. Four passes,
+    * in this stated order (the order IS the contract — rule F):
+    *
+    *  1. drop whole boilerplate ELEMENTS with their content —
+    *     `<head>…</head>` (carries `<title>`/`<style>`, which a
+    *     naive tag-strip would leak into the text), `<nav>`,
+    *     `<footer>`, `<script>`, `<style>` — via non-greedy
+    *     `(?s)<tag[^>]*>.*?</tag>` (no nesting of a tag inside
+    *     itself, the crawl-extraction convention);
+    *  2. strip every remaining tag `<[^>]*>` → one space (a space,
+    *     not empty: `<p>a</p><p>b</p>` must not weld words);
+    *  3. unescape the three core entities, LITERAL replaces in the
+    *     fixed order `&lt;` → `<`, `&gt;` → `>`, `&amp;` → `&`
+    *     (amp LAST, so `&amp;lt;` correctly yields the literal
+    *     string `&lt;`, never a second round of unescaping);
+    *  4. collapse runs of whitespace to single spaces and trim.
+    *
+    * All patterns are RE2-compatible (non-greedy `.*?` and `(?s)`
+    * mean the same thing in Java regex and RE2), so Spark and a
+    * Go/DuckDB extractor agree byte-for-byte. Pure per-row column
+    * arithmetic: at 100 TB this is a mapper, zero shuffle. */
+  def htmlExtract(html: Column): Column = {
+    val noBlocks = Seq("head", "nav", "footer", "script", "style")
+      .foldLeft(html) { (c, t) =>
+        regexp_replace(c, s"(?s)<$t[^>]*>.*?</$t>", " ")
+      }
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        call_function("replace", c, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** The shared PII pattern registry — ONE definition so the scan,
     * its tests, and any redaction stage can never drift. Order is the
     * redaction order (fixed: a sequential replace in a different
@@ -402,19 +438,31 @@ object Graft {
     * rest, recursively — true water-filling, not a single
     * redistribution pass.
     *
-    * Exactness: with groups ordered by the quantized cap/weight
-    * ratio (cap·2²⁰ div w, ties by group — the stated total order),
-    * the saturated set is the maximal prefix passing the sequential
-    * test capᵢ·W_fromᵢ ≤ wᵢ·(B − C_beforeᵢ), where C_before sums ALL
+    * CONTRACT (stated precisely — round-14 ADVICE): the semantics is
+    * the QUANTIZED-ORDER sequential test, not the order-free
+    * fixpoint. Groups are ordered by the 2⁻²⁰-quantized cap/weight
+    * ratio (cap·2²⁰ div w, ties by group — the stated total order;
+    * the rk product runs in decimal so it never wraps), and the
+    * saturated set is the maximal prefix of THAT order passing
+    * capᵢ·W_fromᵢ ≤ wᵢ·(B − C_beforeᵢ), where C_before sums ALL
     * earlier caps and W_from sums the weights from row i on. The
     * test is monotone along the order (a failing row makes every
     * later row fail — the remaining-ratio R/W only shrinks), so the
-    * two prefix sums decide the whole fixpoint in ONE window pass —
-    * no iteration, no driver loop. The comparison products run in
-    * decimal(38,0) (capᵢ·Σw overflows a long past ~240 B tokens per
-    * group; the oracle mirrors via HUGEINT); the final proportional
-    * share floors (rule I) and the unallocated floor dust is
-    * reported, never silently vanished.
+    * two prefix sums decide the whole answer in ONE window pass —
+    * no iteration, no driver loop. On inputs where two groups' true
+    * ratios differ by less than 2⁻²⁰ relative, the quantized order
+    * may transpose them and the prefix test can then differ from the
+    * iterative water-filling fixpoint; both engines implement the
+    * SAME quantized order (the oracle mirrors rk exactly), so
+    * engine agreement is unconditional — the quantized order IS the
+    * spec, and PipelineSpec's fixpoint cross-check holds because its
+    * inputs keep ratio gaps far above 2⁻²⁰. The comparison products
+    * run in decimal(38,0) (capᵢ·Σw overflows a long past ~240 B
+    * tokens per group; the oracle mirrors via HUGEINT); the final
+    * proportional share divides with `div` (exact integer floor —
+    * FLOOR over decimal `/` would pre-round HALF_UP at scale 6) and
+    * the unallocated floor dust is reported, never silently
+    * vanished.
     *
     * Output per group: n_tokens, weight, cap_tokens, saturated
     * (1/0), alloc_tokens, epochs_milli = alloc·1000 div tokens.
@@ -435,7 +483,12 @@ object Graft {
     val tot = per.agg(sum(col("n_tokens")).as("corpus_tokens"))
     val ordered = per.crossJoin(broadcast(tot))
       .withColumn("budget", expr(s"corpus_tokens * ${budgetPermille}L div 1000"))
-      .withColumn("rk", expr("cap_tokens * 1048576L div weight"))
+      // rk product in decimal: long cap_tokens · 2²⁰ silently wraps
+      // past cap ≈ 8.8e12 under ANSI-off while DuckDB raises — the
+      // engine-divergence class the q_sample_det scaladoc condemns
+      // (round-14 ADVICE). div on decimal is exact and returns long.
+      .withColumn("rk",
+        expr("CAST(cap_tokens AS DECIMAL(38,0)) * 1048576 div weight"))
     val wOrd = Window.orderBy(col("rk"), col("group"))
     val tested = ordered
       .withColumn("c_before",
@@ -456,9 +509,11 @@ object Graft {
     tested.crossJoin(broadcast(residual))
       .withColumn("alloc_tokens",
         when(col("saturated") === 1, col("cap_tokens"))
-          .otherwise(expr("""CAST(FLOOR(CAST(weight AS DECIMAL(38,0))
-                                        * (budget - sat_caps) / w_unsat)
-                                 AS BIGINT)""")))
+          // div, not FLOOR(decimal/decimal): `/` pre-rounds HALF_UP
+          // at scale 6, off-by-one vs the oracle's HUGEINT `//` once
+          // w_unsat > 2e6 (round-14 ADVICE)
+          .otherwise(expr("""CAST(weight AS DECIMAL(38,0))
+                             * (budget - sat_caps) div w_unsat""")))
       .select(col("group"), col("n_tokens"), col("weight"), col("cap_tokens"),
               col("saturated"), col("alloc_tokens"),
               expr("alloc_tokens * 1000L div n_tokens").as("epochs_milli"))

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   *    small-star hooks the smaller ones; alternating rounds converge to
   *    a forest of stars centered at each component's minimum id in
   *    O(log n) rounds REGARDLESS of diameter — the 100 TB-safe default.
+  *    Since round 15 the loop is preceded by ONE min-label seed
+  *    contraction (m(u) = min(N(u) ∪ {u}), iterate on (m(a), m(b))):
+  *    near-clique dedup components collapse entirely in the seed pass,
+  *    so the loop runs 1-2 rounds on the inter-clique residue instead
+  *    of O(log n) rounds of ~6 shuffle stages each on the full graph.
   *
   * Both fail loudly (require) instead of silently returning unconverged
   * labels when the round cap is hit. Per-round lineage is truncated
@@ -74,10 +79,34 @@ object ConnectedComponents {
 
   private[graft] def alternatingStarWithRounds(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     val cast = castLong(edges)
-    val e0 = dropSelfLoops(cast)
+    val eRaw = dropSelfLoops(cast)
     // node universe from the PRE-filter edge set: self-loop-only nodes
     // are their own components (labeled via the final left join)
     val nodes = nodeUniverse(cast)
+
+    // SEED CONTRACTION (round-14 verdict #5): one min-label pass
+    // m(u) = min(N(u) ∪ {u}) BEFORE the star loop, then iterate on
+    // the contracted edge set (m(a), m(b)). Near-dup pair graphs are
+    // unions of near-cliques, and a clique contracts to a single
+    // label in this one pass — the star loop then runs 1-2 rounds on
+    // the tiny inter-clique residue instead of O(log n) rounds on
+    // the full graph (each round is ~6 shuffle stages, and the
+    // many-small-jobs loop is exactly what the driver's contention
+    // band amplified 10× in BENCH_r14's ngram_cc first-touch).
+    // Correctness: u—m(u) is an edge-path contraction, so components
+    // are preserved; the original component minimum v has m(v) = v
+    // (v is below all its neighbors), so the contracted component's
+    // min — which the star loop labels by — IS the original min.
+    val nbrsSeed = eRaw.union(eRaw.select(col("b").as("a"), col("a").as("b")))
+    val seed = nbrsSeed.groupBy("a")
+      .agg(least(col("a"), min(col("b"))).as("m"))
+      .select(col("a").as("u"), col("m"))
+      .localCheckpoint()
+    val e0 = eRaw
+      .join(seed.select(col("u").as("a"), col("m").as("ma")), "a")
+      .join(seed.select(col("u").as("b"), col("m").as("mb")), "b")
+      .select(col("ma").as("a"), col("mb").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
 
     // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
     def largeStar(e: DataFrame): DataFrame = {
@@ -123,9 +152,16 @@ object ConnectedComponents {
     }
     require(converged,
       s"connected components (large/small-star) did not converge in $maxRounds rounds")
-    // stars: every edge is (child, root=component min); roots map to self
-    val labels = nodes.join(e.select(col("a").as("node"), col("b").as("label")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    // stars over the CONTRACTED graph: every edge is (child,
+    // root=component min). Compose node → seed m (self for nodes the
+    // loop-free edge set never saw) → star label (self for contracted
+    // roots and fully-collapsed components, where m already IS the
+    // original component minimum).
+    val labels = nodes
+      .join(seed.select(col("u").as("node"), col("m")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("m"), col("node")).as("m"))
+      .join(e.select(col("a").as("m"), col("b").as("label")), Seq("m"), "left")
+      .select(col("node"), coalesce(col("label"), col("m")).as("label"))
     (labels, rounds)
   }
 

@@ -1388,6 +1388,50 @@ object Oracle {
         |    AS redacted_chars
         |FROM t2 ORDER BY doc_id""".stripMargin,
 
+    /** HTML extraction: the same deterministic shell synthesis, then
+      * the same four passes in the same stated order — block-element
+      * drops (head/nav/footer/script/style, non-greedy, (?s)), tag
+      * strip to a space, literal entity unescape lt → gt → amp,
+      * whitespace collapse + trim. RE2 ≡ Java regex on every pattern
+      * here (the piiSignals stance). Rule I casts. */
+    "q_html_extract" ->
+      """WITH h AS (SELECT source, doc_id, text,
+        |  '<html><head><title>d' || CAST(doc_id AS VARCHAR)
+        |  || '</title><style>body{margin:0}</style></head><body><nav>home | docs | sec'
+        |  || CAST(doc_id % 10 AS VARCHAR) || '</nav><p>' || text
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' Tom &amp; Jerry &lt;3' ELSE '' END
+        |  || '</p><footer>(c) 20' || lpad(CAST(doc_id % 25 AS VARCHAR), 2, '0')
+        |  || ' corp</footer></body></html>' AS html
+        |  FROM documents),
+        |e AS (SELECT source, html,
+        |  text || CASE WHEN doc_id % 3 = 0 THEN ' Tom & Jerry <3' ELSE '' END
+        |    AS want,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |        regexp_replace(
+        |        regexp_replace(
+        |        regexp_replace(
+        |        regexp_replace(html,
+        |          '(?s)<head[^>]*>.*?</head>', ' ', 'g'),
+        |          '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+        |          '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+        |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS got
+        |  FROM h)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(length(html)) AS BIGINT) AS html_chars,
+        |  CAST(SUM(length(got)) AS BIGINT) AS text_chars,
+        |  CAST(SUM(CASE WHEN got = want THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_roundtrip,
+        |  CAST(SUM(length(html)) - SUM(length(got)) AS BIGINT) * 1000
+        |    // CAST(SUM(length(html)) AS BIGINT) AS boiler_permille
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
     /** Token-weighted dup inflation: the q_dedup_drop recursive-CTE
       * components re-derived from scratch, then ONE per-source rollup
       * splitting token mass by membership in the dropped set. All
@@ -1747,9 +1791,11 @@ object Oracle {
         |                           * (s.budget - r.sat_caps) // r.w_unsat
         |                      END AS BIGINT) AS alloc_tokens
         |          FROM sat s, res r)
-        |SELECT "group", n_tokens, weight, cap_tokens, saturated,
+        |SELECT "group", CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+        |       CAST(cap_tokens AS BIGINT) AS cap_tokens, saturated,
         |       alloc_tokens,
-        |       alloc_tokens * 1000 // n_tokens AS epochs_milli
+        |       CAST(alloc_tokens * 1000 // n_tokens AS BIGINT)
+        |         AS epochs_milli
         |FROM alloc ORDER BY "group"""".stripMargin,
 
     /** Two-sample KS between source pairs on the ppm-quantized
@@ -1887,6 +1933,37 @@ object Oracle {
         |       CAST(share_permille AS BIGINT) AS share_permille,
         |       isq * 1000 // isq_total AS weight_permille
         |FROM sh, st ORDER BY "group" """.stripMargin,
+
+    /** Domain curation: the same mod-first hash, URL synthesis,
+      * 13-residue blocklist and rank-3 cap re-stated in SQL — the
+      * window rank mirrors Spark's (domain, doc_id) total order
+      * (doc_id unique → deterministic). Rule I casts throughout. */
+    "q_domain_caps" ->
+      """WITH d0 AS (SELECT doc_id % 1000000007 * 2654435761 % 97 AS did,
+        |                   doc_id,
+        |                   CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        |            FROM documents),
+        |d1 AS (SELECT 'site' || CAST(did AS VARCHAR)
+        |              || CASE WHEN did % 3 = 0 THEN '.com'
+        |                      WHEN did % 3 = 1 THEN '.org'
+        |                      ELSE '.net' END AS domain,
+        |              CASE WHEN did % 13 = 0 THEN 1 ELSE 0 END AS blocked,
+        |              doc_id, t
+        |       FROM d0),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+        |                                   ORDER BY doc_id) AS rk
+        |      FROM d1)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(t) AS BIGINT) AS n_tokens,
+        |       CAST(MAX(blocked) AS BIGINT) AS blocked,
+        |       CAST(SUM(CASE WHEN blocked = 0 AND rk <= 3 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS kept_docs,
+        |       CAST(SUM(CASE WHEN blocked = 0 AND rk <= 3 THEN t ELSE 0 END)
+        |            AS BIGINT) AS kept_tokens,
+        |       CAST(SUM(t) - SUM(CASE WHEN blocked = 0 AND rk <= 3
+        |                              THEN t ELSE 0 END) AS BIGINT) * 1000
+        |         // CAST(SUM(t) AS BIGINT) AS drop_token_permille
+        |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
 
     /** Length buckets: the binary-width power-of-two identity
       * 2^len(bin(n−1)) stated with the same string-length arithmetic

@@ -373,6 +373,52 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** HTML/boilerplate EXTRACTION report (round 15) — the raw-crawl →
+    * text stage that runs BEFORE every operator this engine has
+    * (round-14 verdict #6): each document is wrapped in a
+    * deterministic HTML shell built from pure integer string algebra
+    * on doc_id (the q_pii_scan synthesize-then-verify precedent —
+    * head/title/style, a nav bar, `<p>` body, a footer, and on
+    * doc_id % 3 = 0 an entity-escaped sentence that must unescape to
+    * ` Tom & Jerry <3`), then [[graft.Graft.htmlExtract]] strips it
+    * back. Because the clean text is KNOWN, the report carries the
+    * strongest possible check — n_roundtrip counts docs whose
+    * extraction equals the expected text EXACTLY — plus the
+    * accounting a crawl dashboard reads: per-source raw HTML chars,
+    * extracted chars, boilerplate permille. Row-local end to end
+    * (synthesis, extraction, equality are all mappers; one
+    * metadata-scale rollup) — at 100 TB this is scan-bound, zero
+    * data shuffle. All-integer outputs (rule I); source unique
+    * (rule O); the oracle re-runs the same synthesis + the same four
+    * extraction passes in DuckDB SQL (RE2 ≡ Java regex on these
+    * patterns — the piiSignals compatibility stance). */
+  def q_html_extract(s: SparkSession, d: String): DataFrame = {
+    val entity = when(col("doc_id") % 3 === 0,
+      lit(" Tom &amp; Jerry &lt;3")).otherwise(lit(""))
+    val html = concat(
+      lit("<html><head><title>d"), col("doc_id").cast("string"),
+      lit("</title><style>body{margin:0}</style></head><body><nav>home | docs | sec"),
+      (col("doc_id") % 10).cast("string"),
+      lit("</nav><p>"), col("text"), entity,
+      lit("</p><footer>(c) 20"),
+      lpad((col("doc_id") % 25).cast("string"), 2, "0"),
+      lit(" corp</footer></body></html>"))
+    val want = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(" Tom & Jerry <3")).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("source"), length(html).as("html_chars"),
+              graft.Graft.htmlExtract(html).as("got"), want.as("want"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("html_chars")).as("html_chars"),
+           sum(length(col("got"))).as("text_chars"),
+           sum(when(col("got") === col("want"), lit(1L)).otherwise(lit(0L)))
+             .as("n_roundtrip"))
+      .withColumn("boiler_permille",
+        expr("(html_chars - text_chars) * 1000 div html_chars"))
+      .orderBy("source")
+  }
+
   /** Deterministic source-interleaved curriculum order (round 11) —
     * the layout stage between sampling and packing:
     * [[graft.Graft.interleaveBySource]] on documents (seed
@@ -402,6 +448,50 @@ object PipelineOps {
     graft.Graft.mixtureWeights(Tables.documents(s, d),
         col("source"), size(toks))
       .orderBy("group")
+
+  /** Domain-level curation accounting (round 15) — the URL-curation
+    * face of [[q_mixture_weights]] (round-14 verdict #9): every doc
+    * gets a deterministic URL domain synthesized from doc_id by the
+    * q_quality_eval hash idiom (`doc_id % 1000000007 * 2654435761 %
+    * 97` — mod FIRST so the product never wraps a long, the
+    * q_sample_det engine-divergence stance), a 13-residue blocklist
+    * marks whole domains, and each surviving domain keeps only its
+    * first 3 docs by doc_id (the per-domain doc cap every crawl
+    * curator runs against SEO farms). Per domain: doc/token mass,
+    * blocked flag, kept docs/tokens under the cap, and the dropped
+    * token permille — the table that says which domains the curation
+    * pass actually costs.
+    *
+    * Scale shape: the hash/URL/blocklist are row-local mappers; the
+    * cap needs one rank per domain — a window PARTITIONED by domain
+    * (≈ uniform 97-way here; at web scale domains are millions of
+    * balanced-ish partitions, and a pathological mega-domain is
+    * exactly what the cap exists to truncate) — then one
+    * metadata-scale rollup. domain unique (rule O), all-integer
+    * (rule I), div floors (rule F). */
+  def q_domain_caps(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id") % 1000000007L * 2654435761L % 97L
+    val domain = concat(lit("site"), did.cast("string"),
+      when(did % 3 === 0, lit(".com"))
+        .when(did % 3 === 1, lit(".org"))
+        .otherwise(lit(".net")))
+    val ranked = Tables.documents(s, d)
+      .select(domain.as("domain"),
+              (did % 13 === 0).cast("long").as("blocked"),
+              col("doc_id"), size(toks).cast("long").as("t"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("domain").orderBy("doc_id")))
+    ranked.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+           max(col("blocked")).as("blocked"),
+           sum(when(col("blocked") === 0 && col("rk") <= 3, lit(1L))
+                 .otherwise(lit(0L))).as("kept_docs"),
+           sum(when(col("blocked") === 0 && col("rk") <= 3, col("t"))
+                 .otherwise(lit(0L))).as("kept_tokens"))
+      .withColumn("drop_token_permille",
+        expr("(n_tokens - kept_tokens) * 1000 div n_tokens"))
+      .orderBy("domain")
+  }
 
   /** Power-of-two length buckets + padding waste (round 11) — the
     * batching-efficiency table a training loader reads:
@@ -1877,15 +1967,83 @@ object PipelineOps {
              .as("fn"))
       .select(col("n_test"), col("tp"), col("fp"), col("tn"), col("fn"),
               expr("(tp + tn) * 1000L div n_test").as("acc_permille"),
+              // div, not FLOOR(/): see q_quality_auc — decimal `/`
+              // pre-rounds HALF_UP at scale 6, off-by-one vs exact
+              // integer floor once 2·n_pos·n_neg > 2e6
               when(col("n_pos") > 0 && col("n_pos") < col("n_test"),
-                   expr("""CAST(FLOOR((sum_rank_x2
-                                       - CAST(n_pos AS DECIMAL(38,0))
-                                         * (n_pos + 1))
-                                      * 1000000
-                                      / (2 * CAST(n_pos AS DECIMAL(38,0))
-                                           * (n_test - n_pos)))
-                               AS BIGINT)"""))
+                   expr("""(sum_rank_x2
+                            - CAST(n_pos AS DECIMAL(38,0))
+                              * (n_pos + 1))
+                           * 1000000
+                           div (2 * CAST(n_pos AS DECIMAL(38,0))
+                                  * (n_test - n_pos))"""))
                 .as("auc_ppm"))
+  }
+
+  /** Quality-classifier CALIBRATION report (round 15) — the
+    * reliability table + Brier decomposition next to
+    * [[q_quality_eval]]'s AUC (round-14 verdict #7): a classifier
+    * gating a training corpus must not only RANK well but mean what
+    * it says — a gate at p ≥ 0.5 throws away the wrong mass if
+    * p = 0.8 empirically means 60%. Per predicted-probability decile
+    * (bin = ⌊10⁶·p⌋ div 10⁵, top edge clamped into bin 9): count,
+    * mean predicted ppm, observed positive-rate ppm, the signed
+    * calibration gap, and the bin's reliability / resolution
+    * contributions (Murphy 1973's decomposition — Brier =
+    * reliability − resolution + uncertainty); the global brier_ppm
+    * and uncertainty_ppm ride every row as constants so one table
+    * carries the whole dashboard.
+    *
+    * All arithmetic is integer from the micro-quantized score on
+    * (squares and n·gap² products in decimal(38,0) — n·10¹² wraps a
+    * long past ~9.2e6 docs — with `div`, never FLOOR(/)); the model
+    * itself is float-trained, so oracle = no (the q_quality_lr /
+    * q_quality_eval stance) and LogisticSpec pins every column
+    * against a driver-side brute force over the same micro scores.
+    * Scale shape: prediction is row-local; ONE map-side-combinable
+    * groupBy on the ≤ 10-value bin key collapses the corpus; all
+    * windows/crosses below run on ≤ 10 rows. */
+  def q_quality_calib(s: SparkSession, d: String): DataFrame = {
+    val model = lrModel(s, d)
+    val h = col("doc_id") % 1000000007L * 2654435761L % 1000L
+    val scored = Tables.documents(s, d)
+      .filter(h >= 900)
+      .select((col("lang") === "en").cast("long").as("y"),
+              floor(graft.Graft.logisticPredict(model, lrFeatures) * 1e6)
+                .cast("long").as("p_micro"))
+    val byBin = scored
+      .withColumn("bin", least(expr("p_micro div 100000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+           sum(col("p_micro")).as("sum_p"),
+           sum(col("y")).as("pos"),
+           sum(expr("""CAST(p_micro - y * 1000000 AS DECIMAL(38,0))
+                       * (p_micro - y * 1000000)""")).as("sq_err"))
+    val tot = byBin.agg(sum(col("n")).as("n_test"),
+                        sum(col("pos")).as("n_pos"),
+                        sum(col("sq_err")).as("sq_all"))
+    byBin.crossJoin(broadcast(tot))
+      .withColumn("mean_p_ppm", expr("sum_p div n"))
+      .withColumn("frac_pos_ppm", expr("pos * 1000000 div n"))
+      .withColumn("gap_ppm", col("mean_p_ppm") - col("frac_pos_ppm"))
+      .withColumn("ybar_ppm", expr("n_pos * 1000000 div n_test"))
+      // Murphy terms, per bin in ppm of probability²:
+      // rel_k = n_k(p̄_k − ȳ_k)²/N, res_k = n_k(ȳ_k − ȳ)²/N
+      .withColumn("rel_ppm",
+        expr("""CAST(n AS DECIMAL(38,0)) * gap_ppm * gap_ppm
+                div (CAST(n_test AS DECIMAL(38,0)) * 1000000)"""))
+      .withColumn("res_ppm",
+        expr("""CAST(n AS DECIMAL(38,0))
+                * (frac_pos_ppm - ybar_ppm) * (frac_pos_ppm - ybar_ppm)
+                div (CAST(n_test AS DECIMAL(38,0)) * 1000000)"""))
+      .withColumn("brier_ppm", expr("sq_all div (CAST(n_test AS DECIMAL(38,0)) * 1000000)"))
+      .withColumn("uncertainty_ppm",
+        expr("""CAST(ybar_ppm AS DECIMAL(38,0)) * (1000000 - ybar_ppm)
+                div 1000000"""))
+      .select(col("bin"), col("n"), col("mean_p_ppm"), col("frac_pos_ppm"),
+              col("gap_ppm"), col("rel_ppm"), col("res_ppm"),
+              col("brier_ppm"), col("uncertainty_ppm"))
+      .orderBy("bin")
   }
 
   /** Unigram-LM tokenizer SEED table (round 14) — the candidate-piece
@@ -1980,9 +2138,12 @@ object PipelineOps {
     * a score group has doubled midrank 2·c_before + cnt + 1.
     * Doubled ranks keep ties integral (rule I); the rank-sum
     * accumulates in decimal(38,0) — Σ ≤ N·(2N+1) overflows a long
-    * past N ≈ 2.1e9 docs — and the final ppm floor-division happens
-    * in decimal too (exact: the quotient's fractional part is either
-    * 0 or ≥ 1/(2·n_pos·n_neg), far above decimal's rounding grain).
+    * past N ≈ 2.1e9 docs — and the final ppm division is `div`
+    * (IntegralDivide) on the decimal operands, exact at any N:
+    * decimal `/` + FLOOR would pre-round HALF_UP at scale 6 and
+    * floor one too high whenever the true quotient sits within 5e-7
+    * below an integer — possible once 2·n_pos·n_neg > 2e6, i.e.
+    * ~1000 docs per class (round-14 ADVICE).
     * The oracle recomputes from raw text in SQL, blind to the
     * grouped-rank trick. */
   def q_quality_auc(s: SparkSession, d: String): DataFrame = {
@@ -2006,12 +2167,17 @@ object PipelineOps {
       .withColumn("n_total", sum(col("n_pos")).over(Window.partitionBy()))
       .select(col("lang"), col("n_pos"),
               (col("n_total") - col("n_pos")).as("n_neg"),
-              expr("""CAST(FLOOR((sum_rank_x2
-                                  - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
-                                 * 1000000
-                                 / (2 * CAST(n_pos AS DECIMAL(38,0))
-                                      * (n_total - n_pos)))
-                          AS BIGINT)""").as("auc_ppm"))
+              // `div` (IntegralDivide), not FLOOR(a/b): decimal `/`
+              // rounds HALF_UP to scale 6 BEFORE the floor, so a
+              // quotient within 5e-7 below an integer floors one too
+              // high vs DuckDB's exact HUGEINT `//` once
+              // 2·n_pos·n_neg > 2e6 (round-14 ADVICE). Operands stay
+              // decimal(38,0); div is exact and returns BIGINT.
+              expr("""(sum_rank_x2
+                       - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+                      * 1000000
+                      div (2 * CAST(n_pos AS DECIMAL(38,0))
+                             * (n_total - n_pos))""").as("auc_ppm"))
       .orderBy("lang")
   }
 

@@ -1685,6 +1685,32 @@ class GraftSpec extends SparkSpecBase {
     assert(gotFull(3L) == (0L, 0L, 0L, 0L))
   }
 
+  test("htmlExtract: block drops, tag strip, entity order, whitespace collapse") {
+    val rows = Seq(
+      // full shell: head (title+style inside), nav, footer all drop
+      (1L, "<html><head><title>t</title><style>b{x}</style></head>" +
+        "<body><nav>a | b</nav><p>hello world</p><footer>f</footer>" +
+        "</body></html>"),
+      // adjacent blocks must not weld words (tag → space, collapsed)
+      (2L, "<p>a</p><p>b</p>"),
+      // entities unescape in the stated order; amp LAST means
+      // '&amp;lt;' yields the LITERAL '&lt;', never '<'
+      (3L, "<p>x &lt;y&gt; 1 &amp; 2 and &amp;lt; stays</p>"),
+      // (?s): block content spanning newlines still drops
+      (4L, "<script>var x\n= 1;</script>ok"),
+      // attributes on block tags are covered by [^>]*
+      (5L, "<nav class=\"top\">junk</nav>core<style type=\"a\">s</style>"),
+      (6L, "plain text no markup")).toDF("id", "t")
+    val got = rows.select($"id", Graft.htmlExtract($"t").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "hello world")
+    assert(got(2L) == "a b")
+    assert(got(3L) == "x <y> 1 & 2 and &lt; stays")
+    assert(got(4L) == "ok")
+    assert(got(5L) == "core")
+    assert(got(6L) == "plain text no markup")
+  }
+
   test("interleaveBySource: dense per-source ranks, round-robin global order, determinism") {
     val docs = Tables.documents(spark, sf)
     val got = Graft.interleaveBySource(docs, $"doc_id", $"source", seed = 20260814L)

@@ -164,4 +164,62 @@ class LogisticSpec extends SparkSpecBase {
       assert(r.getLong(6) > 500000L, s"auc ${r.getLong(6)}")
     }
   }
+
+  test("q_quality_calib: every column equals a driver-side brute force") {
+    import graft.queries.PipelineOps
+    val sf = SparkTestSession.sf0001
+    val got = PipelineOps.q_quality_calib(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // reference micro scores through the SAME cached model + features
+    val model = PipelineOps.lrModel(spark, sf)
+    val h = col("doc_id") % 1000000007L * 2654435761L % 1000L
+    val ref = Tables.documents(spark, sf)
+      .filter(h >= 900)
+      .select((col("lang") === "en").cast("long").as("y"),
+              floor(Graft.logisticPredict(model, PipelineOps.lrFeatures) * 1e6)
+                .cast("long").as("p"))
+      .as[(Long, Long)].collect()
+    val nTest = ref.length.toLong
+    val nPos = ref.count(_._1 == 1L).toLong
+    val ybarPpm = nPos * 1000000L / nTest
+    val brierPpm = (ref.iterator.map { case (y, p) =>
+      val e = BigInt(p - y * 1000000L); e * e
+    }.sum / (BigInt(nTest) * 1000000)).toLong
+    val uncPpm = (BigInt(ybarPpm) * (1000000L - ybarPpm) / 1000000).toLong
+    val byBin = ref.groupBy { case (_, p) => math.min(p / 100000L, 9L) }
+    assert(got.keySet == byBin.keySet, "bin key sets")
+    assert(got.nonEmpty)
+    byBin.foreach { case (bin, rows) =>
+      val r = got(bin)
+      val n = rows.length.toLong
+      val sumP = rows.map(_._2).sum
+      val pos = rows.count(_._1 == 1L).toLong
+      val meanP = sumP / n
+      val fracPos = pos * 1000000L / n
+      val gap = meanP - fracPos
+      val rel = (BigInt(n) * BigInt(gap) * BigInt(gap) /
+        (BigInt(nTest) * 1000000)).toLong
+      val res = (BigInt(n) * BigInt(fracPos - ybarPpm) * BigInt(fracPos - ybarPpm) /
+        (BigInt(nTest) * 1000000)).toLong
+      assert(r.getLong(1) == n, s"bin $bin n")
+      assert(r.getLong(2) == meanP, s"bin $bin mean_p")
+      assert(r.getLong(3) == fracPos, s"bin $bin frac_pos")
+      assert(r.getLong(4) == gap, s"bin $bin gap")
+      assert(r.getLong(5) == rel, s"bin $bin rel")
+      assert(r.getLong(6) == res, s"bin $bin res")
+      assert(r.getLong(7) == brierPpm, s"bin $bin brier")
+      assert(r.getLong(8) == uncPpm, s"bin $bin uncertainty")
+    }
+    // range sanity: every term is a probability-squared in [0, 1e6]
+    // ppm; NOTE Brier = rel − res + unc holds only up to the
+    // within-bin forecast variance (forecasts spread inside a decile),
+    // so the identity is deliberately NOT asserted — the per-column
+    // brute-force pins above are the contract
+    got.values.foreach { r =>
+      Seq(5, 6, 7, 8).foreach { i =>
+        assert(r.getLong(i) >= 0L && r.getLong(i) <= 1000000L,
+          s"col $i out of [0, 1e6]: ${r.getLong(i)}")
+      }
+    }
+  }
 }

@@ -543,7 +543,13 @@ class PipelineSpec extends SparkSpecBase {
   test("token_budget: prefix test equals the iterative water-filling fixpoint") {
     // skewed sources so BOTH branches run: tiny/mid saturate at the
     // 4-epoch cap (their sqrt-damped share exceeds it), huge absorbs
-    // the re-flowed budget
+    // the re-flowed budget.
+    // NOTE the binding contract is the QUANTIZED-ORDER sequential
+    // test (see tokenBudget's scaladoc): this fixpoint cross-check
+    // holds here because the inputs keep cap/weight ratio gaps far
+    // above the 2^-20 quantization grain — on adversarial inputs
+    // with ratio gaps below 2^-20 the two definitions may transpose
+    // a boundary group and only the quantized order is the spec.
     val dir = java.nio.file.Files.createTempDirectory("tb").toString
     val docs = Seq(
       (1L, Seq.fill(10)("w").mkString(" "), "en", "tiny"),

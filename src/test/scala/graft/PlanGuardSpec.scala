@@ -83,7 +83,11 @@ class PlanGuardSpec extends SparkSpecBase {
     // q_token_budget crosses two broadcast 1-row aggregates (corpus
     // total, saturated-residual) against the ≤|sources|-row table —
     // the q_mixture_weights shape
-    "q_ks_drift", "q_token_budget")
+    "q_ks_drift", "q_token_budget",
+    // round 15: q_quality_calib crosses the broadcast 1-row totals
+    // aggregate (n_test, n_pos, sq_all) against the ≤10-row bin
+    // table — the q_mixture_weights shape
+    "q_quality_calib")
   // (q_ppl_bucket needs no BNLJ exemption: its scored table is
   // temp-parquet-cached, so the declared plan ranks from a file scan
   // and the 1-row model cross lives only inside the one-time build)

@@ -35,11 +35,22 @@ def main():
     bad = []
     for name in sorted(oracle):
         try:
-            duck = con.execute(oracle[name])
-            dcols = [d[0] for d in duck.description]
-            drows = duck.fetchall()
+            rel = con.sql(oracle[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            bad.append(name)
+            continue
+        # The driver's hash is type-sensitive: a DuckDB HUGEINT/DECIMAL
+        # column str()-compares equal to Spark's BIGINT here but still
+        # fails the driver hash (round-14 q_token_budget). Gate on type.
+        leaky = [f"{c}:{t}" for c, t in zip(dcols, dtypes)
+                 if any(k in t.upper() for k in
+                        ("HUGEINT", "UHUGEINT", "DECIMAL"))]
+        if leaky:
+            print(f"FAIL {name}: oracle emits driver-hash-unsafe types: {leaky}")
             bad.append(name)
             continue
         try:
