@@ -4297,12 +4297,19 @@ object Graft {
                              quality: Column, tauPermille: Int,
                              k: Int = 16, iters: Int = 3,
                              sampleFraction: Double = 1.0,
-                             maxBucket: Int = 4096): DataFrame = {
+                             maxBucket: Int = 4096,
+                             centroids: Option[DataFrame] = None): DataFrame = {
     require(tauPermille >= 0 && tauPermille <= 1000,
       s"tauPermille must be in [0, 1000], got $tauPermille")
     val e = vecs.select(id.cast("long").as("doc_id"), vec.as("v"),
                         quality.cast("long").as("q"))
-    val cents = ivfTrain(e, col("doc_id"), col("v"), k, iters, sampleFraction)
+    // `centroids` = a STANDING pre-trained quantizer (the
+    // ivfModelCache / "persist the model table once" posture —
+    // nobody re-runs Lloyd per query at 100 TB; train once via
+    // [[ivfTrain]], persist, pass it to every consumer). None keeps
+    // the self-contained train-then-pair behavior for ad-hoc calls.
+    val cents = centroids.getOrElse(
+      ivfTrain(e, col("doc_id"), col("v"), k, iters, sampleFraction))
     val cells = ivfAssign(cents, e.select(col("doc_id"), col("v")), col("v"))
       .select(col("cell"), col("doc_id"), col("v"))
     val scored = operators.SkewJoin

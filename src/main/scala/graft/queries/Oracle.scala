@@ -1432,6 +1432,57 @@ object Oracle {
         |    // CAST(SUM(length(html)) AS BIGINT) AS boiler_permille
         |FROM e GROUP BY source ORDER BY source""".stripMargin,
 
+    /** Outlink accounting: the same hash/link synthesis (j-th link →
+      * domain (did + 31j) mod 97, j ≤ doc_id mod 3), the same
+      * capture-group extraction, one unnest + rollup. Rule I casts. */
+    "q_html_links" ->
+      """WITH d0 AS (SELECT source, doc_id,
+        |                   doc_id % 1000000007 * 2654435761 % 97 AS did,
+        |                   text
+        |            FROM documents),
+        |h AS (SELECT source, doc_id,
+        |  'site' || CAST(did AS VARCHAR)
+        |    || CASE WHEN did % 3 = 0 THEN '.com'
+        |            WHEN did % 3 = 1 THEN '.org' ELSE '.net' END AS own,
+        |  '<p>' || text || '</p>'
+        |  || '<a href="https://site' || CAST(did AS VARCHAR)
+        |     || CASE WHEN did % 3 = 0 THEN '.com'
+        |             WHEN did % 3 = 1 THEN '.org' ELSE '.net' END
+        |     || '/doc/' || CAST(doc_id % 1000000007 * 13 + 0 AS VARCHAR)
+        |     || '">l0</a>'
+        |  || CASE WHEN doc_id % 3 >= 1
+        |     THEN '<a href="https://site' || CAST((did + 31) % 97 AS VARCHAR)
+        |          || CASE WHEN (did + 31) % 97 % 3 = 0 THEN '.com'
+        |                  WHEN (did + 31) % 97 % 3 = 1 THEN '.org'
+        |                  ELSE '.net' END
+        |          || '/doc/' || CAST(doc_id % 1000000007 * 13 + 1 AS VARCHAR)
+        |          || '">l1</a>' ELSE '' END
+        |  || CASE WHEN doc_id % 3 >= 2
+        |     THEN '<a href="https://site' || CAST((did + 62) % 97 AS VARCHAR)
+        |          || CASE WHEN (did + 62) % 97 % 3 = 0 THEN '.com'
+        |                  WHEN (did + 62) % 97 % 3 = 1 THEN '.org'
+        |                  ELSE '.net' END
+        |          || '/doc/' || CAST(doc_id % 1000000007 * 13 + 2 AS VARCHAR)
+        |          || '">l2</a>' ELSE '' END AS html
+        |  FROM d0),
+        |l AS (SELECT source, doc_id, own,
+        |             unnest(regexp_extract_all(html, 'href="([^"]+)"', 1))
+        |               AS url
+        |      FROM h),
+        |t AS (SELECT source, doc_id, own,
+        |             regexp_extract(url, 'https://([^/]+)/', 1) AS target
+        |      FROM l)
+        |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_links,
+        |       CAST(SUM(CASE WHEN target = own THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_internal,
+        |       CAST(SUM(CASE WHEN target <> own THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_external,
+        |       CAST(COUNT(DISTINCT target) AS BIGINT) AS n_target_domains,
+        |       CAST(SUM(CASE WHEN target <> own THEN 1 ELSE 0 END) AS BIGINT)
+        |         * 1000 // CAST(COUNT(*) AS BIGINT) AS external_permille
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
     /** Token-weighted dup inflation: the q_dedup_drop recursive-CTE
       * components re-derived from scratch, then ONE per-source rollup
       * splitting token mass by membership in the dropped set. All
