@@ -324,6 +324,47 @@ object Graft {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /** URL CANONICALIZATION — the [[htmlExtract]] of the URL family:
+    * URL-level dedup and domain accounting are only as good as the
+    * canonical form they key on (the same page hides behind a cased
+    * host, a default port, a trailing slash, and tracking params).
+    * Five passes in this stated order (rule F — the order IS the
+    * contract):
+    *
+    *  1. case-fold the scheme+host prefix (`^[a-zA-Z]+://[^/:?]*`)
+    *     to lower; the PATH stays case-sensitive per RFC 3986;
+    *  2. drop an explicit `:443` default port right after the host;
+    *  3. strip `utm_*` tracking params: first every
+    *     `utm_[a-z_]+=[^&]*&` (utm followed by another param), then
+    *     a trailing `[?&]utm_[a-z_]+=[^&]*$` WITH its separator —
+    *     non-utm params survive untouched;
+    *  4. collapse a path trailing slash: the literal `/?` → `?`
+    *     (slash before a query), then `/$` → empty (slash at end) —
+    *     literal-replace + anchored-regex, so no capture-group
+    *     replacement syntax that Java (`$1`) and RE2 (`\1`) spell
+    *     differently;
+    *  5. nothing else — the canonical form is deliberately
+    *     conservative (no param re-ordering, no %-decoding).
+    *
+    * All patterns RE2-compatible; pure per-row column arithmetic —
+    * a mapper at any corpus size. */
+  def urlCanonicalize(url: Column): Column = {
+    val pre = regexp_extract(url, "^[a-zA-Z]+://[^/:?]*", 0)
+    val rest = call_function("substr", url, length(pre) + 1)
+    // drop the default port by PREFIX TEST on the split remainder —
+    // no capture-group replacement, whose syntax Java regex ($1) and
+    // RE2 (\1) spell differently (the one divergence this family's
+    // RE2-compatible stance cannot paper over)
+    val restNoPort = when(rest.rlike("^:443(/|\\?|$)"),
+      call_function("substr", rest, lit(5))).otherwise(rest)
+    val noUtm = regexp_replace(
+      regexp_replace(concat(lower(pre), restNoPort),
+        "utm_[a-z_]+=[^&]*&", ""),
+      "[?&]utm_[a-z_]+=[^&]*$", "")
+    regexp_replace(call_function("replace", noUtm, lit("/?"), lit("?")),
+                   "/$", "")
+  }
+
   /** The shared PII pattern registry — ONE definition so the scan,
     * its tests, and any redaction stage can never drift. Order is the
     * redaction order (fixed: a sequential replace in a different

@@ -1483,6 +1483,63 @@ object Oracle {
         |         * 1000 // CAST(COUNT(*) AS BIGINT) AS external_permille
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
+    /** URL canonicalization: the same synthesis and the same five
+      * passes — prefix case-fold, :443 prefix-test drop, two-stage
+      * utm strip, literal '/?' + anchored '/$' slash collapse — no
+      * capture-group replacement anywhere (Java $1 vs RE2 \1 is the
+      * one spelling the RE2-compatible stance cannot bridge). */
+    "q_url_canon" ->
+      """WITH d0 AS (SELECT source, doc_id,
+        |                   doc_id % 1000000007 * 2654435761 % 97 AS did
+        |            FROM documents),
+        |u AS (SELECT source, doc_id,
+        |  'https://site' || CAST(did AS VARCHAR)
+        |    || CASE WHEN did % 3 = 0 THEN '.com'
+        |            WHEN did % 3 = 1 THEN '.org' ELSE '.net' END AS host,
+        |  did FROM d0),
+        |m AS (SELECT source, doc_id, host,
+        |  CASE WHEN doc_id % 3 = 0 THEN upper(host) ELSE host END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+        |  || '/doc/' || CAST(doc_id % 1000000007 AS VARCHAR)
+        |  || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+        |  || CASE WHEN doc_id % 2 = 0 AND doc_id % 11 = 0
+        |          THEN '?utm_source=feed&utm_campaign=x&ref=kept'
+        |          WHEN doc_id % 2 = 0
+        |          THEN '?utm_source=feed&utm_campaign=x'
+        |          WHEN doc_id % 11 = 0 THEN '?ref=kept' ELSE '' END AS url,
+        |  host || '/doc/' || CAST(doc_id % 1000000007 AS VARCHAR)
+        |  || CASE WHEN doc_id % 11 = 0 THEN '?ref=kept' ELSE '' END AS want
+        |  FROM u),
+        |c0 AS (SELECT source, url, want,
+        |              regexp_extract(url, '^[a-zA-Z]+://[^/:?]*', 0) AS pre
+        |       FROM m),
+        |c1 AS (SELECT source, url, want, pre,
+        |              substr(url, length(pre) + 1) AS rest FROM c0),
+        |c2 AS (SELECT source, url, want,
+        |              lower(pre) ||
+        |              CASE WHEN regexp_matches(rest, '^:443(/|\?|$)')
+        |                   THEN substr(rest, 5) ELSE rest END AS folded
+        |       FROM c1),
+        |c3 AS (SELECT source, url, want,
+        |              regexp_replace(regexp_replace(folded,
+        |                'utm_[a-z_]+=[^&]*&', '', 'g'),
+        |                '[?&]utm_[a-z_]+=[^&]*$', '', 'g') AS nu
+        |       FROM c2),
+        |c4 AS (SELECT source, url, want,
+        |              regexp_replace(replace(nu, '/?', '?'), '/$', '', 'g')
+        |                AS canon
+        |       FROM c3)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN url <> canon THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_changed,
+        |       CAST(SUM(CASE WHEN canon = want THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_roundtrip,
+        |       CAST(SUM(length(url) - length(canon)) AS BIGINT)
+        |         AS chars_saved,
+        |       CAST(SUM(CASE WHEN url <> canon THEN 1 ELSE 0 END) AS BIGINT)
+        |         * 1000 // CAST(COUNT(*) AS BIGINT) AS changed_permille
+        |FROM c4 GROUP BY source ORDER BY source""".stripMargin,
+
     /** Token-weighted dup inflation: the q_dedup_drop recursive-CTE
       * components re-derived from scratch, then ONE per-source rollup
       * splitting token mass by membership in the dropped set. All

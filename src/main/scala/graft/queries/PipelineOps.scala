@@ -476,6 +476,57 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** URL canonicalization accounting (round 15) — the
+    * [[q_unicode_norm]] of the URL family: URL-level dedup and the
+    * [[q_domain_caps]] accounting are only as good as the canonical
+    * key (the same page hides behind a cased host, an explicit :443,
+    * a trailing slash, and utm_* tracking params). Each doc gets a
+    * deterministic messy URL (host from the q_domain_caps hash;
+    * doc_id mod 2/3/5/7/11 independently switch tracking params,
+    * host casing, the default port, a trailing slash, and a non-utm
+    * `ref` param that must SURVIVE), [[graft.Graft.urlCanonicalize]]
+    * normalizes it, and — because the canonical form is known
+    * analytically — n_roundtrip counts exact matches, next to the
+    * per-source changed count/permille and the characters saved.
+    * Row-local end to end + ONE metadata-scale rollup; all-integer
+    * (rule I), source unique (rule O); the oracle re-runs synthesis
+    * + the same five passes in DuckDB (RE2-compatible patterns, no
+    * capture-group replacement — the piiSignals stance). */
+  def q_url_canon(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id") % 1000000007L * 2654435761L % 97L
+    val host = concat(lit("https://site"), did.cast("string"),
+      when(did % 3 === 0, lit(".com"))
+        .when(did % 3 === 1, lit(".org"))
+        .otherwise(lit(".net")))
+    val cased = when(col("doc_id") % 3 === 0, upper(host)).otherwise(host)
+    val port = when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit(""))
+    val path = concat(lit("/doc/"),
+      (col("doc_id") % 1000000007L).cast("string"))
+    val slash = when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit(""))
+    val utm = col("doc_id") % 2 === 0
+    val ref = col("doc_id") % 11 === 0
+    val qs = when(utm && ref, lit("?utm_source=feed&utm_campaign=x&ref=kept"))
+      .when(utm, lit("?utm_source=feed&utm_campaign=x"))
+      .when(ref, lit("?ref=kept"))
+      .otherwise(lit(""))
+    val url = concat(cased, port, path, slash, qs)
+    val want = concat(host, path,
+      when(ref, lit("?ref=kept")).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("source"), url.as("url"), want.as("want"))
+      .select(col("source"), col("url"), col("want"),
+              graft.Graft.urlCanonicalize(col("url")).as("canon"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("url") =!= col("canon"), lit(1L)).otherwise(lit(0L)))
+             .as("n_changed"),
+           sum(when(col("canon") === col("want"), lit(1L)).otherwise(lit(0L)))
+             .as("n_roundtrip"),
+           sum(length(col("url")) - length(col("canon"))).as("chars_saved"))
+      .withColumn("changed_permille", expr("n_changed * 1000 div n_docs"))
+      .orderBy("source")
+  }
+
   /** Deterministic source-interleaved curriculum order (round 11) —
     * the layout stage between sampling and packing:
     * [[graft.Graft.interleaveBySource]] on documents (seed

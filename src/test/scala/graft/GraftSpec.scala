@@ -1711,6 +1711,32 @@ class GraftSpec extends SparkSpecBase {
     assert(got(6L) == "plain text no markup")
   }
 
+  test("urlCanonicalize: case-fold, port drop, utm strip, slash collapse") {
+    val rows = Seq(
+      // everything at once: cased host, :443, trailing slash, utm mix
+      (1L, "HTTPS://Site7.ORG:443/Doc/9/?utm_source=a&ref=k&utm_campaign=b"),
+      // path case is PRESERVED (RFC 3986: only scheme+host fold)
+      (2L, "https://a.com/CaseSensitive/Path"),
+      // :4435 is NOT the default port — must survive
+      (3L, "https://a.com:4435/x"),
+      // utm-only query drops entirely, with its '?'
+      (4L, "https://a.com/x?utm_source=feed"),
+      // non-utm params survive untouched, order preserved
+      (5L, "https://a.com/x?b=2&a=1"),
+      // bare trailing slash drops; already-canonical is a no-op
+      (6L, "https://a.com/x/"),
+      (7L, "https://a.com/x?ref=k")).toDF("id", "u")
+    val got = rows.select($"id", Graft.urlCanonicalize($"u").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "https://site7.org/Doc/9?ref=k")
+    assert(got(2L) == "https://a.com/CaseSensitive/Path")
+    assert(got(3L) == "https://a.com:4435/x")
+    assert(got(4L) == "https://a.com/x")
+    assert(got(5L) == "https://a.com/x?b=2&a=1")
+    assert(got(6L) == "https://a.com/x")
+    assert(got(7L) == "https://a.com/x?ref=k")
+  }
+
   test("interleaveBySource: dense per-source ranks, round-robin global order, determinism") {
     val docs = Tables.documents(spark, sf)
     val got = Graft.interleaveBySource(docs, $"doc_id", $"source", seed = 20260814L)

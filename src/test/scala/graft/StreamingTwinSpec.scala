@@ -22,27 +22,41 @@ class StreamingTwinSpec extends SparkSpecBase {
 
   test("per-row pipeline facades run unchanged under readStream") {
     import org.apache.spark.sql.functions._
-    // qualitySignals / tokenCounts / repetitionScores are pure per-row
-    // expressions, so the same Column works in a streaming plan; the
-    // quality gate must keep exactly the rows the batch form keeps
+    // qualitySignals / tokenCounts / htmlExtract / urlCanonicalize
+    // are pure per-row expressions, so the same Column works in a
+    // streaming plan; the quality gate must keep exactly the rows
+    // the batch form keeps (the extraction/normalization columns
+    // ride along to prove the crawl-ingest front of the pipeline —
+    // strip markup, canonicalize the URL, gate on quality — is one
+    // stateless streaming stage end to end)
     val schema = Tables.documents(spark, sf).schema
-    val gated = spark.readStream.schema(schema)
-      .parquet(s"$sf/documents.parquet*")
-      .select(col("doc_id"), Graft.qualitySignals(col("text"), col("n_chars")).as("q"),
-              Graft.tokenCounts(col("text")).as("t"))
+    def shaped(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+              Graft.qualitySignals(col("text"), col("n_chars")).as("q"),
+              Graft.tokenCounts(col("text")).as("t"),
+              Graft.htmlExtract(
+                concat(lit("<p>"), col("text"), lit("</p><footer>f</footer>")))
+                .as("clean"),
+              Graft.urlCanonicalize(
+                concat(lit("HTTPS://A.com:443/d/"), col("doc_id"),
+                       lit("?utm_source=s"))).as("url"))
       .filter(col("q.quality_permille") >= 400)
-      .select(col("doc_id"), col("t.n_subword"))
+      .select(col("doc_id"), col("t.n_subword"), col("clean"), col("url"))
+    val gated = shaped(spark.readStream.schema(schema)
+      .parquet(s"$sf/documents.parquet*"))
     val q = gated.writeStream.format("memory").queryName("t_gate")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     val stream = spark.table("t_gate")
-    val batch = Tables.documents(spark, sf)
-      .select(col("doc_id"), Graft.qualitySignals(col("text"), col("n_chars")).as("q"),
-              Graft.tokenCounts(col("text")).as("t"))
-      .filter(col("q.quality_permille") >= 400)
-      .select(col("doc_id"), col("t.n_subword"))
+    val batch = shaped(Tables.documents(spark, sf))
     assert(stream.count() > 0)
     assert(diff(stream, batch) == 0)
+    // and the riders did real work: extraction stripped the footer,
+    // canonicalization folded/stripped the synthetic mess
+    val r = stream.limit(1).collect().head
+    assert(r.getString(2).nonEmpty && !r.getString(2).contains("<"))
+    assert(r.getString(3).startsWith("https://a.com/d/") &&
+           !r.getString(3).contains("utm"))
   }
 
   test("slidingChunks chunks a document stream exactly as in batch") {
