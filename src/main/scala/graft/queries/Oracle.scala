@@ -1540,6 +1540,84 @@ object Oracle {
         |         * 1000 // CAST(COUNT(*) AS BIGINT) AS changed_permille
         |FROM c4 GROUP BY source ORDER BY source""".stripMargin,
 
+    /** Encoding-damage audit: the same three deterministic damage
+      * injections and the same three stated-order repair passes —
+      * DuckDB regexes get the identical character classes (chr()
+      * builds the non-ASCII/control chars so no literal byte can be
+      * mangled in transit). Rule I casts. */
+    "q_encoding_audit" ->
+      """WITH inj AS (SELECT source, text
+        |    || CASE WHEN doc_id % 4 = 0
+        |            THEN ' caf' || chr(195) || chr(169) ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0
+        |            THEN ' bad' || chr(65533) ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0
+        |            THEN ' x' || chr(7) || 'y' ELSE '' END AS t
+        |  FROM documents),
+        |sig AS (SELECT source, t,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[' || chr(194) || chr(195) || '][' || chr(128) || '-'
+        |        || chr(191) || ']')) AS BIGINT) AS m,
+        |  CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT) AS r,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12)
+        |        || chr(14) || '-' || chr(31) || ']')) AS BIGINT) AS c,
+        |  CAST(length(t) - length(
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[' || chr(194) || chr(195) || '][' || chr(128) || '-'
+        |          || chr(191) || ']', '?', 'g'),
+        |      chr(65533), '', 'g'),
+        |      '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12)
+        |          || chr(14) || '-' || chr(31) || ']', '', 'g'))
+        |    AS BIGINT) AS removed
+        |  FROM inj)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN m + r + c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_damaged,
+        |       CAST(SUM(m) AS BIGINT) AS mojibake_hits,
+        |       CAST(SUM(r) AS BIGINT) AS replacement_hits,
+        |       CAST(SUM(c) AS BIGINT) AS control_hits,
+        |       CAST(SUM(removed) AS BIGINT) AS chars_removed,
+        |       CAST(SUM(CASE WHEN m + r + c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         * 1000 // CAST(COUNT(*) AS BIGINT) AS damaged_permille
+        |FROM sig GROUP BY source ORDER BY source""".stripMargin,
+
+    /** Z-order layout planner: the same div/mod Morton interleave,
+      * the same two 16-file layouts and min/max file stats, the same
+      * probe-overlap test — each layout one GROUP BY, unioned.
+      * Rule I casts; (scheme, file) unique. */
+    "q_zorder_layout" ->
+      """WITH k AS (SELECT source, n_chars,
+        |    LEAST(length(bin(n_chars)), 15) AS k1,
+        |    CAST(substr(source, 4) AS BIGINT) AS k2
+        |  FROM documents),
+        |z AS (SELECT source, n_chars, k1, k2,
+        |    ((k1 // 1) % 2) * 2 + ((k1 // 2) % 2) * 8
+        |      + ((k1 // 4) % 2) * 32 + ((k1 // 8) % 2) * 128
+        |      + ((k2 // 1) % 2) * 1 + ((k2 // 2) % 2) * 4
+        |      + ((k2 // 4) % 2) * 16 + ((k2 // 8) % 2) * 64
+        |      + ((k2 // 16) % 2) * 256 AS zv
+        |  FROM k),
+        |zo AS (SELECT 'zorder' AS scheme, zv // 32 AS file,
+        |              CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |              CAST(MIN(n_chars) AS BIGINT) AS nc_min,
+        |              CAST(MAX(n_chars) AS BIGINT) AS nc_max,
+        |              MIN(source) AS src_min, MAX(source) AS src_max
+        |       FROM z GROUP BY zv // 32),
+        |bs AS (SELECT 'bysource' AS scheme, k2 % 16 AS file,
+        |              CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |              CAST(MIN(n_chars) AS BIGINT) AS nc_min,
+        |              CAST(MAX(n_chars) AS BIGINT) AS nc_max,
+        |              MIN(source) AS src_min, MAX(source) AS src_max
+        |       FROM z GROUP BY k2 % 16),
+        |u AS (SELECT * FROM zo UNION ALL SELECT * FROM bs)
+        |SELECT scheme, CAST(file AS BIGINT) AS file, n_docs, nc_min, nc_max,
+        |       src_min, src_max,
+        |       CAST(CASE WHEN nc_max >= 200 AND nc_min <= 400
+        |                  AND src_min <= 'src3' AND src_max >= 'src3'
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS hit
+        |FROM u ORDER BY scheme, file""".stripMargin,
+
     /** Token-weighted dup inflation: the q_dedup_drop recursive-CTE
       * components re-derived from scratch, then ONE per-source rollup
       * splitting token mass by membership in the dropped set. All

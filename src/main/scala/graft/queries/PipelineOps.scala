@@ -1478,6 +1478,64 @@ object PipelineOps {
     * no materialization between stages — the composition argument
     * for building the LAYOUT phase of a training-data pipeline on a
     * query engine too. */
+  /** Z-order layout planning report (round 15) — the file-layout
+    * decision every lakehouse OPTIMIZE pass makes, priced with the
+    * engine's own data: assign each doc a Morton (Z-order) key
+    * interleaving the 4-bit binary-width bucket of n_chars with the
+    * 5-bit source index (pure integer div/mod arithmetic — no bit
+    * builtins, so both engines state the identical expression), lay
+    * the corpus out two ways into 16 "files" (equal-width Z ranges
+    * vs the naive hash-by-source layout a shuffle write produces),
+    * and report per (scheme, file) exactly the min/max stats a scan
+    * planner keeps — n_chars span and lexicographic source span —
+    * plus `hit`: whether the file survives pruning for the probe
+    * `n_chars BETWEEN 200 AND 400 AND source = 'src3'`. The table
+    * prices the REAL trade, not a slogan: by-source files carry the
+    * full n_chars span (any length-range probe scans every
+    * matching-source file whole, and a pure length probe scans ALL
+    * 16), while Z-order files carry narrow n_chars spans but widen
+    * the lexicographic source stats — which layout wins depends on
+    * the probe mix, and this report is the data a layout decision
+    * actually needs.
+    *
+    * Scale shape: key assignment is row-local; each layout is ONE
+    * map-side-combinable (scheme, file) rollup (min/max/count
+    * combine), unioned — ≤ 32 output rows at any corpus size
+    * (empty Z ranges produce no row, in both engines); no sort,
+    * no window (a real write would range-partition by z; the
+    * PLANNING table needs only the rollup). All-integer + string
+    * min/max (rule I); (scheme, file) unique (rule O). */
+  def q_zorder_layout(s: SparkSession, d: String): DataFrame = {
+    // k1 = binary width of n_chars, clamped to 4 bits; k2 = source
+    // index 'srcN' -> N (< 32, 5 bits)
+    val k1 = least(length(bin(col("n_chars"))), lit(15L)).cast("long")
+    val k2 = expr("CAST(substring(source, 4) AS BIGINT)")
+    // Morton interleave: k1 bit i -> z bit 2i+1, k2 bit i -> z bit 2i
+    val z = (0 to 3).map(i =>
+        expr(s"((k1 div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"))
+      .reduce(_ + _) +
+      (0 to 4).map(i =>
+        expr(s"((k2 div ${1L << i}) % 2) * ${1L << (2 * i)}"))
+      .reduce(_ + _)
+    val keyed = Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), k1.as("k1"), k2.as("k2"))
+      .withColumn("z", z)
+    def layout(scheme: String, file: org.apache.spark.sql.Column) = keyed
+      .groupBy(file.as("file"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_chars")).as("nc_min"), max(col("n_chars")).as("nc_max"),
+           min(col("source")).as("src_min"), max(col("source")).as("src_max"))
+      .select(lit(scheme).as("scheme"), col("file"), col("n_docs"),
+              col("nc_min"), col("nc_max"), col("src_min"), col("src_max"),
+              when(col("nc_max") >= 200 && col("nc_min") <= 400 &&
+                   col("src_min") <= "src3" && col("src_max") >= "src3",
+                   lit(1L)).otherwise(lit(0L)).as("hit"))
+    // z < 2^9 here (4+5 bits) -> equal-width ranges of 32
+    layout("zorder", expr("z div 32"))
+      .unionAll(layout("bysource", col("k2") % 16))
+      .orderBy("scheme", "file")
+  }
+
   def q_pipeline_layout(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val dropIds = ngramCcLabels(s, d)
@@ -1674,6 +1732,53 @@ object PipelineOps {
         col("source"), injected)
       .select(col("group").as("source"), col("n_docs"),
               col("n_denorm"), col("chars_saved"))
+      .orderBy("source")
+  }
+
+  /** Encoding-damage audit (round 15) — the raw-zone stage BEFORE
+    * even [[q_unicode_norm]]: a crawl arrives with mojibake (UTF-8
+    * bytes decoded as Latin-1 — the `Ã©`-for-`é` class, detectable
+    * as a C2/C3 lead byte followed by a continuation-range char),
+    * U+FFFD replacement characters (upstream decode already lost
+    * data), and stray C0 control characters. The corpus is clean
+    * ASCII, so the query SYNTHESIZES each damage class
+    * deterministically (the q_pii_scan precedent: doc_id ≡ 0 mod
+    * 4/6/9 inject a mojibake pair, a U+FFFD, a BEL) and audits per
+    * source: damaged docs, hits per class, the characters a repair
+    * pass removes (mojibake pair → one `?`, U+FFFD and controls →
+    * dropped — three stated-order passes, rule F), damaged permille.
+    * Row-local end to end + ONE metadata-scale rollup; patterns are
+    * plain character classes (RE2 ≡ Java regex); all-integer
+    * (rule I); source unique (rule O). */
+  def q_encoding_audit(s: SparkSession, d: String): DataFrame = {
+    // all non-ASCII and control chars spelled as unicode escapes
+    // (the q_unicode_norm stance: no editor/encoding pass can
+    // silently mangle them)
+    val moji = "[\u00C2\u00C3][\u0080-\u00BF]"
+    val ctrl = "[\u0001-\u0008\u000B\u000C\u000E-\u001F]"
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 4 === 0, lit(" caf\u00C3\u00A9")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit(" bad\uFFFD")).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit(" x\u0007y")).otherwise(lit("")))
+    val nMoji = regexp_count(injected, lit(moji)).cast("long")
+    val nRepl = regexp_count(injected, lit("\uFFFD")).cast("long")
+    val nCtrl = regexp_count(injected, lit(ctrl)).cast("long")
+    val repaired = regexp_replace(
+      regexp_replace(regexp_replace(injected, moji, "?"), "\uFFFD", ""),
+      ctrl, "")
+    Tables.documents(s, d)
+      .select(col("source"), nMoji.as("m"), nRepl.as("r"), nCtrl.as("c"),
+              (length(injected) - length(repaired)).cast("long").as("removed"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("m") + col("r") + col("c") > 0, lit(1L))
+                 .otherwise(lit(0L))).as("n_damaged"),
+           sum(col("m")).as("mojibake_hits"),
+           sum(col("r")).as("replacement_hits"),
+           sum(col("c")).as("control_hits"),
+           sum(col("removed")).as("chars_removed"))
+      .withColumn("damaged_permille", expr("n_damaged * 1000 div n_docs"))
       .orderBy("source")
   }
 
