@@ -1934,6 +1934,39 @@ object Oracle {
         |            // (2 * n_pos * (n_total - n_pos)) AS BIGINT) AS auc_ppm
         |FROM t ORDER BY lang""".stripMargin,
 
+    /** PR curve: the same q_quality_auc integer score, the same
+      * decile collapse and reversed prefix sums, the same explicit
+      * empty-prediction-set CASE (never a null/throw divergence).
+      * Rule I casts; threshold unique (rule O). */
+    "q_pr_curve" ->
+      """WITH sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |                   LEAST(len(string_split(text, ' ')), 50)
+        |                     * (len(string_split(text, ' '))
+        |                        - len(list_filter(string_split(text, ' '),
+        |                                          t -> t = 'the' OR t = 'a')))
+        |                     * 1000
+        |                     // (50 * len(string_split(text, ' '))) AS score
+        |            FROM documents),
+        |bk AS (SELECT LEAST(score // 100, 9) AS b,
+        |              COUNT(*) AS cnt, SUM(y) AS pos
+        |       FROM sc GROUP BY 1),
+        |w AS (SELECT b,
+        |             SUM(pos) OVER (ORDER BY b ROWS BETWEEN CURRENT ROW
+        |               AND UNBOUNDED FOLLOWING) AS tp,
+        |             SUM(cnt) OVER (ORDER BY b ROWS BETWEEN CURRENT ROW
+        |               AND UNBOUNDED FOLLOWING) AS n_pred,
+        |             SUM(pos) OVER () AS n_pos
+        |      FROM bk)
+        |SELECT CAST(b * 100 AS BIGINT) AS threshold,
+        |       CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+        |       CAST(n_pred - tp AS BIGINT) AS fp,
+        |       CAST(n_pos - tp AS BIGINT) AS fn,
+        |       CAST(CASE WHEN n_pred > 0 THEN tp * 1000 // n_pred
+        |                 ELSE 0 END AS BIGINT) AS precision_permille,
+        |       CAST(CASE WHEN n_pos > 0 THEN tp * 1000 // n_pos
+        |                 ELSE 0 END AS BIGINT) AS recall_permille
+        |FROM w ORDER BY threshold""".stripMargin,
+
     /** Exact water-filling token-budget allocation — mirrors the
       * facade's prefix test (saturated iff cap·W_from ≤ w·(B −
       * C_before) under the quantized-ratio order) with HUGEINT where

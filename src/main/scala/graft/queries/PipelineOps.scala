@@ -2403,6 +2403,54 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Precision/recall curve of the heuristic quality score against
+    * the is-English label (round 15) — the threshold-CHOOSING table
+    * between [[q_quality_auc]]'s ranking audit (is the score
+    * biased?) and [[q_quality_gate]]'s drop accounting (what does a
+    * chosen gate cost?): per candidate gate t ∈ {0, 100, …, 900} on
+    * the 0-1000 integer score, the confusion mass (predict positive
+    * iff score ≥ t) and integer precision/recall permille. The
+    * curve an operator reads top-down to pick the gate at the
+    * precision they can afford.
+    *
+    * Scale shape: the q_quality_auc collapse — ONE map-side-
+    * combinable (score-decile) aggregate shrinks the corpus to ≤ 10
+    * rows, a reversed prefix sum over THAT yields every threshold's
+    * tp/fp simultaneously (no per-threshold scan), and all division
+    * is integer `div` with an explicit n_pred = 0 guard (precision
+    * at an empty prediction set is reported as 0 with n_pred = 0
+    * carried, never a null/throw divergence — both engines state
+    * the same CASE). threshold unique (rule O); all-integer
+    * (rule I). */
+  def q_pr_curve(s: SparkSession, d: String): DataFrame = {
+    val nL = size(toks).cast("long")
+    val stopsL = size(filter(toks, t => t === "the" || t === "a")).cast("long")
+    val scored = Tables.documents(s, d)
+      .select((col("lang") === "en").cast("long").as("y"),
+              floor(least(nL, lit(50L)) * (nL - stopsL) * 1000 / (lit(50L) * nL))
+                .cast("long").as("score"))
+    val byBucket = scored
+      .withColumn("b", least(expr("score div 100"), lit(9L)))
+      .groupBy("b")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val wFrom = Window.orderBy(col("b"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAll = Window.partitionBy()
+    byBucket
+      .withColumn("tp", sum(col("pos")).over(wFrom))
+      .withColumn("n_pred", sum(col("cnt")).over(wFrom))
+      .withColumn("n_pos", sum(col("pos")).over(wAll))
+      .select((col("b") * 100).as("threshold"),
+              col("n_pred"), col("tp"),
+              (col("n_pred") - col("tp")).as("fp"),
+              (col("n_pos") - col("tp")).as("fn"),
+              when(col("n_pred") > 0, expr("tp * 1000 div n_pred"))
+                .otherwise(lit(0L)).as("precision_permille"),
+              when(col("n_pos") > 0, expr("tp * 1000 div n_pos"))
+                .otherwise(lit(0L)).as("recall_permille"))
+      .orderBy("threshold")
+  }
+
   /** Token-budget allocation (round 14) — the mixture-DESIGN step
     * after [[q_mixture_weights]]'s descriptive shares: given a
     * 2-epoch-equivalent total budget (2000‰ of corpus token mass)

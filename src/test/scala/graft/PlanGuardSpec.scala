@@ -104,8 +104,12 @@ class PlanGuardSpec extends SparkSpecBase {
   // over a metadata-scale input
   // q_quality_eval rides the same machinery over the ≤10⁶+1-row
   // micro-quantized score table
+  // q_pr_curve prefix-sums the ≤10-row score-decile table (the
+  // q_quality_auc collapse — the corpus shrinks in a map-side
+  // aggregate BEFORE any window)
   private val allowedGlobalWindow = Set("q_topk_global", "q_sim_ivf",
-    "q_hybrid_rrf", "q_quality_auc", "q_token_budget", "q_quality_eval")
+    "q_hybrid_rrf", "q_quality_auc", "q_token_budget", "q_quality_eval",
+    "q_pr_curve")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
