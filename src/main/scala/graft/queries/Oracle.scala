@@ -1414,11 +1414,11 @@ object Oracle {
         |        regexp_replace(
         |        regexp_replace(
         |        regexp_replace(html,
-        |          '(?s)<head[^>]*>.*?</head>', ' ', 'g'),
-        |          '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
-        |          '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
-        |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<head(?:\s[^>]*)?>.*?</head>', ' ', 'g'),
+        |          '(?s)<nav(?:\s[^>]*)?>.*?</nav>', ' ', 'g'),
+        |          '(?s)<footer(?:\s[^>]*)?>.*?</footer>', ' ', 'g'),
+        |          '(?s)<script(?:\s[^>]*)?>.*?</script>', ' ', 'g'),
+        |          '(?s)<style(?:\s[^>]*)?>.*?</style>', ' ', 'g'),
         |        '<[^>]*>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS got
@@ -1484,10 +1484,13 @@ object Oracle {
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     /** URL canonicalization: the same synthesis and the same five
-      * passes — prefix case-fold, :443 prefix-test drop, two-stage
-      * utm strip, literal '/?' + anchored '/$' slash collapse — no
-      * capture-group replacement anywhere (Java $1 vs RE2 \1 is the
-      * one spelling the RE2-compatible stance cannot bridge). */
+      * passes — prefix case-fold, https-gated :443 prefix-test drop,
+      * the three separator-anchored utm passes, and the
+      * split-at-first-`?` trailing-slash collapse — no capture-group
+      * replacement anywhere (Java $1 vs RE2 \1 is the one spelling
+      * the RE2-compatible stance cannot bridge), `\z` not `$` for
+      * end-of-string (round-15 ADVICE: Java `$` also matches before
+      * a final newline; `\z` is absolute end in both engines). */
     "q_url_canon" ->
       """WITH d0 AS (SELECT source, doc_id,
         |                   doc_id % 1000000007 * 2654435761 % 97 AS did
@@ -1517,16 +1520,20 @@ object Oracle {
         |              substr(url, length(pre) + 1) AS rest FROM c0),
         |c2 AS (SELECT source, url, want,
         |              lower(pre) ||
-        |              CASE WHEN regexp_matches(rest, '^:443(/|\?|$)')
+        |              CASE WHEN lower(pre) LIKE 'https://%'
+        |                    AND regexp_matches(rest, '^:443(/|\?|\z)')
         |                   THEN substr(rest, 5) ELSE rest END AS folded
         |       FROM c1),
         |c3 AS (SELECT source, url, want,
-        |              regexp_replace(regexp_replace(folded,
-        |                'utm_[a-z_]+=[^&]*&', '', 'g'),
-        |                '[?&]utm_[a-z_]+=[^&]*$', '', 'g') AS nu
+        |              regexp_replace(regexp_replace(regexp_replace(folded,
+        |                '&utm_[a-z_]+=[^&]*', '', 'g'),
+        |                '\?utm_[a-z_]+=[^&]*&', '?', 'g'),
+        |                '\?utm_[a-z_]+=[^&]*\z', '', 'g') AS nu
         |       FROM c2),
         |c4 AS (SELECT source, url, want,
-        |              regexp_replace(replace(nu, '/?', '?'), '/$', '', 'g')
+        |              regexp_replace(regexp_extract(nu, '^[^?]*', 0),
+        |                             '/\z', '', 'g')
+        |              || substr(nu, length(regexp_extract(nu, '^[^?]*', 0)) + 1)
         |                AS canon
         |       FROM c3)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1585,11 +1592,15 @@ object Oracle {
     /** Z-order layout planner: the same div/mod Morton interleave,
       * the same two 16-file layouts and min/max file stats, the same
       * probe-overlap test — each layout one GROUP BY, unioned.
+      * The k2 cast is guarded by the same digits-shape regexp as the
+      * Spark side (round-15 ADVICE: a bare CAST of a non-'srcN'
+      * source is NULL in ANSI-off Spark but an ERROR here).
       * Rule I casts; (scheme, file) unique. */
     "q_zorder_layout" ->
       """WITH k AS (SELECT source, n_chars,
         |    LEAST(length(bin(n_chars)), 15) AS k1,
-        |    CAST(substr(source, 4) AS BIGINT) AS k2
+        |    CASE WHEN regexp_matches(substr(source, 4), '^[0-9]+\z')
+        |         THEN CAST(substr(source, 4) AS BIGINT) ELSE 0 END AS k2
         |  FROM documents),
         |z AS (SELECT source, n_chars, k1, k2,
         |    ((k1 // 1) % 2) * 2 + ((k1 // 2) % 2) * 8

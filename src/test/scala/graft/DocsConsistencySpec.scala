@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 /** Guards the documentation against count drift (round-4 verdict #7):
   * every place README.md / SURVEY.md states a query or oracle count,
   * the stated number must equal the live `SparkEntry` map sizes — the
@@ -62,6 +64,26 @@ class DocsConsistencySpec extends AnyFunSuite {
       s"PLANS.md is stale — regenerate with `sbt \"runMain graft.Plans\"`. " +
       s"Missing: ${(live -- headers).toSeq.sorted.mkString(",")}; " +
       s"orphaned: ${(headers -- live).toSeq.sorted.mkString(",")}")
+  }
+
+  test("the composite quality score has exactly ONE definition site") {
+    // Round-15 verdict #6: q_text_quality's score expression was
+    // re-inlined in q_quality_auc / q_pr_curve (and two more sites),
+    // so a future edit to the formula had to touch five places and
+    // nothing would catch a drift between them. Now every consumer
+    // goes through Graft.qualitySignals — pin that the formula's
+    // distinctive core appears ONLY there, exactly once, so any new
+    // inline copy fails this test instead of shipping.
+    val core = "least(nL, lit(50L)) * (nL - stopsL)"
+    val srcDir = java.nio.file.Paths.get("src/main/scala")
+    val hits = java.nio.file.Files.walk(srcDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val txt = read(p.toString)
+        Iterator.fill(txt.sliding(core.length).count(_ == core))(p.toString)
+      }.toSeq
+    assert(hits == Seq("src/main/scala/graft/Graft.scala"),
+      s"composite quality score must be defined ONLY in Graft.qualitySignals; found: $hits")
   }
 
   test("SparkEntry scaladoc states the live counts") {

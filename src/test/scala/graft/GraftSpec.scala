@@ -1698,9 +1698,17 @@ class GraftSpec extends SparkSpecBase {
       (3L, "<p>x &lt;y&gt; 1 &amp; 2 and &amp;lt; stays</p>"),
       // (?s): block content spanning newlines still drops
       (4L, "<script>var x\n= 1;</script>ok"),
-      // attributes on block tags are covered by [^>]*
+      // attributes on block tags are covered by (?:\s[^>]*)?
       (5L, "<nav class=\"top\">junk</nav>core<style type=\"a\">s</style>"),
-      (6L, "plain text no markup")).toDF("id", "t")
+      (6L, "plain text no markup"),
+      // round-15 ADVICE: the open-tag pattern is NAME-ANCHORED — a
+      // custom element that merely STARTS with a block name
+      // (<nav-menu>, <navbar>) is NOT a block, so its content
+      // survives even when a genuine <nav> follows (the old
+      // `<nav[^>]*>` swallowed 'keep' up to the real </nav>)
+      (7L, "<nav-menu>keep</nav-menu><nav>menu</nav>done"),
+      (8L, "<navbar>stays</navbar><footer-note>also</footer-note>")
+    ).toDF("id", "t")
     val got = rows.select($"id", Graft.htmlExtract($"t").as("e"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "hello world")
@@ -1709,6 +1717,8 @@ class GraftSpec extends SparkSpecBase {
     assert(got(4L) == "ok")
     assert(got(5L) == "core")
     assert(got(6L) == "plain text no markup")
+    assert(got(7L) == "keep done")
+    assert(got(8L) == "stays also")
   }
 
   test("urlCanonicalize: case-fold, port drop, utm strip, slash collapse") {
@@ -1725,7 +1735,20 @@ class GraftSpec extends SparkSpecBase {
       (5L, "https://a.com/x?b=2&a=1"),
       // bare trailing slash drops; already-canonical is a no-op
       (6L, "https://a.com/x/"),
-      (7L, "https://a.com/x?ref=k")).toDF("id", "u")
+      (7L, "https://a.com/x?ref=k"),
+      // round-15 ADVICE: a non-utm param whose NAME merely contains
+      // 'utm_' survives untouched (the old unanchored pass turned
+      // '?xutm_source=1&ref=k' into the corrupt '?xref=k')
+      (8L, "https://a.com/x?xutm_source=1&ref=k"),
+      // round-15 ADVICE: '/?' INSIDE a query value is not the
+      // path-final slash — only the path part collapses
+      (9L, "https://a.com/p/?next=/home/?x"),
+      // round-15 ADVICE: :443 on http:// is NOT the default port
+      (10L, "http://a.com:443/x"),
+      // utm mid-list between two kept params: separator bookkeeping
+      (11L, "https://a.com/x?a=1&utm_m=2&b=3"),
+      // two leading utms then a kept param
+      (12L, "https://a.com/x?utm_a=1&utm_b=2&ref=k")).toDF("id", "u")
     val got = rows.select($"id", Graft.urlCanonicalize($"u").as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "https://site7.org/Doc/9?ref=k")
@@ -1735,6 +1758,11 @@ class GraftSpec extends SparkSpecBase {
     assert(got(5L) == "https://a.com/x?b=2&a=1")
     assert(got(6L) == "https://a.com/x")
     assert(got(7L) == "https://a.com/x?ref=k")
+    assert(got(8L) == "https://a.com/x?xutm_source=1&ref=k")
+    assert(got(9L) == "https://a.com/p?next=/home/?x")
+    assert(got(10L) == "http://a.com:443/x")
+    assert(got(11L) == "https://a.com/x?a=1&b=3")
+    assert(got(12L) == "https://a.com/x?ref=k")
   }
 
   test("interleaveBySource: dense per-source ranks, round-robin global order, determinism") {
