@@ -158,11 +158,19 @@ object ConnectedComponents {
     // is a no-op on a residue-scale edge set — and it halves the
     // job count of the loop. Convergence is still signature-equality
     // across one batch; maxRounds still bounds STAR rounds, not
-    // batches.
+    // batches. Each round gets its OWN lazy checkpoint: the plan is
+    // truncated to a LogicalRDD immediately (localCheckpoint cuts
+    // lineage at plan-construction time even with eager = false),
+    // while materialization still rides the batch's single sig()
+    // job. Without the mid-batch cut the outer round's plan embeds
+    // the inner round's subtree ~4× (each star references its input
+    // twice) — measured as a 2.5× warm regression on the
+    // metadata-scale q_stitch_repair graph, where planning cost
+    // dominates.
     while (!converged && rounds < maxRounds) {
       rounds += 2
-      e = smallStar(largeStar(smallStar(largeStar(e))))
-        .localCheckpoint(eager = false)
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val cur = sig(e)
       converged = cur == last
       last = cur
