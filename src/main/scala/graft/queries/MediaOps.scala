@@ -457,4 +457,111 @@ object MediaOps {
            sum(col("bytes") * col("cnt")).as("bytes_total"),
            (sum(col("bytes") * col("cnt")) - sum(col("bytes"))).as("bytes_saved"))
       .orderBy("kind")
+
+  /** VIDEO temporal fingerprint match (round 16 — the round-15
+    * verdict's #3): [[q_media_phash]] hashes a GIF's temporally-
+    * averaged frames, and the average is ORDER-INVARIANT and
+    * mass-weighted — so a TRIMMED clip moves the whole signature
+    * (near-dup missed) while carrying mostly-identical frames, and a
+    * REORDERED clip is bit-identical to its original (caught, but
+    * only because the average cannot see order at all). This query
+    * runs the sequence-level face:
+    * [[graft.multimodal.Multimodal.videoFrameHashes]] emits one
+    * 64-bit average hash PER FRAME, frames pair by banded
+    * (frame_hash, position_bucket) keys (bucket = pos div 4, so a
+    * small trim keeps ~3/4 of frames in-bucket), and a clip pair is
+    * CAUGHT when matched frames cover ≥ half the shorter clip.
+    *
+    * The corpus: every ASCII document of ≥ 3 frames (192 bytes)
+    * renders to a REAL multi-frame gray GIF (the q_media_video
+    * recipe; asset 3·doc_id) plus two lossless re-encodes: the
+    * TRIMMED clip missing frame 0 (3·doc_id+1) and the REORDERED
+    * clip with frames 0/1 swapped (3·doc_id+2). Output: one row per
+    * perturbation kind — twins, sequence-match catches + permille,
+    * and the same twins through the temporal-average phash at
+    * Hamming ≤ 2 — the measured gap this operator closes (trim:
+    * phash low, sequence high; reorder: both high).
+    *
+    * Scale shape: encode + decode + hashing row-local in ONE
+    * mapPartitions (payloads never shuffle; 8-byte frame hashes do);
+    * the per-asset signature table is a shared temp parquet; pairing
+    * is the banded inverted-index self-join with the
+    * [[graft.operators.SkewJoin.blockedSelfPairs]] hot-key guard
+    * (a boilerplate frame shared by H clips decomposes into blocks,
+    * never an unbounded bucket²); everything after is
+    * metadata-scale. Oracle = no (javax.imageio decode — the
+    * q_media_phash stance); MultimodalSpec pins the frame-hash
+    * re-encode identity, the trim/reorder catch floors, and the
+    * phash gap. */
+  def q_media_videofp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = graft.TempTables.cached(s, s"videofp_sigs:$d")(
+      Tables.documents(s, d)
+        .filter(length(col("text")) === octet_length(col("text")) &&
+                octet_length(col("text")).between(192L, 64L * 4096))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.flatMap { case (docId, text) =>
+            val bytes = text.getBytes("UTF-8")
+            val nf = (bytes.length + 63) / 64
+            val frames = (0 until nf).map { i =>
+              val f = Array.fill[Byte](64)(0x20)
+              System.arraycopy(bytes, i * 64, f, 0,
+                math.min(64, bytes.length - i * 64))
+              f
+            }
+            val variants = Seq(
+              3 * docId     -> frames,
+              3 * docId + 1 -> frames.drop(1), // trimmed
+              3 * docId + 2 ->                 // frames 0/1 swapped
+                (Seq(frames(1), frames(0)) ++ frames.drop(2)))
+            variants.flatMap { case (assetId, fs) =>
+              val payload = Multimodal.encodeGifGray(16, 4, fs)
+              for {
+                fhs <- Multimodal.videoFrameHashes(payload)
+                ph  <- Multimodal.perceptualHash(payload)
+              } yield (assetId, ph, fhs)
+            }
+          }
+        }.toDF("asset_id", "phash", "fhashes"))
+    val sized = sigs.select(col("asset_id"), size(col("fhashes")).cast("long").as("nf"))
+    val frames = sigs.select(col("asset_id"),
+        posexplode(col("fhashes")).as(Seq("pos", "fh")))
+      .select(col("fh"), expr("pos div 4").as("bkt"), col("asset_id"))
+    val scored = graft.operators.SkewJoin
+      .blockedSelfPairs(frames, Seq("fh", "bkt"), "asset_id", maxBucket = 64)
+      .filter(col("asset_id_a") =!= col("asset_id_b"))
+      .groupBy("asset_id_a", "asset_id_b")
+      .agg(count(lit(1)).as("n_match"))
+      .join(sized.select(col("asset_id").as("asset_id_a"), col("nf").as("nf_a")),
+            "asset_id_a")
+      .join(sized.select(col("asset_id").as("asset_id_b"), col("nf").as("nf_b")),
+            "asset_id_b")
+      .select(col("asset_id_a"), col("asset_id_b"),
+              expr("n_match * 1000 div least(nf_a, nf_b)").as("cov"))
+    def side(k: Int, sig: String) = sigs
+      .filter(col("asset_id") % 3 === k)
+      .select(expr("asset_id div 3").as("doc_id"), col("phash").as(sig),
+              col("asset_id").as(s"id_$k"))
+    val twins = side(0, "ph_base")
+      .join(side(1, "ph_trim"), "doc_id")
+      .join(side(2, "ph_reorder"), "doc_id")
+    def kindRow(kind: String, variantK: Int, phVar: String) = twins
+      .join(scored.select(col("asset_id_a").as("id_0"),
+                          col("asset_id_b").as(s"id_$variantK"), col("cov")),
+            Seq("id_0", s"id_$variantK"), "left")
+      .agg(count(lit(1)).as("n_twins"),
+           sum(when(col("cov") >= 500, 1L).otherwise(0L)).as("seq_caught"),
+           sum(when(expr(s"bit_count(ph_base ^ $phVar)") <= 2, 1L)
+             .otherwise(0L)).as("phash_caught"))
+      .select(lit(kind).as("kind"), col("n_twins"), col("seq_caught"),
+              expr("CASE WHEN n_twins = 0 THEN 0L " +
+                   "ELSE seq_caught * 1000 div n_twins END").as("seq_permille"),
+              col("phash_caught"),
+              expr("CASE WHEN n_twins = 0 THEN 0L " +
+                   "ELSE phash_caught * 1000 div n_twins END").as("phash_permille"))
+    kindRow("reorder", 2, "ph_reorder")
+      .unionByName(kindRow("trim", 1, "ph_trim"))
+      .orderBy("kind")
+  }
 }

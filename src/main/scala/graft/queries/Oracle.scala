@@ -1830,6 +1830,52 @@ object Oracle {
         |            ELSE n_new_types * 1000 // n_batch_types END AS novel_permille
         |FROM agg""".stripMargin,
 
+    /** Crawl snapshot diff: the same deterministic mod-11/13/7
+      * snapshot synthesis, the same full-outer id join — but CHANGED
+      * is decided by DIRECT text comparison, blind to the facade's
+      * xxhash64 signature (equivalent up to a 2⁻⁶⁴ collision the
+      * signature never surfaces). Rule I casts; churn guard stated
+      * as the same explicit CASE. */
+    "q_snapshot_diff" ->
+      """WITH olds AS (SELECT doc_id, source, text,
+        |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |              FROM documents WHERE doc_id % 11 <> 0),
+        |news AS (SELECT doc_id, source,
+        |                text || CASE WHEN doc_id % 7 = 0
+        |                             THEN ' rev2 edit' ELSE '' END AS text
+        |         FROM documents WHERE doc_id % 13 <> 0),
+        |news2 AS (SELECT doc_id, source, text,
+        |                 CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |          FROM news),
+        |j AS (SELECT COALESCE(n.source, o.source) AS source,
+        |             CASE WHEN o.doc_id IS NULL THEN 'added'
+        |                  WHEN n.doc_id IS NULL THEN 'removed'
+        |                  WHEN o.text <> n.text THEN 'changed'
+        |                  ELSE 'unchanged' END AS st,
+        |             o.w AS wo, n.w AS wn
+        |      FROM olds o FULL OUTER JOIN news2 n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN st <> 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |  CAST(SUM(CASE WHEN st <> 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |  CAST(SUM(CASE WHEN st = 'added' THEN wn ELSE 0 END) AS BIGINT) AS tokens_added,
+        |  CAST(SUM(CASE WHEN st = 'removed' THEN wo ELSE 0 END) AS BIGINT) AS tokens_removed,
+        |  CAST(SUM(CASE WHEN st = 'changed' THEN wn - wo ELSE 0 END) AS BIGINT)
+        |    AS tokens_changed_delta,
+        |  CAST(SUM(CASE WHEN st = 'added' THEN wn
+        |                WHEN st = 'removed' THEN -wo
+        |                WHEN st = 'changed' THEN wn - wo
+        |                ELSE 0 END) AS BIGINT) AS net_token_delta,
+        |  CASE WHEN SUM(CASE WHEN st <> 'added' THEN 1 ELSE 0 END) > 0
+        |       THEN CAST(SUM(CASE WHEN st IN ('added', 'removed', 'changed')
+        |                          THEN 1 ELSE 0 END) AS BIGINT) * 1000
+        |            // CAST(SUM(CASE WHEN st <> 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |       ELSE 0 END AS churn_permille
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
     /** Dup rate by quality band: the recursive-CTE components + the
       * q_text_quality integer score (both re-derived from scratch —
       * blind to the Spark side's cached labels and struct getField),

@@ -1103,6 +1103,36 @@ object PipelineOps {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** [[q_span_dedup]] under WINNOWING span keys (round 16 — the
+    * round-15 verdict's #4): the fixed 16-token/stride-4 span cut
+    * misses a duplicated region under a single-token insertion
+    * except at 1-in-stride re-alignments, because the cut follows
+    * POSITION; winnowing (Schleimer–Wilkerson–Aiken — the
+    * q_doc_fingerprint scheme promoted into the span-dedup keyspace)
+    * follows CONTENT: every window of 4 consecutive stride-1
+    * candidate spans keeps its rightmost-minimum-xxhash64 span, so
+    * both copies of a duplicated region select the SAME spans
+    * regardless of how an edit shifted their offsets, at the same
+    * ~2n/(w+1) expected density as a stride-(w/2+?) fixed cut. Same
+    * output contract as q_span_dedup: (doc_id, n_spans, dup_spans,
+    * dup_permille — integer floor-div) per doc with ≥ 1 full span.
+    *
+    * Oracle = no: the SELECTION keys on xxhash64, which DuckDB
+    * cannot reproduce (the q_doc_fingerprint stance). GraftSpec pins
+    * (a) winnowWindow = 1 ≡ stride = 1 exactly, (b) the full stats
+    * against an independent window-function implementation of the
+    * same selection, and (c) the robustness motivation — a
+    * single-token insertion that fixed stride-4 spans miss and
+    * winnowed spans catch. Scale shape: selection is row-local
+    * higher-order-function arithmetic (O(tokens·window) per doc);
+    * after it, exactly q_span_dedup's plan — map-side-combinable
+    * 128-bit-key groupBy, mark-back join, per-doc rollup. */
+  def q_span_winnow(s: SparkSession, d: String): DataFrame =
+    graft.Graft.duplicatedSpanStats(Tables.documents(s, d),
+        col("doc_id"), col("text"), spanTokens = 16, winnowWindow = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** The REMOVAL stage [[q_span_dedup]]'s accounting exists for — the
     * Lee-et-al-2022 step that actually cuts duplicated text: every
     * cross-document duplicated 16-token span keeps its globally FIRST
@@ -1965,6 +1995,52 @@ object PipelineOps {
       .withColumn("novel_permille",
                   expr("CASE WHEN n_batch_types = 0 THEN 0L " +
                        "ELSE n_new_types * 1000L div n_batch_types END"))
+  }
+
+  /** Crawl snapshot diff (round 16 — the round-15 verdict's top
+    * missing-frontier item): the doc-LEVEL recrawl dashboard next to
+    * [[q_gramdf_merge]]'s gram-stats diff. Two deterministic
+    * snapshots derive from documents (the q_dedup_incremental
+    * deterministic-split precedent): the OLD snapshot lacks the
+    * doc_id % 11 = 0 docs (they arrive in the recrawl → ADDED), the
+    * NEW snapshot lacks the doc_id % 13 = 0 docs (dropped by the
+    * recrawl → REMOVED) and carries an edited text for
+    * doc_id % 7 = 0 (' rev2 edit' appended → CHANGED, +2 tokens).
+    * This query IS [[graft.Graft.snapshotDiff]] over the two slices,
+    * so the oracle verifies the public facade: per source the
+    * added/removed/changed/unchanged doc counts, the token-mass
+    * deltas, and the integer churn permille vs the old snapshot.
+    *
+    * The facade's CHANGED verdict keys on an xxhash64 content
+    * signature (text never reaches the join — the 100 TB shape);
+    * the oracle compares the synthesized texts DIRECTLY, equivalent
+    * up to a 2⁻⁶⁴ hash collision (the ConnectedComponents
+    * convergence stance — the signature value itself never appears
+    * in the output, so parity is exact whenever no collision
+    * occurs). Scale shape: two row-local projections, ONE full-outer
+    * id join carrying (id, group, sig, weight) only, one
+    * metadata-scale rollup. All-integer (rule I); source unique
+    * (rule O). */
+  def q_snapshot_diff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("source"),
+              concat(col("text"),
+                when(col("doc_id") % 7 === 0, lit(" rev2 edit"))
+                  .otherwise(lit(""))).as("text"))
+    graft.Graft.snapshotDiff(
+        oldSnap, col("doc_id"), col("source"),
+        xxhash64(col("text")), size(split(col("text"), " ")),
+        newSnap, col("doc_id"), col("source"),
+        xxhash64(col("text")), size(split(col("text"), " ")))
+      .select(col("group").as("source"), col("n_old"), col("n_new"),
+              col("n_added"), col("n_removed"), col("n_changed"),
+              col("n_unchanged"), col("tokens_added"),
+              col("tokens_removed"), col("tokens_changed_delta"),
+              col("net_token_delta"), col("churn_permille"))
+      .orderBy("source")
   }
 
   /** Duplication rate by quality band (round 11) — the cross-signal

@@ -658,6 +658,58 @@ class MultimodalSpec extends SparkSpecBase {
     out.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
   }
 
+  test("videoFrameHashes: per-frame re-encode identity, trim/reorder algebra, gates") {
+    val frames = (0 until 6).map(i =>
+      Array.tabulate[Byte](64)(j => ((i * 31 + j * 7) % 256).toByte))
+    val base = Multimodal.encodeGifGray(16, 4, frames)
+    val hs = Multimodal.videoFrameHashes(base).get
+    assert(hs.length == 6)
+    // the encoder is lossless (identity gray palette), so a re-encode
+    // of the same frames carries BIT-IDENTICAL per-frame hashes
+    assert(Multimodal.videoFrameHashes(
+      Multimodal.encodeGifGray(16, 4, frames)).get.toSeq == hs.toSeq)
+    // a TRIMMED clip's sequence is exactly the suffix — frame-level
+    // signatures see the edit as a shift, not a new asset
+    assert(Multimodal.videoFrameHashes(
+      Multimodal.encodeGifGray(16, 4, frames.drop(1))).get.toSeq == hs.drop(1).toSeq)
+    // a REORDERED clip's sequence is exactly the permutation
+    val sw = Seq(frames(1), frames(0)) ++ frames.drop(2)
+    assert(Multimodal.videoFrameHashes(
+      Multimodal.encodeGifGray(16, 4, sw)).get.toSeq ==
+      (Seq(hs(1), hs(0)) ++ hs.drop(2)))
+    // ... while the temporal-average phash is ORDER-INVARIANT: the
+    // reordered clip is indistinguishable from the original — the
+    // provable blind spot q_media_videofp's sequence match closes
+    assert(Multimodal.perceptualHash(Multimodal.encodeGifGray(16, 4, sw)) ==
+      Multimodal.perceptualHash(base))
+    // same gates as the perceptualHash GIF path
+    assert(Multimodal.videoFrameHashes("not a gif".getBytes).isEmpty)
+    assert(Multimodal.videoFrameHashes(Array[Byte]()).isEmpty)
+    assert(Multimodal.videoFrameHashes(base.take(20)).isEmpty)
+  }
+
+  test("q_media_videofp: sequence match catches trim and reorder; phash misses trim") {
+    val out = graft.queries.MediaOps.q_media_videofp(spark, sf).collect()
+      .map(r => r.getAs[String]("kind") ->
+        (r.getAs[Long]("n_twins"), r.getAs[Long]("seq_permille"),
+         r.getAs[Long]("phash_permille"))).toMap
+    assert(out.keySet == Set("trim", "reorder"))
+    val (nTrim, seqTrim, phTrim) = out("trim")
+    val (nReorder, seqReorder, phReorder) = out("reorder")
+    assert(nTrim > 0 && nTrim == nReorder)
+    // the banded (frame-hash, position-bucket) match catches every
+    // synthesized twin of both kinds: a trim keeps >= 3/4 of frames
+    // in-bucket and a reorder keeps all, both far above the 500
+    // coverage gate
+    assert(seqTrim == 1000L, s"trim sequence recall: $seqTrim")
+    assert(seqReorder == 1000L, s"reorder sequence recall: $seqReorder")
+    // the measured gap: the temporal-average phash misses most trims
+    // (the average moves with the removed frame's mass) but cannot
+    // see a reorder at all (order-invariant -> bit-identical)
+    assert(phTrim < 500L, s"phash should miss most trims, caught $phTrim permille")
+    assert(phReorder == 1000L, s"phash must be blind to reorder: $phReorder")
+  }
+
   test("payload stays opaque: metadata-only query never deserializes bytes") {
     // column pruning must drop the payload from the scan when only
     // metadata is selected — the property that makes opaque-binary
