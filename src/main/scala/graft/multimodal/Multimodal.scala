@@ -603,6 +603,17 @@ object Multimodal {
     * back to exact-digest identity). Row-local; the signature is
     * 8 bytes/frame however large the frames. */
   def videoFrameHashes(payload: Array[Byte]): Option[Array[Long]] =
+    videoSignatures(payload).map(_._2)
+
+  /** One-decode-pass combination of [[perceptualHash]] (stride 1) and
+    * [[videoFrameHashes]]: (temporal-average hash, per-frame hash
+    * sequence). The global 8×8 cell accumulators are EXACTLY the sum
+    * of the per-frame ones (integer addition is associative), so the
+    * first component is bit-identical to `perceptualHash(payload)` —
+    * pinned in MultimodalSpec — while the payload is parsed and every
+    * frame decoded ONCE instead of twice (measured: the q_media_videofp
+    * signature build is codec-bound, and the fused pass halves it). */
+  def videoSignatures(payload: Array[Byte]): Option[(Long, Array[Long])] =
     if (!looksLikeGif(payload)) None
     else {
       val (w, h) = declaredGifDims(payload)
@@ -621,6 +632,8 @@ object Multimodal {
               if (nf < 1 || nf > MaxFrames) None
               else {
                 val out = new Array[Long](nf)
+                val gSum = new Array[Long](64)
+                val gCnt = new Array[Long](64)
                 var i = 0
                 var ok = true
                 while (ok && i < nf) {
@@ -631,10 +644,12 @@ object Multimodal {
                     val cnt = new Array[Long](64)
                     accumulateHashCells(reader.read(i), sum, cnt)
                     out(i) = finishAverageHash(sum, cnt)
+                    var c = 0
+                    while (c < 64) { gSum(c) += sum(c); gCnt(c) += cnt(c); c += 1 }
                     i += 1
                   }
                 }
-                if (ok) Some(out) else None
+                if (ok) Some((finishAverageHash(gSum, gCnt), out)) else None
               }
             } finally {
               reader.dispose()

@@ -516,11 +516,11 @@ object MediaOps {
               3 * docId + 2 ->                 // frames 0/1 swapped
                 (Seq(frames(1), frames(0)) ++ frames.drop(2)))
             variants.flatMap { case (assetId, fs) =>
-              val payload = Multimodal.encodeGifGray(16, 4, fs)
-              for {
-                fhs <- Multimodal.videoFrameHashes(payload)
-                ph  <- Multimodal.perceptualHash(payload)
-              } yield (assetId, ph, fhs)
+              // ONE decode pass yields both signatures; the temporal-
+              // average component is bit-identical to perceptualHash
+              // (MultimodalSpec pins it)
+              Multimodal.videoSignatures(Multimodal.encodeGifGray(16, 4, fs))
+                .map { case (ph, fhs) => (assetId, ph, fhs) }
             }
           }
         }.toDF("asset_id", "phash", "fhashes"))

@@ -686,6 +686,13 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.videoFrameHashes("not a gif".getBytes).isEmpty)
     assert(Multimodal.videoFrameHashes(Array[Byte]()).isEmpty)
     assert(Multimodal.videoFrameHashes(base.take(20)).isEmpty)
+    // the fused one-decode-pass signature pair: its temporal-average
+    // component must be BIT-IDENTICAL to perceptualHash (the global
+    // cell accumulators are exactly the sum of the per-frame ones),
+    // and its sequence component IS videoFrameHashes
+    val (ph, fhs) = Multimodal.videoSignatures(base).get
+    assert(ph == Multimodal.perceptualHash(base).get)
+    assert(fhs.toSeq == hs.toSeq)
   }
 
   test("q_media_videofp: sequence match catches trim and reorder; phash misses trim") {
