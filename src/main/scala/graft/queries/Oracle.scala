@@ -1876,6 +1876,78 @@ object Oracle {
         |       ELSE 0 END AS churn_permille
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
+    /** Phrase search: the same total-order top-bigram selection
+      * (count DESC, bigram ASC, LIMIT 1), then adjacency re-counted
+      * ROW-LOCALLY (list_filter over positions) — blind to the Spark
+      * side's positional-index join. Zero-hit sources drop via
+      * HAVING in this form and via the match-row groupBy on the
+      * Spark side — the same set. Rule I casts. */
+    "q_phrase_search" ->
+      """WITH tk AS (SELECT source, doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        |bg AS (SELECT unnest(list_transform(
+        |                generate_series(1, CAST(len(t) AS INT) - 1),
+        |                i -> array_to_string(t[i:i+1], ' '))) AS gram
+        |       FROM tk WHERE len(t) >= 2),
+        |top AS (SELECT gram FROM (SELECT gram, COUNT(*) AS n FROM bg GROUP BY gram)
+        |        ORDER BY n DESC, gram LIMIT 1),
+        |ph AS (SELECT string_split(gram, ' ')[1] AS w1,
+        |              string_split(gram, ' ')[2] AS w2 FROM top),
+        |hits AS (SELECT k.source, p.w1, p.w2,
+        |                len(list_filter(
+        |                  generate_series(1, CAST(len(k.t) AS INT) - 1),
+        |                  i -> k.t[i] = p.w1 AND k.t[i+1] = p.w2)) AS h
+        |         FROM tk k CROSS JOIN ph p)
+        |SELECT source, w1, w2,
+        |       CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |       CAST(SUM(h) AS BIGINT) AS n_hits
+        |FROM hits GROUP BY source, w1, w2
+        |HAVING SUM(h) > 0 ORDER BY source""".stripMargin,
+
+    /** Snapshot edit magnitude: the same changed-doc predicate and
+      * appended edit, the gram sets re-derived by explode + DISTINCT
+      * (blind to the Spark side's array_intersect/array_union), the
+      * same union = 0 → 1000 contract via a LEFT JOIN. Rule I casts
+      * (the HUGEINT `//` mean is cast at the output). */
+    "q_snapshot_churn" ->
+      """WITH ch AS (SELECT doc_id, source,
+        |                   string_split(text, ' ') AS ot,
+        |                   string_split(text || ' rev2 edit', ' ') AS nt
+        |            FROM documents
+        |            WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+        |              AND doc_id % 13 <> 0),
+        |og AS (SELECT DISTINCT doc_id,
+        |              unnest(list_transform(
+        |                generate_series(1, CAST(len(ot) AS INT) - 2),
+        |                i -> array_to_string(ot[i:i+2], ' '))) AS gram
+        |       FROM ch WHERE len(ot) >= 3),
+        |ng AS (SELECT DISTINCT doc_id,
+        |              unnest(list_transform(
+        |                generate_series(1, CAST(len(nt) AS INT) - 2),
+        |                i -> array_to_string(nt[i:i+2], ' '))) AS gram
+        |       FROM ch WHERE len(nt) >= 3),
+        |u AS (SELECT doc_id, gram, MAX(io) AS io, MAX(inn) AS inn
+        |      FROM (SELECT doc_id, gram, 1 AS io, 0 AS inn FROM og
+        |            UNION ALL
+        |            SELECT doc_id, gram, 0, 1 FROM ng)
+        |      GROUP BY doc_id, gram),
+        |per0 AS (SELECT doc_id, CAST(SUM(io * inn) AS BIGINT) AS inter,
+        |                CAST(COUNT(*) AS BIGINT) AS un
+        |         FROM u GROUP BY doc_id),
+        |per AS (SELECT c.source,
+        |               CASE WHEN p.un IS NULL OR p.un = 0 THEN 1000
+        |                    ELSE p.inter * 1000 // p.un END AS jacc
+        |        FROM ch c LEFT JOIN per0 p ON c.doc_id = p.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_changed,
+        |       CAST(SUM(jacc) // COUNT(*) AS BIGINT) AS mean_jacc_permille,
+        |       CAST(MIN(jacc) AS BIGINT) AS min_jacc_permille,
+        |       CAST(MAX(jacc) AS BIGINT) AS max_jacc_permille,
+        |       CAST(SUM(CASE WHEN jacc >= 900 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_light,
+        |       CAST(SUM(CASE WHEN jacc < 500 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_heavy
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
     /** Dup rate by quality band: the recursive-CTE components + the
       * q_text_quality integer score (both re-derived from scratch —
       * blind to the Spark side's cached labels and struct getField),
@@ -2073,6 +2145,38 @@ object Oracle {
         |       CAST(alloc_tokens * 1000 // n_tokens AS BIGINT)
         |         AS epochs_milli
         |FROM alloc ORDER BY "group"""".stripMargin,
+
+    /** PSI drift between source pairs on the power-of-two length
+      * buckets — the same +1 Laplace smoothing over the pair's
+      * union-bucket set and the same round-6 float sum (the
+      * q_bigram_entropy stance); ln ≡ Spark's log (natural). */
+    "q_psi_drift" ->
+      """WITH c AS (SELECT source, length(bin(n_chars)) AS bkt,
+        |                  CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |s AS (SELECT DISTINCT source FROM documents),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b
+        |      FROM s a JOIN s b ON a.source < b.source),
+        |m AS (SELECT p.src_a, p.src_b, c.bkt,
+        |        CAST(SUM(CASE WHEN c.source = p.src_a THEN c.c ELSE 0 END)
+        |          AS BIGINT) AS ca,
+        |        CAST(SUM(CASE WHEN c.source = p.src_b THEN c.c ELSE 0 END)
+        |          AS BIGINT) AS cb
+        |      FROM p JOIN c ON c.source IN (p.src_a, p.src_b)
+        |      GROUP BY 1, 2, 3),
+        |t AS (SELECT src_a, src_b, ca, cb,
+        |        CAST(SUM(ca) OVER (PARTITION BY src_a, src_b) AS BIGINT) AS n_a,
+        |        CAST(SUM(cb) OVER (PARTITION BY src_a, src_b) AS BIGINT) AS n_b,
+        |        CAST(COUNT(*) OVER (PARTITION BY src_a, src_b) AS BIGINT) AS nb
+        |      FROM m)
+        |SELECT src_a, src_b, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |       MAX(nb) AS n_buckets,
+        |       ROUND(SUM((CAST(ca + 1 AS DOUBLE) / (n_a + nb)
+        |                    - CAST(cb + 1 AS DOUBLE) / (n_b + nb))
+        |                 * ln((CAST(ca + 1 AS DOUBLE) / (n_a + nb))
+        |                      / (CAST(cb + 1 AS DOUBLE) / (n_b + nb)))), 6)
+        |         AS psi
+        |FROM t GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
 
     /** Two-sample KS between source pairs on the ppm-quantized
       * length ECDFs — the same per-term floor the Spark side takes,

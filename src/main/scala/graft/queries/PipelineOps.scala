@@ -937,6 +937,66 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** DEFLATE compressibility quality signal (round 16) — the
+    * model-free heuristic the Gopher/CCNet pipeline family runs
+    * next to [[q_text_quality]]'s token ratios and [[q_repetition]]'s
+    * explicit n-gram repetition share: machine-generated boilerplate,
+    * template spam and repeated text compress far below natural
+    * prose, and one deflate pass per document needs no vocabulary,
+    * no model and no second corpus pass. Per source: doc count,
+    * raw/deflated byte mass, the mass-weighted integer ratio
+    * permille, the per-doc permille extremes, and n_template — docs
+    * under 300‰ (compression-detected boilerplate, the gate
+    * candidates).
+    *
+    * Oracle = no: DuckDB has no deflate, and the exact byte count is
+    * a zlib-build constant, not a cross-engine one (the
+    * [[graft.operators.Deflate]] determinism stance) — PipelineSpec
+    * pins the stable contracts instead: bit-stable across runs,
+    * repeated text strictly below varied text, the corpus-mass
+    * ratio under 1000 permille (tiny docs may exceed 1000 by the
+    * fixed ~11-byte wrapper overhead), and the mass identity.
+    * Scale shape: ONE
+    * mapPartitions with ONE native Deflater per partition (reset per
+    * row, ended on task completion — the codec-amortization
+    * pattern), then one map-side-combinable rollup; scan-bound at
+    * 100 TB. Zero-byte docs count but carry no per-doc ratio (NULL
+    * skips the min/max, the SQL aggregate convention). */
+  def q_compress_ratio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .select(col("source"), col("text")).as[(String, String)]
+      .mapPartitions { rows =>
+        val defl = new java.util.zip.Deflater(6)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => defl.end()))
+        rows.map { case (src, text) =>
+          val raw = text.getBytes("UTF-8")
+          (src, raw.length.toLong,
+           graft.operators.Deflate.deflatedSize(raw, defl))
+        }
+      }.toDF("source", "raw", "comp")
+    per
+      .withColumn("doc_permille",
+        when(col("raw") > 0, expr("comp * 1000 div raw")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("raw")).as("raw_bytes"),
+           sum(col("comp")).as("deflated_bytes"),
+           min(col("doc_permille")).as("min_doc_permille"),
+           max(col("doc_permille")).as("max_doc_permille"),
+           sum(when(col("doc_permille") < 300, 1L).otherwise(0L))
+             .as("n_template"))
+      .withColumn("ratio_permille",
+        when(col("raw_bytes") > 0,
+             expr("deflated_bytes * 1000 div raw_bytes")).otherwise(lit(0L)))
+      .select(col("source"), col("n_docs"), col("raw_bytes"),
+              col("deflated_bytes"), col("ratio_permille"),
+              col("min_doc_permille"), col("max_doc_permille"),
+              col("n_template"))
+      .orderBy("source")
+  }
+
   /** N-gram-profile language ID: build a top-10-token profile per
     * language from the corpus itself, score every document by profile
     * overlap, predict argmax (ties → lexicographic lang). This query
@@ -1944,6 +2004,55 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Exact PHRASE search over a positional inverted index (round
+    * 16) — the retrieval face [[q_bool_search]]'s bag-of-words
+    * bitmask cannot express: "these words, ADJACENT, in this order".
+    * The phrase is self-derived for determinism — the corpus's most
+    * frequent word bigram under the stated total order (count DESC,
+    * bigram ASC), computed once per (session, sfDir) into a shared
+    * 1-row temp table — and matching runs the classic
+    * positional-index join: postings (doc, pos, term) restrict to
+    * the two phrase words by an equi-join against the broadcast
+    * phrase table (never a scan-wide filter literal — the phrase is
+    * data-dependent), then w1@pos joins w2@pos+1 on the composite
+    * (doc_id, position) key. Per source: docs matching, total
+    * occurrences, with the phrase words as key columns (rule O:
+    * (source, w1, w2) unique; zero-hit sources emit no row in both
+    * engines).
+    *
+    * Scale shape: the postings explode is linear and row-local; the
+    * term restriction broadcasts a 1-row table so only the two
+    * words' postings survive to the exchange; the adjacency join
+    * keys on (doc_id, pos) — composite, collision-free, never a
+    * term-keyed hot join; rollup metadata-scale. At 100 TB the
+    * postings table is the standing index artifact and this query
+    * is its probe path. The oracle re-counts adjacent pairs
+    * row-locally in SQL (list_filter over positions), blind to the
+    * index shape. */
+  def q_phrase_search(s: SparkSession, d: String): DataFrame = {
+    val phrase = graft.TempTables.cached(s, s"phrase_top:$d")(
+      Tables.documents(s, d)
+        .select(explode(graft.functions.TokenNGrams.ngrams(toks, 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc).limit(1)
+        .select(substring_index(col("gram"), " ", 1).as("w1"),
+                substring_index(col("gram"), " ", -1).as("w2")))
+    val postings = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+              posexplode(toks).as(Seq("pos", "term")))
+    val p1 = postings.join(
+      broadcast(phrase.select(col("w1").as("term"), col("w1"), col("w2"))),
+      "term")
+    val p2 = postings.join(
+      broadcast(phrase.select(col("w2").as("term"))), "term")
+      .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+    p1.join(p2, p1("doc_id") === col("doc_id2") && p1("pos") + 1 === col("pos2"))
+      .groupBy("source", "w1", "w2")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_hits"))
+      .orderBy("source")
+  }
+
   /** Incremental gram-df merge / batch-novelty report (round 11) —
     * the corpus-STATS sibling of q_dedup_incremental's pair-level
     * ingest probe: when a new crawl batch lands, the shared gram-df
@@ -2040,6 +2149,58 @@ object PipelineOps {
               col("n_unchanged"), col("tokens_added"),
               col("tokens_removed"), col("tokens_changed_delta"),
               col("net_token_delta"), col("churn_permille"))
+      .orderBy("source")
+  }
+
+  /** Snapshot edit-MAGNITUDE report (round 16) — the question
+    * [[q_snapshot_diff]]'s binary CHANGED verdict cannot answer: of
+    * the docs a recrawl touched, how MUCH of each actually changed?
+    * (a timestamp-in-footer tweak and a full rewrite both flip the
+    * content signature, but only one should re-enter the dedup/
+    * quality pipeline). For every CHANGED doc of the same
+    * deterministic snapshot pair (present in both sides:
+    * doc_id mod 7 = 0 ∧ mod 11 ≠ 0 ∧ mod 13 ≠ 0; the mod-7 edit
+    * appends ' rev2 edit'), the old/new texts compare by distinct
+    * word-3-gram Jaccard permille — 1000 = cosmetic, 0 = disjoint;
+    * two gram-free texts (< 3 tokens each) count identical by stated
+    * contract. Per source: changed-doc count, the floor-mean /
+    * min / max Jaccard permille, and the n_light (≥ 900, cosmetic)
+    * vs n_heavy (< 500, rewrite-grade) split a re-ingest policy
+    * keys on.
+    *
+    * Scale shape: both versions of a changed doc live on the SAME
+    * row here (the edit is synthesized), so the gram sets, the
+    * intersect/union and the per-doc permille are all row-local
+    * higher-order-function arithmetic — and in a real deployment
+    * where versions arrive from the snapshot join, the same
+    * expressions run post-join with text pairs co-located by doc id;
+    * ONE metadata-scale rollup either way. All-integer (rule I);
+    * source unique (rule O); the oracle re-derives the gram sets by
+    * explode + distinct in SQL, blind to the array-function path. */
+  def q_snapshot_churn(s: SparkSession, d: String): DataFrame = {
+    val oldT = col("text")
+    val newT = concat(col("text"), lit(" rev2 edit"))
+    val ga = array_distinct(
+      graft.functions.TokenNGrams.ngrams(split(oldT, " "), 3))
+    val gb = array_distinct(
+      graft.functions.TokenNGrams.ngrams(split(newT, " "), 3))
+    val un = size(array_union(ga, gb))
+    val jacc = when(col("un") === 0, lit(1000L))
+      .otherwise(expr("inter * 1000 div un"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0 &&
+              col("doc_id") % 13 =!= 0)
+      .select(col("source"),
+              size(array_intersect(ga, gb)).cast("long").as("inter"),
+              un.cast("long").as("un"))
+      .select(col("source"), jacc.as("jacc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_changed"),
+           expr("sum(jacc) div count(1)").as("mean_jacc_permille"),
+           min(col("jacc")).as("min_jacc_permille"),
+           max(col("jacc")).as("max_jacc_permille"),
+           sum(when(col("jacc") >= 900, 1L).otherwise(0L)).as("n_light"),
+           sum(when(col("jacc") < 500, 1L).otherwise(0L)).as("n_heavy"))
       .orderBy("source")
   }
 
@@ -2569,6 +2730,57 @@ object PipelineOps {
   def q_ks_drift(s: SparkSession, d: String): DataFrame =
     ksDriftFromCounts(Tables.documents(s, d)
       .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+
+  /** Population-stability-index drift monitor (round 16) — the
+    * BINNED face next to [[q_ks_drift]]'s ECDF statistic: KS reads
+    * the worst single point of the distribution gap, PSI
+    * (Σ (p_i − q_i)·ln(p_i/q_i), the credit-scoring monitoring
+    * canon) reads the total mass displacement across bins, so the
+    * two disagree exactly when drift is spread thin — the reason
+    * dashboards run both. Bins = the power-of-two length buckets
+    * (bit width of n_chars — the q_length_buckets / q_zorder_layout
+    * key), ≤ ~20 at any corpus size; counts Laplace-smooth +1 on
+    * BOTH sides over the pair's union-bucket set (zero-bucket ln
+    * guard stated identically in both engines as arithmetic, not a
+    * CASE). Per source pair: doc counts, union bucket count, and
+    * psi rounded to 6 (rule F: a ≤ 20-term float sum under round-6
+    * is the q_bigram_entropy stance).
+    *
+    * Scale shape: ONE map-side-combinable (source, bucket) count
+    * collapses the corpus to ≤ sources × 20 rows; the pair spine
+    * and fan-back are q_ks_drift's broadcast theta + equi-join; the
+    * windows partition metadata-scale rows. The oracle mirrors the
+    * definition in SQL windows, blind to the Spark shapes. */
+  def q_psi_drift(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("source"), length(bin(col("n_chars"))).as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val srcs = counts.select("source").distinct()
+    val pairs = srcs.as("a")
+      .join(srcs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val member = pairs.select(col("src_a").as("source"), col("src_a"), col("src_b"))
+      .union(pairs.select(col("src_b").as("source"), col("src_a"), col("src_b")))
+    val merged = member.join(counts, "source")
+      .groupBy("src_a", "src_b", "bkt")
+      .agg(sum(when(col("source") === col("src_a"), col("c")).otherwise(lit(0L)))
+             .as("ca"),
+           sum(when(col("source") === col("src_b"), col("c")).otherwise(lit(0L)))
+             .as("cb"))
+    val wAll = Window.partitionBy("src_a", "src_b")
+    merged
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .withColumn("nb", count(lit(1)).over(wAll))
+      .withColumn("p", (col("ca") + 1).cast("double") / (col("n_a") + col("nb")))
+      .withColumn("q", (col("cb") + 1).cast("double") / (col("n_b") + col("nb")))
+      .groupBy("src_a", "src_b")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+           max(col("nb")).as("n_buckets"),
+           round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+             .as("psi"))
+      .orderBy("src_a", "src_b")
+  }
 
   /** The KS tail over an ALREADY-AGGREGATED (source, n_chars, c)
     * count table — factored out because the counts are the monitor's

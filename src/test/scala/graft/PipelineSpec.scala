@@ -622,4 +622,114 @@ class PipelineSpec extends SparkSpecBase {
       assert(r.getLong(5) == at, s"$a/$b at")
     }
   }
+
+  test("psi_drift: per-pair PSI equals a driver-side binned reference") {
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(_.map(t => java.lang.Long.toBinaryString(t._2).length.toLong))
+      .toMap
+    val got = PipelineOps.q_psi_drift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.size == bySrc.size * (bySrc.size - 1) / 2)
+    for (((a, b), (nA, nB, nBkt, psi)) <- got) {
+      val (xa, xb) = (bySrc(a), bySrc(b))
+      val bkts = (xa ++ xb).distinct
+      val ca = bkts.map(v => xa.count(_ == v).toLong)
+      val cb = bkts.map(v => xb.count(_ == v).toLong)
+      val (na, nb) = (xa.length.toLong, xb.length.toLong)
+      val ref = ca.zip(cb).map { case (x, y) =>
+        val p = (x + 1).toDouble / (na + bkts.size)
+        val q = (y + 1).toDouble / (nb + bkts.size)
+        (p - q) * math.log(p / q)
+      }.sum
+      assert(nA == na && nB == nb && nBkt == bkts.size, s"$a/$b counts")
+      assert(math.abs(psi - ref) < 1e-5, s"$a/$b psi $psi vs $ref")
+    }
+  }
+
+  test("snapshot_churn: per-source stats equal a driver-side gram-set reference") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    def grams(t: String): Set[String] = {
+      val tk = t.split(" ", -1)
+      (0 to tk.length - 3).map(i => tk.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val changed = docs.filter { case (id, _, _) =>
+      id % 7 == 0 && id % 11 != 0 && id % 13 != 0 }
+    val perDoc = changed.map { case (_, src, text) =>
+      val (ga, gb) = (grams(text), grams(text + " rev2 edit"))
+      val un = (ga ++ gb).size
+      src -> (if (un == 0) 1000L else (ga & gb).size.toLong * 1000 / un)
+    }
+    val ref = perDoc.groupBy(_._1).view.mapValues { xs =>
+      val js = xs.map(_._2)
+      (js.size.toLong, js.sum / js.size, js.min, js.max,
+       js.count(_ >= 900).toLong, js.count(_ < 500).toLong)
+    }.toMap
+    val got = PipelineOps.q_snapshot_churn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == ref)
+  }
+
+  test("phrase_search: positional-index join equals a driver-side scan") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    val bigrams = docs.flatMap { case (_, _, t) =>
+      val tk = t.split(" ", -1)
+      (0 to tk.length - 2).map(i => tk(i) + " " + tk(i + 1))
+    }
+    val top = bigrams.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (g, n) => (-n, g) }.head._1
+    val Array(w1, w2) = top.split(" ")
+    val ref = docs.map { case (_, src, t) =>
+      val tk = t.split(" ", -1)
+      src -> (0 to tk.length - 2).count(i => tk(i) == w1 && tk(i + 1) == w2).toLong
+    }.groupBy(_._1).view
+      .mapValues(hs => (hs.count(_._2 > 0).toLong, hs.map(_._2).sum))
+      .toMap.filter(_._2._2 > 0)
+    val got = PipelineOps.q_phrase_search(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (src, (gw1, gw2, nd, nh)) =>
+      assert(gw1 == w1 && gw2 == w2, s"phrase $gw1 $gw2 vs $w1 $w2")
+      assert((nd, nh) == ref(src), s"$src")
+    }
+  }
+
+  test("compress_ratio: determinism, bounds, repetition ordering, mass identity") {
+    import graft.operators.Deflate
+    // the stable contracts (exact byte counts are zlib-build facts,
+    // not cross-engine constants - the oracle = no stance)
+    val repeated = ("the quick brown fox " * 60).trim
+    val varied = (1 to 240).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val sr = Deflate.deflatedSizeOnce(repeated.getBytes("UTF-8"))
+    val sv = Deflate.deflatedSizeOnce(varied.getBytes("UTF-8"))
+    assert(sr > 0 && sv > 0)
+    // repeated text compresses strictly below varied text of similar size
+    assert(sr.toDouble / repeated.length < sv.toDouble / varied.length,
+      s"repeated $sr/${repeated.length} !< varied $sv/${varied.length}")
+    // bit-stable across invocations
+    assert(sr == Deflate.deflatedSizeOnce(repeated.getBytes("UTF-8")))
+    val out = PipelineOps.q_compress_ratio(spark, sf).collect()
+    assert(out.nonEmpty)
+    val again = PipelineOps.q_compress_ratio(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "not deterministic")
+    out.foreach { r =>
+      val (n, raw, defl) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (ratio, mn, mx, tmpl) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(n > 0 && raw > 0)
+      // the corpus-mass ratio sits well below 1000 (natural text
+      // compresses); a single tiny doc can exceed 1000 by the fixed
+      // ~11-byte zlib wrapper + stored-block overhead, so the per-doc
+      // bound is 1000 + overhead, not 1000
+      assert(ratio > 0 && ratio < 1000, s"ratio $ratio")
+      assert(mn > 0 && mn <= mx && mx <= 2000 && tmpl <= n, s"$mn/$mx/$tmpl")
+      assert(ratio == defl * 1000 / raw, "mass identity")
+    }
+  }
 }
