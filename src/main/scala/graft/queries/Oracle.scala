@@ -1904,6 +1904,159 @@ object Oracle {
         |FROM hits GROUP BY source, w1, w2
         |HAVING SUM(h) > 0 ORDER BY source""".stripMargin,
 
+    /** Proximity search: the same self-derived probe phrase, the
+      * window-4 ordered co-occurrence re-counted ROW-LOCALLY via a
+      * nested list_filter over positions — blind to the Spark side's
+      * positional-index join (and a superset of the phrase oracle's
+      * adjacency count by construction). Rule I casts. */
+    "q_proximity_search" ->
+      """WITH tk AS (SELECT source, doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        |bg AS (SELECT unnest(list_transform(
+        |                generate_series(1, CAST(len(t) AS INT) - 1),
+        |                i -> array_to_string(t[i:i+1], ' '))) AS gram
+        |       FROM tk WHERE len(t) >= 2),
+        |top AS (SELECT gram FROM (SELECT gram, COUNT(*) AS n FROM bg GROUP BY gram)
+        |        ORDER BY n DESC, gram LIMIT 1),
+        |ph AS (SELECT string_split(gram, ' ')[1] AS w1,
+        |              string_split(gram, ' ')[2] AS w2 FROM top),
+        |hits AS (SELECT k.source, p.w1, p.w2,
+        |                COALESCE(list_sum(list_transform(
+        |                  generate_series(1, CAST(len(k.t) AS INT)),
+        |                  i -> CASE WHEN k.t[i] = p.w1 THEN
+        |                         len(list_filter(
+        |                           generate_series(i + 1,
+        |                             LEAST(i + 4, CAST(len(k.t) AS INT))),
+        |                           j -> k.t[j] = p.w2))
+        |                       ELSE 0 END)), 0) AS h
+        |         FROM tk k CROSS JOIN ph p)
+        |SELECT source, w1, w2,
+        |       CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |       CAST(SUM(h) AS BIGINT) AS n_hits
+        |FROM hits GROUP BY source, w1, w2
+        |HAVING SUM(h) > 0 ORDER BY source""".stripMargin,
+
+    /** Readability: the same deterministic sentence-punctuation
+      * synthesis (period on every k-th token, k = 5 + doc_id mod 7),
+      * then words / sentences / vowel-group syllables re-counted with
+      * DuckDB's own regex calls and the identical integer milli-unit
+      * Flesch formula — all floor-divs on positive operands, clamp
+      * at 0 before any aggregate div (rule I). */
+    "q_readability" ->
+      """WITH d0 AS (SELECT source, string_split(text, ' ') AS t,
+        |                   doc_id % 7 + 5 AS k
+        |            FROM documents),
+        |p AS (SELECT source,
+        |        array_to_string(list_transform(
+        |          generate_series(1, CAST(len(t) AS INT)),
+        |          i -> t[i] || CASE WHEN i % k = 0 THEN '.' ELSE '' END),
+        |          ' ') AS ptext
+        |      FROM d0),
+        |m AS (SELECT source,
+        |        CAST(len(string_split(ptext, ' ')) AS BIGINT) AS w,
+        |        GREATEST(CAST(len(regexp_extract_all(ptext, '[.!?]'))
+        |                      AS BIGINT), 1) AS sn,
+        |        CAST(len(regexp_extract_all(ptext, '[aeiouy]+'))
+        |             AS BIGINT) AS sy
+        |      FROM p),
+        |f AS (SELECT source,
+        |        GREATEST(0, 206835 - (1015 * (w * 1000 // sn)) // 1000
+        |                           - (846 * (sy * 1000 // w)) // 10)
+        |          AS fre_milli
+        |      FROM m WHERE w > 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(fre_milli) // COUNT(*) AS BIGINT) AS mean_fre_milli,
+        |       CAST(MIN(fre_milli) AS BIGINT) AS min_fre_milli,
+        |       CAST(MAX(fre_milli) AS BIGINT) AS max_fre_milli,
+        |       CAST(SUM(CASE WHEN fre_milli >= 60000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_easy,
+        |       CAST(SUM(CASE WHEN fre_milli < 30000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hard
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    /** Code detect: the same deterministic contamination (mod-9
+      * replace / light-append), the symbol-class density re-counted
+      * with DuckDB's own regexp_extract_all and the identical
+      * integer permille gate at 100 (rule I). The snippet length is
+      * computed by LENGTH(), never hardcoded, so both engines divide
+      * by the same constant. */
+    "q_code_detect" ->
+      """WITH c0 AS (SELECT source, doc_id, n_chars, text,
+        |  'int i = 0; while (i < n) { t += a[i]; i = i + 1; } ' AS snip
+        |            FROM documents),
+        |c1 AS (SELECT source,
+        |         CASE WHEN doc_id % 9 = 0
+        |              THEN repeat(snip, GREATEST(1,
+        |                     CAST(n_chars // LENGTH(snip) AS INT)))
+        |              WHEN doc_id % 9 = 4 THEN text || ' x = 1;'
+        |              ELSE text END AS ctext
+        |       FROM c0),
+        |m AS (SELECT source, CAST(LENGTH(ctext) AS BIGINT) AS nc,
+        |             CAST(len(regexp_extract_all(ctext, '[=;(){}\[\]<>+]'))
+        |                  AS BIGINT) AS sym
+        |      FROM c1),
+        |f AS (SELECT source, nc, sym, sym * 1000 // nc AS density
+        |      FROM m WHERE nc > 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN density >= 100 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_code,
+        |       CAST(SUM(CASE WHEN density >= 100 THEN 1 ELSE 0 END)
+        |            AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+        |         AS code_permille,
+        |       CAST(SUM(CASE WHEN density > 0 AND density < 100
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_light,
+        |       CAST(SUM(sym) AS BIGINT) * 1000 // CAST(SUM(nc) AS BIGINT)
+        |         AS corpus_density_permille,
+        |       CAST(MAX(density) AS BIGINT) AS max_density_permille
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    /** Anchor text: the q_html_links synthesis with per-linker
+      * first-token anchors, elements re-extracted with DuckDB's own
+      * regexes, the consensus anchor re-ranked by an explicit
+      * ROW_NUMBER under the same (count DESC, anchor ASC) total
+      * order — blind to the Spark window. Rule I casts. */
+    "q_anchor_text" ->
+      """WITH d0 AS (SELECT doc_id, text,
+        |                   doc_id % 1000000007 * 2654435761 % 97 AS did,
+        |                   string_split(text, ' ')[1] AS w0
+        |            FROM documents),
+        |h AS (SELECT
+        |  '<p>' || text || '</p>'
+        |  || '<a href="https://site' || CAST(did AS VARCHAR)
+        |     || CASE WHEN did % 3 = 0 THEN '.com'
+        |             WHEN did % 3 = 1 THEN '.org' ELSE '.net' END
+        |     || '/">' || w0 || '</a>'
+        |  || CASE WHEN doc_id % 3 >= 1
+        |     THEN '<a href="https://site' || CAST((did + 31) % 97 AS VARCHAR)
+        |          || CASE WHEN (did + 31) % 97 % 3 = 0 THEN '.com'
+        |                  WHEN (did + 31) % 97 % 3 = 1 THEN '.org'
+        |                  ELSE '.net' END
+        |          || '/">' || w0 || '</a>' ELSE '' END
+        |  || CASE WHEN doc_id % 3 >= 2
+        |     THEN '<a href="https://site' || CAST((did + 62) % 97 AS VARCHAR)
+        |          || CASE WHEN (did + 62) % 97 % 3 = 0 THEN '.com'
+        |                  WHEN (did + 62) % 97 % 3 = 1 THEN '.org'
+        |                  ELSE '.net' END
+        |          || '/">' || w0 || '</a>' ELSE '' END AS html
+        |  FROM d0),
+        |el AS (SELECT unnest(regexp_extract_all(html,
+        |                '<a href="[^"]*">[^<]*</a>')) AS e FROM h),
+        |ta AS (SELECT regexp_extract(e, 'https://([^/]+)/', 1) AS target,
+        |              regexp_extract(e, '>([^<]*)<', 1) AS anchor FROM el),
+        |cnt AS (SELECT target, anchor, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM ta GROUP BY target, anchor),
+        |top AS (SELECT target, anchor AS top_anchor, n AS top_anchor_n,
+        |               ROW_NUMBER() OVER (PARTITION BY target
+        |                                  ORDER BY n DESC, anchor) AS rk
+        |        FROM cnt),
+        |roll AS (SELECT target, CAST(SUM(n) AS BIGINT) AS n_inlinks,
+        |                CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchors
+        |         FROM cnt GROUP BY target)
+        |SELECT r.target, r.n_inlinks, r.n_anchors, t.top_anchor,
+        |       t.top_anchor_n
+        |FROM roll r JOIN top t ON r.target = t.target AND t.rk = 1
+        |ORDER BY r.target""".stripMargin,
+
     /** Snapshot edit magnitude: the same changed-doc predicate and
       * appended edit, the gram sets re-derived by explode + DISTINCT
       * (blind to the Spark side's array_intersect/array_union), the

@@ -476,6 +476,67 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Incoming anchor-text aggregation per target domain (round 16) —
+    * the web-graph description signal next to [[q_html_links]]'s
+    * counts: what the REST of the corpus calls a page is a quality/
+    * relevance feature its own content can't provide (the classic
+    * anchor-text index every web-scale ranker builds). Same
+    * deterministic link synthesis as q_html_links (did-hash target
+    * domains, doc_id mod 3 + 1 links per doc) but each anchor's text
+    * is the linking doc's FIRST TOKEN — so anchors genuinely vary
+    * per linker and aggregation is meaningful. The extractor runs
+    * blind on the HTML: pull `<a href="...">...</a>` elements, split
+    * target domain and anchor text per element, then per target:
+    * in-link count, distinct anchor texts, and the consensus anchor
+    * (count DESC, anchor ASC — rule O total order) with its count.
+    *
+    * Scale shape: element extraction is a row-local
+    * regexp_extract_all explode; the (target, anchor) count is one
+    * map-side-combinable aggregate collapsing the corpus to ≤
+    * domains × first-token-vocab rows; the consensus window
+    * partitions those metadata-scale rows by target — never the
+    * corpus. At 100 TB this is exactly the anchor-index build:
+    * payloads never shuffle, only (target, anchor, count) triples.
+    * Oracle re-synthesizes and re-extracts in SQL, blind to the
+    * Spark expressions. */
+  def q_anchor_text(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id") % 1000000007L * 2654435761L % 97L
+    def dom(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(lit("site"), c.cast("string"),
+        when(c % 3 === 0, lit(".com"))
+          .when(c % 3 === 1, lit(".org"))
+          .otherwise(lit(".net")))
+    val w0 = substring_index(col("text"), " ", 1)
+    def linkJ(j: Int): org.apache.spark.sql.Column =
+      when(col("doc_id") % 3 >= j,
+        concat(lit("<a href=\"https://"), dom((did + j * 31L) % 97L),
+               lit("/\">"), w0, lit("</a>")))
+        .otherwise(lit(""))
+    val html = concat(lit("<p>"), col("text"), lit("</p>"),
+                      linkJ(0), linkJ(1), linkJ(2))
+    val counts = Tables.documents(s, d)
+      .select(html.as("html"))
+      .select(explode(expr(
+        """regexp_extract_all(html, '<a href="[^"]*">[^<]*</a>', 0)"""))
+        .as("el"))
+      .select(regexp_extract(col("el"), "https://([^/]+)/", 1).as("target"),
+              regexp_extract(col("el"), ">([^<]*)<", 1).as("anchor"))
+      .groupBy("target", "anchor").agg(count(lit(1)).as("n"))
+    val top = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("target").orderBy(col("n").desc, col("anchor").asc)))
+      .filter(col("rk") === 1)
+      .select(col("target"), col("anchor").as("top_anchor"),
+              col("n").as("top_anchor_n"))
+    counts.groupBy("target")
+      .agg(sum(col("n")).as("n_inlinks"),
+           countDistinct(col("anchor")).as("n_anchors"))
+      .join(top, "target")
+      .select(col("target"), col("n_inlinks"), col("n_anchors"),
+              col("top_anchor"), col("top_anchor_n"))
+      .orderBy("target")
+  }
+
   /** URL canonicalization accounting (round 15) — the
     * [[q_unicode_norm]] of the URL family: URL-level dedup and the
     * [[q_domain_caps]] accounting are only as good as the canonical
@@ -994,6 +1055,112 @@ object PipelineOps {
               col("deflated_bytes"), col("ratio_permille"),
               col("min_doc_permille"), col("max_doc_permille"),
               col("n_template"))
+      .orderBy("source")
+  }
+
+  /** Flesch reading-ease profile per source (round 16) — the
+    * classic readability face next to [[q_text_quality]]'s token
+    * ratios: FRE = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), here in exact integer milli-units so
+    * both engines agree bit-for-bit (rule I — each division is a
+    * stated integer floor-div on positive operands; the final score
+    * clamps at 0 so no negative ever meets a `div`). The corpus is
+    * synthetic space-separated words with no punctuation, so
+    * sentence boundaries are SYNTHESIZED deterministically (the
+    * q_url_canon / q_encoding_audit damage precedent): a period
+    * appends to every k-th token, k = 5 + doc_id mod 7, and the
+    * operator runs BLIND on the punctuated text — sentences =
+    * max(1, count of [.!?]), words = token count, syllables =
+    * [aeiouy]+ vowel-group runs (the standard heuristic; a
+    * vowel-free token counts 0 by stated contract). Per source:
+    * doc count, floor-mean / min / max FRE milli, and the
+    * n_easy (≥ 60.000) / n_hard (< 30.000) curation split.
+    *
+    * Scale shape: everything per-doc is row-local regex + integer
+    * arithmetic; ONE map-side-combinable rollup — scan-bound at
+    * 100 TB. The oracle re-synthesizes the punctuation and
+    * re-counts with its own regex calls, blind to the Spark
+    * expression tree. */
+  def q_readability(s: SparkSession, d: String): DataFrame = {
+    val k = col("doc_id") % 7 + 5
+    val ptext = array_join(
+      zip_with(toks, sequence(lit(1L), size(toks).cast("long")),
+        (t, i) => concat(t, when(i % k === 0, lit(".")).otherwise(lit("")))),
+      " ")
+    Tables.documents(s, d)
+      .select(col("source"), ptext.as("ptext"))
+      .select(col("source"),
+              size(split(col("ptext"), " ")).cast("long").as("w"),
+              greatest(size(expr("regexp_extract_all(ptext, '[.!?]', 0)"))
+                         .cast("long"), lit(1L)).as("sn"),
+              size(expr("regexp_extract_all(ptext, '[aeiouy]+', 0)"))
+                .cast("long").as("sy"))
+      .filter(col("w") > 0)
+      .withColumn("fre_milli",
+        greatest(lit(0L),
+          lit(206835L) - expr("(1015 * (w * 1000 div sn)) div 1000")
+                       - expr("(846 * (sy * 1000 div w)) div 10")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           expr("sum(fre_milli) div count(1)").as("mean_fre_milli"),
+           min(col("fre_milli")).as("min_fre_milli"),
+           max(col("fre_milli")).as("max_fre_milli"),
+           sum(when(col("fre_milli") >= 60000L, 1L).otherwise(0L))
+             .as("n_easy"),
+           sum(when(col("fre_milli") < 30000L, 1L).otherwise(0L))
+             .as("n_hard"))
+      .orderBy("source")
+  }
+
+  /** Code-vs-prose detector (round 16) — the mixture-curation gate
+    * that decides whether a crawled document enters the code or the
+    * natural-language bucket (every production pretraining mix
+    * routes them differently). Signal: density of code punctuation
+    * `[=;(){}\[\]<>+]` per character, in integer permille — natural
+    * prose sits near 0, source code near 250-300. The corpus has no
+    * code, so contamination is SYNTHESIZED deterministically and
+    * the detector runs BLIND: doc_id mod 9 = 0 docs are REPLACED by
+    * a code snippet repeated to ≈ the original length (a code file
+    * in the crawl), mod 9 = 4 docs get one trailing ` x = 1;`
+    * statement (light inline contamination that must stay BELOW the
+    * gate), everything else is untouched. A doc classifies as code
+    * at ≥ 100‰. Per source: docs, detected code docs, their integer
+    * permille share, the light-contamination count (0 < density
+    * < 100‰), the corpus mass-weighted symbol density, and the max
+    * per-doc density. PipelineSpec pins detection = the planted
+    * mod-9 set exactly (no false positives at this gate).
+    *
+    * Scale shape: row-local regex count + ONE map-side-combinable
+    * rollup — scan-bound at 100 TB. Oracle re-synthesizes and
+    * re-counts in SQL, blind to the Spark expressions. */
+  def q_code_detect(s: SparkSession, d: String): DataFrame = {
+    val snip = "int i = 0; while (i < n) { t += a[i]; i = i + 1; } "
+    val ctext =
+      when(col("doc_id") % 9 === 0,
+           expr(s"repeat('$snip', greatest(1, int(n_chars div ${snip.length})))"))
+      .when(col("doc_id") % 9 === 4, concat(col("text"), lit(" x = 1;")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("source"), ctext.as("ctext"))
+      .select(col("source"), length(col("ctext")).cast("long").as("nc"),
+              size(expr("regexp_extract_all(ctext, '[=;(){}\\\\[\\\\]<>+]', 0)"))
+                .cast("long").as("sym"))
+      .filter(col("nc") > 0)
+      .withColumn("density", expr("sym * 1000 div nc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("density") >= 100L, 1L).otherwise(0L)).as("n_code"),
+           sum(when(col("density") > 0L && col("density") < 100L, 1L)
+                 .otherwise(0L)).as("n_light"),
+           sum(col("sym")).as("sym_mass"),
+           sum(col("nc")).as("char_mass"),
+           max(col("density")).as("max_density_permille"))
+      .withColumn("code_permille", expr("n_code * 1000 div n_docs"))
+      .withColumn("corpus_density_permille",
+                  expr("sym_mass * 1000 div char_mass"))
+      .select(col("source"), col("n_docs"), col("n_code"),
+              col("code_permille"), col("n_light"),
+              col("corpus_density_permille"), col("max_density_permille"))
       .orderBy("source")
   }
 
@@ -2029,14 +2196,31 @@ object PipelineOps {
     * is its probe path. The oracle re-counts adjacent pairs
     * row-locally in SQL (list_filter over positions), blind to the
     * index shape. */
-  def q_phrase_search(s: SparkSession, d: String): DataFrame = {
-    val phrase = graft.TempTables.cached(s, s"phrase_top:$d")(
+  def q_phrase_search(s: SparkSession, d: String): DataFrame =
+    positionalProbe(s, d, maxGap = 1)
+
+  /** The shared 1-row (w1, w2) probe phrase — the corpus's most
+    * frequent word bigram under the stated total order (count DESC,
+    * bigram ASC), computed once per (session, sfDir) and reused by
+    * both positional-index probes ([[q_phrase_search]],
+    * [[q_proximity_search]]). */
+  private def phraseTop(s: SparkSession, d: String): DataFrame =
+    graft.TempTables.cached(s, s"phrase_top:$d")(
       Tables.documents(s, d)
         .select(explode(graft.functions.TokenNGrams.ngrams(toks, 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram").asc).limit(1)
         .select(substring_index(col("gram"), " ", 1).as("w1"),
                 substring_index(col("gram"), " ", -1).as("w2")))
+
+  /** The shared positional-index probe behind q_phrase_search
+    * (maxGap = 1, strict adjacency) and q_proximity_search
+    * (maxGap = 4): postings restrict to the two phrase words via a
+    * broadcast equi-join, then w1@p1 joins w2@p2 on the composite
+    * (doc_id) key with the ordered gap residual 1 ≤ p2 − p1 ≤ maxGap. */
+  private def positionalProbe(s: SparkSession, d: String,
+                              maxGap: Int): DataFrame = {
+    val phrase = phraseTop(s, d)
     val postings = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
               posexplode(toks).as(Seq("pos", "term")))
@@ -2046,12 +2230,37 @@ object PipelineOps {
     val p2 = postings.join(
       broadcast(phrase.select(col("w2").as("term"))), "term")
       .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
-    p1.join(p2, p1("doc_id") === col("doc_id2") && p1("pos") + 1 === col("pos2"))
+    val gap = col("pos2") - p1("pos")
+    p1.join(p2, p1("doc_id") === col("doc_id2") &&
+                gap >= 1 && gap <= maxGap)
       .groupBy("source", "w1", "w2")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
            count(lit(1)).as("n_hits"))
       .orderBy("source")
   }
+
+  /** Ordered PROXIMITY search over the positional inverted index
+    * (round 16) — the query-operator face between
+    * [[q_bool_search]]'s whole-doc conjunction and
+    * [[q_phrase_search]]'s strict adjacency: w1 followed by w2
+    * within a 4-token window ("near-phrase" retrieval, the NEAR/k
+    * operator every production search engine exposes). Same
+    * self-derived probe phrase, same broadcast term restriction,
+    * same composite-key join — only the positional residual widens
+    * from p2 = p1 + 1 to 1 ≤ p2 − p1 ≤ 4, so every phrase hit is by
+    * construction also a proximity hit (subset pin in PipelineSpec).
+    * Per source: docs matching, total ordered (p1, p2) pairs (rule
+    * O: (source, w1, w2) unique; zero-hit sources emit no row in
+    * both engines).
+    *
+    * Scale shape: identical to q_phrase_search — linear row-local
+    * postings explode, 1-row broadcast restriction before the
+    * exchange, (doc_id)-keyed join with a bounded positional
+    * residual (≤ maxGap positions per left row can match), rollup
+    * metadata-scale. The oracle re-counts window pairs row-locally
+    * (nested list_filter over positions), blind to the index. */
+  def q_proximity_search(s: SparkSession, d: String): DataFrame =
+    positionalProbe(s, d, maxGap = 4)
 
   /** Incremental gram-df merge / batch-novelty report (round 11) —
     * the corpus-STATS sibling of q_dedup_incremental's pair-level

@@ -732,4 +732,76 @@ class PipelineSpec extends SparkSpecBase {
       assert(ratio == defl * 1000 / raw, "mass identity")
     }
   }
+
+  test("proximity_search: superset of phrase_search's adjacency hits") {
+    val phrase = PipelineOps.q_phrase_search(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val prox = PipelineOps.q_proximity_search(spark, sf).collect()
+    assert(prox.nonEmpty)
+    // same probe phrase on both (the shared temp table)
+    prox.foreach { r =>
+      val src = r.getString(0)
+      val (nd, nh) = (r.getLong(3), r.getLong(4))
+      assert(nh >= 1 && nd >= 1 && nh >= nd, s"$src bounds")
+      phrase.get(src).foreach { case (pd, ph) =>
+        assert(nd >= pd, s"$src prox docs $nd < phrase docs $pd")
+        assert(nh >= ph, s"$src prox hits $nh < phrase hits $ph")
+      }
+    }
+    // every phrase-hit source also appears in the proximity report
+    assert(phrase.keySet.subsetOf(prox.map(_.getString(0)).toSet))
+  }
+
+  test("readability: FRE milli-units bounded, mean between extremes") {
+    val out = PipelineOps.q_readability(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, mean, mn, mx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (easy, hard) = (r.getLong(5), r.getLong(6))
+      assert(n > 0)
+      assert(mn >= 0 && mn <= mean && mean <= mx && mx <= 206835,
+        s"${r.getString(0)}: $mn/$mean/$mx out of order or bounds")
+      assert(easy + hard <= n, "bands overlap")
+    }
+  }
+
+  test("code_detect: detection equals the planted contamination exactly") {
+    val docs = Tables.documents(spark, sf)
+    val planted = docs.filter(col("doc_id") % 9 === 0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val light = docs.filter(col("doc_id") % 9 === 4)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = PipelineOps.q_code_detect(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val src = r.getString(0)
+      // no false positives, no misses: the ≥100‰ gate recovers the
+      // replaced docs exactly, and the one-statement appends stay
+      // strictly below it (min n_chars 44 ⇒ ≤ 2000/51 ≈ 39‰)
+      assert(r.getLong(2) == planted.getOrElse(src, 0L),
+        s"$src n_code ${r.getLong(2)} != planted ${planted.getOrElse(src, 0L)}")
+      assert(r.getLong(4) == light.getOrElse(src, 0L),
+        s"$src n_light ${r.getLong(4)} != planted ${light.getOrElse(src, 0L)}")
+      assert(r.getLong(6) >= 100, "max density must cover a code doc")
+    }
+  }
+
+  test("anchor_text: link mass conserved, consensus bounded") {
+    val out = PipelineOps.q_anchor_text(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (inl, na, topN) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(topN >= 1 && topN <= inl, s"${r.getString(0)} top vs inlinks")
+      assert(na >= 1 && na <= inl, s"${r.getString(0)} anchors vs inlinks")
+      assert(r.getString(3).nonEmpty, "top anchor text present")
+    }
+    // every planted link is attributed to exactly one target
+    val totalPlanted = Tables.documents(spark, sf)
+      .select(sum(col("doc_id") % 3 + 1)).collect()(0).getLong(0)
+    assert(out.map(_.getLong(1)).sum == totalPlanted,
+      "sum of in-links must equal the planted link count")
+  }
 }

@@ -87,7 +87,13 @@ class PlanGuardSpec extends SparkSpecBase {
     // round 15: q_quality_calib crosses the broadcast 1-row totals
     // aggregate (n_test, n_pos, sq_all) against the ≤10-row bin
     // table — the q_mixture_weights shape
-    "q_quality_calib")
+    "q_quality_calib",
+    // round 16: q_psi_drift theta-self-joins the ≤|sources|-row
+    // distinct-source spine under a < b (exactly the q_ks_drift
+    // shape it shares its pair-spine construction with); the corpus
+    // collapses to ≤ sources × 20 bucket counts map-side FIRST and
+    // only ever flows through equi-joins
+    "q_psi_drift")
   // (q_ppl_bucket needs no BNLJ exemption: its scored table is
   // temp-parquet-cached, so the declared plan ranks from a file scan
   // and the 1-row model cross lives only inside the one-time build)
