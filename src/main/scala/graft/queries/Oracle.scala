@@ -174,12 +174,17 @@ object Oracle {
        |$stages""".stripMargin
   }
 
-  private def bpeSql(nMerges: Int, vocabLimit: Int): String = {
-    val chain = (1 to nMerges).foldLeft(
+  /** The wrapped-form encode chain — one `replace` per learned merge,
+    * shared by the q_bpe_encode and q_tokenizer_fertility oracles. */
+  private def bpeChain(nMerges: Int): String =
+    (1 to nMerges).foldLeft(
       "regexp_replace(w, '(?s)(.)', '(\\1)', 'g')") { (acc, i) =>
       s"replace($acc, COALESCE((SELECT pat FROM t$i), chr(1)), " +
         s"COALESCE((SELECT mrg FROM t$i), chr(1)))"
     }
+
+  private def bpeSql(nMerges: Int, vocabLimit: Int): String = {
+    val chain = bpeChain(nMerges)
     s"""${bpeStages(nMerges, vocabLimit)},
        |tok AS (SELECT source, w FROM
        |  (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -192,6 +197,22 @@ object Oracle {
        |            // SUM(nc) AS BIGINT) AS saved_permille
        |FROM enc GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** q_tokenizer_fertility's oracle: the SAME 12-merge training CTEs,
+    * the same wrapped-form encode chain, rolled up per LANG with the
+    * integer fertility permille (rule I). */
+  private def bpeFertilitySql(nMerges: Int, vocabLimit: Int): String =
+    s"""${bpeStages(nMerges, vocabLimit)},
+       |tok AS (SELECT lang, w FROM
+       |  (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |enc AS (SELECT lang, ${bpeChain(nMerges)} AS s FROM tok)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT)
+       |         AS n_bpe_tokens,
+       |       CAST(SUM(length(s) - length(replace(s, '(', ''))) * 1000
+       |            // COUNT(*) AS BIGINT) AS fertility_permille
+       |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q_bpe_vocab's oracle: the learned merge table itself, one row
     * per training stage — each t$i unwrapped back to (lhs, rhs,
@@ -669,6 +690,21 @@ object Oracle {
         |SELECT source,
         |       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
         |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) AS entropy
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    /** Character-level entropy: the q_entropy ln-identity form over
+      * the per-source character histogram (string_split on the empty
+      * delimiter = one row per char, spaces included — Spark's
+      * trailing-empty regex artifact is filtered on its side so the
+      * multisets agree). Rounded per rule F. */
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT source, unnest(string_split(text, '')) AS ch
+        |            FROM documents),
+        |c AS (SELECT source, ch, COUNT(*) AS cnt FROM ch GROUP BY source, ch)
+        |SELECT source,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_chars_total,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
         |       ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) AS entropy
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
@@ -1675,6 +1711,8 @@ object Oracle {
       * same replace chain re-encodes every token occurrence — blind
       * to the Scala side's driver loop. Generated by [[bpeSql]]. */
     "q_bpe_encode" -> bpeSql(nMerges = 12, vocabLimit = 4096),
+    "q_tokenizer_fertility" ->
+      bpeFertilitySql(nMerges = 12, vocabLimit = 4096),
 
     /** The learned merge table as first-class output (you need it to
       * APPLY the tokenizer anywhere else): the same generated
@@ -2056,6 +2094,45 @@ object Oracle {
         |       t.top_anchor_n
         |FROM roll r JOIN top t ON r.target = t.target AND t.rk = 1
         |ORDER BY r.target""".stripMargin,
+
+    /** Crawl frontier: the same did-mod-5 ledger cut and the same
+      * three-branch target synthesis (UNION ALL mirrors the Spark
+      * side's null-filtered array explode), probed by the identical
+      * LEFT JOIN against the DISTINCT ledger dim. Rule I casts. */
+    "q_crawl_frontier" ->
+      """WITH d0 AS (SELECT source, doc_id,
+        |                   doc_id % 1000000007 * 2654435761 % 97 AS did
+        |            FROM documents),
+        |led AS (SELECT DISTINCT 'site' || CAST(did AS VARCHAR)
+        |          || CASE WHEN did % 3 = 0 THEN '.com'
+        |                  WHEN did % 3 = 1 THEN '.org' ELSE '.net' END
+        |          AS domain
+        |        FROM d0 WHERE did % 5 <= 1),
+        |tg AS (SELECT source, did % 97 AS t FROM d0
+        |       UNION ALL
+        |       SELECT source, (did + 31) % 97 FROM d0 WHERE doc_id % 3 >= 1
+        |       UNION ALL
+        |       SELECT source, (did + 62) % 97 FROM d0 WHERE doc_id % 3 >= 2),
+        |tgt AS (SELECT source,
+        |          'site' || CAST(t AS VARCHAR)
+        |          || CASE WHEN t % 3 = 0 THEN '.com'
+        |                  WHEN t % 3 = 1 THEN '.org' ELSE '.net' END
+        |          AS target
+        |        FROM tg),
+        |j AS (SELECT g.source, g.target, l.domain
+        |      FROM tgt g LEFT JOIN led l ON g.target = l.domain)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_links,
+        |       CAST(COUNT(DISTINCT target) AS BIGINT) AS n_targets,
+        |       CAST(SUM(CASE WHEN domain IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_covered_links,
+        |       CAST(SUM(CASE WHEN domain IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_frontier_links,
+        |       CAST(COUNT(DISTINCT CASE WHEN domain IS NULL THEN target END)
+        |            AS BIGINT) AS n_frontier_domains,
+        |       CAST(SUM(CASE WHEN domain IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+        |         AS frontier_permille
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     /** Snapshot edit magnitude: the same changed-doc predicate and
       * appended edit, the gram sets re-derived by explode + DISTINCT

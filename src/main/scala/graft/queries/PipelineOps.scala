@@ -537,6 +537,60 @@ object PipelineOps {
       .orderBy("target")
   }
 
+  /** Crawl-frontier accounting per source (round 16) — the
+    * scheduling decision [[q_html_links]]' outlink counts feed: of
+    * the domains a source links to, which are ALREADY in the crawl
+    * ledger and which are FRONTIER (never fetched — the expansion
+    * budget)? The ledger is a deterministic SCALE-STABLE subset of
+    * the domain space — hosts whose hash satisfies did mod 5 ≤ 1
+    * (~40% fetched at ANY corpus size; a doc-membership cut would
+    * saturate to full coverage as the corpus grows and the frontier
+    * would vanish, the degenerate case measured and rejected) — and
+    * the probe is the canonical frontier shape: outlink targets
+    * LEFT-join the ≤ 97-row distinct ledger dim, unmatched =
+    * frontier. Per source: links,
+    * distinct target domains, ledger-covered vs frontier link counts,
+    * integer frontier permille, and distinct frontier domains (the
+    * number of NEW hosts this source alone would add to the queue).
+    *
+    * Scale shape: link synthesis row-local; the ledger collapses to
+    * a ≤ |domains|-row broadcast dim (at 100 TB: the crawl-state
+    * table, bloom- or broadcast-probed exactly like this); ONE
+    * rollup whose distincts shuffle composite keys once. All-integer
+    * (rule I), source unique (rule O); oracle mirrors ledger and
+    * probe in SQL. */
+  def q_crawl_frontier(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id") % 1000000007L * 2654435761L % 97L
+    def dom(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(lit("site"), c.cast("string"),
+        when(c % 3 === 0, lit(".com"))
+          .when(c % 3 === 1, lit(".org"))
+          .otherwise(lit(".net")))
+    val docs = Tables.documents(s, d)
+    val ledger = docs.filter(did % 5 <= 1)
+      .select(dom(did).as("domain")).distinct()
+      .withColumn("covered", lit(1L))
+    val targets = docs
+      .select(col("source"), col("doc_id"),
+              explode(array((0 to 2).map(j =>
+                when(col("doc_id") % 3 >= j, dom((did + j * 31L) % 97L))): _*))
+                .as("target"))
+      .filter(col("target").isNotNull)
+    targets
+      .join(broadcast(ledger), targets("target") === ledger("domain"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_links"),
+           countDistinct(col("target")).as("n_targets"),
+           sum(coalesce(col("covered"), lit(0L))).as("n_covered_links"),
+           sum(when(col("covered").isNull, 1L).otherwise(0L))
+             .as("n_frontier_links"),
+           countDistinct(when(col("covered").isNull, col("target")))
+             .as("n_frontier_domains"))
+      .withColumn("frontier_permille",
+                  expr("n_frontier_links * 1000 div n_links"))
+      .orderBy("source")
+  }
+
   /** URL canonicalization accounting (round 15) — the
     * [[q_unicode_norm]] of the URL family: URL-level dedup and the
     * [[q_domain_caps]] accounting are only as good as the canonical
@@ -1972,6 +2026,39 @@ object PipelineOps {
       .withColumn("saved_permille",
                   expr("(n_char_syms - n_bpe_tokens) * 1000L div n_char_syms"))
       .orderBy("source")
+  }
+
+  /** Tokenizer fertility per language (round 16) — the multilingual
+    * tokenizer-EQUITY metric every production tokenizer report
+    * carries next to [[q_bpe_encode]]'s per-source compression:
+    * fertility = BPE tokens per word, and a language whose fertility
+    * runs high pays proportionally more compute and context window
+    * per word of content (the standard argument for vocabulary
+    * rebalancing). Same shared 12-merge table (trained once per
+    * (session, sfDir) — the [[bpeMerges]] cache), same row-local
+    * leftmost-greedy encode; the rollup keys on LANG instead of
+    * source and reports word count, BPE token count, and integer
+    * fertility permille (1000 = one token per word; rule I).
+    *
+    * Scale shape: learning is the bounded model-scalar pattern;
+    * encode is zero-shuffle row-local; ONE map-side-combinable
+    * ≤ |langs|-row rollup. The oracle re-trains the same 12 merges
+    * in chained SQL CTEs and re-encodes, blind to the Scala
+    * learner. */
+  def q_tokenizer_fertility(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges(s, d)
+    Tables.documents(s, d)
+      .select(col("lang"), explode(toks).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("lang"),
+              graft.Graft.bpeTokenCount(
+                graft.Graft.bpeEncode(col("w"), merges)).as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+           sum("nt").as("n_bpe_tokens"))
+      .withColumn("fertility_permille",
+                  expr("n_bpe_tokens * 1000 div n_words"))
+      .orderBy("lang")
   }
 
   /** Unicode-normalization accounting per source (round 11) — the

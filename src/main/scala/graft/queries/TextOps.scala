@@ -225,6 +225,34 @@ object TextOps {
               round(col("entropy"), 6).as("entropy"))
       .orderBy("source")
 
+  /** Character-level Shannon entropy per source (round 16) — the
+    * CODEC-layer diversity signal next to [[q_entropy]]'s token-level
+    * one: token entropy collapses when the VOCABULARY is templated,
+    * character entropy collapses when the BYTE STREAM is (mojibake,
+    * base64 blobs, single-char padding, wrong-encoding runs), so a
+    * crawl dashboard monitors both — character-distribution shift is
+    * the cheapest encoding-regression alarm there is. Same
+    * [[graft.Graft.groupEntropy]] ln-identity form over the per-source
+    * character histogram (spaces included — separator density IS part
+    * of the stream's profile), rounded per rule F. Spark's regex
+    * split('') emits one trailing empty string (Java split limit -1);
+    * it is filtered explicitly so both engines see the same multiset.
+    *
+    * Scale shape: the char explode is linear and row-local; both
+    * aggregates are map-side-combinable and the (source, char) grid
+    * is ≤ sources × |alphabet| rows — metadata-scale at any corpus
+    * size. */
+  def q_char_entropy(s: SparkSession, d: String): DataFrame =
+    graft.Graft.groupEntropy(
+        Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= ""),
+        Seq("source"), col("ch"))
+      .select(col("source"), col("n_items").as("n_chars_total"),
+              col("n_distinct").as("n_distinct_chars"),
+              round(col("entropy"), 6).as("entropy"))
+      .orderBy("source")
+
   /** Zipf's-law fit of the token frequency distribution (added
     * round 8): one row — type/token counts plus the slope and r² of
     * ln(count) vs ln(rank) — the corpus-health metric (natural text
