@@ -174,6 +174,39 @@ object Oracle {
        |$stages""".stripMargin
   }
 
+  /** The five urlCanonicalize passes as chained CTEs c0..c4 over a
+    * prior CTE `m` carrying (<carry cols>, url); c4 exposes the carry
+    * columns plus url and canon. ONE definition site for the SQL twin
+    * of `Graft.urlCanonicalize` — the q_url_canon and q_dedup_url
+    * oracles both chain through it, so an algorithm change can never
+    * drift between them. */
+  private def urlCanonCtes(carry: String): String =
+    s"""c0 AS (SELECT $carry, url,
+       |              regexp_extract(url, '^[a-zA-Z]+://[^/:?]*', 0) AS pre
+       |       FROM m),
+       |c1 AS (SELECT $carry, url, pre,
+       |              substr(url, length(pre) + 1) AS rest FROM c0),
+       |c2 AS (SELECT $carry, url,
+       |              lower(pre) ||
+       |              CASE WHEN lower(pre) LIKE 'https://%'
+       |                    AND regexp_matches(rest, '^:443(/|\\?|\\z)')
+       |                   THEN substr(rest, 5) ELSE rest END AS folded
+       |       FROM c1),
+       |c3 AS (SELECT $carry, url,
+       |              regexp_replace(regexp_replace(regexp_replace(folded,
+       |                '&utm_[a-z_]+=[^&]*', '', 'g'),
+       |                '\\?utm_[a-z_]+=[^&]*&', '?', 'g'),
+       |                '\\?utm_[a-z_]+=[^&]*\\z', '', 'g') AS nu
+       |       FROM c2),
+       |c4 AS (SELECT $carry, url,
+       |              regexp_replace(regexp_extract(nu, '^[^?]*', 0),
+       |                             '/\\z', '', 'g') ||
+       |              substr(nu, length(regexp_extract(nu, '^[^?]*', 0)) + 1)
+       |                AS canon
+       |       FROM c3)""".stripMargin
+  // NOTE: no line in this helper may BEGIN with '||' — the caller's
+  // outer .stripMargin would strip one pipe from it (double-strip).
+
   /** The wrapped-form encode chain — one `replace` per learned merge,
     * shared by the q_bpe_encode and q_tokenizer_fertility oracles. */
   private def bpeChain(nMerges: Int): String =
@@ -1528,7 +1561,7 @@ object Oracle {
       * end-of-string (round-15 ADVICE: Java `$` also matches before
       * a final newline; `\z` is absolute end in both engines). */
     "q_url_canon" ->
-      """WITH d0 AS (SELECT source, doc_id,
+      s"""WITH d0 AS (SELECT source, doc_id,
         |                   doc_id % 1000000007 * 2654435761 % 97 AS did
         |            FROM documents),
         |u AS (SELECT source, doc_id,
@@ -1549,29 +1582,7 @@ object Oracle {
         |  host || '/doc/' || CAST(doc_id % 1000000007 AS VARCHAR)
         |  || CASE WHEN doc_id % 11 = 0 THEN '?ref=kept' ELSE '' END AS want
         |  FROM u),
-        |c0 AS (SELECT source, url, want,
-        |              regexp_extract(url, '^[a-zA-Z]+://[^/:?]*', 0) AS pre
-        |       FROM m),
-        |c1 AS (SELECT source, url, want, pre,
-        |              substr(url, length(pre) + 1) AS rest FROM c0),
-        |c2 AS (SELECT source, url, want,
-        |              lower(pre) ||
-        |              CASE WHEN lower(pre) LIKE 'https://%'
-        |                    AND regexp_matches(rest, '^:443(/|\?|\z)')
-        |                   THEN substr(rest, 5) ELSE rest END AS folded
-        |       FROM c1),
-        |c3 AS (SELECT source, url, want,
-        |              regexp_replace(regexp_replace(regexp_replace(folded,
-        |                '&utm_[a-z_]+=[^&]*', '', 'g'),
-        |                '\?utm_[a-z_]+=[^&]*&', '?', 'g'),
-        |                '\?utm_[a-z_]+=[^&]*\z', '', 'g') AS nu
-        |       FROM c2),
-        |c4 AS (SELECT source, url, want,
-        |              regexp_replace(regexp_extract(nu, '^[^?]*', 0),
-        |                             '/\z', '', 'g')
-        |              || substr(nu, length(regexp_extract(nu, '^[^?]*', 0)) + 1)
-        |                AS canon
-        |       FROM c3)
+        |${urlCanonCtes("source, want")}
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(CASE WHEN url <> canon THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_changed,
@@ -1582,6 +1593,39 @@ object Oracle {
         |       CAST(SUM(CASE WHEN url <> canon THEN 1 ELSE 0 END) AS BIGINT)
         |         * 1000 // CAST(COUNT(*) AS BIGINT) AS changed_permille
         |FROM c4 GROUP BY source ORDER BY source""".stripMargin,
+
+    /** URL dedup: the page-key synthesis (host/path from pk so group
+      * members share the canonical form; casing/port/slash/utm from
+      * each doc_id — only removable variation), canonicalized through
+      * the SAME shared urlCanonCtes chain as q_url_canon, then
+      * keep-min-doc_id per canonical key re-derived in SQL. Rule I
+      * casts. */
+    "q_dedup_url" ->
+      s"""WITH m AS (SELECT source, doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN upper(host) ELSE host END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+        |  || '/page/' || CAST(pk AS VARCHAR)
+        |  || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+        |  || CASE WHEN doc_id % 2 = 0
+        |          THEN '?utm_source=feed&utm_campaign=x' ELSE '' END AS url
+        |  FROM (SELECT source, doc_id, pk,
+        |          'https://site' || CAST(did AS VARCHAR)
+        |          || CASE WHEN did % 3 = 0 THEN '.com'
+        |                  WHEN did % 3 = 1 THEN '.org' ELSE '.net' END AS host
+        |        FROM (SELECT source, doc_id, doc_id % 127 AS pk,
+        |                     doc_id % 127 * 2654435761 % 97 AS did
+        |              FROM documents))),
+        |${urlCanonCtes("source, doc_id")},
+        |g AS (SELECT canon, MIN(doc_id) AS keep_id FROM c4 GROUP BY canon),
+        |k AS (SELECT c.source,
+        |             CASE WHEN c.doc_id = g.keep_id THEN 1 ELSE 0 END AS kept
+        |      FROM c4 c JOIN g USING (canon))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |       CAST(SUM(1 - kept) AS BIGINT) AS n_dropped,
+        |       CAST(SUM(1 - kept) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+        |         AS drop_permille
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     /** Encoding-damage audit: the same three deterministic damage
       * injections and the same three stated-order repair passes —

@@ -642,6 +642,60 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Canonical-URL dedup accounting (round 16) — the operation
+    * [[q_url_canon]]'s key exists FOR: the same page crawled behind
+    * a cased host, an explicit :443, a trailing slash and utm_*
+    * params must collapse to ONE kept fetch. Synthesis: a PAGE key
+    * pk = doc_id mod 127 (so canonical groups genuinely span docs —
+    * and grow with corpus size, exactly as recrawl groups do), host
+    * and path derived from pk so every member of a group shares the
+    * canonical form, and each DOC's messy variant switches casing /
+    * port / slash / utm independently off its own doc_id mods — only
+    * canonicalization-REMOVABLE variation, by construction (a
+    * surviving param like q_url_canon's `ref` would split the
+    * group). Dedup = keep the min doc_id per canonical key (the
+    * q_dedup_exact convention); per source: docs, kept, dropped,
+    * integer drop permille.
+    *
+    * Scale shape: canonicalization row-local; ONE canon-keyed
+    * map-side-combinable (min, count is not even needed — min only)
+    * aggregate + one equi-join back on the canonical key — exactly
+    * how URL-level dedup runs over a 100 TB crawl (the canonical key
+    * is the shuffle key; page text never moves); final rollup
+    * metadata-scale. Oracle re-canonicalizes through the SAME
+    * five-pass CTE chain the q_url_canon oracle uses (one shared
+    * definition site, `Oracle.urlCanonCtes`) and re-derives keep-min
+    * in SQL. All-integer (rule I), source unique (rule O). */
+  def q_dedup_url(s: SparkSession, d: String): DataFrame = {
+    val pk = col("doc_id") % 127L
+    val did = pk * 2654435761L % 97L
+    val host = concat(lit("https://site"), did.cast("string"),
+      when(did % 3 === 0, lit(".com"))
+        .when(did % 3 === 1, lit(".org"))
+        .otherwise(lit(".net")))
+    val cased = when(col("doc_id") % 3 === 0, upper(host)).otherwise(host)
+    val port = when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit(""))
+    val path = concat(lit("/page/"), pk.cast("string"))
+    val slash = when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit(""))
+    val qs = when(col("doc_id") % 2 === 0,
+                  lit("?utm_source=feed&utm_campaign=x")).otherwise(lit(""))
+    val url = concat(cased, port, path, slash, qs)
+    val canon = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+              graft.Graft.urlCanonicalize(url).as("canon"))
+    val keep = canon.groupBy("canon").agg(min(col("doc_id")).as("keep_id"))
+    canon.join(keep, "canon")
+      .select(col("source"),
+              when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)
+                .as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("kept")).as("n_kept"),
+           sum(lit(1L) - col("kept")).as("n_dropped"))
+      .withColumn("drop_permille", expr("n_dropped * 1000 div n_docs"))
+      .orderBy("source")
+  }
+
   /** Deterministic source-interleaved curriculum order (round 11) —
     * the layout stage between sampling and packing:
     * [[graft.Graft.interleaveBySource]] on documents (seed
