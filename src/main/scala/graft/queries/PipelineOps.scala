@@ -657,15 +657,21 @@ object PipelineOps {
     * q_dedup_exact convention); per source: docs, kept, dropped,
     * integer drop permille.
     *
-    * Scale shape: canonicalization row-local; ONE canon-keyed
-    * map-side-combinable (min, count is not even needed — min only)
-    * aggregate + one equi-join back on the canonical key — exactly
-    * how URL-level dedup runs over a 100 TB crawl (the canonical key
-    * is the shuffle key; page text never moves); final rollup
-    * metadata-scale. Oracle re-canonicalizes through the SAME
-    * five-pass CTE chain the q_url_canon oracle uses (one shared
-    * definition site, `Oracle.urlCanonCtes`) and re-derives keep-min
-    * in SQL. All-integer (rule I), source unique (rule O). */
+    * Scale shape: canonicalization row-local, computed at ONE plan
+    * site — the messy url projects to a named attribute first (a
+    * CollapseProject barrier: the five-pass chain references it many
+    * times and non-cheap expressions don't inline into multi-
+    * reference consumers) and keep-min runs as a canon-partitioned
+    * window over that attribute instead of a groupBy + self-join
+    * (the join form re-planned the full canonicalization tree on
+    * BOTH branches and paid ~4 s of driver-side analysis/codegen at
+    * ANY data size — measured, execution itself was 0.2 s); one
+    * canon-keyed exchange, page text never moves — exactly how URL
+    * dedup runs over a 100 TB crawl; final rollup metadata-scale.
+    * Oracle re-canonicalizes through the SAME five-pass CTE chain
+    * the q_url_canon oracle uses (one shared definition site,
+    * `Oracle.urlCanonCtes`) and re-derives keep-min in SQL.
+    * All-integer (rule I), source unique (rule O). */
   def q_dedup_url(s: SparkSession, d: String): DataFrame = {
     val pk = col("doc_id") % 127L
     val did = pk * 2654435761L % 97L
@@ -680,11 +686,12 @@ object PipelineOps {
     val qs = when(col("doc_id") % 2 === 0,
                   lit("?utm_source=feed&utm_campaign=x")).otherwise(lit(""))
     val url = concat(cased, port, path, slash, qs)
-    val canon = Tables.documents(s, d)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), url.as("url"))
       .select(col("source"), col("doc_id"),
-              graft.Graft.urlCanonicalize(url).as("canon"))
-    val keep = canon.groupBy("canon").agg(min(col("doc_id")).as("keep_id"))
-    canon.join(keep, "canon")
+              graft.Graft.urlCanonicalize(col("url")).as("canon"))
+      .withColumn("keep_id",
+                  min(col("doc_id")).over(Window.partitionBy("canon")))
       .select(col("source"),
               when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)
                 .as("kept"))
