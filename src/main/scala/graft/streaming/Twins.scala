@@ -157,6 +157,37 @@ object Twins {
         graft.functions.TokenNGrams.ngrams(t, 3))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("gdf"))
   }
+
+  /** Streaming face of q_phrase_search's positional probe (round
+    * 16) — the "standing index artifact" claim made live: when the
+    * probe phrase is a known constant (as in deployment — the batch
+    * query self-derives it only for determinism), per-doc adjacency
+    * hits are ROW-LOCAL (a zip-with-shift over the token array; no
+    * postings join at all), and the per-source rollup is a pair of
+    * mergeable SUMs — so a plain streaming aggregation maintains
+    * (source, n_docs, n_hits) incrementally across micro-batches,
+    * combining map-side within every batch before touching the
+    * state store. After full arrival the state equals the batch
+    * [[graft.queries.PipelineOps.q_phrase_search]] output for that
+    * phrase under ANY batch split (each doc arrives exactly once, so
+    * the hits>0 indicator sums to the distinct-doc count) — asserted
+    * exactly in StreamingTwinSpec. Zero-hit sources emit no row, the
+    * batch contract. */
+  def phraseHits(spark: SparkSession, sfDir: String,
+                 w1: String, w2: String): DataFrame = {
+    val schema = Tables.documents(spark, sfDir).schema
+    val t = split(col("text"), " ")
+    val h = size(filter(
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+               (a, b) => a === lit(w1) && b === lit(w2)),
+      x => x)).cast("long")
+    spark.readStream.schema(schema).parquet(s"$sfDir/documents.parquet*")
+      .select(col("source"), h.as("h"))
+      .groupBy("source")
+      .agg(sum(when(col("h") > 0, 1L).otherwise(0L)).as("n_docs"),
+           sum(col("h")).as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
 }
 
 /** Streaming face of [[graft.Graft.zscoreOutliers]] (q_anomaly): an

@@ -389,6 +389,22 @@ class StreamingTwinSpec extends SparkSpecBase {
            mono.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("streaming phrase-hit maintenance equals the batch positional probe") {
+    // round 16: the phrase query's scaladoc claims the postings table
+    // is "the standing index artifact and this query is its probe
+    // path" — this is that claim live: with the probe phrase fixed
+    // (deployment constant), per-doc hits are row-local and the
+    // rollup is mergeable sums, so the streaming aggregation's state
+    // after full arrival must equal the batch output exactly.
+    val batch = graft.queries.PipelineOps.q_phrase_search(spark, sf)
+    val row = batch.limit(1).collect()(0)
+    val (w1, w2) = (row.getString(1), row.getString(2))
+    val got = runToTable(Twins.phraseHits(spark, sf, w1, w2), "t_phrase")
+    val want = batch.select("source", "n_docs", "n_hits")
+    assert(want.count() > 0, "vacuous: the probe phrase hits nothing")
+    assert(diff(got, want) == 0)
+  }
+
   test("streaming gram-df maintenance equals the batch table (mergeable stats online)") {
     import org.apache.spark.sql.functions._
     // df is a sum, so the streaming aggregation's state after full
