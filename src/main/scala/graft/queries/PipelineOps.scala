@@ -439,12 +439,26 @@ object PipelineOps {
     * two distincts (doc_id, target domain) shuffle composite keys
     * once — no pair expansion anywhere. All-integer (rule I),
     * source unique (rule O). */
-  def q_html_links(s: SparkSession, d: String): DataFrame = {
-    val did = col("doc_id") % 1000000007L * 2654435761L % 97L
-    def dom(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(lit("site"), c.cast("string"),
+  /** The deterministic link-domain synthesis every host-graph query
+    * keys on (q_html_links / q_anchor_text / q_crawl_frontier /
+    * q_url_canon / q_domain_caps): [[linkDid]] hashes doc_id into the
+    * 97-host space, [[siteDomain]] renders a host id as
+    * site<N>.<tld>. ONE Spark-side definition site so the five
+    * consumers can never drift apart (their oracles re-state it in
+    * SQL by design — the synthesized-damage convention). */
+  private def linkDid: org.apache.spark.sql.Column =
+    col("doc_id") % 1000000007L * 2654435761L % 97L
+
+  private def siteDomain(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("site"), c.cast("string"),
       when(c % 3 === 0, lit(".com"))
         .when(c % 3 === 1, lit(".org"))
         .otherwise(lit(".net")))
+
+  def q_html_links(s: SparkSession, d: String): DataFrame = {
+    val did = linkDid
+    def dom(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      siteDomain(c)
     def linkJ(j: Int): org.apache.spark.sql.Column = {
       val t = (did + j * 31L) % 97L
       when(col("doc_id") % 3 >= j,
@@ -500,16 +514,11 @@ object PipelineOps {
     * Oracle re-synthesizes and re-extracts in SQL, blind to the
     * Spark expressions. */
   def q_anchor_text(s: SparkSession, d: String): DataFrame = {
-    val did = col("doc_id") % 1000000007L * 2654435761L % 97L
-    def dom(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      concat(lit("site"), c.cast("string"),
-        when(c % 3 === 0, lit(".com"))
-          .when(c % 3 === 1, lit(".org"))
-          .otherwise(lit(".net")))
+    val did = linkDid
     val w0 = substring_index(col("text"), " ", 1)
     def linkJ(j: Int): org.apache.spark.sql.Column =
       when(col("doc_id") % 3 >= j,
-        concat(lit("<a href=\"https://"), dom((did + j * 31L) % 97L),
+        concat(lit("<a href=\"https://"), siteDomain((did + j * 31L) % 97L),
                lit("/\">"), w0, lit("</a>")))
         .otherwise(lit(""))
     val html = concat(lit("<p>"), col("text"), lit("</p>"),
@@ -560,20 +569,16 @@ object PipelineOps {
     * (rule I), source unique (rule O); oracle mirrors ledger and
     * probe in SQL. */
   def q_crawl_frontier(s: SparkSession, d: String): DataFrame = {
-    val did = col("doc_id") % 1000000007L * 2654435761L % 97L
-    def dom(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      concat(lit("site"), c.cast("string"),
-        when(c % 3 === 0, lit(".com"))
-          .when(c % 3 === 1, lit(".org"))
-          .otherwise(lit(".net")))
+    val did = linkDid
     val docs = Tables.documents(s, d)
     val ledger = docs.filter(did % 5 <= 1)
-      .select(dom(did).as("domain")).distinct()
+      .select(siteDomain(did).as("domain")).distinct()
       .withColumn("covered", lit(1L))
     val targets = docs
       .select(col("source"), col("doc_id"),
               explode(array((0 to 2).map(j =>
-                when(col("doc_id") % 3 >= j, dom((did + j * 31L) % 97L))): _*))
+                when(col("doc_id") % 3 >= j,
+                     siteDomain((did + j * 31L) % 97L))): _*))
                 .as("target"))
       .filter(col("target").isNotNull)
     targets
@@ -608,11 +613,8 @@ object PipelineOps {
     * + the same five passes in DuckDB (RE2-compatible patterns, no
     * capture-group replacement — the piiSignals stance). */
   def q_url_canon(s: SparkSession, d: String): DataFrame = {
-    val did = col("doc_id") % 1000000007L * 2654435761L % 97L
-    val host = concat(lit("https://site"), did.cast("string"),
-      when(did % 3 === 0, lit(".com"))
-        .when(did % 3 === 1, lit(".org"))
-        .otherwise(lit(".net")))
+    val did = linkDid
+    val host = concat(lit("https://"), siteDomain(did))
     val cased = when(col("doc_id") % 3 === 0, upper(host)).otherwise(host)
     val port = when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit(""))
     val path = concat(lit("/doc/"),
@@ -754,11 +756,8 @@ object PipelineOps {
     * metadata-scale rollup. domain unique (rule O), all-integer
     * (rule I), div floors (rule F). */
   def q_domain_caps(s: SparkSession, d: String): DataFrame = {
-    val did = col("doc_id") % 1000000007L * 2654435761L % 97L
-    val domain = concat(lit("site"), did.cast("string"),
-      when(did % 3 === 0, lit(".com"))
-        .when(did % 3 === 1, lit(".org"))
-        .otherwise(lit(".net")))
+    val did = linkDid
+    val domain = siteDomain(did)
     val ranked = Tables.documents(s, d)
       .select(domain.as("domain"),
               (did % 13 === 0).cast("long").as("blocked"),

@@ -789,6 +789,22 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_url: kept docs equal distinct canonical pages exactly") {
+    val out = PipelineOps.q_dedup_url(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"${r.getString(0)}: kept+dropped != docs")
+    }
+    // keep-min keeps exactly one doc per canonical key, so the kept
+    // total across sources must equal the number of distinct page
+    // keys present (doc_id mod 127 over the live ids)
+    val pages = Tables.documents(spark, sf)
+      .select((col("doc_id") % 127).as("pk")).distinct().count()
+    assert(out.map(_.getLong(2)).sum == pages,
+      s"kept ${out.map(_.getLong(2)).sum} != distinct pages $pages")
+  }
+
   test("anchor_text: link mass conserved, consensus bounded") {
     val out = PipelineOps.q_anchor_text(spark, sf).collect()
     assert(out.nonEmpty)
