@@ -457,12 +457,10 @@ object PipelineOps {
 
   def q_html_links(s: SparkSession, d: String): DataFrame = {
     val did = linkDid
-    def dom(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      siteDomain(c)
     def linkJ(j: Int): org.apache.spark.sql.Column = {
       val t = (did + j * 31L) % 97L
       when(col("doc_id") % 3 >= j,
-        concat(lit("<a href=\"https://"), dom(t), lit("/doc/"),
+        concat(lit("<a href=\"https://"), siteDomain(t), lit("/doc/"),
                (col("doc_id") % 1000000007L * 13L + j).cast("string"),
                lit("\">l" + j + "</a>")))
         .otherwise(lit(""))
@@ -470,7 +468,7 @@ object PipelineOps {
     val html = concat(lit("<p>"), col("text"), lit("</p>"),
                       linkJ(0), linkJ(1), linkJ(2))
     Tables.documents(s, d)
-      .select(col("source"), col("doc_id"), dom(did).as("own"),
+      .select(col("source"), col("doc_id"), siteDomain(did).as("own"),
               html.as("html"))
       .select(col("source"), col("doc_id"), col("own"),
               explode(expr("""regexp_extract_all(html, 'href="([^"]+)"', 1)"""))
@@ -509,7 +507,10 @@ object PipelineOps {
     * map-side-combinable aggregate collapsing the corpus to ≤
     * domains × first-token-vocab rows; the consensus window
     * partitions those metadata-scale rows by target — never the
-    * corpus. At 100 TB this is exactly the anchor-index build:
+    * corpus — and the rollup folds the rank-1 row in via conditional
+    * aggregates, ONE pass over the counts (no self-join: the
+    * q_dedup_url double-planning lesson). At 100 TB this is exactly
+    * the anchor-index build:
     * payloads never shuffle, only (target, anchor, count) triples.
     * Oracle re-synthesizes and re-extracts in SQL, blind to the
     * Spark expressions. */
@@ -531,18 +532,14 @@ object PipelineOps {
       .select(regexp_extract(col("el"), "https://([^/]+)/", 1).as("target"),
               regexp_extract(col("el"), ">([^<]*)<", 1).as("anchor"))
       .groupBy("target", "anchor").agg(count(lit(1)).as("n"))
-    val top = counts
+    counts
       .withColumn("rk", row_number().over(
         Window.partitionBy("target").orderBy(col("n").desc, col("anchor").asc)))
-      .filter(col("rk") === 1)
-      .select(col("target"), col("anchor").as("top_anchor"),
-              col("n").as("top_anchor_n"))
-    counts.groupBy("target")
+      .groupBy("target")
       .agg(sum(col("n")).as("n_inlinks"),
-           countDistinct(col("anchor")).as("n_anchors"))
-      .join(top, "target")
-      .select(col("target"), col("n_inlinks"), col("n_anchors"),
-              col("top_anchor"), col("top_anchor_n"))
+           countDistinct(col("anchor")).as("n_anchors"),
+           max(when(col("rk") === 1, col("anchor"))).as("top_anchor"),
+           max(when(col("rk") === 1, col("n"))).as("top_anchor_n"))
       .orderBy("target")
   }
 
@@ -677,10 +674,7 @@ object PipelineOps {
   def q_dedup_url(s: SparkSession, d: String): DataFrame = {
     val pk = col("doc_id") % 127L
     val did = pk * 2654435761L % 97L
-    val host = concat(lit("https://site"), did.cast("string"),
-      when(did % 3 === 0, lit(".com"))
-        .when(did % 3 === 1, lit(".org"))
-        .otherwise(lit(".net")))
+    val host = concat(lit("https://"), siteDomain(did))
     val cased = when(col("doc_id") % 3 === 0, upper(host)).otherwise(host)
     val port = when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit(""))
     val path = concat(lit("/page/"), pk.cast("string"))
