@@ -4705,8 +4705,14 @@ object Graft {
     * affinity, ties to the smallest cell id — the same tie rule as a
     * min_by aggregate, with zero shuffle. NULL on an empty centroid
     * set or NULL vector. */
-  private def bestCell(v: Column): Column =
-    array_min(transform(col("__cents"),
+  private def bestCell(v: Column): Column = bestCellIn(v, col("__cents"))
+
+  /** [[bestCell]] against an arbitrary centroid-array column — the
+    * shared argmax-dot kernel for both the broadcast-scalar form
+    * (query-time assignment) and the literal-embedded form (the
+    * training loop, where the k-row model lives on the driver). */
+  private def bestCellIn(v: Column, cents: Column): Column =
+    array_min(transform(cents,
       c => struct(negate(functions.GraftFunctions.dot(v, c.getField("cv"))).as("na"),
                   c.getField("cell").as("cell")))).getField("cell")
 
@@ -4837,10 +4843,12 @@ object Graft {
     * once). Initialization is Forgy on an opaque id hash (the k
     * vectors with the smallest xxhash64(id) — deterministic,
     * label-free); each of the `iters` Lloyd iterations is then ONE
-    * map-side-combinable shuffle: assignment is row-local argmax-dot
-    * against the broadcast centroid-array scalar ([[bestCell]] — no
-    * per-vector aggregate), recomputation a single
-    * `groupBy(cell).agg(`[[VecSum]]`)` element-wise mean.
+    * map-side-combinable job over the once-checkpointed training set:
+    * assignment is row-local argmax-dot against the LITERAL-embedded
+    * k-row model ([[bestCellIn]] — the model is bounded driver state,
+    * collected per round like logisticTrain's gradients, so no
+    * broadcast exchange and no per-round plan growth), recomputation a
+    * single `groupBy(cell).agg(`[[VecSum]]`)` element-wise mean.
     * `sampleFraction` < 1 trains on a DETERMINISTIC id-hash sample —
     * the at-100 TB posture, where centroid quality needs only a
     * sample but assignment stays a single map-side pass over
@@ -4854,27 +4862,52 @@ object Graft {
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val base = vecs.select(xxhash64(id).as("__h"), vec.as("__v"))
       .filter(col("__v").isNotNull)
-    val train = if (sampleFraction < 1.0)
+    val raw = if (sampleFraction < 1.0)
       base.filter(pmod(col("__h"), lit(1000000L)) <
         math.round(sampleFraction * 1000000).toLong)
     else base
-    var centroids = train.orderBy("__h").limit(k)
+    // plan-cut the training set ONCE before the loop (the
+    // topPrincipalComponent posture: one materialization for iters+1
+    // passes). Without it every Lloyd round's plan embeds the caller's
+    // full source subtree — and because each round also referenced the
+    // previous round's centroids through a broadcast, the rounds
+    // NESTED: round i's analysis re-optimized rounds 1..i-1's trees
+    // inside its broadcast subplan, the driver-side many-small-jobs
+    // amplification the CC loop graduated from (round-16 verdict #1;
+    // BENCH_r16 semivf_model_full 6.47 s SELF for a 16×64-double
+    // model). MEMORY_AND_DISK blocks, so an un-sampled train spills
+    // rather than OOMs; at real scale `sampleFraction` keeps this
+    // bounded — centroid quality needs only a sample.
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val train = if (iters > 0) raw.localCheckpoint() else raw
+    // The model is BOUNDED DRIVER STATE (k rows × dim doubles — the
+    // logisticTrain / topPrincipalComponent model-scalar pattern), so
+    // each Lloyd round collects the k updated centroids and embeds
+    // them as a LITERAL in the next round's row-local argmax: exactly
+    // ONE map-side-combinable job per round, no broadcast exchange, no
+    // per-round plan growth. Sorted by cell id so the literal — and
+    // with it the whole training trajectory — is deterministic up to
+    // float summation order.
+    def centsLit(cents: Seq[(Long, Seq[Double])]): Column =
+      array(cents.map { case (cell, cv) =>
+        struct(lit(cell).as("cell"), typedLit(cv).as("cv")) }: _*)
+    var cents: Seq[(Long, Seq[Double])] = train.orderBy("__h").limit(k)
       .select(col("__h").as("cell"), col("__v").as("cv"))
-      .localCheckpoint()
-    for (i <- 1 to iters) {
-      centroids = train.crossJoin(broadcast(centroidArray(centroids)))
-        .select(bestCell(col("__v")).as("cell"), col("__v"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    for (_ <- 1 to iters if cents.nonEmpty) {
+      cents = train
+        .select(bestCellIn(col("__v"), centsLit(cents)).as("cell"), col("__v"))
         .groupBy("cell")
         .agg(udaf(VecSum.agg).apply(col("__v")).as("sv"), count(lit(1)).as("n"))
         .select(col("cell"), transform(col("sv"), x => x / col("n")).as("cv"))
-      // truncate lineage every few rounds and at the end; in between,
-      // iterations chain lazily — each broadcast subplan is built
-      // exactly once (executeBroadcast caches per plan), so skipping
-      // the intermediate materialization saves a job per round without
-      // recomputation
-      if (i % 4 == 0 || i == iters) centroids = centroids.localCheckpoint()
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
     }
-    centroids
+    cents.toDF("cell", "cv")
   }
 
   /** Top principal component of a vector column — MATRIX-FREE

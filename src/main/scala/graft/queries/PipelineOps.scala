@@ -917,9 +917,16 @@ object PipelineOps {
     // table once" posture — round-15: the facade used to re-run
     // Lloyd per invocation, ~40% of its warm cost; temp_builds now
     // prices train separately from assign+pair+verdict, the
-    // q_ivf_build / q_sim_ivf division of labor)
+    // q_ivf_build / q_sim_ivf division of labor). Train on the
+    // VECTOR TABLE ALONE, not the quality join: k-means never reads
+    // q, the inner join is membership-neutral (docQuality emits one
+    // row per document, tf-idf doc_ids are a subset), and a joined
+    // training input made every Lloyd pass re-parse document text
+    // through qualitySignals (round-16 verdict #1 — part of
+    // semivf_model_full's 6.47 s SELF).
     val model = graft.TempTables.cached(s, s"semivf_model_full:$d")(
-      graft.Graft.ivfTrain(all, col("doc_id"), col("vec"), k = 16, iters = 3))
+      graft.Graft.ivfTrain(TextOps.tfidfTable(s, d),
+        col("doc_id"), col("vec"), k = 16, iters = 3))
     graft.Graft.semanticDupVerdictsIvf(
         all, col("doc_id"), col("vec"), col("q"), tauPermille = 900,
         k = 16, iters = 3, centroids = Some(model))
@@ -963,8 +970,13 @@ object PipelineOps {
     val all = TextOps.tfidfTable(s, d).join(docQuality(s, d), "doc_id")
     val batch = all.filter(col("doc_id") % 10 === 0)
     val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    // model trained on the corpus-side VECTORS ONLY (the
+    // q_dedup_semantic_ivf stance: same row set — the quality join is
+    // membership-neutral — without re-running qualitySignals per
+    // Lloyd pass)
     graft.Graft.semanticDupVerdictsIvfAgainst(
-        semIvfModel(s, d, corpus),
+        semIvfModel(s, d,
+          TextOps.tfidfTable(s, d).filter(col("doc_id") % 10 =!= 0)),
         batch, col("doc_id"), col("vec"), col("q"),
         corpus, col("doc_id"), col("vec"), col("q"),
         tauPermille = 900)
