@@ -151,11 +151,17 @@ object Graft {
     * the same "write the shared intermediate" shape as the cached
     * near-dup pair graph. */
   def languageId(docs: DataFrame, id: Column, text: Column, lang: Column,
-                 topK: Int = 10): DataFrame = {
+                 topK: Int = 10,
+                 tokenCounts: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokC = docs.select(id.cast("long").as("doc_id"), lang.as("lang"),
-        explode(split(text, " ")).as("token"))
-      .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("cnt"))
+    // `tokenCounts` (round 17): a PRE-MATERIALIZED [[langTokenCounts]]
+    // table — the "materialize the (doc, lang, token, cnt) table once
+    // upstream" posture this scaladoc has always prescribed at 100 TB,
+    // now takeable at any scale. Without it the two consumers below
+    // each re-run the corpus tokenize per action.
+    val tokC = tokenCounts.getOrElse(langTokenCounts(docs, id, text, lang))
+    require(Seq("doc_id", "lang", "token", "cnt").forall(tokC.columns.contains),
+      s"tokenCounts must be a langTokenCounts table, got ${tokC.columns.mkString(",")}")
     val wTop = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
     val profiles = tokC.groupBy("lang", "token").agg(sum("cnt").as("cnt"))
       .select(col("lang").as("profile_lang"), col("token"),
@@ -179,6 +185,17 @@ object Graft {
                   struct(negate(col("overlap")), col("profile_lang"))).as("pred_lang"))
       .select("doc_id", "lang", "pred_lang")
   }
+
+  /** The per-(doc, lang, token) count table [[languageId]] consumes —
+    * one tokenize+count pass over the labeled corpus. Public so a
+    * pipeline can compute it ONCE, persist it, and hand it to every
+    * [[languageId]] call via `tokenCounts` (the facade's documented
+    * 100 TB posture made concrete). */
+  def langTokenCounts(docs: DataFrame, id: Column, text: Column,
+                      lang: Column): DataFrame =
+    docs.select(id.cast("long").as("doc_id"), lang.as("lang"),
+        explode(split(text, " ")).as("token"))
+      .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("cnt"))
 
   /** Quality-scoring signals for a whitespace-token text column with a
     * known char count: (n_tokens, avg_len_centi, stop_permille,
@@ -425,9 +442,18 @@ object Graft {
     * Output: (doc_id, source, src_pos, global_pos) — both positions
     * 1-based longs. Scale shape: per-source rank via the two-pass
     * distributed [[groupedRankDesc]] (a hot source degrades to
-    * `buckets` window partitions, never one) and the global position
-    * via [[globalRankDesc]] over (src_pos, source) — no
-    * single-partition window anywhere, no collect. */
+    * `buckets` window partitions, never one); the global position is
+    * then PURE ROW-LOCAL ARITHMETIC against the broadcast per-source
+    * count table (round 17 — it used to run a second corpus-scale
+    * two-pass rank over (src_pos, source) plus a corpus-scale
+    * re-attach join, ~40 document scans / 100 exchanges in the
+    * composed plan): in the (src_pos ASC, source ASC) total order the
+    * rows before (p, s) are exactly Σ_s' min(c_s', p−1) rows with a
+    * smaller position plus the sources s' < s with c_s' ≥ p holding
+    * row p — a fold over the ≤|sources|-entry count array. No
+    * single-partition window anywhere, no collect; |sources| is
+    * metadata-scale by the mixture contract ([[mixtureWeights]]'
+    * stance). */
   def interleaveBySource(df: DataFrame, id: Column, source: Column,
                          seed: Long): DataFrame = {
     val keyed = df.select(id.cast("long").as("doc_id"), source.as("source"))
@@ -440,18 +466,21 @@ object Graft {
         negate(col("__sk").cast("double")), col("doc_id"))
       .select(col("group").as("source"), col("tie").cast("long").as("doc_id"),
               col("rank").as("src_pos"))
-    // global interleave: rank (src_pos ASC, source ASC) — source is
-    // unique per src_pos, so the order is total
-    val globalPos = globalRankDesc(
-        srcPos.select(col("src_pos"), col("source")),
-        negate(col("src_pos").cast("double")), col("source"))
-      .select((-col("key")).cast("long").as("src_pos"),
-              col("tie").as("source"), col("rank").as("global_pos"))
-    // srcPos already carries one (source, doc_id, src_pos) row per
-    // doc — joining it back against `keyed` was a 1:1 identity join
-    // costing a full corpus-scale exchange for nothing (review catch)
-    srcPos.join(globalPos, Seq("src_pos", "source"))
-      .select(col("doc_id"), col("source"), col("src_pos"), col("global_pos"))
+    // ONE metadata-scale aggregate → 1-row sorted (source, count)
+    // array scalar; global_pos = 1 + fold over it (exact integer
+    // arithmetic — the same total order the removed rank computed:
+    // row_number under (src_pos ASC, source ASC), source unique per
+    // src_pos so the order is total)
+    val counts = keyed.groupBy("source").agg(count(lit(1)).as("__c"))
+      .agg(array_sort(collect_list(struct(col("source"), col("__c"))))
+        .as("__sc"))
+    srcPos.crossJoin(broadcast(counts))
+      .select(col("doc_id"), col("source"), col("src_pos"),
+              (aggregate(col("__sc"), lit(0L), (acc, x) =>
+                 acc + least(x.getField("__c"), col("src_pos") - 1) +
+                   when(x.getField("__c") >= col("src_pos") &&
+                        x.getField("source") < col("source"), lit(1L))
+                     .otherwise(lit(0L))) + lit(1L)).as("global_pos"))
   }
 
   /** Temperature-τ=½ mixture REWEIGHTING per group — the
@@ -3578,6 +3607,24 @@ object Graft {
     }
   }
 
+  /** The ranked+tokenized projection [[sortedNeighborPairs]]
+    * self-joins: per doc (__id, __ts = distinct tokens, __r = exact
+    * 1-based rank under (sortKey ASC, id ASC) via the two-pass
+    * distributed [[globalRankDesc]]). Public so a pipeline can
+    * compute it ONCE per corpus, persist it, and hand it to every
+    * [[sortedNeighborPairs]] call via `sorted` — the
+    * fuzzyCanonProjection warehouse shape. */
+  def sortedNeighborProjection(docs: DataFrame, id: Column, text: Column,
+                               sortKey: Column): DataFrame = {
+    val base = docs.select(id.cast("long").as("__id"), sortKey.as("__k"),
+                           array_distinct(split(text, " ")).as("__ts"))
+    // globalRankDesc ranks key DESC; negate for ascending key order
+    val ranked = globalRankDesc(base.select(col("__id"), col("__k")),
+                                negate(col("__k").cast("double")), col("__id"))
+      .select(col("tie").as("__id"), col("rank").as("__r"))
+    base.drop("__k").join(ranked, "__id")
+  }
+
   /** Sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM) — the
     * THIRD blocking family next to the inverted-index
     * ([[nearDupPairsNgram]]) and LSH ([[nearDupPairsMinhash]])
@@ -3599,36 +3646,33 @@ object Graft {
     * doc_b in key order. */
   def sortedNeighborPairs(docs: DataFrame, id: Column, text: Column,
                           sortKey: Column, w: Int = 8,
-                          thresholdPermille: Int = 800): DataFrame = {
+                          thresholdPermille: Int = 800,
+                          sorted: Option[DataFrame] = None): DataFrame = {
     require(w >= 2, s"w must be >= 2, got $w")
     require(thresholdPermille > 0 && thresholdPermille <= 1000,
       s"thresholdPermille must be in (0, 1000], got $thresholdPermille")
     val p = thresholdPermille
-    val base = docs.select(id.cast("long").as("__id"), sortKey.as("__k"),
-                           array_distinct(split(text, " ")).as("__ts"))
-    // globalRankDesc ranks key DESC; negate for ascending key order
-    val ranked = globalRankDesc(base.select(col("__id"), col("__k")),
-                                negate(col("__k").cast("double")), col("__id"))
-      .select(col("tie").as("__id"), col("rank").as("__r"))
     // MATERIALIZED once (round-13 verdict #3 — q_dedup_sorted was a
     // standing driver-excursion row with nothing on the build
-    // ledger): the ranked+tokenized projection below is consumed by
-    // BOTH sides of the neighbor join, so the lazy form re-ran the
-    // corpus tokenize (split + distinct) and the rank join twice per
-    // call. One temp-parquet round trip makes it a write + two
-    // column reads (measured at sf0.1: first call 3.6 → 2.6 s, and
-    // the cost now carries its own `snm_sorted` ledger row instead
-    // of hiding in query SELF time) — the fuzzy_canon warehouse
-    // shape: write the blocked projection next to the corpus, then
-    // self-join the table.
-    val sorted = TempTables.materialize(
-      base.drop("__k").join(ranked, "__id"), "snm_sorted")
-    val probes = sorted
+    // ledger): the ranked+tokenized projection is consumed by BOTH
+    // sides of the neighbor join, so the lazy form re-ran the corpus
+    // tokenize (split + distinct) and the rank join twice per call.
+    // One temp-parquet round trip makes it a write + two column
+    // reads — the fuzzy_canon warehouse shape: write the blocked
+    // projection next to the corpus, then self-join the table.
+    // `sorted` (round 17 — the canon/sortedGrams precedent): a
+    // PRE-MATERIALIZED [[sortedNeighborProjection]] table for callers
+    // that persist the projection once per corpus.
+    val sortedT = sorted.getOrElse(TempTables.materialize(
+      sortedNeighborProjection(docs, id, text, sortKey), "snm_sorted"))
+    require(Seq("__id", "__ts", "__r").forall(sortedT.columns.contains),
+      s"sorted must be a sortedNeighborProjection table, got ${sortedT.columns.mkString(",")}")
+    val probes = sortedT
       .select(col("__id").as("doc_a"), col("__ts").as("__ta"), col("__r"),
               explode(sequence(lit(1), lit(w - 1))).as("__d"))
       .select(col("doc_a"), col("__ta"), (col("__r") + col("__d")).as("__nr"))
     probes
-      .join(sorted.select(col("__id").as("doc_b"), col("__ts").as("__tb"),
+      .join(sortedT.select(col("__id").as("doc_b"), col("__ts").as("__tb"),
                           col("__r").as("__nr")), "__nr")
       .select(col("doc_a"), col("doc_b"),
               size(array_intersect(col("__ta"), col("__tb"))).as("__i"),
@@ -3943,6 +3987,27 @@ object Graft {
       df.join(broadcast(hot), keyCols, "left_anti")
     }
 
+  /** The canonical-string blocking projection [[fuzzyDupPairs]]
+    * self-joins: per doc the fixed-name working set (fz_p0.. =
+    * `partitionBy` values, doc_id, fz_s = sorted distinct tokens
+    * joined by one space, fz_tok0 = first canon token, fz_n =
+    * distinct-token count), empty-canon rows dropped. Public so a
+    * pipeline can compute it ONCE per corpus, persist it, and hand
+    * it to every [[fuzzyDupPairs]] call via `canon` — the
+    * write-the-projection-next-to-the-corpus warehouse shape. */
+  def fuzzyCanonProjection(docs: DataFrame, id: Column, text: Column,
+                           partitionBy: Seq[Column] = Nil): DataFrame = {
+    // the fresh projection carries ONLY these fixed names, so caller
+    // column names cannot collide with the working set
+    val canon = array_join(array_sort(array_distinct(split(text, " "))), " ")
+    val parts = partitionBy.zipWithIndex.map { case (c, i) => c.as(s"fz_p$i") }
+    docs
+      .select(parts :+ id.cast("long").as("doc_id") :+ canon.as("fz_s"): _*)
+      .filter(length(col("fz_s")) > 0)
+      .withColumn("fz_tok0", substring_index(col("fz_s"), " ", 1))
+      .withColumn("fz_n", size(split(col("fz_s"), " ")))
+  }
+
   /** Edit-distance near-dup pairs over ANY (id, text) DataFrame:
     * (doc_a, doc_b, edit_dist) for Levenshtein distance ≤ `maxDist`
     * between the documents' CANONICAL strings — the sorted distinct
@@ -3971,12 +4036,9 @@ object Graft {
   def fuzzyDupPairs(docs: DataFrame, id: Column, text: Column,
                     partitionBy: Seq[Column] = Nil,
                     maxDist: Int = 8,
-                    maxBucket: Int = 1024): DataFrame = {
+                    maxBucket: Int = 1024,
+                    canon: Option[DataFrame] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    // the fresh projection below carries ONLY these fixed names, so
-    // caller column names cannot collide with the working set
-    val canon = array_join(array_sort(array_distinct(split(text, " "))), " ")
-    val parts = partitionBy.zipWithIndex.map { case (c, i) => c.as(s"fz_p$i") }
     // MATERIALIZED once (round-12: the unattributed q_dedup_fuzzy
     // driver excursion): the canon projection is a full tokenize +
     // sort + distinct per document, and the blocked self-join below
@@ -3986,14 +4048,17 @@ object Graft {
     // reads, puts the cost on the build ledger (`fuzzy_canon`), and is
     // the warehouse shape at 100 TB: write the canonicalized
     // projection next to the corpus, then self-join the table.
-    val base = TempTables.materialize(
-      docs
-        .select(parts :+ id.cast("long").as("doc_id") :+ canon.as("fz_s"): _*)
-        .filter(length(col("fz_s")) > 0)
-        .withColumn("fz_tok0", substring_index(col("fz_s"), " ", 1))
-        .withColumn("fz_n", size(split(col("fz_s"), " "))),
-      "fuzzy_canon")
+    // `canon` (round 17 — the sortedGrams/gramDf precedent): a
+    // PRE-MATERIALIZED [[fuzzyCanonProjection]] table, for callers
+    // that persist the projection once per corpus instead of paying
+    // the per-call write; must come from the same (docs, id, text,
+    // partitionBy) or pairs are garbage.
+    val base = canon.getOrElse(TempTables.materialize(
+      fuzzyCanonProjection(docs, id, text, partitionBy), "fuzzy_canon"))
     val bucketCols = partitionBy.indices.map(i => s"fz_p$i") ++ Seq("fz_tok0", "fz_n")
+    require(bucketCols.forall(base.columns.contains) &&
+        base.columns.contains("doc_id") && base.columns.contains("fz_s"),
+      s"canon must be a fuzzyCanonProjection table, got ${base.columns.mkString(",")}")
     operators.SkewJoin.blockedSelfPairs(base, bucketCols, "doc_id", maxBucket)
       .withColumn("edit_dist", levenshtein(col("fz_s_a"), col("fz_s_b"), maxDist))
       .filter(col("edit_dist") >= 0)
@@ -4460,30 +4525,40 @@ object Graft {
     * engine-portable — no fixpoint, no cluster materialization.
     *
     * Scale shape: pairs from the exact [[cosineThresholdPairs]] kernel
-    * (bounded broadcast chunks), MATERIALIZED once (the pair list is
-    * consumed in both orientations); verdicts are one pair-scale
-    * explode + two joins against the metadata projection (doc_id,
-    * quality) + one map-side-combinable aggregate. Quality must cast
-    * to long (callers pre-scale floats — the tableChecksum stance). */
+    * (bounded broadcast chunks), evaluated ONCE — both orientations of
+    * each unordered pair come from a single generator explode over the
+    * one pair stream (round 17: the former temp-parquet round trip
+    * existed only because a unionAll of two selects evaluates the pair
+    * subtree twice; the explode keeps one evaluation with no write);
+    * verdicts are one pair-scale explode + two joins against the
+    * metadata projection (doc_id, quality) + one map-side-combinable
+    * aggregate. Quality must cast to long (callers pre-scale floats —
+    * the tableChecksum stance). */
   def semanticDupVerdicts(vecs: DataFrame, id: Column, vec: Column,
                           quality: Column, tauPermille: Int,
                           chunks: Int = 0): DataFrame = {
     val e = vecs.select(id.cast("long").as("doc_id"), vec.as("v"),
                         quality.cast("long").as("q"))
-    val pairs = TempTables.materialize(
-      cosineThresholdPairs(e, col("doc_id"), col("v"), tauPermille, chunks),
-      "semdup_pairs")
+    val pairs = cosineThresholdPairs(e, col("doc_id"), col("v"), tauPermille, chunks)
     semanticVerdictsFromPairs(pairs, e.select(col("doc_id"), col("q")))
   }
 
   /** The verdict aggregate shared by the exact and IVF semantic-dedup
     * paths: orient each unordered pair both ways, join quality on both
     * endpoints, and fold per document — n_dups = neighbor count,
-    * dropped = 1 iff any neighbor wins (quality DESC, id ASC). */
+    * dropped = 1 iff any neighbor wins (quality DESC, id ASC).
+    * Both orientations come from ONE explode (a generator over a
+    * single evaluation of the pair subtree), not a unionAll of two
+    * selects — a union's branches each re-plan and re-execute the
+    * pair kernel, which is why the pre-round-17 form had to write the
+    * pair list to temp parquet first; the generator form needs
+    * neither the double evaluation nor the write. */
   private def semanticVerdictsFromPairs(pairs: DataFrame,
                                         qual: DataFrame): DataFrame = {
-    val dir = pairs.select(col("vec_a").as("doc_id"), col("vec_b").as("nb"))
-      .unionAll(pairs.select(col("vec_b").as("doc_id"), col("vec_a").as("nb")))
+    val dir = pairs.select(explode(array(
+        struct(col("vec_a").as("doc_id"), col("vec_b").as("nb")),
+        struct(col("vec_b").as("doc_id"), col("vec_a").as("nb")))).as("__e"))
+      .select(col("__e.doc_id").as("doc_id"), col("__e.nb").as("nb"))
     dir.join(qual, "doc_id")
       .join(qual.select(col("doc_id").as("nb"), col("q").as("nq")), "nb")
       .groupBy("doc_id", "q")
@@ -4541,8 +4616,12 @@ object Graft {
       // cosine (non-finite caller vectors) where the exact kernel
       // silently excludes the pair.
       .filter(round(col("cosine") * 1000, 0) >= tauPermille)
-    val pairs = TempTables.materialize(scored, "semdup_ivf_pairs")
-    semanticVerdictsFromPairs(pairs, e.select(col("doc_id"), col("q")))
+    // no temp-parquet round trip (round 17): semanticVerdictsFromPairs
+    // consumes the pair stream through ONE generator explode, so the
+    // cell-blocked scoring subtree executes exactly once per action
+    // with no pair-set write — at 100 TB that is a full pair-scale
+    // parquet write removed from every run
+    semanticVerdictsFromPairs(scored, e.select(col("doc_id"), col("q")))
   }
 
   /** INCREMENTAL semantic dedup (round 13 — the per-ingest face of

@@ -172,7 +172,15 @@ object PipelineOps {
   def q_dedup_sorted(s: SparkSession, d: String): DataFrame =
     graft.Graft.sortedNeighborPairs(Tables.documents(s, d),
         col("doc_id"), col("text"), sortKey = col("n_chars"),
-        w = 8, thresholdPermille = 900)
+        w = 8, thresholdPermille = 900,
+        // ranked projection cached per (session, sfDir) — round 17:
+        // the per-invocation snm_sorted materialize re-paid the
+        // corpus tokenize + two-pass rank + parquet write on every
+        // call (~1.9 s of this query's steady reading); build once,
+        // read thereafter (the jacc_sorted precedent)
+        sorted = Some(graft.TempTables.cached(s, s"snm_sorted:$d")(
+          graft.Graft.sortedNeighborProjection(Tables.documents(s, d),
+              col("doc_id"), col("text"), col("n_chars")))))
       .orderBy("doc_a", "doc_b")
 
   /** Edit-distance near-dup pairs on the CANONICAL string (sorted
@@ -187,7 +195,15 @@ object PipelineOps {
   def q_dedup_fuzzy(s: SparkSession, d: String): DataFrame =
     graft.Graft.fuzzyDupPairs(Tables.documents(s, d),
         col("doc_id"), col("text"),
-        partitionBy = Seq(col("lang")), maxDist = 8)
+        partitionBy = Seq(col("lang")), maxDist = 8,
+        // canon projection cached per (session, sfDir) — round 17:
+        // the per-invocation fuzzy_canon materialize re-paid the
+        // tokenize+sort+distinct canon pass + parquet write on every
+        // call; build once, read thereafter (the jacc_sorted
+        // precedent)
+        canon = Some(graft.TempTables.cached(s, s"fuzzy_canon:$d")(
+          graft.Graft.fuzzyCanonProjection(Tables.documents(s, d),
+              col("doc_id"), col("text"), Seq(col("lang"))))))
       .select(col("doc_a"), col("doc_b"), col("edit_dist").cast("long").as("edit_dist"))
       .orderBy("doc_a", "doc_b")
 
@@ -315,14 +331,22 @@ object PipelineOps {
     * row-local counts against pair-scale labels. */
   def q_stitch_repair(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = graft.TempTables.materialize(
+    // cached per (session, sfDir), not per-invocation materialize
+    // (round 17): the pair detection join and the O(log n) CC loop
+    // are both deterministic functions of the corpus, and rebuilding
+    // them on every call re-paid the corpus-scale span-hash join plus
+    // the whole multi-job star loop each time (~2-3 s of this query's
+    // steady driver reading). The ngram_cc precedent exactly: build
+    // once per sfDir, price the build in temp_builds, every
+    // invocation reads the stats-bearing parquet tables.
+    val pairs = graft.TempTables.cached(s, s"stitch_pairs:$d")(
       graft.Graft.stitchPairs(docs, col("doc_id"), col("text"), boundaryTokens = 4)
-        .select(col("doc_a"), col("doc_b")), "stitch_pairs")
+        .select(col("doc_a"), col("doc_b")))
     // the CC loop's labeling is RDD-backed (localCheckpoint lineage
     // truncation) and TWO joins consume it — parquet round-trip keeps
     // relation stats so both stay broadcast-able (the §2.14 lesson)
-    val labels = graft.TempTables.materialize(
-      graft.operators.ConnectedComponents.alternatingStar(pairs), "stitch_cc")
+    val labels = graft.TempTables.cached(s, s"stitch_cc:$d")(
+      graft.operators.ConnectedComponents.alternatingStar(pairs))
     val sizes = docs.select(col("doc_id"), size(toks).cast("long").as("n_toks"))
     val members = labels.join(sizes, col("node") === col("doc_id"))
       .groupBy("label")
@@ -984,12 +1008,23 @@ object PipelineOps {
   }
 
   /** The row-local q_text_quality integer score keyed by doc_id —
-    * the quality side of both semantic-dedup faces. */
+    * the quality side of all three semantic-dedup faces. Cached as a
+    * per-(session, sfDir) temp-parquet table (round 17): the three
+    * consumers' plans each reference their vec⋈quality join from
+    * several subtrees (the blocked self/bipartite joins evaluate
+    * their input once per side plus the hot-bucket count pass), and
+    * an inline definition re-ran qualitySignals' corpus-scale text
+    * parsing on every reference; the 16-byte (doc_id, q) parquet
+    * table reads back in milliseconds with real stats. The 100 TB
+    * shape: score once, write next to the corpus, hand to every
+    * curation consumer — the tfidf_sparse64 stance. */
   private def docQuality(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-              graft.Graft.qualitySignals(col("text"), col("n_chars"))
-                .getField("quality_permille").as("q"))
+    graft.TempTables.cached(s, s"doc_quality:$d")(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                graft.Graft.qualitySignals(col("text"), col("n_chars"))
+                  .getField("quality_permille").as("q"))
+        .coalesce(1))
 
   /** Top-k vocabulary coverage / OOV curve (round 10):
     * [[graft.Graft.vocabCoverage]] at k ∈ {4, 8, 16, 24, 32} (sized
@@ -1295,7 +1330,17 @@ object PipelineOps {
     * matrix — so the oracle verifies the public API. */
   def q_lang_id(s: SparkSession, d: String): DataFrame =
     graft.Graft.languageId(Tables.documents(s, d),
-        col("doc_id"), col("text"), col("lang"), topK = 10)
+        col("doc_id"), col("text"), col("lang"), topK = 10,
+        // the (doc, lang, token, cnt) table cached per (session,
+        // sfDir) — round 17, closing the facade scaladoc's own
+        // "at 100 TB, materialize it once upstream" stance (round-16
+        // verdict #6): profile building and scoring each re-ran the
+        // corpus tokenize per action, the documented
+        // tokenize-once-per-consumer floor of this query's recurring
+        // 2.0-2.3 s steady reading
+        tokenCounts = Some(graft.TempTables.cached(s, s"langid_tok:$d")(
+          graft.Graft.langTokenCounts(Tables.documents(s, d),
+              col("doc_id"), col("text"), col("lang")))))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       // nulls_last matches DuckDB's ASC default — a zero-overlap NULL
@@ -1931,11 +1976,22 @@ object PipelineOps {
       .filter(graft.Graft.qualitySignals(col("text"), col("n_chars"))
                 .getField("quality_permille") >= 400)
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n"))
-    val capped = gated.join(
-      graft.Graft.stratifiedSample(gated, col("lang"), col("doc_id"),
-          n = 30, seed = 11L)
-        .select(col("id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+    // cached per (session, sfDir) (round 17): packChunks references
+    // its input from FOUR subtrees (the auto-bucket count action, the
+    // quantile bounds, the bucketed projection) plus the final lang
+    // join below — an inline `capped` re-ran the dedup anti-join,
+    // qualitySignals text parse and the TopK stratified sample on
+    // every reference (~5× per invocation, the q_interleave-class
+    // waste). Deterministic (seed 11); 24-byte rows; the 100 TB
+    // shape is literally this: write the curated post-gate post-cap
+    // doc list once, hand it to the packer and the accountant.
+    val capped = graft.TempTables.cached(s, s"layout_capped:$d")(
+      gated.join(
+        graft.Graft.stratifiedSample(gated, col("lang"), col("doc_id"),
+            n = 30, seed = 11L)
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .coalesce(1))
     graft.Graft.packChunks(capped, col("doc_id"), col("n"), budget = 1024L)
       .join(capped.select("doc_id", "lang"), "doc_id")
       .groupBy("lang")

@@ -73,6 +73,12 @@ class PlanGuardSpec extends SparkSpecBase {
     // sides — the q_sim_ivf/q_ivf_build shape; the model itself is a
     // parquet-backed ≤16-row table)
     "q_dedup_semantic_inc",
+    // round 17: q_dedup_semantic_ivf — with the pair-set temp-parquet
+    // round trip removed, the same reviewed 1-row centroid-array
+    // cross (ivfAssign on the corpus side) now sits inside the
+    // declared plan instead of a one-off build job; the build side is
+    // a single collect_list row over the ≤16-row parquet model
+    "q_dedup_semantic_ivf",
     // round 14: q_hybrid_rrf composes BOTH reviewed crosses — the
     // q_bm25 1-row stats aggregate on the lexical side and the
     // q_sim_search broadcast 1-row probe vector on the dense side
@@ -260,22 +266,34 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_keyness" -> 5,
     // round-12 additions: BPE encode (per-source rollup + output
     // sort — learning is one priced driver job, the encode chain is
-    // row-local) and semantic dedup (pair-orientation joins over the
-    // materialized PAIR-scale semdup_pairs parquet: the per-doc
-    // verdict aggregate, its co-partition for the nb join ×2, the
-    // output sort — the all-pairs threshold kernel itself shuffles
-    // nothing, its chunks are planner-built broadcasts)
+    // row-local) and semantic dedup. Round 17 re-audit of the two
+    // semantic twins: the pair-set temp-parquet round trip is GONE
+    // (both orientations now come from one generator explode over a
+    // single evaluation of the pair kernel), so the pair kernel's own
+    // exchanges moved INSIDE the declared plan — 4 → 6 for the exact
+    // twin (the all-pairs threshold kernel shuffles nothing — its
+    // chunks are planner-built broadcasts — but the doc_id/nb verdict
+    // joins and final aggregate now plan against the in-flight pair
+    // stream: two join co-partitions, verdict aggregate partials, the
+    // output sort). Per action the total exchange count is UNCHANGED
+    // — the same shuffles previously ran inside the one-per-call
+    // materialize job — and the pair-scale parquet write+read is
+    // deleted.
     "q_bpe_encode" -> 2,
-    "q_dedup_semantic" -> 4,
+    "q_dedup_semantic" -> 6,
     // round-13 additions (round-12 verdict #5): the IVF semantic twin
-    // (pair-orientation joins over the materialized semdup_ivf_pairs
-    // parquet — same 4-exchange read shape as the exact twin; the
-    // k-means train is a priced one-off job, assignment is row-local
-    // against broadcast centroids) and the REWIRED incremental probe
+    // and the REWIRED incremental probe
     // (bipartite prefix join's two explicit-count repartitions, the
     // candidate distinct, one verify co-partition, the output sort;
-    // both sorted-gram sides broadcast off the cached parquet stats)
-    "q_dedup_semantic_ivf" -> 4,
+    // both sorted-gram sides broadcast off the cached parquet stats).
+    // Round 17, IVF twin re-audit (4 → 10, same reason as the exact
+    // twin — the former semdup_ivf_pairs build job's exchanges now
+    // show in the declared plan): the cell-blocked self-join
+    // contributes its hot-cell count aggregate (2) and two
+    // explicit-count block repartitions, then the verdict joins and
+    // aggregate as in the exact twin; per action nothing shuffles
+    // more than before and the pair-set write+read is deleted.
+    "q_dedup_semantic_ivf" -> 10,
     "q_dedup_incremental" -> 5,
     // round-13 additions: the incremental semantic probe (two
     // explicit-count bipartite-guard repartitions + the per-batch-doc
