@@ -82,9 +82,11 @@ object Bench {
     // median ⇒ the excursion was build-charge or weather; retime
     // still high ⇒ a real plan/compute regression. `total` and
     // `slowest20` above stay exactly the driver-contract readings —
-    // this field only ADDS evidence.
+    // this field only ADDS evidence. Round 17 (r16 verdict #2): the
+    // retime set covers the FULL slowest-20, so no slowest-20 entry
+    // can escape steady-state evidence (r16's q_readability hole).
     val loadMid = loadavg(); val tsMid = epochSec()
-    val retimes = results.toSeq.sortBy(-_._2).take(15).map { case (name, _) =>
+    val retimes = results.toSeq.sortBy(-_._2).take(20).map { case (name, _) =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => () }
