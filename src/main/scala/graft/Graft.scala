@@ -35,6 +35,26 @@ case class LogisticModel(weights: Seq[Double], bias: Double,
 
 object Graft {
 
+  /** Spread a narrow-parallelism scan across the session's cores
+    * before a HEAVY row-local stage (codec encode/decode, multi-
+    * permutation signature hashing, model featurization) — guide §2.5
+    * input skew: a small single-file parquet table is ONE scan split
+    * (one row group), so on local[32] the whole mapper pass serializes
+    * onto one core while 31 idle. The round-robin repartition costs
+    * one exchange of the projected input rows and buys cores× mapper
+    * throughput — project BEFORE calling so only needed columns cross.
+    *
+    * SCALE-ADAPTIVE, not a constant (the optimization-round contract):
+    * when the scan already carries at least `defaultParallelism`
+    * partitions — any real warehouse table — this is the IDENTITY; no
+    * exchange is added at 100 TB, where the same unconditional
+    * repartition would be a full-corpus payload shuffle. The
+    * getNumPartitions probe plans the query but runs no job. */
+  def fanOutForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Left as-of join: append to `left` the nearest same-keyed
     * `rightTime` at-or-before (`direction = "backward"`, default) or
     * at-or-after (`"forward"`) `leftTime` — NULL if none, or if the
@@ -3007,8 +3027,13 @@ object Graft {
   def tfidfVectors(docs: DataFrame, id: Column, text: Column,
                    vocabLimit: Int): DataFrame = {
     require(vocabLimit >= 1, s"vocabLimit must be >= 1, got $vocabLimit")
-    val toks = docs.select(id.cast("long").as("doc_id"),
-                           split(text, " ").as("__toks"))
+    // fanOutForCompute (round 17, guide §2.5): both consumers of this
+    // projection — the df-count explode and the per-doc featurize —
+    // are heavy row-local stages that otherwise serialize on a
+    // single-split local scan; identity at warehouse scale
+    val toks = fanOutForCompute(
+      docs.select(id.cast("long").as("doc_id"),
+                  split(text, " ").as("__toks")))
     // ONE corpus pass for BOTH the document count N (idf's numerator)
     // and the document-frequency top-k (round-12 verdict #1: the
     // separate toks.count() job was a second full scan charged to the
@@ -4127,9 +4152,14 @@ object Graft {
     // shuffle and one join GONE; identical sets produce identical
     // signatures by construction, so `first(sig)` per set-collapse
     // group is deterministic.
-    val base = docs.filter(text.isNotNull)
-      .select(id.cast("long").as("doc_id"),
-        array_sort(array_distinct(split(text, " "))).as("toks"))
+    // fanOutForCompute before the 64-permutation signature stage
+    // (round 17, guide §2.5): the sig is ~NumPerms hashes per token
+    // and otherwise serializes on a single-split local scan; the
+    // exchange carries only (doc_id, distinct tokens)
+    val base = fanOutForCompute(
+        docs.filter(text.isNotNull)
+          .select(id.cast("long").as("doc_id"),
+            array_sort(array_distinct(split(text, " "))).as("toks")))
       .select(Seq(col("doc_id"), functions.MinHashSig.sig(col("toks")).as("sig")) ++
               spanHash(array_join(col("toks"), " ")): _*)
     val groups = base.groupBy("h1", "h2")

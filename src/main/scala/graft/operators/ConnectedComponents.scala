@@ -40,6 +40,24 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count gate for the driver union-find fast path of
+    * [[alternatingStar]]: at or below this many edges the whole
+    * labeling runs as ONE bounded `limit(gate+1).collect()` plus a
+    * driver union-find, instead of the multi-job star loop. Rationale
+    * (round 17, guide §1/§2): the star loop is the 100 TB-safe shape,
+    * but each round is ~6 shuffle stages and AQE materializes every
+    * exchange as its own driver job — measured 43 jobs / ~2.1 s warm
+    * for the 33-edge stitch graph and 9 jobs / ~1.0 s for the 256-edge
+    * ngram graph, pure scheduling latency on metadata-scale inputs.
+    * The collect is bounded DRIVER STATE by construction (≤ gate+1
+    * rows × 16 bytes ≈ 1 MB — the same bounded-collect contract as the
+    * vocab/model sites in Graft.scala): `limit` short-circuits, so an
+    * over-gate edge set costs one truncated pass and falls back to the
+    * distributed loop. Labels are identical by definition (component
+    * minimum, exact integer — no float anywhere), pinned against the
+    * loop path in ConnectedComponentsSpec. */
+  val LocalMaxEdges: Int = 1 << 16
+
   /** (node, label) via min-label propagation; O(diameter) rounds. */
   def minLabelPropagation(edges: DataFrame, maxRounds: Int = 20): DataFrame =
     minLabelWithRounds(edges, maxRounds)._1
@@ -73,12 +91,21 @@ object ConnectedComponents {
   }
 
   /** (node, label) via alternating large-star/small-star; O(log n)
-    * rounds on any graph shape. */
-  def alternatingStar(edges: DataFrame, maxRounds: Int = 50): DataFrame =
-    alternatingStarWithRounds(edges, maxRounds)._1
+    * rounds on any graph shape. Edge sets at or below `localMaxEdges`
+    * take the bounded driver union-find fast path (see
+    * [[LocalMaxEdges]]); pass 0 to force the distributed loop. */
+  def alternatingStar(edges: DataFrame, maxRounds: Int = 50,
+                      localMaxEdges: Int = LocalMaxEdges): DataFrame =
+    alternatingStarWithRounds(edges, maxRounds, localMaxEdges)._1
 
-  private[graft] def alternatingStarWithRounds(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+  private[graft] def alternatingStarWithRounds(
+      edges: DataFrame, maxRounds: Int,
+      localMaxEdges: Int = LocalMaxEdges): (DataFrame, Int) = {
     val cast = castLong(edges)
+    localLabels(cast, localMaxEdges) match {
+      case Some(labels) => return (labels, 0)
+      case None         => ()
+    }
     val eRaw = dropSelfLoops(cast)
     // node universe from the PRE-filter edge set: self-loop-only nodes
     // are their own components (labeled via the final left join)
@@ -188,6 +215,43 @@ object ConnectedComponents {
       .join(e.select(col("a").as("m"), col("b").as("label")), Seq("m"), "left")
       .select(col("node"), coalesce(col("label"), col("m")).as("label"))
     (labels, rounds)
+  }
+
+  /** The size-gated driver fast path: ONE `limit(gate+1).collect()`
+    * over the cast edge set — if every edge fits under the gate (and
+    * no endpoint is NULL, whose star-loop semantics we do not
+    * replicate), label components with a min-root union-find and
+    * return them as a sorted local relation. Semantics match the star
+    * loop exactly: nodes = all endpoints INCLUDING self-loop-only
+    * ones, label = component-minimum id. Returns None (after one
+    * truncated pass) when the edge set exceeds the gate. */
+  private def localLabels(cast: DataFrame, gate: Int): Option[DataFrame] = {
+    if (gate <= 0) return None
+    val rows = cast.limit(gate + 1).collect()
+    if (rows.length > gate) return None
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val parent = new java.util.HashMap[Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n: Long = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      if (a != b) {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val labels = parent.keySet().asScala.toSeq.sorted.map(n => (n, find(n)))
+    val s = cast.sparkSession
+    import s.implicits._
+    Some(labels.toDF("node", "label"))
   }
 
   /** First two columns → (a, b) longs. */

@@ -48,7 +48,12 @@ object GraphOps {
         .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= MIN_COPURCHASE)
         .select("a", "b")
-        .coalesce(1)
+        // repartition, NOT coalesce (round 17): coalesce(1) narrowed
+        // the final pair-count aggregate to ONE task over the ~2M
+        // pre-filter pair rows; repartition keeps the aggregate
+        // parallel and pays one 3.6k-row exchange for the single-file
+        // write (measured 1.42 → 1.13 s at sf0.1/local[32])
+        .repartition(1)
     }
 
   /** Exact triangle census of the co-purchase graph (added round 8):

@@ -96,9 +96,13 @@ object MediaOps {
     * sums → the only exchange is the output sort. */
   def q_media_decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
-      .filter(length(col("text")) >= 1) // a 0-byte doc has no pixels to render
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanOutForCompute before the codec stage (round 17, guide §2.5):
+    // the single-file local scan is ONE split, so the encode+decode
+    // mapper otherwise serializes onto one core; identity at scale
+    val media = graft.Graft.fanOutForCompute(
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= 1) // a 0-byte doc has no pixels to render
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
         val px = bytes.map { b => val v = b & 0xff; (v << 16) | (v << 8) | v }
@@ -141,9 +145,12 @@ object MediaOps {
     * only exchange is the output sort. */
   def q_media_audio(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
-      .filter(length(col("text")) >= 1) // a 0-byte doc has no samples
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanOutForCompute: see q_media_decode — same single-split scan,
+    // same heavy encode+decode mapper
+    val media = graft.Graft.fanOutForCompute(
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= 1) // a 0-byte doc has no samples
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
         Multimodal.MediaRow(id, "audio", Multimodal.encodeWav(bytes, 16000),
@@ -195,7 +202,7 @@ object MediaOps {
     * only exchange is the output sort. */
   def q_media_video(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
+    val media0 = Tables.documents(s, d)
       .filter(length(col("text")) >= 1) // a 0-byte doc has no frames
       // two EXPLICIT row gates, mirrored verbatim in the oracle so
       // neither engine can silently diverge (review catches): (1) the
@@ -209,7 +216,10 @@ object MediaOps {
       // side only
       .filter(length(col("text")) === octet_length(col("text")) &&
               octet_length(col("text")) <= 64L * 4096)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+    // fanOutForCompute: see q_media_decode — same single-split scan,
+    // same heavy encode+decode mapper
+    val media = graft.Graft.fanOutForCompute(media0).as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
         val nf = (bytes.length + 63) / 64
@@ -284,8 +294,12 @@ object MediaOps {
       // to carry signal
       .filter(length(col("text")) === octet_length(col("text")) &&
               octet_length(col("text")) >= 16)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-    val sigs = assets.mapPartitions { rows =>
+      .select(col("doc_id"), col("text"))
+    // fanOutForCompute: see q_media_decode — the sig build is TWO
+    // encodes + TWO perceptual-hash decodes per doc on a single-split
+    // scan
+    val sigs = graft.Graft.fanOutForCompute(assets).as[(Long, String)]
+      .mapPartitions { rows =>
       rows.flatMap { case (docId, text) =>
         val bytes = text.getBytes("UTF-8")
         val h = (bytes.length + 15) / 16
@@ -384,8 +398,11 @@ object MediaOps {
       // so the 8×8 energy grid carries signal
       .filter(length(col("text")) === octet_length(col("text")) &&
               octet_length(col("text")) >= 64)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-    val sigs = assets.mapPartitions { rows =>
+      .select(col("doc_id"), col("text"))
+    // fanOutForCompute: see q_media_decode — two WAV encodes + two
+    // fingerprint decodes per doc on a single-split scan
+    val sigs = graft.Graft.fanOutForCompute(assets).as[(Long, String)]
+      .mapPartitions { rows =>
       rows.flatMap { case (docId, text) =>
         val bytes = text.getBytes("UTF-8")
         val wav = Multimodal.encodeWav(bytes, 16000)
@@ -495,11 +512,15 @@ object MediaOps {
     * phash gap. */
   def q_media_videofp(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // fanOutForCompute: see q_media_decode — SIX GIF encodes + six
+    // signature decodes per doc (three variants, one decode pass each)
+    // on a single-split scan; measured 2.0 → 0.3 s at sf0.1/local[32]
     val sigs = graft.TempTables.cached(s, s"videofp_sigs:$d")(
-      Tables.documents(s, d)
-        .filter(length(col("text")) === octet_length(col("text")) &&
-                octet_length(col("text")).between(192L, 64L * 4096))
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      graft.Graft.fanOutForCompute(
+        Tables.documents(s, d)
+          .filter(length(col("text")) === octet_length(col("text")) &&
+                  octet_length(col("text")).between(192L, 64L * 4096))
+          .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { rows =>
           rows.flatMap { case (docId, text) =>
             val bytes = text.getBytes("UTF-8")

@@ -199,13 +199,16 @@ object TextOps {
         // ONE output file (round-13 verdict #5): the table is ~1.25 MB
         // at sf0.1 and the 32-file default write paid more in task
         // setup + commit protocol than in bytes (the #2 driver
-        // first-touch row, 5.68 s). coalesce — not repartition — so
-        // the row-local featurize collapses into the write task with
-        // no exchange; at a scale where the vector table is genuinely
-        // big, size the file count by output bytes instead (this
-        // constant is the local-mode shim, same stance as
+        // first-touch row, 5.68 s). repartition, NOT coalesce (round
+        // 17): coalesce(1) narrows the whole post-scan stage to one
+        // task, so the interpreted per-doc featurize ran single-
+        // threaded — measured 1.17 s vs 0.58 s with a parallel
+        // featurize + one tiny (5k rows × 64 doubles) exchange before
+        // the single-file write. At a scale where the vector table is
+        // genuinely big, size the file count by output bytes instead
+        // (this constant is the local-mode shim, same stance as
         // TempTables.PrefetchBoundBytes).
-        .coalesce(1))
+        .repartition(1))
 
   /** Shannon token entropy per source (added round 8): the
     * corpus-diversity metric — a source whose entropy collapses

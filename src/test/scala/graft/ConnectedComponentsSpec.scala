@@ -47,7 +47,11 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       clean.nonEmpty ==> {
         val df = clean.toDF("u", "v")
         val truth = groundTruth(clean)
+        // both alternatingStar paths: the gated driver union-find
+        // (default — these graphs are far under LocalMaxEdges) AND the
+        // distributed star loop forced via localMaxEdges = 0
         labelsOf(ConnectedComponents.alternatingStar(df)) == truth &&
+          labelsOf(ConnectedComponents.alternatingStar(df, localMaxEdges = 0)) == truth &&
           labelsOf(ConnectedComponents.minLabelPropagation(df, maxRounds = 30)) == truth
       }
     }
@@ -63,18 +67,35 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 3L), (7L, 7L)).toDF("u", "v")
     val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L)
     assert(labelsOf(ConnectedComponents.alternatingStar(edges)) == expected)
+    assert(labelsOf(ConnectedComponents.alternatingStar(edges, localMaxEdges = 0)) == expected)
     assert(labelsOf(ConnectedComponents.minLabelPropagation(edges)) == expected)
     // degenerate graph: nothing BUT self-loops still yields the full
     // node universe
     val only = Seq((5L, 5L), (9L, 9L)).toDF("u", "v")
     val exp2 = Map(5L -> 5L, 9L -> 9L)
     assert(labelsOf(ConnectedComponents.alternatingStar(only)) == exp2)
+    assert(labelsOf(ConnectedComponents.alternatingStar(only, localMaxEdges = 0)) == exp2)
     assert(labelsOf(ConnectedComponents.minLabelPropagation(only)) == exp2)
+  }
+
+  test("union-find gate: at the gate takes the fast path, above it falls back") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("u", "v")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+    // gate below the edge count → one truncated collect, then the loop
+    assert(labelsOf(ConnectedComponents.alternatingStar(edges, localMaxEdges = 2)) == expected)
+    // gate exactly the edge count → fast path (0 rounds), same labels
+    val (fast, rounds) =
+      ConnectedComponents.alternatingStarWithRounds(edges, 50, localMaxEdges = 3)
+    assert(labelsOf(fast) == expected)
+    assert(rounds == 0)
   }
 
   test("star needs only O(log n) rounds on a 64-node chain (diameter 63)") {
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("u", "v")
-    val (labels, rounds) = ConnectedComponents.alternatingStarWithRounds(chain, 50)
+    // localMaxEdges = 0 forces the distributed loop — the round bound
+    // is a property OF the loop (the gated fast path reports 0 rounds)
+    val (labels, rounds) =
+      ConnectedComponents.alternatingStarWithRounds(chain, 50, localMaxEdges = 0)
     assert(labelsOf(labels) == (0L to 63L).map(_ -> 0L).toMap)
     assert(rounds <= 15, s"expected logarithmic rounds on the chain, got $rounds")
     // min-label is O(diameter): an insufficient cap must throw, never
